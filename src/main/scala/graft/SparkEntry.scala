@@ -1,13 +1,653 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.engine.{Context, Tables}
+import graft.functions.{native, Text}
+import graft.multimodal.Multimodal
+import graft.operators.Relational
+import graft.similarity.Ann
+import graft.streaming.Streams
+
+/** Driver contract: one named query per implemented operator (SURVEY.md §2
+  * inventory + beyond-reference §7.2 step 9 extensions), each with a DuckDB
+  * oracle twin where the semantics are ANSI-SQL-expressible.
+  *
+  * Determinism rules applied throughout (SURVEY.md §7.4):
+  *  - every query ends in a total ORDER BY (unique tiebreaker columns);
+  *  - double aggregates go through exact DECIMAL accumulation and are cast
+  *    back to DOUBLE (order-independent, bit-identical to the oracle);
+  *  - per-row double arithmetic is left raw (IEEE ops on identical inputs
+  *    are bit-identical across engines);
+  *  - column names are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal view of a 2-dp monetary/quantity double. */
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** Order-independent SUM of a 2-dp double, returned as DOUBLE. */
+  private def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  /** Exact AVG: decimal sum / non-null count (0-safe), as DOUBLE. */
+  private def davg(c: Column): Column =
+    (sum(dec2(c)).cast(DoubleType) / nullif(count(c), lit(0))).as("avg")
+
+  // ===================================================================
+  // Flagship (driver smoke-checks rows > 0 on sf0.001).
+  // The reference flagship shape (ref: README.md:132-141): left join +
+  // filter + group-by + order-by-aggregate-desc.
+  // ===================================================================
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.filter(col("c_acctbal") > 0)
+      .join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_total"))
+      .orderBy(col("sum_total").desc_nulls_last, col("c_mktsegment"))
+  }
+
+  // ===================================================================
+  // Query inventory
+  // ===================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- L1 Scan (ref: src/plan/logical/scan.rs:12-56)
+    "q_scan" -> ((s, dir) =>
+      t(s, dir, "nation").orderBy("n_nationkey")),
+
+    // ---------------- L2 Projection + arithmetic expressions
+    // (ref: src/plan/logical/projection.rs, binary ops +,-,*,/)
+    "q_projection" -> ((s, dir) =>
+      Relational.project(t(s, dir, "lineitem"), Seq(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        (col("l_quantity") + col("l_tax")).as("qty_plus_tax"),
+        (col("l_extendedprice") - col("l_discount")).as("price_minus_disc"),
+        (col("l_extendedprice") / (col("l_quantity") + lit(1.0))).as("unit_price")))
+        .orderBy("l_orderkey", "l_linenumber", "net_price", "qty_plus_tax",
+          "price_minus_disc", "unit_price")),
+
+    // ---------------- L3 Filter: all 12 binary operators
+    // (ref: src/expression/operator.rs:5-18 — Eq NotEq Lt LtEq Gt GtEq
+    //  Plus Minus Multiply Divide And Or)
+    "q_filter" -> ((s, dir) =>
+      Relational.filter(t(s, dir, "lineitem"),
+        ((col("l_quantity") > 30.0 && col("l_discount") <= 0.05) ||
+          (col("l_quantity") + col("l_tax") < 5.0 && col("l_returnflag") === "R")) &&
+          col("l_linestatus") =!= "X" &&
+          col("l_extendedprice") * 0.9 >= 100.0 &&
+          col("l_extendedprice") - col("l_discount") < 99000.0 &&
+          col("l_extendedprice") / 2.0 >= 50.0 &&
+          col("l_partkey") < 100000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
+
+    // ---------------- L6 Limit (fetch) — ref: src/plan/logical/limit.rs
+    "q_limit" -> ((s, dir) =>
+      Relational.limit(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber"), 0, Some(100))),
+
+    // ---------------- L6 Limit (skip+fetch / OFFSET)
+    "q_offset" -> ((s, dir) =>
+      Relational.limit(
+        t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber"), 50, Some(100))),
+
+    // ---------------- L8 Distinct (ref: src/plan/logical/distinct.rs)
+    "q_distinct" -> ((s, dir) =>
+      Relational.distinct(
+        t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---------------- L5 Sort: multi-key, mixed asc/desc
+    // (ref: src/plan/logical/sort.rs; per-key asc/desc)
+    "q_sort" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc,
+          col("o_orderkey").asc)),
+
+    // ---------------- L4 Aggregate, no groups (ref: P5 no_groups.rs)
+    // All 5 functions: COUNT SUM AVG MIN MAX (ref: §2.4)
+    "q_agg_nogroup" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("cnt_all"),
+        count(col("l_quantity")).as("cnt_qty"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        (sum(dec2(col("l_quantity"))).cast(DoubleType) /
+          count(col("l_quantity"))).as("avg_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_returnflag")).as("min_flag"),
+        max(col("l_returnflag")).as("max_flag"))),
+
+    // ---------------- L4 grouped aggregate — TPC-H Q1 shape
+    // (ref: P6 row_hash.rs grouped hash aggregation; correct semantics,
+    //  not the reference's hash-collision/AVG-cast bugs — SURVEY.md §7.4)
+    "q_agg_group" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(dec2(col("l_quantity"))).cast(DoubleType) /
+            count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---------------- aggregate null semantics (COUNT skips nulls,
+    // ref: count.rs:93-98; AVG/SUM null-skipping, ref: §2.4 table)
+    "q_agg_nulls" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(nullif(col("l_returnflag"), lit("R")).as("flag_or_null"),
+          nullif(col("l_quantity"), lit(17.0)).as("qty_or_null"))
+        .agg(
+          count(lit(1)).as("cnt_all"),
+          count(col("flag_or_null")).as("cnt_flag"),
+          count(col("qty_or_null")).as("cnt_qty"),
+          dsum(col("qty_or_null")).as("sum_qty"),
+          min(col("qty_or_null")).as("min_qty"),
+          max(col("flag_or_null")).as("max_flag"))),
+
+    // ---------------- L7 inner equi-join + aggregate
+    // (ref: P8 hash_join.rs; Catalyst picks broadcast-hash here since the
+    //  dim side is small — at 100 TB this is the broadcast-dim pattern)
+    "q_join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      Relational.join(o, broadcast(c), Seq("o_custkey" -> "c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---------------- L7 left outer join: unmatched build rows null-padded
+    // (ref: hash_join.rs left-join visited bitmap; COUNT(null)=0)
+    "q_join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      Relational.join(c, o, Seq("c_custkey" -> "o_custkey"), "left")
+        .groupBy(c("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---------------- left join raw rows: null padding visible
+    "q_join_left_rows" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      Relational.join(c, o, Seq("c_custkey" -> "o_custkey"), "left")
+        .select(c("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+    }),
+
+    // ---------------- duplicate-key fan-out join
+    // (ref: dataframe.rs:518-543 duplicate-key cases; lineitem⋈orders
+    //  fans out multiple lines per order)
+    "q_join_fanout" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      Relational.join(l, o, Seq("l_orderkey" -> "o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber", "o_orderstatus", "o_totalprice")
+    }),
+
+    // ---------------- equi-join + non-equi residual filter
+    // (ref: JoinFilter, src/plan/physical/joins/utils.rs:62-100)
+    "q_join_residual" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      Relational.join(l, o, Seq("l_orderkey" -> "o_orderkey"),
+          residual = Some(col("l_extendedprice") > col("o_totalprice") * 0.5))
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber", "o_totalprice")
+    }),
+
+    // ---------------- empty-key join → cross + theta filter
+    // (ref: NestedLoopJoinExec path, planner.rs:186-194)
+    "q_cross_theta" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      Relational.join(r, n, Seq.empty, "inner",
+          Some(col("r_regionkey") < col("n_regionkey")))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // ---------------- SQL front door (ref: §2.6 SessionContext::sql with
+    // catalog validation; grammar superset via Spark SQL)
+    "q_sql" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT n.n_name,
+               count(*) AS n_customers,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+        FROM customer c
+        INNER JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 100.0
+        GROUP BY n.n_name
+        ORDER BY n.n_name""")
+    }),
+
+    // ================= beyond-reference relational =================
+
+    // set ops (absent in reference — SURVEY.md §2.5)
+    "q_union" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("k"))
+        .union(t(s, dir, "orders").select(col("o_custkey").as("k")))
+        .distinct().orderBy("k")),
+    "q_intersect" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("k"))
+        .intersect(t(s, dir, "orders").select(col("o_custkey").as("k")))
+        .orderBy("k")),
+    "q_except" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("k")))
+        .orderBy("k")),
+
+    // window functions (absent in reference — SURVEY.md §2.5)
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).cast(LongType).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // scalar string functions (absent in reference — SURVEY.md §2.5)
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "nation").select(
+        col("n_nationkey"),
+        upper(col("n_name")).as("uname"),
+        lower(col("n_name")).as("lname"),
+        substring(col("n_name"), 1, 3).as("prefix3"),
+        length(col("n_name")).as("name_len"),
+        concat(col("n_name"), lit("_"), col("n_regionkey").cast(StringType)).as("tagged"),
+        ltrim(rtrim(col("n_name"))).as("trimmed"))
+        .orderBy("n_nationkey")),
+
+    // date/time functions (absent in reference)
+    "q_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("yr", "mo")),
+
+    // CASE WHEN (absent in reference)
+    "q_case_when" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high").as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("bucket")),
+
+    // IN / BETWEEN / LIKE / IS NULL predicates (absent in reference)
+    "q_predicates" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("F", "O") &&
+          col("o_totalprice").between(1000.0, 50000.0) &&
+          col("o_orderpriority").like("%1%") &&
+          col("o_orderdate").isNotNull)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // DISTINCT aggregates (absent in reference — SURVEY.md §2.5)
+    "q_agg_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // JSON extraction (absent in reference)
+    "q_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+        .orderBy("event_id")),
+
+    // tumbling event-time window aggregation (batch form of the
+    // streaming operator in graft.streaming.Streams)
+    "q_events_hourly" -> ((s, dir) =>
+      Streams.hourlyTypeCounts(t(s, dir, "events"))
+        .orderBy("hour_start", "event_type")),
+
+    // stateful sessionization (mapGroupsWithState, batch mode)
+    "q_sessionize" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")).as[Streams.Event]
+      Streams.sessionize(ev).toDF().orderBy("user_id")
+    }),
+
+    // ================= training-data pipeline =================
+
+    // text analysis: SQL-expressible per-doc stats
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.charCount(col("text")).as("n_chars"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.subwordCount(col("text")).as("n_subwords"),
+        Text.meanTokenLen(col("text")).as("mean_token_len"),
+        Text.punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id")),
+
+    // text analysis: heuristic scores + native fingerprint (rows-only)
+    "q_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.langId(col("text")).as("lang_pred"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"),
+        Text.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // exact dedup (hash-groupBy)
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy("keep_id")),
+
+    // MinHash+LSH near-dup candidate pairs (rows-only oracle)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs (rows-only oracle)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
+        .orderBy("id_a", "id_b")),
+
+    // word n-gram Jaccard pairs (rows-only oracle)
+    "q_dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    // embedding cosine near-dup pairs via hyperplane LSH (rows-only)
+    "q_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
+          threshold = 0.2, planes = 4)
+        .orderBy("id_a", "id_b")),
+
+    // brute-force cosine top-k (exact ANN baseline; rows-only)
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb, Ann.selfQueries(emb, 10), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed approximate top-k (scale path; rows-only)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.lshTopK(emb, Ann.selfQueries(emb, 10), k = 5, planes = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    // multimodal: typed metadata over binary payloads (oracle on meta)
+    "q_media_meta" -> ((s, dir) =>
+      Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+        .groupBy(col("mime"))
+        .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"),
+          min(col("n_bytes")).as("min_bytes"), max(col("n_bytes")).as("max_bytes"))
+        .orderBy("mime")),
+
+    // multimodal: stubbed decode + featurize via mapPartitions (rows-only)
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("mime"), col("n_bytes"),
+          col("byte_entropy"), col("features"))
+        .orderBy("media_id")),
+
+    // multimodal: frame sampling plumbing (rows-only)
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .orderBy("media_id", "frame_idx"))
+  )
+
+  // ===================================================================
+  // DuckDB oracle twins. Omitted keys → driver records rows-only check.
+  // ===================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q_scan" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    "q_projection" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS net_price,
+           l_quantity + l_tax AS qty_plus_tax,
+           l_extendedprice - l_discount AS price_minus_disc,
+           l_extendedprice / (l_quantity + 1.0) AS unit_price
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price,
+           qty_plus_tax, price_minus_disc, unit_price""",
+
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+         FROM lineitem
+         WHERE ((l_quantity > 30.0 AND l_discount <= 0.05)
+             OR (l_quantity + l_tax < 5.0 AND l_returnflag = 'R'))
+           AND l_linestatus <> 'X'
+           AND l_extendedprice * 0.9 >= 100.0
+           AND l_extendedprice - l_discount < 99000.0
+           AND l_extendedprice / 2.0 >= 50.0
+           AND l_partkey < 100000
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""",
+
+    "q_limit" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+
+    "q_offset" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         ORDER BY l_orderkey, l_linenumber LIMIT 100 OFFSET 50""",
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_sort" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""",
+
+    "q_agg_nogroup" ->
+      """SELECT count(*) AS cnt_all,
+           count(l_quantity) AS cnt_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           min(l_returnflag) AS min_flag,
+           max(l_returnflag) AS max_flag
+         FROM lineitem""",
+
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           count(*) AS cnt
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_agg_nulls" ->
+      """SELECT count(*) AS cnt_all,
+           count(nullif(l_returnflag, 'R')) AS cnt_flag,
+           count(nullif(l_quantity, 17.0)) AS cnt_qty,
+           CAST(sum(CAST(nullif(l_quantity, 17.0) AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           min(nullif(l_quantity, 17.0)) AS min_qty,
+           max(nullif(l_returnflag, 'R')) AS max_flag
+         FROM lineitem""",
+
+    "q_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+
+    "q_join_left_rows" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+
+    "q_join_fanout" ->
+      """SELECT l_orderkey, l_linenumber, o_orderstatus, o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber, o_orderstatus, o_totalprice""",
+
+    "q_join_residual" ->
+      """SELECT l_orderkey, l_linenumber, o_totalprice
+         FROM lineitem JOIN orders
+           ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice * 0.5
+         ORDER BY l_orderkey, l_linenumber, o_totalprice""",
+
+    "q_cross_theta" ->
+      """SELECT r_name, n_name FROM region, nation
+         WHERE r_regionkey < n_regionkey ORDER BY r_name, n_name""",
+
+    "q_sql" ->
+      """SELECT n.n_name, count(*) AS n_customers,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE c.c_acctbal > 100.0
+         GROUP BY n.n_name ORDER BY n.n_name""",
+
+    "q_union" ->
+      """SELECT c_custkey AS k FROM customer
+         UNION SELECT o_custkey AS k FROM orders ORDER BY k""",
+    "q_intersect" ->
+      """SELECT c_custkey AS k FROM customer
+         INTERSECT SELECT o_custkey AS k FROM orders ORDER BY k""",
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""",
+
+    "q_window_rank" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q_string_funcs" ->
+      """SELECT n_nationkey,
+           upper(n_name) AS uname,
+           lower(n_name) AS lname,
+           substr(n_name, 1, 3) AS prefix3,
+           CAST(length(n_name) AS INTEGER) AS name_len,
+           n_name || '_' || CAST(n_regionkey AS VARCHAR) AS tagged,
+           ltrim(rtrim(n_name)) AS trimmed
+         FROM nation ORDER BY n_nationkey""",
+
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1, 2 ORDER BY yr, mo""",
+
+    "q_case_when" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM lineitem GROUP BY 1 ORDER BY bucket""",
+
+    "q_predicates" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus IN ('F','O')
+           AND o_totalprice BETWEEN 1000.0 AND 50000.0
+           AND o_orderpriority LIKE '%1%'
+           AND o_orderdate IS NOT NULL
+         ORDER BY o_orderkey""",
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_json" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         FROM events ORDER BY event_id""",
+
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+           CASE WHEN length(regexp_extract_all(text, '\S+')) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                     / CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) END
+             AS mean_token_len,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) END AS punct_ratio
+         FROM documents ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*) AS n_dups
+         FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "q_media_meta" ->
+      """SELECT CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+             ELSE 'video/mp4' END AS mime,
+           count(*) AS n_media,
+           sum(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS total_bytes,
+           min(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS min_bytes,
+           max(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS max_bytes
+         FROM documents GROUP BY 1 ORDER BY mime"""
+  )
 }

@@ -1,0 +1,145 @@
+package graft.engine
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.types.StructType
+
+/** Session/catalog front door — the Spark-native analog of the reference's
+  * `SessionContext` (ref: src/execution/context.rs:26-102).
+  *
+  * The reference keeps a `HashMap<String, ListingTable>` catalog, validates
+  * every table referenced by a SQL statement against it before planning
+  * (ref: src/execution/context.rs:87-102, src/sql/visitor.rs:33-51), and
+  * exposes `read_csv` / `register_csv` / `sql`. Here the same surface is a
+  * thin layer over `SparkSession`: tables register as temp views (so both
+  * the DataFrame API and `spark.sql` see them), and `sql()` re-implements
+  * the reference's catalog-validation pass by collecting
+  * `UnresolvedRelation`s from the parsed-but-unresolved Catalyst plan.
+  *
+  * Everything downstream (optimization, pushdown, shuffle planning) is left
+  * to Catalyst — see SURVEY.md §4 for why no custom rules are needed for
+  * reference parity.
+  */
+class Context(val spark: SparkSession) {
+
+  /** Names registered through THIS context (mirrors the reference's local
+    * catalog; Spark's own catalog may hold more). */
+  private val registered = mutable.LinkedHashSet.empty[String]
+
+  /** Register an existing DataFrame as a named table. */
+  def register(name: String, df: DataFrame): Unit = {
+    df.createOrReplaceTempView(name)
+    registered += name.toLowerCase
+  }
+
+  /** Analog of `SessionContext::register_csv` (ref: context.rs:53-63). */
+  def registerCsv(name: String, path: String,
+      options: CsvOptions = CsvOptions()): Unit =
+    register(name, readCsv(path, options))
+
+  /** Parquet twin (the reference is CSV-only; Parquet is our primary format
+    * because at 100 TB a row-text format is never the right scan source). */
+  def registerParquet(name: String, path: String): Unit =
+    register(name, spark.read.parquet(path))
+
+  /** Analog of `SessionContext::read_csv` (ref: context.rs:44-50).
+    * Schema is either supplied (CsvReadOptions::with_schema,
+    * ref: src/io/reader/csv/options.rs:25-28) or inferred — the reference
+    * infers from the first 100 records (ref: src/io/reader/csv/mod.rs:6);
+    * Spark's CSV source samples the whole file unless samplingRatio is set,
+    * which is strictly better and distributed. */
+  def readCsv(path: String, options: CsvOptions = CsvOptions()): DataFrame = {
+    var r = spark.read
+      .option("header", options.header)
+      .option("delimiter", options.delimiter.toString)
+      .option("quote", options.quote.toString)
+    r = options.schema match {
+      case Some(s) => r.schema(s)
+      case None    => r.option("inferSchema", true)
+    }
+    r.csv(path)
+  }
+
+  def readParquet(path: String): DataFrame = spark.read.parquet(path)
+
+  /** Look up a registered table; unknown names raise the same class of error
+    * the reference raises from its catalog (ref: context.rs:95-99). */
+  def table(name: String): DataFrame = {
+    if (!registered.contains(name.toLowerCase))
+      throw new IllegalArgumentException(s"Table '$name' not registered")
+    spark.table(name)
+  }
+
+  def tableNames: Seq[String] = registered.toSeq
+
+  /** SQL front door. Mirrors the reference's two-step: (1) walk the
+    * statement collecting table references and validate them against the
+    * catalog (ref: src/sql/visitor.rs:23-51 + context.rs:87-102), then
+    * (2) plan and run. The grammar is a strict superset of the reference's
+    * §2.6 subset since we delegate to Spark SQL. */
+  def sql(text: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val refs = parsed.collect {
+      case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
+    }.distinct
+    val missing = refs.filterNot(registered.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Table(s) not registered: ${missing.mkString(", ")}")
+    spark.sql(text)
+  }
+}
+
+/** CSV read options — analog of `CsvReadOptions` (ref:
+  * src/io/reader/csv/options.rs:199-254: header/delimiter/quote/schema). */
+case class CsvOptions(
+    header: Boolean = true,
+    delimiter: Char = ',',
+    quote: Char = '"',
+    schema: Option[StructType] = None)
+
+object Context {
+  /** Standard session shape for this engine: AQE on (runtime re-planning,
+    * skew-join splitting), shuffle partitions sized for the local harness
+    * (the 100 TB deployment would size this to ~2-3x total cores). */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** A Context with the driver's star-schema tables registered from an
+    * sf directory (TESTDATA.md layout). */
+  def forSfDir(spark: SparkSession, sfDir: String): Context = {
+    val ctx = new Context(spark)
+    Tables.all.foreach(t => ctx.register(t, Tables.load(spark, sfDir, t)))
+    ctx
+  }
+}
+
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load a driver table. The events table carries nanosecond parquet
+    * timestamps, which Spark only reads as raw longs
+    * (spark.sql.legacy.parquet.nanosAsLong — set in all our sessions);
+    * canonicalize to Spark's native microsecond TimestampType here with
+    * integer arithmetic (`DIV` — a double roundtrip would lose precision
+    * above 2^53 ns). */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
+}

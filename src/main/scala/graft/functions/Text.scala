@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language ID, fingerprinting. All are pure
+  * `org.apache.spark.sql.functions` compositions (codegen'd, no UDFs) except
+  * the fingerprint, which is the native expression in expressions.scala.
+  * The reference engine has no scalar/string function surface
+  * (SURVEY.md §2.5) — this whole module is beyond-reference capability.
+  *
+  * Scale note: every function here is a narrow per-row map — no shuffle, no
+  * state — so they compose freely with scans and stay in WholeStageCodegen;
+  * at 100 TB they run at parquet-scan speed.
+  */
+object Text {
+
+  /** Number of whitespace-delimited tokens (\S+ runs). */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+")).cast(LongType)
+
+  /** A BPE-ish sub-word unit count: alphanumeric runs plus standalone
+    * punctuation marks each count as one unit — an upper-bound proxy for
+    * tokenizer token counts when the real tokenizer isn't on the cluster. */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast(LongType)
+
+  def charCount(text: Column): Column = length(text).cast(LongType)
+
+  /** Ratio of punctuation characters to all characters (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast(DoubleType) /
+        length(text).cast(DoubleType))
+
+  /** Ratio of whitespace-delimited tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val stops = "(?i)\\b(the|a|an|of|and|or|to|in|is|are|was|were|be|on|for|with|as|at|by|it|this|that)\\b"
+    when(tokenCount(text) === 0, 0.0).otherwise(
+      regexp_count(text, lit(stops)).cast(DoubleType) /
+        tokenCount(text).cast(DoubleType))
+  }
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "\\s+", "")).cast(DoubleType) /
+        tokenCount(text).cast(DoubleType))
+
+  /** Composite document-quality score in [0,1]: rewards mid-length docs,
+    * some stopword mass (fluent prose), and sane mean token length.
+    * Heuristic weights follow common web-scale filtering recipes
+    * (C4/Gopher-style length + symbol + stopword rules). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(charCount(text).cast(DoubleType) / 200.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val tokLen = meanTokenLen(text)
+    val tokScore = when(tokLen >= 3.0 && tokLen <= 10.0, 1.0).otherwise(0.5)
+    val punctPenalty = when(punctRatio(text) > 0.2, 0.5).otherwise(1.0)
+    round((lenScore * 0.4 + stopScore * 0.3 + tokScore * 0.3) * punctPenalty, 6)
+  }
+
+  /** Language-ID n-gram/stopword heuristic: per-language function-word hit
+    * counts; highest count wins, ties break lexicographically, zero hits →
+    * "und" (undetermined). Word lists are tiny on purpose — this is the
+    * classic cheap pre-filter before a real classifier. */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "de" -> "(?i)\\b(der|die|das|und|ist|nicht|mit|ein|eine|zu|von)\\b",
+    "en" -> "(?i)\\b(the|and|is|of|to|in|that|it|with|for)\\b",
+    "es" -> "(?i)\\b(el|la|los|las|de|que|y|es|en|un|una|por)\\b",
+    "fr" -> "(?i)\\b(le|la|les|de|et|est|que|dans|pour|une|des)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  def langId(text: Column): Column = {
+    // argmax via sorted array of (-hits, lang) structs: deterministic ties.
+    val scored = array(langMarkers.map { case (code, re) =>
+      struct((-regexp_count(text, lit(re))).as("neg"), lit(code).as("lang"))
+    }: _*)
+    val best = array_sort(scored).getItem(0)
+    when(best.getField("neg") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Order-sensitive 64-bit document fingerprint (native expression). */
+  def fingerprint(text: Column): Column = native.rolling_fingerprint(text)
+
+  /** Character n-gram shingles (distinct), for Jaccard/minhash pipelines.
+    * Uses sequence+transform — array ops, no UDF. */
+  def charShingles(text: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(length(text) - (n - 1), lit(0)))
+    array_distinct(transform(idx, i => text.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles (distinct). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, "\\s+")
+    val cnt = size(toks)
+    val idx = sequence(lit(0), greatest(cnt - n, lit(-1)))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Full per-document stats projection over a documents table. */
+  def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      charCount(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      subwordCount(t).as("n_subwords"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(stopwordRatio(t), 6).as("stopword_ratio"),
+      round(meanTokenLen(t), 6).as("mean_token_len"),
+      qualityScore(t).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's 8-node relational algebra (ref: src/plan/logical/plan.rs:12-44)
+  * expressed through the public Spark API. Each helper documents the mapping;
+  * most are one-liners on purpose — the value is the declared *plan*, which
+  * Catalyst then optimizes (pushdown, pruning, join strategy, AQE) far beyond
+  * the reference's 3-rule optimizer (SURVEY.md §4.1).
+  */
+object Relational {
+
+  /** L2 Projection (ref: src/plan/logical/projection.rs:12-40). */
+  def project(df: DataFrame, cols: Seq[Column]): DataFrame = df.select(cols: _*)
+
+  /** L3 Filter (ref: src/plan/logical/filter.rs:15-43). Type coercion of the
+    * predicate is Catalyst's ImplicitTypeCasts — the analog of the
+    * reference's eager `Signature` coercion (ref: src/expression/coercion.rs). */
+  def filter(df: DataFrame, predicate: Column): DataFrame = df.filter(predicate)
+
+  /** L6 Limit with skip+fetch (ref: src/plan/logical/limit.rs:11-25).
+    * `fetch = None` means "all remaining rows" — the *intended* semantics of
+    * the reference's logical node, not the physical fetch-None-emits-nothing
+    * quirk (ref: src/plan/physical/limit.rs:87,135-137; SURVEY.md §7.4 says
+    * do not replicate that bug). */
+  def limit(df: DataFrame, skip: Int, fetch: Option[Int]): DataFrame = {
+    val skipped = if (skip > 0) df.offset(skip) else df
+    fetch.map(skipped.limit).getOrElse(skipped)
+  }
+
+  /** L8 Distinct (ref: src/plan/logical/distinct.rs:8-16). The reference's
+    * optimizer rewrites this to group-by-all-columns
+    * (ref: src/optimize/rules/rewrite_distinct.rs:19-112); Spark's
+    * ReplaceDistinctWithAggregate does the identical rewrite, then executes
+    * it as a partial+final hash aggregate — i.e. map-side combine before the
+    * shuffle, which is what makes it viable at 100 TB. */
+  def distinct(df: DataFrame): DataFrame = df.distinct()
+
+  /** L7 Join (ref: src/plan/logical/join.rs:13-71). Mirrors the reference
+    * signature: equi-key pairs + optional non-equi residual filter, with the
+    * planner's only strategy rule — empty `on` routes to the nested-loop
+    * (cross+filter) path (ref: src/plan/planner.rs:186-194) — folded in.
+    * Spark resolves the strategy instead: broadcast-hash for a small side,
+    * sort-merge/shuffled-hash otherwise, and AQE can re-pick at runtime.
+    *
+    * Unlike the reference (columns resolved by name only, duplicate output
+    * names allowed — ref: src/expression/logical/column.rs:12-15), Spark
+    * requires unambiguous references, so keys are given as left/right name
+    * pairs and resolved against each side explicitly.
+    */
+  def join(left: DataFrame, right: DataFrame,
+      on: Seq[(String, String)],
+      joinType: String = "inner",
+      residual: Option[Column] = None): DataFrame = {
+    if (on.isEmpty) {
+      // NestedLoopJoin path: cross product + optional theta filter
+      // (ref: src/plan/physical/joins/nested_loop_join.rs:89-460).
+      residual match {
+        case Some(cond) => left.join(right, cond, joinType)
+        case None       => left.crossJoin(right)
+      }
+    } else {
+      val keys = on.map { case (l, r) => left.col(l) === right.col(r) }
+      val cond = residual.foldLeft(keys.reduce(_ && _))(_ && _)
+      left.join(right, cond, joinType)
+    }
+  }
+
+  /** Top-k: sort + limit fused. The reference lacks this fusion (SURVEY.md
+    * §2.5 "no top-k"); Spark plans it as TakeOrderedAndProject — each
+    * partition keeps only k rows, so no global sort shuffle at scale. */
+  def topK(df: DataFrame, k: Int, keys: Seq[Column]): DataFrame =
+    df.orderBy(keys: _*).limit(k)
+}

@@ -1,0 +1,86 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.native
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, as a training-data pipeline needs both:
+  *  - `bruteForceTopK`: exact cosine top-k. The query set is broadcast
+  *    (it is small by construction); the corpus streams through a single
+  *    narrow map + per-query top-k — no shuffle of the corpus, and the
+  *    top-k is a TakeOrdered per query key, not a global sort. This is the
+  *    correctness baseline and is already the right *shape* for 100 TB
+  *    (corpus-side work is embarrassingly parallel).
+  *  - `lshTopK` / `withLshBucket`: random-hyperplane LSH. Corpus is
+  *    bucketed once (a cheap narrow map — `planes` dot products per row);
+  *    queries probe only their bucket → the candidate set per query is
+  *    ~corpus/2^planes. This is the scale path: at 100 TB you materialize
+  *    the bucketed corpus (partitioned/bucketed by `lsh_bucket` on disk)
+  *    and every query touches a tiny slice.
+  *
+  * Dot products use the native codegen'd `vec_dot` expression — the hot
+  * loop is a primitive float loop inside WholeStageCodegen.
+  */
+object Ann {
+
+  /** Deterministic random hyperplanes (seed fixed): planes x dim floats. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** Sign-bit LSH bucket id for each row's vector. */
+  def withLshBucket(df: DataFrame, vecCol: String, planes: Int = 12,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = hyperplanes(planes, dim, seed)
+    val bucket = ps.zipWithIndex.map { case (p, i) =>
+      when(native.vec_dot(col(vecCol), typedlit(p)) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("lsh_bucket", bucket)
+  }
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * `queries(query_id, query_vec)` is broadcast against the corpus. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(native.vec_cosine(col("query_vec"), col(vecCol)), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  /** Approximate top-k: probe only the query's LSH bucket. Recall depends on
+    * `planes` (fewer planes → bigger buckets → higher recall, more work). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planes: Int = 8, dim: Int = 64): DataFrame = {
+    val bc = withLshBucket(corpus, vecCol, planes, dim)
+    val bq = withLshBucket(queries, "query_vec", planes, dim)
+    val scored = bc.join(broadcast(bq), Seq("lsh_bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(native.vec_cosine(col("query_vec"), col(vecCol)), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
+  /** Convenience: use the first `nQueries` corpus vectors as the query set. */
+  def selfQueries(corpus: DataFrame, nQueries: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+}
