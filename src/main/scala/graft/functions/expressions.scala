@@ -174,10 +174,10 @@ object native {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("rolling_fingerprint",
-      es => RollingFingerprint(es.head), "scala_native")
-    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_native")
-    reg.createOrReplaceTempFunction("vec_dot", es => FloatVecDot(es(0), es(1)), "scala_native")
-    reg.createOrReplaceTempFunction("vec_norm", es => FloatVecNorm(es.head), "scala_native")
-    reg.createOrReplaceTempFunction("vec_cosine", es => FloatVecCosine(es(0), es(1)), "scala_native")
+      es => RollingFingerprint(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot", es => FloatVecDot(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_norm", es => FloatVecNorm(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_cosine", es => FloatVecCosine(es(0), es(1)), "scala_udf")
   }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.similarity.Ann
+
+/** Similarity search: exact top-k correctness + LSH recall sanity. */
+class AnnSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def mkVec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(64)((r.nextDouble() * 2 - 1).toFloat)
+  }
+
+  private def corpus = (0 until 50).map(i => (i.toLong, mkVec(i)))
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k returns k neighbors ranked by cosine desc") {
+    val qs = Ann.selfQueries(corpus, 3)
+    val got = Ann.bruteForceTopK(corpus, qs, k = 5).collect()
+    assert(got.length == 15) // 3 queries x 5
+    val perQuery = got.groupBy(_.getLong(0))
+    perQuery.foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to 5L))
+      val cosines = byRank.map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    // no self matches
+    assert(got.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("exact top-1 of a duplicated vector is its twin with cosine ~1") {
+    val withTwin = corpus.union(Seq((999L, mkVec(7))).toDF("vec_id", "embedding"))
+    val qs = withTwin.filter($"vec_id" === 999L)
+      .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    val top = Ann.bruteForceTopK(withTwin, qs, k = 1).collect()(0)
+    assert(top.getLong(2) == 7L)
+    assert(math.abs(top.getDouble(3) - 1.0) < 1e-5)
+  }
+
+  test("lsh buckets are deterministic and lshTopK returns subset of exact results") {
+    val b1 = Ann.withLshBucket(corpus, "embedding", planes = 6).select("lsh_bucket")
+      .as[Long].collect()
+    val b2 = Ann.withLshBucket(corpus, "embedding", planes = 6).select("lsh_bucket")
+      .as[Long].collect()
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 64))
+
+    val qs = Ann.selfQueries(corpus, 5)
+    val approx = Ann.lshTopK(corpus, qs, k = 3, planes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exactAll = Ann.bruteForceTopK(corpus, qs, k = 49)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exactAll)) // approx never invents pairs
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+/** Dedup semantics on constructed corpora with known duplicates. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup of 0
+    (3L, "completely unrelated text about query engines and columnar execution plans"),
+    (4L, "another unrelated document discussing distributed shuffle partitioning")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val got = Dedup.exact(corpus).orderBy("keep_id")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    assert(Dedup.exactKept(corpus).count() == 4)
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.minhashPairs(corpus, threshold = 0.5, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))       // identical → jaccard 1.0
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.contains((3L, 4L)))      // unrelated
+  }
+
+  test("minhash estimated jaccard is 1.0 for identical docs") {
+    val est = Dedup.minhashPairs(corpus, threshold = 0.5)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("est_jaccard").as[Double].collect()
+    assert(est.length == 1 && est(0) == 1.0)
+  }
+
+  test("simhash pairs find near dups within hamming budget") {
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 16)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((0L, 1L)).contains(0L))   // identical → distance 0
+    assert(m.contains((0L, 2L)))           // near dup within 16 bits
+  }
+
+  test("ngram jaccard computes exact overlap ratio") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, n = 3, threshold = 0.1)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((0L, 1L)).contains(1.0))
+    // doc2 differs in 1 word → shares most 3-grams but not all
+    assert(m((0L, 2L)) > 0.4 && m((0L, 2L)) < 1.0)
+  }
+
+  test("embedding near-dup finds identical vectors") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.5f)),                       // identical to 0
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._2 == 2L))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{native, HashKernels, Text}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions + text analysis semantics. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("rolling fingerprint is order-sensitive and whitespace-normalizing") {
+    val fp = (s: String) => HashKernels.rollingFingerprint(UTF8String.fromString(s))
+    assert(fp("a b c") != fp("c b a"))          // order matters
+    assert(fp("a  b\tc") == fp("a b c"))        // runs of whitespace collapse
+    assert(fp("") == 0L)
+  }
+
+  test("simhash: identical docs equal; near docs within small hamming distance") {
+    val sh = (s: String) => HashKernels.simhash64(UTF8String.fromString(s))
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    assert(sh(base) == sh(base))
+    val near = base.replace("dog", "cat")
+    val ham = java.lang.Long.bitCount(sh(base) ^ sh(near))
+    assert(ham <= 24, s"hamming=$ham")
+    val far = "completely different words nothing shared at all here zero overlap"
+    assert(java.lang.Long.bitCount(sh(base) ^ sh(far)) > ham)
+  }
+
+  test("vec_dot / vec_norm / vec_cosine via SQL surface") {
+    val df = Seq((Array(1f, 0f, 2f), Array(3f, 4f, 0.5f))).toDF("a", "b")
+    val r = df.select(native.vec_dot(col("a"), col("b")).as("d"),
+      native.vec_norm(col("a")).as("n"),
+      native.vec_cosine(col("a"), col("a")).as("c")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 4.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(5.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("native functions registered for spark.sql text") {
+    native.register(spark)
+    val r = spark.sql("SELECT simhash64('a b c') AS s, vec_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
+      .collect()(0)
+    assert(r.getLong(0) == HashKernels.simhash64(UTF8String.fromString("a b c")))
+    assert(r.getDouble(1) == 2.0)
+  }
+
+  test("token/char/subword counts") {
+    val df = Seq("hello world  foo", "", "a-b c!").toDF("text")
+    val got = df.select(Text.tokenCount(col("text")).as("t"),
+      Text.charCount(col("text")).as("c"),
+      Text.subwordCount(col("text")).as("s")).collect()
+    assert(got(0).getLong(0) == 3 && got(0).getLong(1) == 16)
+    assert(got(1).getLong(0) == 0)
+    assert(got(2).getLong(0) == 2 && got(2).getLong(2) == 5) // a,-,b,c,!
+  }
+
+  test("shingles: char and word n-grams") {
+    val df = Seq("abcd").toDF("text")
+    val ch = df.select(Text.charShingles(col("text"), 2).as("s")).as[Seq[String]].collect()(0)
+    assert(ch == Seq("ab", "bc", "cd"))
+    val df2 = Seq("a b c d").toDF("text")
+    val wd = df2.select(Text.wordShingles(col("text"), 2).as("s")).as[Seq[String]].collect()(0)
+    assert(wd == Seq("a b", "b c", "c d"))
+  }
+
+  test("langId picks dominant marker language, und when none") {
+    val df = Seq("der hund und die katze ist nicht hier",
+      "the cat and the dog is here with it",
+      "xyzzy qwerty").toDF("text")
+    val got = df.select(Text.langId(col("text")).as("l")).as[String].collect()
+    assert(got.toSeq == Seq("de", "en", "und"))
+  }
+
+  test("quality score in [0,1] and empty docs score low") {
+    val df = Seq("", "the cat sat on the mat and then the dog came in with a ball").toDF("text")
+    val got = df.select(Text.qualityScore(col("text")).as("q")).as[Double].collect()
+    assert(got.forall(q => q >= 0.0 && q <= 1.0))
+    assert(got(0) < got(1))
+  }
+}

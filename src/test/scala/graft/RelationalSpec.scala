@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** Per-operator semantics on tiny literal data — mirrors the reference's
+  * inline e2e tests (ref: src/execution/dataframe.rs:179-834), including the
+  * null-handling fixtures (ref: src/lib.rs:42-49) and the duplicate-join-key
+  * fan-out cases (ref: dataframe.rs:518-543). */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  // the reference's canonical (Utf8, Int64, Int64) fixture (ref: lib.rs:23-29)
+  private def simple = Seq(
+    ("a", 1L, 2L), ("b", 2L, 3L), ("c", 3L, 4L),
+    ("d", 4L, 5L), ("e", 5L, 6L), ("f", 6L, 7L)).toDF("c1", "c2", "c3")
+
+  private def withNulls = Seq(
+    (Some("hello"), Some(1L), None: Option[Long]),
+    (None: Option[String], Some(2L), Some(11L)),
+    (Some("world"), None: Option[Long], Some(22L))).toDF("c1", "c2", "c3")
+
+  test("projection selects and computes expressions") {
+    val got = Relational.project(simple, Seq(col("c1"), (col("c2") + col("c3")).as("s")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a", 3L), ("b", 5L), ("c", 7L), ("d", 9L), ("e", 11L), ("f", 13L)))
+  }
+
+  test("filter applies compound predicates") {
+    val got = Relational.filter(simple, col("c2") >= 2L && col("c3") < 6L)
+      .select("c1").as[String].collect().sorted
+    assert(got.toSeq == Seq("b", "c", "d"))
+  }
+
+  test("limit skip+fetch; fetch=None means all remaining (not the reference's 0-rows quirk)") {
+    val ordered = simple.orderBy("c2")
+    assert(Relational.limit(ordered, 0, Some(2)).as[(String, Long, Long)].collect().map(_._1).toSeq == Seq("a", "b"))
+    assert(Relational.limit(ordered, 4, Some(10)).as[(String, Long, Long)].collect().map(_._1).toSeq == Seq("e", "f"))
+    assert(Relational.limit(ordered, 2, None).count() == 4)
+  }
+
+  test("distinct deduplicates full rows") {
+    val dup = simple.union(simple)
+    assert(Relational.distinct(dup).count() == 6)
+  }
+
+  test("inner equi-join with duplicate keys fans out") {
+    // ref: join_left_2.csv has 'a' duplicated → 2 matches (dataframe.rs:518-543)
+    val l = Seq(("a", 1L), ("a", 10L), ("b", 2L)).toDF("k", "lv")
+    val r = Seq(("a", 100L), ("b", 200L), ("c", 300L)).toDF("k2", "rv")
+    val got = Relational.join(l, r, Seq("k" -> "k2"))
+      .select("k", "lv", "rv").as[(String, Long, Long)].collect().sortBy(x => (x._1, x._2))
+    assert(got.toSeq == Seq(("a", 1L, 100L), ("a", 10L, 100L), ("b", 2L, 200L)))
+  }
+
+  test("left join pads unmatched left rows with nulls") {
+    val l = Seq(("a", 1L), ("d", 4L)).toDF("k", "lv")
+    val r = Seq(("a", 100L)).toDF("k2", "rv")
+    val got = Relational.join(l, r, Seq("k" -> "k2"), "left")
+      .select("k", "rv").collect().map(row => (row.getString(0), if (row.isNullAt(1)) None else Some(row.getLong(1))))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("a", Some(100L)), ("d", None)))
+  }
+
+  test("empty-key join routes to cross product with theta filter") {
+    val l = Seq(1, 2, 3).toDF("a")
+    val r = Seq(2, 3, 4).toDF("b")
+    val cross = Relational.join(l, r, Seq.empty)
+    assert(cross.count() == 9)
+    val theta = Relational.join(l, r, Seq.empty, "inner", Some(col("a") < col("b")))
+    assert(theta.count() == 6)
+  }
+
+  test("non-equi residual filter restricts equi matches") {
+    val l = Seq(("a", 5L), ("a", 1L)).toDF("k", "lv")
+    val r = Seq(("a", 3L)).toDF("k2", "rv")
+    val got = Relational.join(l, r, Seq("k" -> "k2"),
+      residual = Some(col("lv") > col("rv"))).select("lv").as[Long].collect()
+    assert(got.toSeq == Seq(5L))
+  }
+
+  test("aggregate null semantics: COUNT skips nulls, SUM/MIN/MAX null-skipping") {
+    // mirrors ref null fixtures (lib.rs:42-49) + count.rs:93-98 semantics
+    val got = withNulls.agg(
+      count(lit(1)).as("all"), count(col("c1")).as("c1n"),
+      count(col("c2")).as("c2n"), sum(col("c3")).as("s3"),
+      min(col("c2")).as("m2"), max(col("c3")).as("x3")).collect()(0)
+    assert(got.getLong(0) == 3 && got.getLong(1) == 2 && got.getLong(2) == 2)
+    assert(got.getLong(3) == 33L && got.getLong(4) == 1L && got.getLong(5) == 22L)
+  }
+
+  test("grouped aggregate matches reference intended semantics (correct MIN)") {
+    // ref MIN scalar accumulator is buggy (min_max.rs:393-403); we assert the
+    // CORRECT result per SURVEY §7.4
+    val df = Seq(("a", -5L), ("a", 3L), ("b", 7L)).toDF("k", "v")
+    val got = df.groupBy("k").agg(min("v").as("mn"), max("v").as("mx"),
+        avg("v").as("av"))
+      .orderBy("k").as[(String, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(("a", -5L, 3L, -1.0), ("b", 7L, 7L, 7.0)))
+  }
+
+  test("sort multi-key mixed asc/desc with nulls placement") {
+    val df = Seq((Some(1L), "x"), (None, "y"), (Some(2L), "z")).toDF("k", "v")
+    val ascFirst = df.orderBy(col("k").asc_nulls_first).select("v").as[String].collect()
+    assert(ascFirst.head == "y")
+    val descLast = df.orderBy(col("k").desc_nulls_last).select("v").as[String].collect()
+    assert(descLast.last == "y")
+  }
+
+  test("topK plans as TakeOrdered (sort+limit fusion)") {
+    val df = simple
+    val plan = Relational.topK(df, 2, Seq(col("c2").desc)).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+
+/** Structured Streaming path driven end-to-end via MemoryStream + memory
+  * sink, plus batch/streaming parity of the windowed aggregation. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  private def eventRows = Seq(
+    (1L, ts(0), 1L, "click", 1.0, "{}"),
+    (2L, ts(10), 1L, "click", 2.0, "{}"),
+    (3L, ts(20), 2L, "view", 3.0, "{}"),
+    (4L, ts(59), 2L, "view", 4.0, "{}"))
+
+  test("hourlyTypeCounts: streaming over MemoryStream equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    mem.addData(eventRows: _*)
+    val stream = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val agg = Streams.hourlyTypeCounts(stream)
+    val got = Streams.runToMemory(agg, "hourly_out", OutputMode.Complete())
+      .orderBy("hour_start", "event_type")
+      .select("event_type", "n_events", "sum_value")
+      .as[(String, Long, Double)].collect()
+
+    val batch = Streams.hourlyTypeCounts(
+        eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .orderBy("hour_start", "event_type")
+      .select("event_type", "n_events", "sum_value")
+      .as[(String, Long, Double)].collect()
+
+    assert(got.toSeq == Seq(("click", 2L, 3.0), ("view", 2L, 7.0)))
+    assert(got.toSeq == batch.toSeq)
+  }
+
+  test("sliding windows emit overlapping buckets") {
+    val batch = Streams.slidingCounts(
+        eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        length = "30 minutes", slide = "15 minutes")
+      .orderBy("w_start", "event_type")
+    // event at 10:00 lands in windows starting 09:45 and 10:00
+    assert(batch.count() >= 4)
+  }
+
+  test("sessionize via mapGroupsWithState aggregates per user") {
+    val ev = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Streams.Event]
+    val got = Streams.sessionize(ev).collect().map(s => s.user_id -> s).toMap
+    assert(got(1L).n_events == 2 && got(1L).sum_value == 3.0)
+    assert(got(2L).n_events == 2 && got(2L).sum_value == 7.0)
+    assert(got(2L).session_end_ms == ts(59).getTime)
+  }
+}
