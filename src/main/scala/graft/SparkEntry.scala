@@ -372,7 +372,8 @@ object SparkEntry {
 
     // MinHash+LSH near-dup candidate pairs (rows-only oracle)
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.4)
+      Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.7,
+          maxBucketSize = 500)
         .orderBy("id_a", "id_b")),
 
     // SimHash near-dup pairs (rows-only oracle)
@@ -382,7 +383,8 @@ object SparkEntry {
 
     // word n-gram Jaccard pairs (rows-only oracle)
     "q_dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.2)
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5,
+          maxDocFreq = 200)
         .orderBy("id_a", "id_b")),
 
     // embedding cosine near-dup pairs via hyperplane LSH (rows-only)

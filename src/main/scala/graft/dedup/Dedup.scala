@@ -41,74 +41,62 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** Deterministic per-function coefficients for the minhash family
-    * h_i(x) = (a_i * x31 + b_i) mod P, with x31 = base hash folded to 31
-    * bits so a_i*x31 never overflows a signed 64-bit (ANSI-safe). */
-  private val MersennePrime = 2305843009213693951L // 2^61 - 1
-  private def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (1L << 31) + 1L,
-      math.abs(rnd.nextLong()) % MersennePrime))
+  /** Skew guard shared by all bucketed candidate generators: drop buckets
+    * whose population exceeds `cap`. Implemented as partial-aggregated
+    * count + broadcast LEFT ANTI join against the (tiny) hot-bucket list —
+    * cheaper than a window over the full data, which would shuffle and
+    * materialize every row per bucket. */
+  private[dedup] def dropHotBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .select(keys.map(col): _*)
+    df.join(broadcast(hot), keys, "left_anti")
   }
 
   /** MinHash signature column: array<bigint> of length `numHashes` over the
-    * document's char-shingle set. Entirely functions-based (codegen'd). */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingle: Int = 5): Column = {
-    val shingles = Text.charShingles(text, shingle)
-    // base hash per shingle, folded to 31 bits
-    val bases = transform(shingles, s => pmod(native.rolling_fingerprint(s), lit(1L << 31)))
-    val sig = minhashCoeffs(numHashes).map { case (a, b) =>
-      array_min(transform(bases, x => pmod(x * a + b, lit(MersennePrime))))
-    }
-    array(sig: _*)
-  }
+    * document's byte-shingle set. Native one-pass expression
+    * (MinHashKernel in expressions.scala) — one scan of the document
+    * computes all k permutation minima. */
+  def minhashSignature(text: Column, numHashes: Int = 64, shingle: Int = 5): Column =
+    native.minhash_sig(text, numHashes, shingle)
 
   /** Candidate near-dup pairs via banded LSH over minhash signatures.
     *
-    * Pipeline: signature → explode into `bands` (band_id, band_hash, id) →
-    * group by band bucket → emit intra-bucket pairs → distinct → verify by
-    * signature agreement (estimated Jaccard) ≥ threshold.
-    *
-    * The self-join is on (band_id, band_hash) — a key-partitioned shuffle
-    * join, never a cross join. Bucket size capped for skew safety.
+    * Pipeline: signature → band bucket keys (native, one pass) → posexplode
+    * → bucket self-join → estimated Jaccard (signature agreement) ≥
+    * threshold. The self-join is on (band_id, band_hash) — a key-
+    * partitioned shuffle join, never a cross join; hot buckets are dropped
+    * first (`dropHotBuckets`), and the distinct on pairs runs on the slim
+    * (id_a, id_b, est) projection, not on the 64-slot signatures.
     */
   def minhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
       threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    require(numHashes % bands == 0, "bands must divide numHashes")
 
     val sig = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingle).as("sig"))
 
     val banded = sig.select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band_id"))
-      .select(col("id"), col("sig"), col("band_id"),
-        // hash of this band's slice of the signature
-        xxhash64(col("band_id"), concat_ws(",", slice(col("sig"),
-          col("band_id") * rowsPerBand + 1, lit(rowsPerBand)))).as("band_hash"))
+      posexplode(native.minhash_bands(col("sig"), bands)).as(Seq("band_id", "band_hash")))
 
-    // Skew guard: drop degenerate buckets (> maxBucketSize ids).
-    val bucketed = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band_id", "band_hash")))
-      .filter(col("bucket_n") <= maxBucketSize)
+    val bucketed = dropHotBuckets(banded, Seq("band_id", "band_hash"), maxBucketSize)
 
     val l = bucketed.select(col("band_id"), col("band_hash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = bucketed.select(col("band_id"), col("band_hash"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = l.join(r, Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .dropDuplicates("id_a", "id_b")
 
-    // Verify: estimated Jaccard = fraction of agreeing signature slots.
-    val agree = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-      b => b)).cast(DoubleType)
-    pairs.select(col("id_a"), col("id_b"),
-        round(agree / numHashes.toDouble, 6).as("est_jaccard"))
+    // Estimated Jaccard = fraction of agreeing signature slots (native
+    // kernel), computed at join time so signatures never travel through
+    // the distinct shuffle.
+    val agree = native.sig_agree(col("sig_a"), col("sig_b")).cast(DoubleType)
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), (agree / numHashes.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -126,11 +114,10 @@ object Dedup {
 
     val chunkVals = array((0 until chunks).map(i =>
       shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)
-    val banded = withHash
-      .select(col("id"), col("sh"), posexplode(chunkVals).as(Seq("chunk_id", "chunk_val")))
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("chunk_id", "chunk_val")))
-      .filter(col("bucket_n") <= maxBucketSize)
+    val banded = dropHotBuckets(
+      withHash.select(col("id"), col("sh"),
+        posexplode(chunkVals).as(Seq("chunk_id", "chunk_val"))),
+      Seq("chunk_id", "chunk_val"), maxBucketSize)
 
     val l = banded.select(col("chunk_id"), col("chunk_val"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("chunk_id"), col("chunk_val"), col("id").as("id_b"), col("sh").as("sh_b"))
@@ -152,7 +139,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 500): DataFrame = {
     val grams = docs.select(col(idCol).as("id"),
-        Text.wordShingles(col(textCol), n).as("grams"))
+        native.word_ngrams(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")).cast(LongType))
 
     val posting = grams.select(col("id"), col("n_grams"), explode(col("grams")).as("gram"))
@@ -179,11 +166,10 @@ object Dedup {
   def embeddingNearDupPairs(emb: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", threshold: Double = 0.95,
       planes: Int = 12, dim: Int = 64, maxBucketSize: Int = 2000): DataFrame = {
-    val bucketed = graft.similarity.Ann.withLshBucket(emb, vecCol, planes, dim)
-      .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("lsh_bucket")))
-      .filter(col("bucket_n") <= maxBucketSize)
+    val bucketed = dropHotBuckets(
+      graft.similarity.Ann.withLshBucket(emb, vecCol, planes, dim)
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket")),
+      Seq("lsh_bucket"), maxBucketSize)
 
     val l = bucketed.select(col("lsh_bucket"), col("id").as("id_a"), col("v").as("va"))
     val r = bucketed.select(col("lsh_bucket"), col("id").as("id_b"), col("v").as("vb"))

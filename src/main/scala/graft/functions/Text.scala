@@ -92,12 +92,15 @@ object Text {
     array_distinct(transform(idx, i => text.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles (distinct). */
+  /** Word n-gram shingles (distinct). Docs with fewer than n tokens yield
+    * an empty array (sequence() would otherwise count DOWN from 0 and
+    * produce bogus negative slice offsets). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(text, "\\s+")
     val cnt = size(toks)
-    val idx = sequence(lit(0), greatest(cnt - n, lit(-1)))
-    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    val grams = transform(sequence(lit(0), cnt - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    array_distinct(when(cnt >= n, grams).otherwise(array()))
   }
 
   /** Full per-document stats projection over a documents table. */

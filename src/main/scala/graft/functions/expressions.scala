@@ -169,6 +169,11 @@ object native {
   def vec_dot(a: Column, b: Column): Column = col(FloatVecDot(ex(a), ex(b)))
   def vec_norm(c: Column): Column = col(FloatVecNorm(ex(c)))
   def vec_cosine(a: Column, b: Column): Column = col(FloatVecCosine(ex(a), ex(b)))
+  def minhash_sig(c: Column, numHashes: Int, shingle: Int, seed: Long = 42L): Column =
+    col(MinHashSig(ex(c), numHashes, shingle, seed))
+  def minhash_bands(c: Column, bands: Int): Column = col(MinHashBandHashes(ex(c), bands))
+  def word_ngrams(c: Column, n: Int): Column = col(WordNGrams(ex(c), n))
+  def sig_agree(a: Column, b: Column): Column = col(SigAgree(ex(a), ex(b)))
 
   /** Make the functions usable from `spark.sql` text as well. */
   def register(spark: SparkSession): Unit = {
@@ -180,4 +185,174 @@ object native {
     reg.createOrReplaceTempFunction("vec_norm", es => FloatVecNorm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => FloatVecCosine(es(0), es(1)), "scala_udf")
   }
+}
+
+/** One-pass MinHash signature: byte-level shingling + k permutation mins in
+  * a single scan of the document. Replaces a 64x transform/array_min
+  * pipeline (which allocates per hash function per row) with one tight
+  * loop — the difference between O(k) array materializations and none.
+  * Duplicate shingles need no dedup: min over a multiset equals min over
+  * its set. */
+object MinHashKernel {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Long, Int), (Array[Long], Array[Long])]()
+  final val P: Long = 2305843009213693951L // 2^61 - 1
+
+  def coeffs(seed: Long, k: Int): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent((seed, k), { case (s, n) =>
+      val rnd = new scala.util.Random(s)
+      val a = Array.fill(n)(math.abs(rnd.nextLong()) % (1L << 31) + 1L)
+      val b = Array.fill(n)(math.abs(rnd.nextLong()) % P)
+      (a, b)
+    })
+
+  def signature(str: UTF8String, k: Int, shingle: Int, seed: Long): ArrayData = {
+    val (as, bs) = coeffs(seed, k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val bytes = str.getBytes
+    val n = bytes.length
+    if (n >= shingle) {
+      var i = 0
+      val last = n - shingle
+      while (i <= last) {
+        // base hash of this shingle, folded to 31 bits (overflow-free mults)
+        val base = HashKernels.fnv1a(bytes, i, i + shingle) & 0x7fffffffL
+        var j = 0
+        while (j < k) {
+          val h = (as(j) * base + bs(j)) % P
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+
+  /** Band hashes over a signature: FNV-mix each consecutive run of
+    * rowsPerBand signature values into one 64-bit bucket key. */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val k = sig.numElements()
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = HashKernels.FnvOffset ^ b
+      var j = b * rows
+      val end = j + rows
+      while (j < end) {
+        val v = sig.getLong(j)
+        var byteIdx = 0
+        while (byteIdx < 8) {
+          h = (h ^ ((v >>> (byteIdx * 8)) & 0xffL)) * HashKernels.FnvPrime
+          byteIdx += 1
+        }
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** MinHash signature of a document (array<bigint>, length numHashes). */
+case class MinHashSig(child: Expression, numHashes: Int, shingle: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashKernel.signature(v.asInstanceOf[UTF8String], numHashes, shingle, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashKernel.signature($c, $numHashes, $shingle, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(c)
+}
+
+/** LSH band bucket keys from a MinHash signature (array<bigint>, length bands). */
+case class MinHashBandHashes(child: Expression, bands: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashKernel.bandHashes(v.asInstanceOf[ArrayData], bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernel.bandHashes($c, $bands)")
+  override protected def withNewChildInternal(c: Expression): MinHashBandHashes = copy(c)
+}
+
+/** One-pass word n-gram extraction. Spark's higher-order functions
+  * (transform/slice/concat_ws composition) evaluate interpreted lambdas per
+  * element and fall out of WholeStageCodegen — ~20µs/gram; this native
+  * kernel is a single byte scan. Returns DISTINCT n-grams in first-
+  * occurrence order. */
+object NGramKernel {
+  def wordNGrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    // token boundaries
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var tokStart = -1
+    while (i <= bytes.length) {
+      val isSpace = i == bytes.length || bytes(i) == ' ' || bytes(i) == '\n' ||
+        bytes(i) == '\t' || bytes(i) == '\r'
+      if (isSpace) {
+        if (tokStart >= 0) { starts.add(tokStart); ends.add(i); tokStart = -1 }
+      } else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    val nToks = starts.size()
+    if (nToks < n) return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[UTF8String])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var g = 0
+    while (g <= nToks - n) {
+      // bytes from start of token g to end of token g+n-1, with inner
+      // whitespace runs normalized to single spaces
+      val from = starts.get(g); val until = ends.get(g + n - 1)
+      val buf = new Array[Byte](until - from)
+      var w = 0
+      var j = from
+      var inSpace = false
+      while (j < until) {
+        val b = bytes(j)
+        val sp = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+        if (sp) { if (!inSpace) { buf(w) = ' '; w += 1; inSpace = true } }
+        else { buf(w) = b; w += 1; inSpace = false }
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, w)))
+      g += 1
+    }
+    val out = new Array[UTF8String](seen.size())
+    seen.toArray(out)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Count of equal slots in two equal-length long arrays (signature
+    * agreement for minhash Jaccard estimation). */
+  def agree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+}
+
+/** Distinct word n-grams of a whitespace-tokenized document. */
+case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    NGramKernel.wordNGrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramKernel.wordNGrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNGrams = copy(c)
+}
+
+/** Number of agreeing slots between two bigint-array signatures. */
+case class SigAgree(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NGramKernel.agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NGramKernel.agree($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgree =
+    copy(left = l, right = r)
 }
