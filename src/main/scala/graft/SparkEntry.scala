@@ -343,6 +343,87 @@ object SparkEntry {
       Streams.sessionize(ev).toDF().orderBy("user_id")
     }),
 
+    // semi join (EXISTS) — absent in reference (JoinType has 2 variants,
+    // ref: src/plan/logical/join.rs:14-17)
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o.filter(col("o_totalprice") > 300000.0),
+          c("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // anti join (NOT EXISTS)
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o.filter(col("o_totalprice") > 300000.0),
+          c("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // full outer join of two derived sides (padding on both sides)
+    "q_join_full" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 400000.0)
+        .groupBy(col("o_custkey").as("ka")).agg(count(lit(1)).as("n_big"))
+      val b = o.filter(col("o_orderpriority").like("%1%"))
+        .groupBy(col("o_custkey").as("kb")).agg(count(lit(1)).as("n_pri"))
+      a.join(b, a("ka") === b("kb"), "full")
+        .select(coalesce(col("ka"), col("kb")).as("k"), col("n_big"), col("n_pri"))
+        .orderBy("k")
+    }),
+
+    // ROLLUP subtotals (grouping sets family — absent in reference)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // HAVING (post-aggregation filter)
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .filter(col("n") >= 18)
+        .orderBy("o_custkey")),
+
+    // scalar subquery (absent in reference — sql/expr.rs:120-124 rejects)
+    "q_subquery_scalar" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 1.9 * (
+          SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+          FROM orders)
+        ORDER BY o_orderkey""")
+    }),
+
+    // correlated EXISTS subquery
+    "q_subquery_exists" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT p_partkey, p_name FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity > 49.0)
+        ORDER BY p_partkey""")
+    }),
+
+    // as-of join (custom operator — union + running-last formulation,
+    // graft.operators.Relational.asofJoin; oracle is DuckDB native ASOF)
+    "q_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      Relational.asofJoin(clicks, purchases, "user_id", "ts", "ts",
+          Seq("p_event_id", "p_value"))
+        .select("event_id", "user_id", "p_event_id", "p_value")
+        .orderBy("event_id")
+    }),
+
     // ================= training-data pipeline =================
 
     // text analysis: SQL-expressible per-doc stats
@@ -636,6 +717,118 @@ object SparkEntry {
                 ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
                      / CAST(length(text) AS DOUBLE) END AS punct_ratio
          FROM documents ORDER BY doc_id""",
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+
+    "q_join_full" ->
+      """SELECT coalesce(a.ka, b.kb) AS k, a.n_big, b.n_pri
+         FROM (SELECT o_custkey AS ka, count(*) AS n_big FROM orders
+               WHERE o_totalprice > 400000.0 GROUP BY 1) a
+         FULL JOIN (SELECT o_custkey AS kb, count(*) AS n_pri FROM orders
+               WHERE o_orderpriority LIKE '%1%' GROUP BY 1) b
+           ON a.ka = b.kb
+         ORDER BY k""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 18
+         ORDER BY o_custkey""",
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > 1.9 * (
+           SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+           FROM orders)
+         ORDER BY o_orderkey""",
+
+    "q_subquery_exists" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_partkey = p_partkey AND l_quantity > 49.0)
+         ORDER BY p_partkey""",
+
+    "q_asof" ->
+      """SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
+         FROM (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id AS pu, ts AS pts,
+                 event_id AS p_event_id, value AS p_value FROM events
+               WHERE event_type = 'purchase') p
+           ON c.user_id = p.pu AND c.ts >= p.pts
+         ORDER BY c.event_id""",
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         ORDER BY c_custkey""",
+
+    "q_join_full" ->
+      """SELECT coalesce(a.ka, b.kb) AS k, a.n_big, b.n_pri
+         FROM (SELECT o_custkey AS ka, count(*) AS n_big FROM orders
+               WHERE o_totalprice > 400000.0 GROUP BY 1) a
+         FULL JOIN (SELECT o_custkey AS kb, count(*) AS n_pri FROM orders
+               WHERE o_orderpriority LIKE '%1%' GROUP BY 1) b
+           ON a.ka = b.kb
+         ORDER BY k""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 18
+         ORDER BY o_custkey""",
+
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > 1.9 * (
+           SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+           FROM orders)
+         ORDER BY o_orderkey""",
+
+    "q_subquery_exists" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_partkey = p_partkey AND l_quantity > 49.0)
+         ORDER BY p_partkey""",
+
+    "q_asof" ->
+      """SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
+         FROM (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id AS pu, ts AS pts,
+                 event_id AS p_event_id, value AS p_value FROM events
+               WHERE event_type = 'purchase') p
+           ON c.user_id = p.pu AND c.ts >= p.pts
+         ORDER BY c.event_id""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -72,4 +72,67 @@ object Relational {
     * partition keeps only k rows, so no global sort shuffle at scale. */
   def topK(df: DataFrame, k: Int, keys: Seq[Column]): DataFrame =
     df.orderBy(keys: _*).limit(k)
+
+  /** As-of (backward) join: for each left row, attach the single right row
+    * with the greatest `rightTime` <= `leftTime` within the same `partKey`.
+    * Spark has no native as-of join; the scalable formulation is the
+    * union + running-last trick (the same shape Flink/kdb use), NOT a
+    * range cross-join:
+    *
+    *   1. union left and right rows, tagged, into one stream;
+    *   2. one window per key, ordered by (time, right-before-left);
+    *   3. running `last(right_payload, ignoreNulls)` carries the most
+    *      recent right row forward to each left row.
+    *
+    * Cost: one shuffle on the key + one sort per partition — O(n log n)
+    * versus the O(n*m) per-key cross join a naive range predicate plans.
+    * Right rows with equal time sort before left rows (inclusive match).
+    *
+    * Output: all left columns + the named right payload columns
+    * (null when no right row precedes the left row).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      partKey: String, leftTime: String, rightTime: String,
+      rightPayload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val payload = struct(rightPayload.map(right(_)): _*)
+    val rTagged = right.select(right(partKey).as("_k"),
+      right(rightTime).as("_t"), lit(0).as("_side"), payload.as("_r"))
+    val leftCols = left.columns
+    val lTagged = left.select(col(partKey).as("_k") +: col(leftTime).as("_t") +:
+      lit(1).as("_side") +: lit(null).cast(rTagged.schema("_r").dataType).as("_r") +:
+      leftCols.map(c => left(c).as(s"_l_$c")): _*)
+    val rCols = Seq(col("_k"), col("_t"), col("_side"), col("_r")) ++
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c"))
+    val unioned = rTagged.select(rCols: _*).unionByName(lTagged)
+    // right rows (side=0) sort before left rows (side=1) at equal time →
+    // a right row AT the left row's time is matched (inclusive as-of).
+    val w = Window.partitionBy("_k").orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    matched.select(leftCols.map(c => col(s"_l_$c").as(c)) ++
+      rightPayload.map(p => col("_m").getField(p).as(p)): _*)
+  }
+
+  /** Salted join for skewed keys: replicate the (small) right side
+    * `saltBuckets` times and scatter left rows across the replicas, so one
+    * hot key spreads over `saltBuckets` reducers instead of one. AQE's
+    * skew-join handles moderate skew automatically; explicit salting is the
+    * tool when a single key dominates (the classic null-key / power-user
+    * case in 100 TB joins). */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      on: (String, String), saltBuckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    val (lk, rk) = on
+    val salted = left.withColumn("_salt",
+      (rand(seed = 42) * saltBuckets).cast("int"))
+    val replicated = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated,
+        salted(lk) === replicated(rk) && salted("_salt") === replicated("_salt"),
+        joinType)
+      .drop("_salt")
+  }
 }

@@ -115,4 +115,24 @@ class RelationalSpec extends AnyFunSuite {
     val plan = Relational.topK(df, 2, Seq(col("c2").desc)).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrdered"))
   }
+
+  test("asofJoin attaches most recent right row at or before left time") {
+    val left = Seq((1L, 10L, "c1"), (1L, 25L, "c2"), (2L, 5L, "c3")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 50L, 300.0)).toDF("k", "t", "v")
+    val got = Relational.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .orderBy("tag")
+      .collect().map(r => (r.getString(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // c1@t=10: right@10 matches inclusively; c2@t=25: right@20; c3@t=5: none (right@50 is later)
+    assert(got.toSeq == Seq(("c1", Some(100.0)), ("c2", Some(200.0)), ("c3", None)))
+  }
+
+  test("saltedJoin equals plain join result on skewed keys") {
+    val left = (Seq.fill(50)(("hot", 1)) ++ Seq(("cold", 2))).toDF("k", "lv")
+    val right = Seq(("hot", 10), ("cold", 20)).toDF("k2", "rv")
+    val plain = left.join(right, left("k") === right("k2")).agg(
+      count(lit(1)), sum("rv")).collect()(0)
+    val salted = Relational.saltedJoin(left, right, ("k", "k2"), saltBuckets = 4).agg(
+      count(lit(1)), sum("rv")).collect()(0)
+    assert(plain.getLong(0) == salted.getLong(0) && plain.getLong(1) == salted.getLong(1))
+  }
 }
