@@ -488,6 +488,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF approximate top-k (k-means lists; second ANN scale path)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.similarity.Ivf.train(emb, k = 8, iters = 1)
+      graft.similarity.Ivf.ivfTopK(emb, Ann.selfQueries(emb, 10), cents,
+          k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // multimodal: typed metadata over binary payloads (oracle on meta)
     "q_media_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocuments(t(s, dir, "documents"))

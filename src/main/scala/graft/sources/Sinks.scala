@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Output sinks. The reference has NO write path at all
+  * (ref: src/io/writer/mod.rs is empty, 0 lines; output surface is
+  * collect()/show() only — SURVEY.md §2.5), so this module is
+  * beyond-reference capability built on `df.write`.
+  *
+  * Scale notes baked into the defaults:
+  *  - Parquet is the primary format (columnar, statistics, predicate
+  *    pushdown on re-read); CSV/JSON exist for interchange.
+  *  - `partitionBy` produces hive-style directory partitioning — the thing
+  *    that makes downstream partition pruning work at 100 TB.
+  *  - `bucketBy` (via saveAsTable) pre-shuffles on the join key once at
+  *    write time so later joins/aggregations on that key are shuffle-free.
+  *  - `maxRecordsPerFile` guards against the giant-file long-tail; callers
+  *    control output file count upstream via repartition(n, cols) — never
+  *    coalesce(1) (a single writer task is the classic output bottleneck).
+  */
+object Sinks {
+
+  def writeParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val w = df.write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      delimiter: Char = ',', mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("header", header.toString)
+      .option("delimiter", delimiter.toString)
+      .csv(path)
+
+  def writeJson(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Bucketed managed table: one shuffle at write time buys co-located,
+    * shuffle-free joins on `bucketCols` for every later reader. */
+  def writeBucketedTable(df: DataFrame, table: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    var w = df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+}

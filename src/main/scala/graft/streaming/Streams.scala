@@ -69,6 +69,18 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup on a key with state bounded by the watermark:
+    * duplicates arriving within the watermark horizon are dropped;
+    * state for keys older than the horizon is evicted (the only way
+    * unbounded streams keep bounded dedup state). Batch input degrades to
+    * plain dropDuplicates. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+    else events.dropDuplicates(keyCols)
+
   /** Run a streaming query over a bounded source into a memory sink and
     * return the materialized result — used by tests to drive the streaming
     * path end-to-end with deterministic content. */

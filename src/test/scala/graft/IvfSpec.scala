@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.similarity.{Ann, Ivf}
+
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def mkVec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(16)((r.nextDouble() * 2 - 1).toFloat)
+  }
+  private def corpus = (0 until 60).map(i => (i.toLong, mkVec(i)))
+    .toDF("vec_id", "embedding")
+
+  test("train produces k centroids of the right dimension") {
+    val cents = Ivf.train(corpus, k = 4, iters = 2)
+    val rows = cents.collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getSeq[Float](1).length == 16))
+  }
+
+  test("assignment is total and deterministic") {
+    val cents = Ivf.train(corpus, k = 4, iters = 1)
+    val a1 = Ivf.assign(corpus, cents).select("vec_id", "centroid_id")
+      .as[(Long, Int)].collect().sortBy(_._1)
+    val a2 = Ivf.assign(corpus, cents).select("vec_id", "centroid_id")
+      .as[(Long, Int)].collect().sortBy(_._1)
+    assert(a1.toSeq == a2.toSeq)
+    assert(a1.length == 60)
+  }
+
+  test("ivfTopK results are a subset of exact brute-force pairs") {
+    val cents = Ivf.train(corpus, k = 4, iters = 1)
+    val qs = Ann.selfQueries(corpus, 5)
+    val approx = Ivf.ivfTopK(corpus, qs, cents, k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Ann.bruteForceTopK(corpus, qs, k = 59)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty && approx.subsetOf(exact))
+    // with nprobe = k (probe everything) IVF == exact brute force top-k
+    val full = Ivf.ivfTopK(corpus, qs, cents, k = 3, nprobe = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val bf = Ann.bruteForceTopK(corpus, qs, k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    assert(full == bf)
+  }
+}

@@ -59,4 +59,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2L).n_events == 2 && got(2L).sum_value == 7.0)
     assert(got(2L).session_end_ms == ts(59).getTime)
   }
+
+  test("streamingDedup drops duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    mem.addData(eventRows ++ Seq(eventRows.head, eventRows(1)): _*) // 2 dups
+    val stream = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val deduped = Streams.streamingDedup(stream, Seq("event_id"), "2 hours")
+    val got = Streams.runToMemory(deduped, "dedup_out", OutputMode.Append())
+    assert(got.count() == 4)
+    assert(got.select("event_id").distinct().count() == 4)
+  }
 }
