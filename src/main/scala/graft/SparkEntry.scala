@@ -426,25 +426,28 @@ object SparkEntry {
 
     // ================= training-data pipeline =================
 
-    // text analysis: SQL-expressible per-doc stats
+    // text analysis: SQL-expressible per-doc stats (one-pass native
+    // TextStats struct; fields are regex-compatible with the oracle)
     "q_text_stats" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        Text.charCount(col("text")).as("n_chars"),
-        Text.tokenCount(col("text")).as("n_tokens"),
-        Text.subwordCount(col("text")).as("n_subwords"),
-        Text.meanTokenLen(col("text")).as("mean_token_len"),
-        Text.punctRatio(col("text")).as("punct_ratio"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), native.text_stats(col("text")).as("st"))
+        .select(col("doc_id"),
+          col("st.n_chars").as("n_chars"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_subwords").as("n_subwords"),
+          col("st.mean_token_len").as("mean_token_len"),
+          col("st.punct_ratio").as("punct_ratio"))
         .orderBy("doc_id")),
 
-    // text analysis: heuristic scores + native fingerprint (rows-only)
+    // text analysis: heuristic scores + fingerprint (rows-only oracle)
     "q_text_quality" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        Text.qualityScore(col("text")).as("quality"),
-        Text.langId(col("text")).as("lang_pred"),
-        Text.stopwordRatio(col("text")).as("stopword_ratio"),
-        Text.fingerprint(col("text")).as("fingerprint"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), native.text_stats(col("text")).as("st"))
+        .select(col("doc_id"),
+          col("st.quality").as("quality"),
+          col("st.lang_pred").as("lang_pred"),
+          col("st.stopword_ratio").as("stopword_ratio"),
+          col("st.fingerprint").as("fingerprint"))
         .orderBy("doc_id")),
 
     // exact dedup (hash-groupBy)

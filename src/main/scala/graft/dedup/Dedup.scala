@@ -75,8 +75,12 @@ object Dedup {
       threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
 
+    // The signature scan feeds four lineage branches (hot-bucket agg, the
+    // anti join, and both sides of the self-join); persist the slim
+    // (id, sig) projection so the document scan + hashing runs once.
     val sig = docs.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes, shingle).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("id"), col("sig"),
       posexplode(native.minhash_bands(col("sig"), bands)).as(Seq("band_id", "band_hash")))
@@ -111,6 +115,7 @@ object Dedup {
     val chunks = 4 // 4 x 16-bit pieces of the 64-bit simhash
     val withHash = docs.select(col(idCol).as("id"),
       native.simhash64(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val chunkVals = array((0 until chunks).map(i =>
       shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xffffL))): _*)
@@ -142,7 +147,10 @@ object Dedup {
         native.word_ngrams(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")).cast(LongType))
 
+    // posting feeds the df-cut aggregate, the pruning join, and both join
+    // sides — persist so tokenization + n-gram extraction runs once.
     val posting = grams.select(col("id"), col("n_grams"), explode(col("grams")).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // df-cut: a gram appearing in > maxDocFreq docs contributes O(df^2) pairs
     val dfCut = posting.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
@@ -168,7 +176,8 @@ object Dedup {
       planes: Int = 12, dim: Int = 64, maxBucketSize: Int = 2000): DataFrame = {
     val bucketed = dropHotBuckets(
       graft.similarity.Ann.withLshBucket(emb, vecCol, planes, dim)
-        .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket")),
+        .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       Seq("lsh_bucket"), maxBucketSize)
 
     val l = bucketed.select(col("lsh_bucket"), col("id").as("id_a"), col("v").as("va"))

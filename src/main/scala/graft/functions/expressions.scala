@@ -174,6 +174,7 @@ object native {
   def minhash_bands(c: Column, bands: Int): Column = col(MinHashBandHashes(ex(c), bands))
   def word_ngrams(c: Column, n: Int): Column = col(WordNGrams(ex(c), n))
   def sig_agree(a: Column, b: Column): Column = col(SigAgree(ex(a), ex(b)))
+  def text_stats(c: Column): Column = col(TextStats(ex(c)))
 
   /** Make the functions usable from `spark.sql` text as well. */
   def register(spark: SparkSession): Unit = {

@@ -48,9 +48,11 @@ object Ivf {
   /** Lloyd iterations; returns final centroids (centroid_id, centroid). */
   def train(corpus: DataFrame, k: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    var cents = initCentroids(corpus, k, idCol, vecCol)
+    val slim = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = initCentroids(slim, k, idCol, vecCol)
     for (_ <- 0 until iters) {
-      val assigned = assign(corpus, cents, idCol, vecCol)
+      val assigned = assign(slim, cents, idCol, vecCol)
       cents = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy("centroid_id", "dim").agg(avg(col("v")).as("mean"))
