@@ -136,33 +136,60 @@ object Dedup {
 
   // ---------------------------------------------------- n-gram Jaccard
 
-  /** Exact n-gram Jaccard pairs >= threshold via inverted index:
-    * explode word n-grams → join on n-gram → count shared grams per pair →
-    * jaccard = shared / (|A| + |B| - shared). No cross join; the shuffle
-    * key is the n-gram, and frequent grams are capped (df cut, the standard
-    * posting-list guard from MinHash/IR practice). */
+  /** Exact n-gram Jaccard pairs >= threshold via prefix-filtered inverted
+    * index (PPJoin-style):
+    *
+    *  1. Rank each document's grams by GLOBAL rarity (document frequency
+    *     asc, gram asc — a total order shared by all docs).
+    *  2. Index only each doc's prefix: the first |A| - ceil(t*|A|) + 1
+    *     grams. Prefix principle: two docs with Jaccard >= t must share at
+    *     least one gram inside both prefixes under any common total order —
+    *     pairs sharing only suffix grams are provably below t and never
+    *     become candidates.
+    *  3. Candidate pairs = self-join of the prefix postings (rarest grams
+    *     → tiny fan-out); verify with EXACT Jaccard over the full gram
+    *     sets (array_intersect of the two gram arrays).
+    *
+    * Versus a naive full inverted index this cuts join fan-out by the
+    * (1-t) prefix fraction *and* concentrates it on rare grams, while
+    * full-set verification keeps the result exact. `maxDocFreq` remains a
+    * skew guard for degenerate prefix grams (boilerplate rare enough to
+    * enter prefixes but still hot); it costs recall only for pairs with no
+    * other shared rare gram. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.5, maxDocFreq: Int = 500): DataFrame = {
     val grams = docs.select(col(idCol).as("id"),
         native.word_ngrams(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")).cast(LongType))
-
-    // posting feeds the df-cut aggregate, the pruning join, and both join
-    // sides — persist so tokenization + n-gram extraction runs once.
-    val posting = grams.select(col("id"), col("n_grams"), explode(col("grams")).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // df-cut: a gram appearing in > maxDocFreq docs contributes O(df^2) pairs
-    val dfCut = posting.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-    val pruned = posting.join(dfCut.select("gram"), "gram")
 
-    val l = pruned.select(col("gram"), col("id").as("id_a"), col("n_grams").as("na"))
-    val r = pruned.select(col("gram"), col("id").as("id_b"), col("n_grams").as("nb"))
-    l.join(r, "gram").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("shared"))
+    val posting = grams.select(col("id"), col("n_grams"), explode(col("grams")).as("gram"))
+    val gramDf = posting.groupBy("gram").agg(count(lit(1)).as("df"))
+
+    // rank grams within each doc by global rarity; keep only the prefix
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("gram").asc)
+    val prefixLen = (col("n_grams") - ceil(col("n_grams") * threshold) + 1).cast(LongType)
+    val prefix = posting.join(gramDf.filter(col("df") <= maxDocFreq), "gram")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= prefixLen)
+      .select(col("gram"), col("id"))
+
+    val cand = prefix.select(col("gram"), col("id").as("id_a"))
+      .join(prefix.select(col("gram"), col("id").as("id_b")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+
+    // exact verification over full gram sets
+    val ga = grams.select(col("id").as("id_a"), col("grams").as("grams_a"),
+      col("n_grams").as("na"))
+    val gb = grams.select(col("id").as("id_b"), col("grams").as("grams_b"),
+      col("n_grams").as("nb"))
+    cand.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("shared", size(array_intersect(col("grams_a"), col("grams_b"))).cast(LongType))
       .select(col("id_a"), col("id_b"),
-        round(col("shared").cast(DoubleType) /
-          (col("na") + col("nb") - col("shared")).cast(DoubleType), 6).as("jaccard"))
+        (col("shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("shared")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
