@@ -321,12 +321,48 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // exact percentiles (absent in reference — no median/percentiles §2.5)
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // sketch aggregates: HLL approximate distinct (rows-only — sketch
+    // internals are engine-specific; exact twin included for sanity)
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag")),
+
     // JSON extraction (absent in reference)
     "q_json" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
         .orderBy("event_id")),
+
+    // array functions: collect_set + sort (deterministic), size, element
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_set(year(col("o_orderdate")))).as("yrs"))
+        .select(col("o_custkey"), col("yrs"),
+          size(col("yrs")).as("n_yrs"),
+          element_at(col("yrs"), 1).as("first_yr"))
+        .orderBy("o_custkey")),
+
+    // regex functions: extract + replace-all
+    "q_regex" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "^(\\S+)", 1).as("first_tok"),
+          regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "_").as("masked"))
+        .orderBy("doc_id")),
 
     // tumbling event-time window aggregation (batch form of the
     // streaming operator in graft.streaming.Streams)
@@ -705,10 +741,30 @@ object SparkEntry {
            count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           count(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "q_json" ->
       """SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
          FROM events ORDER BY event_id""",
+
+    "q_array_funcs" ->
+      """SELECT o_custkey,
+           list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER)))) AS yrs,
+           CAST(length(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER))))) AS INTEGER) AS n_yrs,
+           CAST(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER))))[1] AS INTEGER) AS first_yr
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q_regex" ->
+      """SELECT doc_id,
+           regexp_extract(text, '^(\S+)', 1) AS first_tok,
+           regexp_replace(substr(text, 1, 40), '[aeiou]', '_', 'g') AS masked
+         FROM documents ORDER BY doc_id""",
 
     "q_events_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,

@@ -45,20 +45,28 @@ object Ivf {
       .select(col(idCol), col(vecCol), col("centroid_id"))
   }
 
-  /** Lloyd iterations; returns final centroids (centroid_id, centroid). */
+  /** Lloyd iterations; returns final centroids (centroid_id, centroid).
+    * Centroid recomputation uses the typed VectorMean Aggregator
+    * (graft.functions.VectorMean): partial (sum, count) buffers combine
+    * map-side, so the shuffle carries one buffer per (centroid ×
+    * partition) — not the assigned vectors. */
   def train(corpus: DataFrame, k: Int, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val slim = corpus.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = initCentroids(slim, k, idCol, vecCol)
+    val vecMean = new graft.functions.VectorMean(dim).toColumn
     for (_ <- 0 until iters) {
       val assigned = assign(slim, cents, idCol, vecCol)
-      cents = assigned
-        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
-        .groupBy("centroid_id", "dim").agg(avg(col("v")).as("mean"))
-        .groupBy("centroid_id")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
-          s => s.getField("mean").cast(FloatType)).as("centroid"))
+      cents = assigned.select(col("centroid_id"), col(vecCol))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(vecMean.name("centroid"))
+        .toDF("centroid_id", "centroid")
     }
     cents
   }

@@ -15,14 +15,14 @@ class IvfSpec extends AnyFunSuite {
     .toDF("vec_id", "embedding")
 
   test("train produces k centroids of the right dimension") {
-    val cents = Ivf.train(corpus, k = 4, iters = 2)
+    val cents = Ivf.train(corpus, k = 4, iters = 2, dim = 16)
     val rows = cents.collect()
     assert(rows.length == 4)
     assert(rows.forall(_.getSeq[Float](1).length == 16))
   }
 
   test("assignment is total and deterministic") {
-    val cents = Ivf.train(corpus, k = 4, iters = 1)
+    val cents = Ivf.train(corpus, k = 4, iters = 1, dim = 16)
     val a1 = Ivf.assign(corpus, cents).select("vec_id", "centroid_id")
       .as[(Long, Int)].collect().sortBy(_._1)
     val a2 = Ivf.assign(corpus, cents).select("vec_id", "centroid_id")
@@ -32,7 +32,7 @@ class IvfSpec extends AnyFunSuite {
   }
 
   test("ivfTopK results are a subset of exact brute-force pairs") {
-    val cents = Ivf.train(corpus, k = 4, iters = 1)
+    val cents = Ivf.train(corpus, k = 4, iters = 1, dim = 16)
     val qs = Ann.selfQueries(corpus, 5)
     val approx = Ivf.ivfTopK(corpus, qs, cents, k = 3, nprobe = 2)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

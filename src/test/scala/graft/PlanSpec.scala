@@ -1,0 +1,43 @@
+package graft
+
+/** Plan-shape assertions — the engine's analog of the reference's golden
+  * plan-string tests (ref: predicate_pushdown.rs:539-719,
+  * projection_pushdown.rs:303-442): instead of matching plan text exactly,
+  * assert the properties that matter at scale — pushdown reached the scan,
+  * column pruning happened, partial aggregation exists, the dim join
+  * broadcasts, top-k fuses. */
+class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  private val dir = SparkFixture.sfDir
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter predicate pushes into the parquet scan (ref PredicatePushDownRule analog)") {
+    val p = plan("q_agg_group")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("column pruning reaches the scan (ref ProjectionPushDownRule analog)") {
+    val p = plan("q_join_fanout")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int>"),
+      "lineitem scan should read exactly the 2 needed columns")
+  }
+
+  test("grouped aggregation plans partial (map-side) + final phases") {
+    val p = plan("q_agg_group")
+    assert(p.contains("partial_sum") && p.contains("partial_count"))
+  }
+
+  test("dim join resolves to broadcast hash join") {
+    assert(plan("q_join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("empty-key theta join plans nested-loop, not shuffle join") {
+    assert(plan("q_cross_theta").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sort+limit fuses to TakeOrderedAndProject (no global sort for top-k)") {
+    assert(plan("q_limit").contains("TakeOrderedAndProject"))
+  }
+}
