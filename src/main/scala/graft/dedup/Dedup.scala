@@ -173,12 +173,26 @@ object Dedup {
     val prefix = posting.join(gramDf.filter(col("df") <= maxDocFreq), "gram")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= prefixLen)
-      .select(col("gram"), col("id"))
+      .select(col("gram"), col("id"), col("rank"), col("n_grams"))
 
-    val cand = prefix.select(col("gram"), col("id").as("id_a"))
-      .join(prefix.select(col("gram"), col("id").as("id_b")), "gram")
+    // Position filter (PPJoin): a shared prefix gram at ranks (pa, pb) caps
+    // the possible overlap at 1 + min(|A|-pa, |B|-pb); Jaccard >= t needs
+    // overlap >= t/(1+t) * (|A|+|B|). Pairs that fail the bound for their
+    // BEST shared gram cannot reach the threshold — pruned before the
+    // (comparatively expensive) full-set verification. The bound is applied
+    // without ceil and with an epsilon so float rounding can only keep a
+    // borderline pair, never drop a valid one.
+    val pa = prefix.select(col("gram"), col("id").as("id_a"),
+      col("rank").as("pa"), col("n_grams").as("na"))
+    val pb = prefix.select(col("gram"), col("id").as("id_b"),
+      col("rank").as("pb"), col("n_grams").as("nb"))
+    val minOverlap = (col("na") + col("nb")) * (threshold / (1.0 + threshold)) - 1e-9
+    val cand = pa.join(pb, "gram")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(max(least(col("na") - col("pa"), col("nb") - col("pb"))).as("slack"))
+      .filter((col("slack") + 1).cast(DoubleType) >= minOverlap)
+      .select("id_a", "id_b")
 
     // exact verification over full gram sets
     val ga = grams.select(col("id").as("id_a"), col("grams").as("grams_a"),
