@@ -26,6 +26,7 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] failed: ${e.getMessage}"); return -1.0 }
+      finally spark.catalog.clearCache() // per-query persists don't accumulate
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -1,0 +1,40 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** Session extension registering the engine's native functions for SQL —
+  * the `SparkSessionExtensions` integration point (SURVEY.md §7.3). Any
+  * session built with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.engine.GraftExtensions`) gets
+  * `simhash64`, `rolling_fingerprint`, `vec_dot/norm/cosine`,
+  * `minhash_sig`, `word_ngrams`, `text_stats` as first-class SQL functions
+  * — no per-session registration call needed.
+  *
+  * Note: custom optimizer rules / planner strategies are deliberately NOT
+  * injected — SURVEY.md §4 establishes that built-in Catalyst covers the
+  * reference's entire rewrite set; our custom layer is expressions and
+  * typed aggregators only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, null, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+
+    inject("rolling_fingerprint", es => RollingFingerprint(es.head))
+    inject("simhash64", es => SimHash64(es.head))
+    inject("vec_dot", es => FloatVecDot(es(0), es(1)))
+    inject("vec_norm", es => FloatVecNorm(es.head))
+    inject("vec_cosine", es => FloatVecCosine(es(0), es(1)))
+    inject("minhash_sig", es => MinHashSig(es.head, 64, 5, 42L))
+    inject("word_ngrams", es => WordNGrams(es.head, 3))
+    inject("text_stats", es => TextStats(es.head))
+  }
+}

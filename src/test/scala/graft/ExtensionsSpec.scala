@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graftx.Bridge
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.GraftExtensions
+import graft.functions.HashKernels
+import org.apache.spark.unsafe.types.UTF8String
+
+/** GraftExtensions wires the native functions into a session's function
+  * registry (the spark.sql.extensions integration point). */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  test("injected functions resolve and evaluate in SQL") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    Bridge.registerInjectedFunctions(ext, spark.sessionState.functionRegistry)
+
+    val r = spark.sql(
+      """SELECT simhash64('a b c') AS sh,
+               rolling_fingerprint('x y') AS fp,
+               vec_cosine(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS c,
+               text_stats('the cat sat').n_tokens AS nt""").collect()(0)
+    assert(r.getLong(0) == HashKernels.simhash64(UTF8String.fromString("a b c")))
+    assert(r.getLong(1) == HashKernels.rollingFingerprint(UTF8String.fromString("x y")))
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getLong(3) == 3L)
+  }
+}
