@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.dedup.Dedup
 import graft.engine.{Context, Tables}
-import graft.functions.{native, Text}
+import graft.functions.native
 import graft.multimodal.Multimodal
 import graft.operators.Relational
 import graft.similarity.Ann
@@ -34,10 +34,6 @@ object SparkEntry {
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   /** Order-independent SUM of a 2-dp double, returned as DOUBLE. */
   private def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
-  /** Exact AVG: decimal sum / non-null count (0-safe), as DOUBLE. */
-  private def davg(c: Column): Column =
-    (sum(dec2(c)).cast(DoubleType) / nullif(count(c), lit(0))).as("avg")
-
   // ===================================================================
   // Flagship (driver smoke-checks rows > 0 on sf0.001).
   // The reference flagship shape (ref: README.md:132-141): left join +
