@@ -347,6 +347,24 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // PIVOT (wide aggregation; absent in reference)
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("l_returnflag")),
+
+    // null-safe equality (<=>; absent in reference)
+    "q_nullsafe_eq" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(nullif(col("l_returnflag"), lit("N")).as("f1"),
+          nullif(col("l_linestatus"), lit("O")).as("f2"))
+        .groupBy((col("f1") <=> col("f2")).as("both_null_or_equal"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("both_null_or_equal")),
+
     // exact percentiles (absent in reference — no median/percentiles §2.5)
     "q_percentile" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -787,6 +805,18 @@ object SparkEntry {
            count(DISTINCT l_partkey) AS n_parts,
            count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+           count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F",
+           count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_nullsafe_eq" ->
+      """SELECT nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O')
+             AS both_null_or_equal,
+           count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY both_null_or_equal""",
 
     "q_percentile" ->
       """SELECT o_orderpriority,
