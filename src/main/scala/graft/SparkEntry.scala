@@ -506,6 +506,19 @@ object SparkEntry {
 
     // ================= training-data pipeline =================
 
+    // column profiling (count/nulls/distinct/min/max per column)
+    "q_profile" -> ((s, dir) =>
+      graft.functions.Profile.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("column")),
+
+    // deterministic hash-based train/eval split (reproducible sampling)
+    "q_split" -> ((s, dir) =>
+      graft.functions.Profile.hashSplit(t(s, dir, "orders"), "o_orderkey", 80)
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")),
+
+
     // text analysis: SQL-expressible per-doc stats (one-pass native
     // TextStats struct; fields are regex-compatible with the oracle)
     "q_text_stats" -> ((s, dir) =>
@@ -974,6 +987,34 @@ object SparkEntry {
                WHERE event_type = 'purchase') p
            ON c.user_id = p.pu AND c.ts >= p.pts
          ORDER BY c.event_id""",
+
+    "q_profile" ->
+      """SELECT * FROM (
+           SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_value
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*),
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderstatus),
+             CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', count(*),
+             sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_totalprice),
+             CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+           FROM orders)
+         ORDER BY "column" """,
+
+    "q_split" ->
+      """SELECT CASE WHEN ((o_orderkey * 2654435761) % 4294967296) % 100 < 80
+             THEN 'train' ELSE 'eval' END AS split,
+           count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY split""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -62,6 +62,11 @@ class Context(val spark: SparkSession) {
   }
 
   def readParquet(path: String): DataFrame = spark.read.parquet(path)
+  def readJson(path: String): DataFrame = spark.read.json(path)
+  def readOrc(path: String): DataFrame = spark.read.orc(path)
+
+  def registerJson(name: String, path: String): Unit = register(name, readJson(path))
+  def registerOrc(name: String, path: String): Unit = register(name, readOrc(path))
 
   /** Look up a registered table; unknown names raise the same class of error
     * the reference raises from its catalog (ref: context.rs:95-99). */

@@ -41,6 +41,15 @@ object Sinks {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC — the second columnar format Spark ships natively (vectorized
+    * reader, predicate pushdown, same partitioning story as parquet). */
+  def writeOrc(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
   /** Bucketed managed table: one shuffle at write time buys co-located,
     * shuffle-free joins on `bucketCols` for every later reader. */
   def writeBucketedTable(df: DataFrame, table: String,

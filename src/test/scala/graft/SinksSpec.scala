@@ -40,4 +40,38 @@ class SinksSpec extends AnyFunSuite {
     Sinks.writeJson(region, out)
     assert(spark.read.json(out).count() == 5)
   }
+
+  test("orc round-trip with partitioning") {
+    val nation = Tables.load(spark, SparkFixture.sfDir, "nation")
+    val out = tmp() + "/nation_orc"
+    Sinks.writeOrc(nation, out, partitionCols = Seq("n_regionkey"))
+    val back = spark.read.orc(out)
+    assert(back.count() == 25)
+    assert(back.filter(col("n_regionkey") === 1).count() ==
+      nation.filter(col("n_regionkey") === 1).count())
+  }
+
+  test("profile reports counts, nulls, distincts, min/max per column") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a"))).toDF("id", "s")
+    val got = graft.functions.Profile.profile(df, Seq("id", "s"))
+      .orderBy("column").collect()
+    assert(got(0).getString(0) == "id" && got(0).getLong(1) == 3 &&
+      got(0).getLong(2) == 0 && got(0).getLong(3) == 3 &&
+      got(0).getString(4) == "1" && got(0).getString(5) == "3")
+    assert(got(1).getString(0) == "s" && got(1).getLong(2) == 1 &&
+      got(1).getLong(3) == 1)
+  }
+
+  test("hashSplit is deterministic, covers all rows, roughly respects pct") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val s1 = graft.functions.Profile.hashSplit(df, "id", 80)
+    val s2 = graft.functions.Profile.hashSplit(df, "id", 80)
+    val c1 = s1.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val c2 = s2.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c1 == c2)
+    assert(c1.values.sum == 1000)
+    assert(c1("train") > 700 && c1("train") < 900)
+  }
 }
