@@ -414,6 +414,11 @@ object SparkEntry {
       Streams.hourlyTypeCounts(t(s, dir, "events"))
         .orderBy("hour_start", "event_type")),
 
+    // session windows (dynamic-length event-time windows)
+    "q_session_window" -> ((s, dir) =>
+      Streams.userSessions(t(s, dir, "events"), gap = "30 minutes")
+        .orderBy("user_id", "session_start_ms")),
+
     // stateful sessionization (mapGroupsWithState, batch mode)
     "q_sessionize" -> ((s, dir) => {
       val sp = s; import sp.implicits._
@@ -861,6 +866,23 @@ object SparkEntry {
            event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "q_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+         numbered AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM marked)
+         SELECT user_id,
+           CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+           count(*) AS n_events
+         FROM numbered GROUP BY user_id, sess_id
+         ORDER BY user_id, session_start_ms""",
 
     "q_text_stats" ->
       """SELECT doc_id,

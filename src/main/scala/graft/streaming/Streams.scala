@@ -69,6 +69,20 @@ object Streams {
       }
   }
 
+  /** Session windows per user: events within `gap` of each other merge
+    * into one session (Spark's session_window — dynamic-length windows;
+    * in streaming, state closes when the watermark passes last_ts + gap).
+    * Emits (user_id, session_start_ms, n_events). */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    src.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        col("n_events"))
+  }
+
   /** Streaming exact dedup on a key with state bounded by the watermark:
     * duplicates arriving within the watermark horizon are dropped;
     * state for keys older than the horizon is evicted (the only way

@@ -70,4 +70,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == 4)
     assert(got.select("event_id").distinct().count() == 4)
   }
+
+  test("userSessions merges events within gap; streaming equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts(0), 7L, "click", 1.0, "{}"),
+      (2L, ts(10), 7L, "click", 1.0, "{}"),   // same session (10 min gap)
+      (3L, ts(55), 7L, "click", 1.0, "{}"),   // new session (45 min gap)
+      (4L, ts(5), 8L, "view", 1.0, "{}"))
+    val batch = Streams.userSessions(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        gap = "30 minutes")
+      .orderBy("user_id", "session_start_ms")
+      .as[(Long, Long, Long)].collect()
+    assert(batch.toSeq == Seq(
+      (7L, ts(0).getTime, 2L), (7L, ts(55).getTime, 1L), (8L, ts(5).getTime, 1L)))
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    mem.addData(rows: _*)
+    val stream = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Streams.runToMemory(
+        Streams.userSessions(stream, gap = "30 minutes"), "sess_out",
+        OutputMode.Complete())
+      .orderBy("user_id", "session_start_ms")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == batch.toSeq)
+  }
 }
