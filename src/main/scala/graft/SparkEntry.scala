@@ -537,6 +537,16 @@ object SparkEntry {
           col("st.punct_ratio").as("punct_ratio"))
         .orderBy("doc_id")),
 
+    // text normalization: accent-strip + casefold (dedup preprocessing);
+    // accents injected via translate so the normalization has real work
+    "q_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          native.strip_accents(
+            lower(translate(substring(col("text"), 1, 30), "ae", "\u00e4\u00e9")))
+            .as("normalized"))
+        .orderBy("doc_id")),
+
     // text analysis: heuristic scores + fingerprint (rows-only oracle)
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -866,6 +876,12 @@ object SparkEntry {
            event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "q_normalize" ->
+      """SELECT doc_id,
+           strip_accents(lower(translate(substr(text, 1, 30), 'ae', '\u00e4\u00e9')))
+             AS normalized
+         FROM documents ORDER BY doc_id""",
 
     "q_session_window" ->
       """WITH marked AS (

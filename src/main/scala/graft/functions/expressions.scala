@@ -175,6 +175,7 @@ object native {
   def word_ngrams(c: Column, n: Int): Column = col(WordNGrams(ex(c), n))
   def sig_agree(a: Column, b: Column): Column = col(SigAgree(ex(a), ex(b)))
   def text_stats(c: Column): Column = col(TextStats(ex(c)))
+  def strip_accents(c: Column): Column = col(StripAccents(ex(c)))
 
   /** Make the functions usable from `spark.sql` text as well. */
   def register(spark: SparkSession): Unit = {
@@ -356,4 +357,22 @@ case class SigAgree(left: Expression, right: Expression) extends BinaryExpressio
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NGramKernel.agree($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgree =
     copy(left = l, right = r)
+}
+
+/** Unicode text normalization for dedup preprocessing: NFD-decompose,
+  * strip combining marks (accents), recompose — the standard fold applied
+  * before hashing/shingling so "café" and "cafe" collide. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val decomposed = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    UTF8String.fromString(decomposed.replaceAll("\\p{M}", ""))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFD)" +
+        s""".replaceAll("\\\\p{M}", ""))""")
+  override protected def withNewChildInternal(c: Expression): StripAccents = copy(c)
 }
