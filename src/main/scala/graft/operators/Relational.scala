@@ -107,7 +107,12 @@ object Relational {
     val unioned = rTagged.select(rCols: _*).unionByName(lTagged)
     // right rows (side=0) sort before left rows (side=1) at equal time →
     // a right row AT the left row's time is matched (inclusive as-of).
-    val w = Window.partitionBy("_k").orderBy(col("_t").asc, col("_side").asc)
+    // Among right rows tied on time, a hash of the payload is the final
+    // sort key so the carried row is deterministic under any partitioning
+    // (left rows have a null hash; _side already orders them after).
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, col("_side").asc,
+        xxhash64(col("_r")).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
