@@ -390,12 +390,15 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
         .orderBy("event_id")),
 
-    // array functions: collect_set + sort (deterministic), size, element
+    // array functions: collect_set + sort (deterministic), size, element,
+    // array_join (array itself serialized to CSV string — the driver's
+    // pandas compare can't sort raw array cells)
     "q_array_funcs" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sort_array(collect_set(year(col("o_orderdate")))).as("yrs"))
-        .select(col("o_custkey"), col("yrs"),
+        .select(col("o_custkey"),
+          array_join(col("yrs").cast(ArrayType(StringType)), ",").as("yrs_csv"),
           size(col("yrs")).as("n_yrs"),
           element_at(col("yrs"), 1).as("first_yr"))
         .orderBy("o_custkey")),
@@ -419,13 +422,14 @@ object SparkEntry {
       Streams.userSessions(t(s, dir, "events"), gap = "30 minutes")
         .orderBy("user_id", "session_start_ms")),
 
-    // stateful sessionization (mapGroupsWithState, batch mode)
+    // stateful sessionization (flatMapGroupsWithState, batch mode): one row
+    // per gap-closed session — oracle is the SQL gaps-and-islands twin
     "q_sessionize" -> ((s, dir) => {
       val sp = s; import sp.implicits._
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value")).as[Streams.Event]
-      Streams.sessionize(ev).toDF().orderBy("user_id")
+      Streams.sessionize(ev).toDF().orderBy("user_id", "session_start_ms")
     }),
 
     // semi join (EXISTS) — absent in reference (JoinType has 2 variants,
@@ -616,13 +620,16 @@ object SparkEntry {
           min(col("n_bytes")).as("min_bytes"), max(col("n_bytes")).as("max_bytes"))
         .orderBy("mime")),
 
-    // multimodal: stubbed decode + featurize via mapPartitions (rows-only)
+    // multimodal: stubbed decode + featurize via mapPartitions (rows-only;
+    // feature vector serialized to CSV so the driver compare can sort it)
     "q_media_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(
           Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .toDF()
         .select(col("media_id"), col("mime"), col("n_bytes"),
-          col("byte_entropy"), col("features"))
+          col("byte_entropy"),
+          array_join(col("features").cast(ArrayType(StringType)), ",")
+            .as("features_csv"))
         .orderBy("media_id")),
 
     // multimodal: frame sampling plumbing (rows-only)
@@ -860,7 +867,7 @@ object SparkEntry {
 
     "q_array_funcs" ->
       """SELECT o_custkey,
-           list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER)))) AS yrs,
+           array_to_string(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER)))), ',') AS yrs_csv,
            CAST(length(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER))))) AS INTEGER) AS n_yrs,
            CAST(list_sort(list_distinct(list(CAST(year(o_orderdate) AS INTEGER))))[1] AS INTEGER) AS first_yr
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
@@ -897,6 +904,26 @@ object SparkEntry {
          SELECT user_id,
            CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
            count(*) AS n_events
+         FROM numbered GROUP BY user_id, sess_id
+         ORDER BY user_id, session_start_ms""",
+
+    "q_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+         numbered AS (
+           SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM marked)
+         SELECT user_id,
+           CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+           CAST(epoch_ms(max(ts)) AS BIGINT) AS session_end_ms,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM numbered GROUP BY user_id, sess_id
          ORDER BY user_id, session_start_ms""",
 
@@ -970,79 +997,23 @@ object SparkEntry {
            ON c.user_id = p.pu AND c.ts >= p.pts
          ORDER BY c.event_id""",
 
-    "q_join_semi" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE EXISTS (SELECT 1 FROM orders
-                       WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
-         ORDER BY c_custkey""",
-
-    "q_join_anti" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders
-                           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
-         ORDER BY c_custkey""",
-
-    "q_join_full" ->
-      """SELECT coalesce(a.ka, b.kb) AS k, a.n_big, b.n_pri
-         FROM (SELECT o_custkey AS ka, count(*) AS n_big FROM orders
-               WHERE o_totalprice > 400000.0 GROUP BY 1) a
-         FULL JOIN (SELECT o_custkey AS kb, count(*) AS n_pri FROM orders
-               WHERE o_orderpriority LIKE '%1%' GROUP BY 1) b
-           ON a.ka = b.kb
-         ORDER BY k""",
-
-    "q_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
-
-    "q_having" ->
-      """SELECT o_custkey, count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
-         FROM orders GROUP BY o_custkey HAVING count(*) >= 18
-         ORDER BY o_custkey""",
-
-    "q_subquery_scalar" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-         WHERE o_totalprice > 1.9 * (
-           SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
-           FROM orders)
-         ORDER BY o_orderkey""",
-
-    "q_subquery_exists" ->
-      """SELECT p_partkey, p_name FROM part
-         WHERE EXISTS (SELECT 1 FROM lineitem
-                       WHERE l_partkey = p_partkey AND l_quantity > 49.0)
-         ORDER BY p_partkey""",
-
-    "q_asof" ->
-      """SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
-         FROM (SELECT event_id, ts, user_id FROM events
-               WHERE event_type = 'click') c
-         ASOF LEFT JOIN (SELECT user_id AS pu, ts AS pts,
-                 event_id AS p_event_id, value AS p_value FROM events
-               WHERE event_type = 'purchase') p
-           ON c.user_id = p.pu AND c.ts >= p.pts
-         ORDER BY c.event_id""",
-
     "q_profile" ->
       """SELECT * FROM (
            SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
-             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
              count(DISTINCT o_orderkey) AS n_distinct,
              CAST(min(o_orderkey) AS VARCHAR) AS min_value,
              CAST(max(o_orderkey) AS VARCHAR) AS max_value
            FROM orders
            UNION ALL
            SELECT 'o_orderstatus', count(*),
-             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT o_orderstatus),
              CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
            FROM orders
            UNION ALL
            SELECT 'o_totalprice', count(*),
-             sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
              count(DISTINCT o_totalprice),
              CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
            FROM orders)
@@ -1064,7 +1035,7 @@ object SparkEntry {
              WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
              ELSE 'video/mp4' END AS mime,
            count(*) AS n_media,
-           sum(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS total_bytes,
+           CAST(sum(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS BIGINT) AS total_bytes,
            min(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS min_bytes,
            max(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS max_bytes
          FROM documents GROUP BY 1 ORDER BY mime"""

@@ -3,6 +3,7 @@ package graft.engine
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
 import org.apache.spark.sql.types.StructType
 
 /** Session/catalog front door — the Spark-native analog of the reference's
@@ -82,13 +83,29 @@ class Context(val spark: SparkSession) {
     * statement collecting table references and validate them against the
     * catalog (ref: src/sql/visitor.rs:23-51 + context.rs:87-102), then
     * (2) plan and run. The grammar is a strict superset of the reference's
-    * §2.6 subset since we delegate to Spark SQL. */
+    * §2.6 subset since we delegate to Spark SQL.
+    *
+    * The walk covers expression-level subqueries (EXISTS / IN / scalar) via
+    * `collectWithSubqueries`, and names defined by WITH clauses are part of
+    * the query, not the catalog, so they are excluded from validation. */
   def sql(text: String): DataFrame = {
     val parsed = spark.sessionState.sqlParser.parsePlan(text)
-    val refs = parsed.collect {
+    // UnresolvedWith is a UnaryNode: CTE bodies are NOT children of the
+    // plan, so expand them explicitly (recursively, for nested WITH).
+    def expand(p: LogicalPlan): Seq[LogicalPlan] = {
+      val cteBodies = p.collectWithSubqueries {
+        case w: UnresolvedWith => w.cteRelations.map(_._2: LogicalPlan)
+      }.flatten
+      p +: cteBodies.flatMap(expand)
+    }
+    val plans = expand(parsed)
+    val cteNames = plans.flatMap(_.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten).toSet
+    val refs = plans.flatMap(_.collectWithSubqueries {
       case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
-    }.distinct
-    val missing = refs.filterNot(registered.contains)
+    }).distinct
+    val missing = refs.filterNot(n => registered.contains(n) || cteNames.contains(n))
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"Table(s) not registered: ${missing.mkString(", ")}")

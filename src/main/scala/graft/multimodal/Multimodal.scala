@@ -101,11 +101,15 @@ object Multimodal {
     * window becomes one frame row (explode → one row per frame). Real
     * pipelines do exactly this shape with decoded frames. */
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
-    val nFrames = greatest(
-      floor((col("n_bytes") / frameBytes.toDouble) / stride).cast(IntegerType), lit(0))
+    val nFrames = floor((col("n_bytes") / frameBytes.toDouble) / stride)
+      .cast(IntegerType)
+    // Guard zero-frame payloads: sequence(0, -1) counts DOWN in Spark and
+    // would emit spurious frames with negative offsets.
     media.filter(col("mime").startsWith("video/"))
+      .select(col("media_id"), col("n_bytes"), nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
       .select(col("media_id"), col("n_bytes"),
-        posexplode(sequence(lit(0), nFrames - 1)))
+        posexplode(sequence(lit(0), col("n_frames") - 1)))
       .select(col("media_id"),
         col("pos").cast(LongType).as("frame_idx"),
         (col("col").cast(LongType) * frameBytes * stride).as("byte_offset"))

@@ -46,26 +46,59 @@ object Streams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
-  case class SessionState(count: Long, sumValue: Double, lastTs: Long)
-  case class UserSession(user_id: Long, n_events: Long, sum_value: Double,
-      session_end_ms: Long)
+  /** Open-session accumulator; sum kept as an exact 6-dp scaled long so the
+    * result is order-independent and bit-identical to a DECIMAL(18,6) SQL
+    * accumulation. */
+  case class SessionState(startTs: Long, lastTs: Long, count: Long, sumScaled: Long)
+  case class UserSession(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long, sum_value: Double)
 
-  /** Custom stateful sessionization via mapGroupsWithState: per-user session
-    * closes after `gapMs` of inactivity (processing-time timeout in
-    * streaming). Demonstrates arbitrary state — the escape hatch for
-    * semantics windowed aggs can't express. */
+  /** Spark's double→DECIMAL(18,6) cast semantics (shortest-string BigDecimal,
+    * HALF_UP) so the Scala accumulation matches a SQL decimal sum exactly. */
+  private def scaled6(v: Double): Long =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: a per-user
+    * session closes when the next event arrives more than `gapMs` after the
+    * previous one (and, in streaming, on a processing-time timeout of
+    * `gapMs` inactivity). Emits one row per CLOSED session; in batch mode
+    * every session is closed at end of input. Demonstrates arbitrary state —
+    * the escape hatch for semantics windowed aggs can't express. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    val flushOpen = !events.isStreaming
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, UserSession](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-          val next = sorted.foldLeft(prev) { (s, e) =>
-            SessionState(s.count + 1, s.sumValue + e.value, e.ts.getTime)
+          def close(s: SessionState): UserSession =
+            UserSession(userId, s.startTs, s.lastTs, s.count,
+              new java.math.BigDecimal(
+                java.math.BigInteger.valueOf(s.sumScaled), 6).doubleValue)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime; val v = scaled6(e.value)
+              if (cur == null)
+                cur = SessionState(t, t, 1L, v)
+              else if (t - cur.lastTs > gapMs) {
+                out += close(cur); cur = SessionState(t, t, 1L, v)
+              } else
+                cur = SessionState(cur.startTs, t, cur.count + 1, cur.sumScaled + v)
+            }
+            if (cur != null) {
+              if (flushOpen) out += close(cur)
+              else { state.update(cur); state.setTimeoutDuration(gapMs) }
+            }
+            out.iterator
           }
-          state.update(next)
-          UserSession(userId, next.count, math.rint(next.sumValue * 1e6) / 1e6, next.lastTs)
       }
   }
 

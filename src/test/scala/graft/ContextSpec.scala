@@ -24,6 +24,22 @@ class ContextSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ctx.table("nope"))
   }
 
+  test("sql validation accepts CTE names and checks subquery relations") {
+    val ctx = Context.forSfDir(spark, SparkFixture.sfDir)
+    // CTE name is defined by the query, not the catalog
+    val n = ctx.sql("""WITH big AS (SELECT * FROM region WHERE r_regionkey >= 0)
+                       SELECT count(*) AS n FROM big""").collect()(0).getLong(0)
+    assert(n == 5)
+    // a relation inside an EXISTS subquery IS validated
+    val ex = intercept[IllegalArgumentException](ctx.sql(
+      "SELECT * FROM region WHERE EXISTS (SELECT 1 FROM ghost_tbl)"))
+    assert(ex.getMessage.contains("ghost_tbl"))
+    // an unregistered relation inside a CTE body is also caught
+    val ex2 = intercept[IllegalArgumentException](ctx.sql(
+      "WITH w AS (SELECT * FROM phantom) SELECT * FROM w"))
+    assert(ex2.getMessage.contains("phantom"))
+  }
+
   test("csv reader: header + inference, and explicit schema override") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toFile
     val f = new java.io.File(dir, "simple.csv")

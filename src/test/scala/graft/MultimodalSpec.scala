@@ -34,7 +34,11 @@ class MultimodalSpec extends AnyFunSuite {
   test("frame sampling yields one row per sampled frame with offsets") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2).collect()
     assert(frames.nonEmpty)
+    assert(frames.forall(_.getLong(2) >= 0)) // no spurious negative-offset frames
     assert(frames.forall(_.getLong(2) % (64 * 2) == 0)) // byte_offset aligned
+    // payloads shorter than one frame window must yield zero rows
+    val tiny = Multimodal.sampleFrames(media, frameBytes = 1 << 20, stride = 4)
+    assert(tiny.count() == 0)
     val perMedia = frames.groupBy(_.getLong(0))
     perMedia.values.foreach { rows =>
       val idx = rows.map(_.getLong(1)).sorted

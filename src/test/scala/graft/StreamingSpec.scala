@@ -50,14 +50,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() >= 4)
   }
 
-  test("sessionize via mapGroupsWithState aggregates per user") {
+  test("sessionize splits per-user sessions on inactivity gaps") {
     val ev = eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .as[Streams.Event]
-    val got = Streams.sessionize(ev).collect().map(s => s.user_id -> s).toMap
-    assert(got(1L).n_events == 2 && got(1L).sum_value == 3.0)
-    assert(got(2L).n_events == 2 && got(2L).sum_value == 7.0)
-    assert(got(2L).session_end_ms == ts(59).getTime)
+    val got = Streams.sessionize(ev, gapMs = 30 * 60 * 1000L)
+      .collect().sortBy(s => (s.user_id, s.session_start_ms))
+    // user 1: 10:00 + 10:10 merge (10 min gap); user 2: 10:20 vs 10:59 split
+    assert(got.map(s => (s.user_id, s.session_start_ms, s.session_end_ms,
+        s.n_events, s.sum_value)).toSeq == Seq(
+      (1L, ts(0).getTime, ts(10).getTime, 2L, 3.0),
+      (2L, ts(20).getTime, ts(20).getTime, 1L, 3.0),
+      (2L, ts(59).getTime, ts(59).getTime, 1L, 4.0)))
+    // a wider gap merges everything per user
+    val wide = Streams.sessionize(ev, gapMs = 2 * 60 * 60 * 1000L).collect()
+    assert(wide.length == 2 && wide.forall(_.n_events == 2))
   }
 
   test("streamingDedup drops duplicate event ids within the watermark") {
