@@ -513,6 +513,206 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // window: lag/lead/dense_rank/ntile/first_value (value-offset family)
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wd = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"))
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        dense_rank().over(wd).cast(LongType).as("date_rank"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        first(col("o_totalprice")).over(w).as("first_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // window: RANGE frame (value-based window extent, not row counts)
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_orderkey"))
+        .rangeBetween(-1000L, Window.currentRow)
+      t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderkey"),
+        sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("near_total"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    }),
+
+    // CUBE with grouping() disambiguation of subtotal rows
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          (grouping(col("l_returnflag")).cast(LongType) * 2 +
+            grouping(col("l_linestatus")).cast(LongType)).as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // explicit GROUPING SETS (the general form ROLLUP/CUBE special-case)
+    "q_grouping_sets" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    // UNPIVOT/melt: wide metric columns → long (metric, value) rows
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(Array.empty[Column],
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("metric")),
+
+    // explode/lateral view: tokenize text → per-word counts (top-20)
+    "q_explode" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(20)),
+
+    // statistical aggregates (variance/stddev/covariance/correlation) via
+    // exact DECIMAL moment sums + a shared closed-form in DOUBLE — order-
+    // independent and bit-identical across engines, unlike the built-in
+    // streaming-variance aggregates whose partial-merge order varies
+    "q_stats_agg" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(col("l_quantity")).as("n"),
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("s_q"),
+        sum(dec2(col("l_quantity")) * dec2(col("l_quantity")))
+          .cast(DoubleType).as("ss_q"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("s_p"),
+        sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice")))
+          .cast(DoubleType).as("ss_p"),
+        sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice")))
+          .cast(DoubleType).as("s_qp"))
+      val n = col("n").cast(DoubleType)
+      // derived metrics rounded to 9 dp: the moments are exact, but the
+      // final double expression can differ by 1 ULP across engines (FP
+      // contraction in x/sqrt(a*b))
+      agg.select(col("l_returnflag"), col("n"),
+        round(col("s_q") / n, 9).as("mean_qty"),
+        round((col("ss_q") - col("s_q") * col("s_q") / n) / (n - 1), 9)
+          .as("var_qty"),
+        round(sqrt((col("ss_q") - col("s_q") * col("s_q") / n) / (n - 1)), 9)
+          .as("stddev_qty"),
+        round((col("s_qp") - col("s_q") * col("s_p") / n) / (n - 1), 9)
+          .as("covar_qty_price"),
+        round((col("s_qp") - col("s_q") * col("s_p") / n) /
+          sqrt((col("ss_q") - col("s_q") * col("s_q") / n) *
+            (col("ss_p") - col("s_p") * col("s_p") / n)), 9)
+          .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // range (interval-bucket) join: broadcast nested-loop on [lo,hi) bins
+    "q_range_join" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val buckets = Seq((0.0, 10.0, "q1_small"), (10.0, 25.0, "q2_mid"),
+        (25.0, 40.0, "q3_large"), (40.0, 1000000000.0, "q4_huge"))
+        .toDF("lo", "hi", "label")
+      Relational.rangeJoin(t(s, dir, "lineitem"), buckets,
+          col("l_quantity"), col("lo"), col("hi"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("label")
+    }),
+
+    // fuzzy (edit-distance) self-join — entity-resolution shape
+    "q_fuzzy_join" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_name").as("name_a"))
+      val n2 = t(s, dir, "nation").select(col("n_name").as("name_b"))
+      n1.crossJoin(broadcast(n2))
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast(LongType).as("edit_dist"))
+        .filter(col("edit_dist") <= 2)
+        .orderBy("name_a", "name_b")
+    }),
+
+    // TF-IDF top term per document (log-free: cross-engine deterministic)
+    "q_tfidf" -> ((s, dir) => {
+      val scored = graft.functions.Text.tfidf(t(s, dir, "documents"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+        .orderBy("doc_id")
+    }),
+
+    // correlated LATERAL subquery (top-n per group via join-side subquery)
+    "q_lateral" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT n_name, t.c_name, t.c_acctbal
+        FROM nation, LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n_name, c_acctbal DESC, c_name""")
+    }),
+
+    // date-spine pattern: generated calendar left-joined to daily facts
+    "q_date_spine" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val bounds = o.agg(to_date(min(col("o_orderdate"))).as("d0"),
+        to_date(max(col("o_orderdate"))).as("d1"))
+      val days = bounds
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = o.groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      days.join(daily, Seq("day"), "left")
+        .agg(count(lit(1)).as("n_days"),
+          count(col("n_orders")).as("n_days_with_orders"),
+          (count(lit(1)) - count(col("n_orders"))).as("n_gap_days"))
+    }),
+
+    // expression-level IN / NOT IN subqueries
+    "q_subquery_in" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000.0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority LIKE '%5%')
+        ORDER BY c_custkey""")
+    }),
+
+    // string manipulation: pad/reverse/replace/position/split_part/repeat
+    "q_string_pad" -> ((s, dir) =>
+      t(s, dir, "nation").select(col("n_nationkey"),
+        lpad(col("n_name"), 12, "*").as("padded_l"),
+        rpad(col("n_name"), 12, "*").as("padded_r"),
+        reverse(col("n_name")).as("rev_name"),
+        expr("replace(n_name, 'NATION', 'NAT')").as("shortened"),
+        locate("_", col("n_name")).cast(IntegerType).as("sep_pos"),
+        element_at(split(col("n_name"), "_"), 2).as("num_part"),
+        repeat(col("n_name"), 2).as("doubled"))
+        .orderBy("n_nationkey")),
+
+    // boolean/conditional aggregates: count_if, bool_and/or, min_by/max_by
+    "q_agg_bool" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+        expr("count_if(o_totalprice > 200000.0)").as("n_big"),
+        expr("bool_and(o_totalprice > 0.0)").as("all_positive"),
+        expr("bool_or(o_orderpriority LIKE '%1%')").as("any_urgent"),
+        expr("max_by(o_custkey, o_orderkey)").as("latest_cust"),
+        expr("min_by(o_custkey, o_orderkey)").as("first_cust"))
+        .orderBy("o_orderstatus")),
+
+    // sliding event-time windows (overlapping buckets; batch form of the
+    // streaming operator — every event lands in length/slide windows)
+    "q_sliding_window" -> ((s, dir) =>
+      Streams.slidingCounts(t(s, dir, "events"), "1 hour", "15 minutes")
+        .orderBy("w_start", "event_type")),
+
     // ================= training-data pipeline =================
 
     // column profiling (count/nulls/distinct/min/max per column)
@@ -589,7 +789,8 @@ object SparkEntry {
           threshold = 0.2, planes = 4)
         .orderBy("id_a", "id_b")),
 
-    // brute-force cosine top-k (exact ANN baseline; rows-only)
+    // brute-force cosine top-k (exact ANN baseline; SQL oracle via DuckDB
+    // list_dot_product — both sides accumulate in double in index order)
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.bruteForceTopK(emb, Ann.selfQueries(emb, 10), k = 5)
@@ -1025,6 +1226,27 @@ object SparkEntry {
            count(*) AS n
          FROM orders GROUP BY 1 ORDER BY split""",
 
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+             CAST(embedding AS DOUBLE[]) AS query_vec
+           FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.query_vec, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.query_vec, q.query_vec))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))), 6)
+               AS cosine
+           FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             neighbor_id, cosine
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
            count(*) AS n_dups
@@ -1038,6 +1260,179 @@ object SparkEntry {
            CAST(sum(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS BIGINT) AS total_bytes,
            min(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS min_bytes,
            max(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS max_bytes
-         FROM documents GROUP BY 1 ORDER BY mime"""
+         FROM documents GROUP BY 1 ORDER BY mime""",
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate) AS BIGINT) AS date_rank,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           first_value(o_totalprice) OVER w AS first_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_window_range" ->
+      """SELECT o_orderstatus, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS near_total
+         FROM orders ORDER BY o_orderstatus, o_orderkey""",
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(grouping(l_returnflag) AS BIGINT) * 2 +
+             CAST(grouping(l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag ASC NULLS FIRST,
+           l_linestatus ASC NULLS FIRST""",
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_unpivot" ->
+      """SELECT metric, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM (SELECT l_quantity, l_discount, l_tax FROM lineitem)
+           UNPIVOT (value FOR metric IN (l_quantity, l_discount, l_tax))
+         GROUP BY metric ORDER BY metric""",
+
+    "q_explode" ->
+      """WITH words AS (
+           SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+           FROM documents)
+         SELECT word, count(*) AS n FROM words WHERE word <> ''
+         GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""",
+
+    "q_stats_agg" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(l_quantity) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s_q,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ss_q,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_p,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ss_p,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_qp
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           round(s_q / CAST(n AS DOUBLE), 9) AS mean_qty,
+           round((ss_q - s_q * s_q / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1), 9) AS var_qty,
+           round(sqrt((ss_q - s_q * s_q / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1)), 9) AS stddev_qty,
+           round((s_qp - s_q * s_p / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1), 9) AS covar_qty_price,
+           round((s_qp - s_q * s_p / CAST(n AS DOUBLE)) /
+             sqrt((ss_q - s_q * s_q / CAST(n AS DOUBLE))
+               * (ss_p - s_p * s_p / CAST(n AS DOUBLE))), 9) AS corr_qty_price
+         FROM a ORDER BY l_returnflag""",
+
+    "q_range_join" ->
+      """WITH buckets(lo, hi, label) AS (VALUES
+           (0.0, 10.0, 'q1_small'), (10.0, 25.0, 'q2_mid'),
+           (25.0, 40.0, 'q3_large'), (40.0, 1000000000.0, 'q4_huge'))
+         SELECT label, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+         FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY label ORDER BY label""",
+
+    "q_fuzzy_join" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+         FROM nation a JOIN nation b ON a.n_name < b.n_name
+         WHERE levenshtein(a.n_name, b.n_name) <= 2
+         ORDER BY name_a, name_b""",
+
+    "q_tfidf" ->
+      """WITH words AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS n_term FROM words
+                WHERE term <> '' GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, sum(n_term) AS n_doc_terms FROM tf
+                GROUP BY doc_id),
+         dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+         nd AS (SELECT count(*) AS n_docs FROM dl),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             (CAST(n_term AS DOUBLE) / n_doc_terms)
+               * (CAST(n_docs AS DOUBLE) / doc_freq) AS tfidf
+           FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN nd)
+         SELECT doc_id, term AS top_term, tfidf FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term ASC) AS rn
+           FROM scored) r
+         WHERE rn = 1 ORDER BY doc_id""",
+
+    "q_lateral" ->
+      """SELECT n_name, t.c_name, t.c_acctbal
+         FROM nation, LATERAL (
+           SELECT c_name, c_acctbal FROM customer
+           WHERE c_nationkey = n_nationkey
+           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+         ORDER BY n_name, c_acctbal DESC, c_name""",
+
+    "q_date_spine" ->
+      """WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+             CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+         days AS (SELECT CAST(unnest(generate_series(
+             CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+             INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n_orders FROM orders GROUP BY 1)
+         SELECT count(*) AS n_days, count(n_orders) AS n_days_with_orders,
+           count(*) - count(n_orders) AS n_gap_days
+         FROM days LEFT JOIN daily USING (day)""",
+
+    "q_subquery_in" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+                             WHERE o_totalprice > 400000.0)
+           AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderpriority LIKE '%5%')
+         ORDER BY c_custkey""",
+
+    "q_string_pad" ->
+      """SELECT n_nationkey,
+           lpad(n_name, 12, '*') AS padded_l,
+           rpad(n_name, 12, '*') AS padded_r,
+           reverse(n_name) AS rev_name,
+           replace(n_name, 'NATION', 'NAT') AS shortened,
+           CAST(strpos(n_name, '_') AS INTEGER) AS sep_pos,
+           split_part(n_name, '_', 2) AS num_part,
+           repeat(n_name, 2) AS doubled
+         FROM nation ORDER BY n_nationkey""",
+
+    "q_agg_bool" ->
+      """SELECT o_orderstatus,
+           count_if(o_totalprice > 200000.0) AS n_big,
+           bool_and(o_totalprice > 0.0) AS all_positive,
+           bool_or(o_orderpriority LIKE '%1%') AS any_urgent,
+           max_by(o_custkey, o_orderkey) AS latest_cust,
+           min_by(o_custkey, o_orderkey) AS first_cust
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_sliding_window" ->
+      """WITH hits AS (
+           SELECT make_timestamp(((epoch_ms(ts) // 900000) - k.k)
+               * 900000 * 1000) AS w_start,
+             event_type
+           FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k)
+         SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
+           count(*) AS n_events
+         FROM hits GROUP BY w_start, event_type
+         ORDER BY w_start, event_type"""
   )
 }

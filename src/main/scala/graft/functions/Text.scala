@@ -103,6 +103,29 @@ object Text {
     array_distinct(when(cnt >= n, grams).otherwise(array()))
   }
 
+  /** Log-free TF-IDF per (doc, term): tf = termCount/docTerms, idf =
+    * nDocs/docFreq, score = tf*idf. Log-free on purpose — every factor is an
+    * IEEE division/multiplication of exact integer counts, so the score is
+    * bit-identical across engines (ln/log10 are not correctly-rounded and
+    * differ between libm implementations). At scale: two hash aggregations
+    * (both map-side combinable) + two shuffled joins on doc_id/term; the
+    * one-row corpus count is broadcast. */
+  def tfidf(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("n_term"))
+    val docLen = tf.groupBy("doc_id").agg(sum(col("n_term")).as("n_doc_terms"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val nDocs = docLen.agg(count(lit(1)).as("n_docs"))
+    tf.join(docLen, "doc_id").join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        ((col("n_term").cast("double") / col("n_doc_terms")) *
+          (col("n_docs").cast("double") / col("doc_freq"))).as("tfidf"))
+  }
+
   /** Full per-document stats projection over a documents table. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -73,6 +73,16 @@ object Relational {
   def topK(df: DataFrame, k: Int, keys: Seq[Column]): DataFrame =
     df.orderBy(keys: _*).limit(k)
 
+  /** Range (interval-bucket) join: each fact row matches the bucket rows
+    * whose [lo, hi) interval contains `value`. The bucket side is
+    * broadcast — binning dimensions are tiny by construction, so this plans
+    * as a BroadcastNestedLoopJoin: the 100-TB fact side streams through a
+    * narrow map with zero shuffle. (A non-broadcast range join would be a
+    * cross product — never the right plan for binning.) */
+  def rangeJoin(fact: DataFrame, buckets: DataFrame, value: Column,
+      lo: Column, hi: Column): DataFrame =
+    fact.join(broadcast(buckets), value >= lo && value < hi)
+
   /** As-of (backward) join: for each left row, attach the single right row
     * with the greatest `rightTime` <= `leftTime` within the same `partKey`.
     * Spark has no native as-of join; the scalable formulation is the

@@ -126,6 +126,31 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("c1", Some(100.0)), ("c2", Some(200.0)), ("c3", None)))
   }
 
+  test("rangeJoin bins each row into exactly one [lo,hi) bucket") {
+    val facts = Seq(0.0, 5.0, 9.99, 10.0, 24.9, 99.0).toDF("v")
+    val buckets = Seq((0.0, 10.0, "a"), (10.0, 25.0, "b"), (25.0, 100.0, "c"))
+      .toDF("lo", "hi", "label")
+    val got = Relational.rangeJoin(facts, buckets, col("v"), col("lo"), col("hi"))
+      .select("v", "label").collect().map(r => r.getDouble(0) -> r.getString(1)).toMap
+    assert(got == Map(0.0 -> "a", 5.0 -> "a", 9.99 -> "a", 10.0 -> "b",
+      24.9 -> "b", 99.0 -> "c"))
+    // broadcast side: the plan must not shuffle the fact table
+    val plan = Relational.rangeJoin(facts, buckets, col("v"), col("lo"), col("hi"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tfidf scores rarer terms higher and is an exact count ratio") {
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "banana banana banana")).toDF("doc_id", "text")
+    val got = graft.functions.Text.tfidf(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // doc 1: tf(apple)=2/3, idf(apple)=3/1 → 2.0; tf(banana)=1/3, idf=3/3=1
+    assert(got((1L, "apple")) == (2.0 / 3.0) * 3.0)
+    assert(got((1L, "banana")) == (1.0 / 3.0) * 1.0)
+    assert(got((2L, "cherry")) == (1.0 / 2.0) * 3.0)
+  }
+
   test("saltedJoin equals plain join result on skewed keys") {
     val left = (Seq.fill(50)(("hot", 1)) ++ Seq(("cold", 2))).toDF("k", "lv")
     val right = Seq(("hot", 10), ("cold", 20)).toDF("k2", "rv")
