@@ -527,13 +527,16 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // window: RANGE frame (value-based window extent, not row counts)
+    // window: RANGE frame (value-based window extent, not row counts).
+    // Partitioned by the high-cardinality customer key — a low-cardinality
+    // partition key (e.g. the 3-value order status) would serialize the
+    // whole table into 3 window tasks at any scale.
     "q_window_range" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_orderkey"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
         .rangeBetween(-1000L, Window.currentRow)
-      t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderkey"),
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
         sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType).as("near_total"))
-        .orderBy("o_orderstatus", "o_orderkey")
+        .orderBy("o_custkey", "o_orderkey")
     }),
 
     // CUBE with grouping() disambiguation of subtotal rows
@@ -1275,12 +1278,12 @@ object SparkEntry {
          ORDER BY o_custkey, o_orderkey""",
 
     "q_window_range" ->
-      """SELECT o_orderstatus, o_orderkey,
+      """SELECT o_custkey, o_orderkey,
            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
-             PARTITION BY o_orderstatus ORDER BY o_orderkey
+             PARTITION BY o_custkey ORDER BY o_orderkey
              RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS near_total
-         FROM orders ORDER BY o_orderstatus, o_orderkey""",
+         FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
