@@ -65,9 +65,12 @@ class Context(val spark: SparkSession) {
   def readParquet(path: String): DataFrame = spark.read.parquet(path)
   def readJson(path: String): DataFrame = spark.read.json(path)
   def readOrc(path: String): DataFrame = spark.read.orc(path)
+  /** Line-oriented text: one `value` string column per line. */
+  def readText(path: String): DataFrame = spark.read.text(path)
 
   def registerJson(name: String, path: String): Unit = register(name, readJson(path))
   def registerOrc(name: String, path: String): Unit = register(name, readOrc(path))
+  def registerText(name: String, path: String): Unit = register(name, readText(path))
 
   /** Look up a registered table; unknown names raise the same class of error
     * the reference raises from its catalog (ref: context.rs:95-99). */

@@ -50,6 +50,13 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
   }
 
+  /** Line-oriented text: one string column per line (the raw-corpus
+    * interchange format for text pipelines — upstream crawls usually land
+    * as line-delimited text before any schema exists). */
+  def writeText(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).text(path)
+
   /** Bucketed managed table: one shuffle at write time buys co-located,
     * shuffle-free joins on `bucketCols` for every later reader. */
   def writeBucketedTable(df: DataFrame, table: String,

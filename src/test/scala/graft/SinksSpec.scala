@@ -51,6 +51,19 @@ class SinksSpec extends AnyFunSuite {
       nation.filter(col("n_regionkey") === 1).count())
   }
 
+  test("text round-trip: one line per row through the documents corpus") {
+    val ctx = new graft.engine.Context(spark)
+    val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
+      .select(regexp_replace(col("text"), "[\\r\\n]", " ").as("value"))
+    val out = tmp() + "/docs_txt"
+    Sinks.writeText(docs, out)
+    val back = ctx.readText(out)
+    assert(back.columns.toSeq == Seq("value"))
+    assert(back.count() == docs.count())
+    ctx.registerText("docs_txt", out)
+    assert(ctx.sql("SELECT count(*) AS n FROM docs_txt").collect()(0).getLong(0) == 500)
+  }
+
   test("profile reports counts, nulls, distincts, min/max per column") {
     import spark.implicits._
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("a"))).toDF("id", "s")

@@ -41,13 +41,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == batch.toSeq)
   }
 
-  test("sliding windows emit overlapping buckets") {
+  test("sliding windows emit overlapping buckets; streaming equals batch") {
     val batch = Streams.slidingCounts(
         eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
         length = "30 minutes", slide = "15 minutes")
       .orderBy("w_start", "event_type")
+      .as[(Timestamp, Timestamp, String, Long)].collect()
+    // every event lands in length/slide = 2 overlapping windows
+    assert(batch.map(_._4).sum == eventRows.length * 2)
     // event at 10:00 lands in windows starting 09:45 and 10:00
-    assert(batch.count() >= 4)
+    assert(batch.count(_._3 == "click") >= 2)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    mem.addData(eventRows: _*)
+    val stream = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Streams.runToMemory(
+        Streams.slidingCounts(stream, length = "30 minutes", slide = "15 minutes"),
+        "slide_out", OutputMode.Complete())
+      .orderBy("w_start", "event_type")
+      .as[(Timestamp, Timestamp, String, Long)].collect()
+    assert(got.toSeq == batch.toSeq)
   }
 
   test("sessionize splits per-user sessions on inactivity gaps") {
