@@ -374,6 +374,25 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
 
+    // aggregate FILTER clauses (per-aggregate predicates — absent in
+    // reference; distinct from count_if: any aggregate takes a filter)
+    "q_agg_filter" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+        expr("count(*) FILTER (WHERE o_totalprice > 200000.0)").as("n_big"),
+        expr("""CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+             FILTER (WHERE o_orderpriority LIKE '%1%') AS DOUBLE)""")
+          .as("urgent_total"))
+        .orderBy("o_orderstatus")),
+
+    // sketch aggregates: t-digest approximate percentiles (rows-only —
+    // sketch internals are engine-specific; exact twin for sanity)
+    "q_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+          expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     // sketch aggregates: HLL approximate distinct (rows-only — sketch
     // internals are engine-specific; exact twin included for sanity)
     "q_approx_distinct" -> ((s, dir) =>
@@ -461,13 +480,23 @@ object SparkEntry {
         .orderBy("k")
     }),
 
-    // ROLLUP subtotals (grouping sets family — absent in reference)
-    "q_rollup" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    // ROLLUP subtotals (grouping sets family — absent in reference).
+    // Two-phase: pre-aggregate to the finest grouping first so the Expand
+    // operator (which replicates every input row once per grouping set)
+    // runs over |distinct groups| rows instead of the full fact table —
+    // at 100 TB that is the difference between expanding billions of rows
+    // x3 and expanding a few hundred. COUNT re-aggregates as SUM; the
+    // DECIMAL sums re-aggregate exactly. The oracle stays the single-phase
+    // SQL, verifying the rewrite is semantics-preserving.
+    "q_rollup" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"), sum(dec2(col("l_quantity"))).as("ps"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("pn")).as("n"), sum(col("ps")).cast(DoubleType).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)),
+          col("l_linestatus").asc_nulls_first)
+    }),
 
     // HAVING (post-aggregation filter)
     "q_having" -> ((s, dir) =>
@@ -539,22 +568,32 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // CUBE with grouping() disambiguation of subtotal rows
-    "q_cube" -> ((s, dir) =>
-      t(s, dir, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+    // CUBE with grouping() disambiguation of subtotal rows (two-phase
+    // pre-aggregate, same rationale as q_rollup)
+    "q_cube" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("pn"), sum(dec2(col("l_quantity"))).as("ps"))
+      base.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("pn")).as("n"), sum(col("ps")).cast(DoubleType).as("sum_qty"),
           (grouping(col("l_returnflag")).cast(LongType) * 2 +
             grouping(col("l_linestatus")).cast(LongType)).as("gid"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)),
+          col("l_linestatus").asc_nulls_first)
+    }),
 
-    // explicit GROUPING SETS (the general form ROLLUP/CUBE special-case)
+    // explicit GROUPING SETS (the general form ROLLUP/CUBE special-case;
+    // same two-phase pre-aggregation, via the SQL front door)
     "q_grouping_sets" -> ((s, dir) => {
       val ctx = Context.forSfDir(s, dir)
       ctx.sql("""
-        SELECT l_returnflag, l_linestatus, count(*) AS n,
-          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        FROM lineitem
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus, count(*) AS pn,
+            sum(CAST(l_quantity AS DECIMAL(12,2))) AS ps
+          FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        SELECT l_returnflag, l_linestatus, sum(pn) AS n,
+          CAST(sum(ps) AS DOUBLE) AS sum_qty
+        FROM base
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     }),
@@ -1425,6 +1464,14 @@ object SparkEntry {
            bool_or(o_orderpriority LIKE '%1%') AS any_urgent,
            max_by(o_custkey, o_orderkey) AS latest_cust,
            min_by(o_custkey, o_orderkey) AS first_cust
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_agg_filter" ->
+      """SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+             FILTER (WHERE o_orderpriority LIKE '%1%') AS DOUBLE)
+             AS urgent_total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q_sliding_window" ->

@@ -142,11 +142,22 @@ object Context {
     spark
   }
 
+  private val sfDirCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Context]
+  private val boundDir =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+
   /** A Context with the driver's star-schema tables registered from an
-    * sf directory (TESTDATA.md layout). */
-  def forSfDir(spark: SparkSession, sfDir: String): Context = {
-    val ctx = new Context(spark)
-    Tables.all.foreach(t => ctx.register(t, Tables.load(spark, sfDir, t)))
+    * sf directory (TESTDATA.md layout). Memoized per (session, dir):
+    * registration reads 10 parquet footers for schemas, which is pure
+    * overhead when repeated per query. Temp-view names are session-global,
+    * so switching dirs within a session re-registers the views. */
+  def forSfDir(spark: SparkSession, sfDir: String): Context = synchronized {
+    val ctx = sfDirCache.getOrElseUpdate((spark, sfDir), new Context(spark))
+    if (!boundDir.get(spark).contains(sfDir)) {
+      Tables.all.foreach(t => ctx.register(t, Tables.load(spark, sfDir, t)))
+      boundDir(spark) = sfDir
+    }
     ctx
   }
 }
