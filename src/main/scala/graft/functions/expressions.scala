@@ -173,6 +173,8 @@ object native {
     col(MinHashSig(ex(c), numHashes, shingle, seed))
   def minhash_bands(c: Column, bands: Int): Column = col(MinHashBandHashes(ex(c), bands))
   def word_ngrams(c: Column, n: Int): Column = col(WordNGrams(ex(c), n))
+  def word_ngram_hashes(c: Column, n: Int): Column = col(WordNGramHashes(ex(c), n))
+  def sorted_intersect(a: Column, b: Column): Column = col(SortedLongIntersect(ex(a), ex(b)))
   def sig_agree(a: Column, b: Column): Column = col(SigAgree(ex(a), ex(b)))
   def text_stats(c: Column): Column = col(TextStats(ex(c)))
   def strip_accents(c: Column): Column = col(StripAccents(ex(c)))
@@ -336,6 +338,77 @@ object NGramKernel {
     while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
     c
   }
+
+  /** SORTED distinct 64-bit FNV fingerprints of a document's word n-grams,
+    * one pass. Hash-equivalent of `wordNGrams` (tokens joined by a single
+    * space before hashing, matching its whitespace normalization), but the
+    * downstream dedup pipeline then shuffles/joins fixed-width longs
+    * instead of gram strings, and set intersection becomes a sorted merge.
+    * Collision risk is the usual 64-bit epsilon (~1e-11 per pair). */
+  def wordNGramHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var tokStart = -1
+    while (i <= bytes.length) {
+      val isSpace = i == bytes.length || bytes(i) == ' ' || bytes(i) == '\n' ||
+        bytes(i) == '\t' || bytes(i) == '\r'
+      if (isSpace) {
+        if (tokStart >= 0) { starts.add(tokStart); ends.add(i); tokStart = -1 }
+      } else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    val nToks = starts.size()
+    if (nToks < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val hs = new Array[Long](nToks - n + 1)
+    var g = 0
+    while (g <= nToks - n) {
+      var h = HashKernels.FnvOffset
+      var t = 0
+      while (t < n) {
+        if (t > 0) h = (h ^ ' '.toLong) * HashKernels.FnvPrime
+        var j = starts.get(g + t).intValue()
+        val e = ends.get(g + t).intValue()
+        var inSpace = false
+        while (j < e) {
+          val b = bytes(j)
+          val sp = b == ' ' || b == '\n' || b == '\t' || b == '\r'
+          if (sp) {
+            if (!inSpace) { h = (h ^ ' '.toLong) * HashKernels.FnvPrime; inSpace = true }
+          } else { h = (h ^ (b & 0xffL)) * HashKernels.FnvPrime; inSpace = false }
+          j += 1
+        }
+        t += 1
+      }
+      hs(g) = h
+      g += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var k = 0
+    while (k < hs.length) {
+      if (w == 0 || hs(k) != hs(w - 1)) { hs(w) = hs(k); w += 1 }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Intersection size of two SORTED long arrays — a linear merge with no
+    * per-row allocation (vs array_intersect's per-row hash set). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 /** Distinct word n-grams of a whitespace-tokenized document. */
@@ -346,6 +419,27 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.NGramKernel.wordNGrams($c, $n)")
   override protected def withNewChildInternal(c: Expression): WordNGrams = copy(c)
+}
+
+/** Sorted distinct 64-bit fingerprints of word n-grams (see kernel doc). */
+case class WordNGramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    NGramKernel.wordNGramHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramKernel.wordNGramHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordNGramHashes = copy(c)
+}
+
+/** Intersection size of two sorted bigint arrays (linear merge). */
+case class SortedLongIntersect(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NGramKernel.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NGramKernel.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongIntersect =
+    copy(left = l, right = r)
 }
 
 /** Number of agreeing slots between two bigint-array signatures. */

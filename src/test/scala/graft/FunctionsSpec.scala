@@ -65,6 +65,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(wd == Seq("a b", "b c", "c d"))
   }
 
+  test("word n-gram fingerprints: sorted, distinct, whitespace-normalized") {
+    val df = Seq("a  b c a b\tc", "a b c a b c", "x y").toDF("text")
+    val got = df.select(native.word_ngram_hashes(col("text"), 2).as("h"))
+      .as[Seq[Long]].collect()
+    // whitespace runs normalize: both spellings produce identical sets
+    assert(got(0) == got(1))
+    // sorted + distinct: "a b","b c","c a","a b","b c" → 3 distinct
+    assert(got(0).length == 3 && got(0) == got(0).sorted)
+    // fingerprint count matches the string-gram count
+    val strGrams = df.select(native.word_ngrams(col("text"), 2).as("g"))
+      .as[Seq[String]].collect()
+    assert(got.zip(strGrams).forall { case (h, g) => h.length == g.distinct.length })
+    assert(got(2).length == 1)
+  }
+
+  test("sorted_intersect equals set-intersection size") {
+    val df = Seq((Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L))).toDF("a", "b")
+    assert(df.select(native.sorted_intersect(col("a"), col("b"))).collect()(0).getInt(0) == 2)
+    val empty = Seq((Seq.empty[Long], Seq(1L))).toDF("a", "b")
+    assert(empty.select(native.sorted_intersect(col("a"), col("b"))).collect()(0).getInt(0) == 0)
+  }
+
   test("langId picks dominant marker language, und when none") {
     val df = Seq("der hund und die katze ist nicht hier",
       "the cat and the dog is here with it",
