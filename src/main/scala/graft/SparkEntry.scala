@@ -542,6 +542,45 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // skew-salted join (the explicit skew tool beyond AQE): result is
+    // salt-independent, so the oracle is the plain join — verifying the
+    // rewrite preserves join semantics
+    "q_salted_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      Relational.saltedJoin(l, o, ("l_orderkey", "o_orderkey"), saltBuckets = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // join strategy hints (plan control surface; result is hint-independent)
+    "q_join_hint" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT /*+ MERGE(orders) */ o_orderstatus, count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+
+    // union by column NAME (schema-aligned union, not positional)
+    "q_union_by_name" -> ((s, dir) => {
+      val a = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_name").as("nm"))
+      val b = t(s, dir, "supplier")
+        .select(col("s_name").as("nm"), col("s_suppkey").as("k"))
+      a.unionByName(b).orderBy("k", "nm")
+    }),
+
+    // nested struct build + field access
+    "q_struct_nested" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          struct(col("o_custkey").as("c"), col("o_totalprice").as("p")).as("st"))
+        .select(col("o_orderkey"), col("st.c").as("cust"),
+          (col("st.p") * 2).as("double_price"))
+        .orderBy("o_orderkey")),
+
     // window: lag/lead/dense_rank/ntile/first_value (value-offset family)
     "q_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -1303,6 +1342,31 @@ object SparkEntry {
            min(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS min_bytes,
            max(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS max_bytes
          FROM documents GROUP BY 1 ORDER BY mime""",
+
+    "q_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_join_hint" ->
+      """SELECT o_orderstatus, count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_union_by_name" ->
+      """SELECT c_custkey AS k, c_name AS nm FROM customer
+         UNION ALL
+         SELECT s_suppkey AS k, s_name AS nm FROM supplier
+         ORDER BY k, nm""",
+
+    "q_struct_nested" ->
+      """SELECT o_orderkey,
+           struct_pack(c := o_custkey, p := o_totalprice).c AS cust,
+           struct_pack(c := o_custkey, p := o_totalprice).p * 2
+             AS double_price
+         FROM orders ORDER BY o_orderkey""",
 
     "q_window_lag" ->
       """SELECT o_custkey, o_orderkey,
