@@ -55,6 +55,31 @@ object RelationalProps extends Properties("Relational") {
         Prop(da.union(db).distinct().count() == (a.toSet ++ b.toSet).size)
     }
 
+  property("two-phase rollup equals direct rollup") = forAll(rowsGen) { rows =>
+    import org.apache.spark.sql.functions._
+    val df = rows.map { case (k, v) => (k % 3, k % 2, v) }.toDF("a", "b", "v")
+    val direct = df.rollup(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val base = df.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("pn"), sum(col("v")).as("ps"))
+    val twoPhase = base.rollup(col("a"), col("b"))
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).as("s"))
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getLong(3))
+    direct.collect().map(key).sortBy(_.toString()).toSeq ==
+      twoPhase.collect().map(key).sortBy(_.toString()).toSeq
+  }
+
+  property("sorted_intersect equals set intersection size") =
+    forAll(Gen.listOf(Gen.choose(-50L, 50L)), Gen.listOf(Gen.choose(-50L, 50L))) { (a, b) =>
+      import org.apache.spark.sql.functions.col
+      val sa = a.distinct.sorted; val sb = b.distinct.sorted
+      val got = Seq((sa, sb)).toDF("a", "b")
+        .select(graft.functions.native.sorted_intersect(col("a"), col("b")))
+        .collect()(0).getInt(0)
+      got == (sa.toSet & sb.toSet).size
+    }
+
   property("asofJoin emits exactly one row per left row") = forAll(rowsGen) { rows =>
     val left = rows.zipWithIndex.map { case ((k, t), i) => (k.toLong, t, i.toLong) }
       .toDF("k", "t", "uid")
