@@ -481,22 +481,17 @@ object SparkEntry {
     }),
 
     // ROLLUP subtotals (grouping sets family — absent in reference).
-    // Two-phase: pre-aggregate to the finest grouping first so the Expand
-    // operator (which replicates every input row once per grouping set)
-    // runs over |distinct groups| rows instead of the full fact table —
-    // at 100 TB that is the difference between expanding billions of rows
-    // x3 and expanding a few hundred. COUNT re-aggregates as SUM; the
-    // DECIMAL sums re-aggregate exactly. The oracle stays the single-phase
-    // SQL, verifying the rewrite is semantics-preserving.
-    "q_rollup" -> ((s, dir) => {
-      val base = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("pn"), sum(dec2(col("l_quantity"))).as("ps"))
-      base.rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("pn")).as("n"), sum(col("ps")).cast(DoubleType).as("sum_qty"))
+    // Written single-phase on purpose: the injected optimizer rule
+    // graft.plans.PreAggGroupingSets rewrites it to pre-aggregate before
+    // the Expand, so grouping-set expansion replicates |distinct groups|
+    // rows instead of the full fact table. The oracle verifies the
+    // rule-rewritten plan produces the single-phase SQL result.
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)
-    }),
+          col("l_linestatus").asc_nulls_first)),
 
     // HAVING (post-aggregation filter)
     "q_having" -> ((s, dir) =>
@@ -607,32 +602,24 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // CUBE with grouping() disambiguation of subtotal rows (two-phase
-    // pre-aggregate, same rationale as q_rollup)
-    "q_cube" -> ((s, dir) => {
-      val base = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("pn"), sum(dec2(col("l_quantity"))).as("ps"))
-      base.cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("pn")).as("n"), sum(col("ps")).cast(DoubleType).as("sum_qty"),
+    // CUBE with grouping() disambiguation of subtotal rows (single-phase;
+    // PreAggGroupingSets pre-aggregates below the Expand — see q_rollup)
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
           (grouping(col("l_returnflag")).cast(LongType) * 2 +
             grouping(col("l_linestatus")).cast(LongType)).as("gid"))
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first)
-    }),
+          col("l_linestatus").asc_nulls_first)),
 
-    // explicit GROUPING SETS (the general form ROLLUP/CUBE special-case;
-    // same two-phase pre-aggregation, via the SQL front door)
+    // explicit GROUPING SETS (the general form ROLLUP/CUBE special-case),
+    // via the SQL front door; same injected-rule pre-aggregation
     "q_grouping_sets" -> ((s, dir) => {
       val ctx = Context.forSfDir(s, dir)
       ctx.sql("""
-        WITH base AS (
-          SELECT l_returnflag, l_linestatus, count(*) AS pn,
-            sum(CAST(l_quantity AS DECIMAL(12,2))) AS ps
-          FROM lineitem GROUP BY l_returnflag, l_linestatus)
-        SELECT l_returnflag, l_linestatus, sum(pn) AS n,
-          CAST(sum(ps) AS DOUBLE) AS sum_qty
-        FROM base
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     }),

@@ -14,10 +14,12 @@ import graft.functions._
   * `minhash_sig`, `word_ngrams`, `text_stats` as first-class SQL functions
   * — no per-session registration call needed.
   *
-  * Note: custom optimizer rules / planner strategies are deliberately NOT
-  * injected — SURVEY.md §4 establishes that built-in Catalyst covers the
-  * reference's entire rewrite set; our custom layer is expressions and
-  * typed aggregators only.
+  * Also injects the engine's one custom optimizer rule,
+  * [[graft.plans.PreAggGroupingSets]] (pre-aggregation below grouping-set
+  * expansion — a scale rewrite built-in Catalyst does not perform).
+  * Built-in Catalyst covers the reference's entire rewrite set (SURVEY.md
+  * §4); everything further stays at the expression / typed-aggregator /
+  * injected-rule level — no custom planner strategies needed.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -36,5 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("minhash_sig", es => MinHashSig(es.head, 64, 5, 42L))
     inject("word_ngrams", es => WordNGrams(es.head, 3))
     inject("text_stats", es => TextStats(es.head))
+
+    ext.injectOptimizerRule(_ => graft.plans.PreAggGroupingSets)
   }
 }

@@ -40,4 +40,22 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("sort+limit fuses to TakeOrderedAndProject (no global sort for top-k)") {
     assert(plan("q_limit").contains("TakeOrderedAndProject"))
   }
+
+  test("PreAggGroupingSets: rollup/cube expand pre-aggregated rows, not the fact table") {
+    for (q <- Seq("q_rollup", "q_cube")) {
+      val opt = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      val expands = opt.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+      }
+      assert(expands.nonEmpty, s"$q should still plan an Expand")
+      assert(expands.forall(_.child.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Aggregate]),
+        s"$q: Expand's child must be the injected partial Aggregate")
+      assert(opt.toString.contains("_pre0"))
+    }
+    // guard: a query with DISTINCT aggregates must NOT be rewritten
+    val d = SparkEntry.queries("q_agg_distinct")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!d.contains("_pre0"))
+  }
 }
