@@ -537,6 +537,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // forward as-of join: nearest right row AT-or-AFTER the left time
+    // (e.g. "next purchase after each click")
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      Relational.asofJoin(clicks, purchases, "user_id", "ts", "ts",
+          Seq("p_event_id", "p_value"), direction = "forward")
+        .select("event_id", "user_id", "p_event_id", "p_value")
+        .orderBy("event_id")
+    }),
+
     // skew-salted join (the explicit skew tool beyond AQE): result is
     // salt-independent, so the oracle is the plain join — verifying the
     // rewrite preserves join semantics
@@ -1329,6 +1344,16 @@ object SparkEntry {
            min(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS min_bytes,
            max(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)) AS max_bytes
          FROM documents GROUP BY 1 ORDER BY mime""",
+
+    "q_asof_forward" ->
+      """SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
+         FROM (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id AS pu, ts AS pts,
+                 event_id AS p_event_id, value AS p_value FROM events
+               WHERE event_type = 'purchase') p
+           ON c.user_id = p.pu AND c.ts <= p.pts
+         ORDER BY c.event_id""",
 
     "q_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -83,28 +83,32 @@ object Relational {
       lo: Column, hi: Column): DataFrame =
     fact.join(broadcast(buckets), value >= lo && value < hi)
 
-  /** As-of (backward) join: for each left row, attach the single right row
-    * with the greatest `rightTime` <= `leftTime` within the same `partKey`.
-    * Spark has no native as-of join; the scalable formulation is the
-    * union + running-last trick (the same shape Flink/kdb use), NOT a
-    * range cross-join:
+  /** As-of join: for each left row, attach the single right row with the
+    * greatest `rightTime` <= `leftTime` (direction "backward", default) or
+    * the least `rightTime` >= `leftTime` (direction "forward") within the
+    * same `partKey`. Spark has no native as-of join; the scalable
+    * formulation is the union + running-last trick (the same shape
+    * Flink/kdb use), NOT a range cross-join:
     *
     *   1. union left and right rows, tagged, into one stream;
-    *   2. one window per key, ordered by (time, right-before-left);
-    *   3. running `last(right_payload, ignoreNulls)` carries the most
-    *      recent right row forward to each left row.
+    *   2. one window per key, ordered by (time, right-before-left) —
+    *      time descending for the forward direction;
+    *   3. running `last(right_payload, ignoreNulls)` carries the nearest
+    *      right row to each left row.
     *
     * Cost: one shuffle on the key + one sort per partition — O(n log n)
     * versus the O(n*m) per-key cross join a naive range predicate plans.
     * Right rows with equal time sort before left rows (inclusive match).
     *
     * Output: all left columns + the named right payload columns
-    * (null when no right row precedes the left row).
+    * (null when no right row precedes/follows the left row).
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       partKey: String, leftTime: String, rightTime: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String], direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(direction == "backward" || direction == "forward",
+      s"unknown as-of direction: $direction")
     val payload = struct(rightPayload.map(right(_)): _*)
     val rTagged = right.select(right(partKey).as("_k"),
       right(rightTime).as("_t"), lit(0).as("_side"), payload.as("_r"))
@@ -120,8 +124,9 @@ object Relational {
     // Among right rows tied on time, a hash of the payload is the final
     // sort key so the carried row is deterministic under any partitioning
     // (left rows have a null hash; _side already orders them after).
+    val tOrd = if (direction == "backward") col("_t").asc else col("_t").desc
     val w = Window.partitionBy("_k")
-      .orderBy(col("_t").asc, col("_side").asc,
+      .orderBy(tOrd, col("_side").asc,
         xxhash64(col("_r")).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned

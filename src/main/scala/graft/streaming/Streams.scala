@@ -61,16 +61,23 @@ object Streams {
 
   /** Custom stateful sessionization via flatMapGroupsWithState: a per-user
     * session closes when the next event arrives more than `gapMs` after the
-    * previous one (and, in streaming, on a processing-time timeout of
-    * `gapMs` inactivity). Emits one row per CLOSED session; in batch mode
-    * every session is closed at end of input. Demonstrates arbitrary state —
-    * the escape hatch for semantics windowed aggs can't express. */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[UserSession] = {
+    * previous one, and, in streaming, when the event-time WATERMARK passes
+    * `lastTs + gapMs` (an event-time timeout — deterministic and data-
+    * driven; a processing-time timeout would make the engine spin empty
+    * batches while any state is alive). Emits one row per CLOSED session;
+    * in batch mode every session is closed at end of input. Demonstrates
+    * arbitrary state — the escape hatch for semantics windowed aggs can't
+    * express. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermark: String = "1 hour"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     val flushOpen = !events.isStreaming
-    events.groupByKey(_.user_id)
+    val src = if (events.isStreaming)
+      events.withWatermark("ts", watermark).as[Event]
+    else events
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
           def close(s: SessionState): UserSession =
             UserSession(userId, s.startTs, s.lastTs, s.count,
@@ -95,7 +102,10 @@ object Streams {
             }
             if (cur != null) {
               if (flushOpen) out += close(cur)
-              else { state.update(cur); state.setTimeoutDuration(gapMs) }
+              else {
+                state.update(cur)
+                state.setTimeoutTimestamp(cur.lastTs + gapMs)
+              }
             }
             out.iterator
           }

@@ -126,6 +126,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("c1", Some(100.0)), ("c2", Some(200.0)), ("c3", None)))
   }
 
+  test("asofJoin forward attaches earliest right row at or after left time") {
+    val left = Seq(("c1", 10), ("c2", 25), ("c3", 60)).toDF("uid", "t")
+      .withColumn("k", lit(1))
+    val right = Seq((1, 10, 100.0), (1, 20, 200.0), (1, 50, 500.0))
+      .toDF("k", "t", "v")
+    val got = Relational.asofJoin(left, right, "k", "t", "t", Seq("v"),
+        direction = "forward")
+      .select("uid", "v").as[(String, Option[Double])].collect()
+      .sortBy(_._1)
+    // c1@10 → right@10 (inclusive); c2@25 → right@50; c3@60 → none after
+    assert(got.toSeq == Seq(("c1", Some(100.0)), ("c2", Some(500.0)), ("c3", None)))
+  }
+
   test("rangeJoin bins each row into exactly one [lo,hi) bucket") {
     val facts = Seq(0.0, 5.0, 9.99, 10.0, 24.9, 99.0).toDF("v")
     val buckets = Seq((0.0, 10.0, "a"), (10.0, 25.0, "b"), (25.0, 100.0, "c"))

@@ -81,6 +81,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(wide.length == 2 && wide.forall(_.n_events == 2))
   }
 
+  test("sessionize streaming: open state held, closed on event-time gap across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Event]
+    val query = Streams.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream_out").start()
+    mem.addData(Streams.Event(1L, ts(0), 7L, "click", 1.5))
+    query.processAllAvailable()
+    // nothing emitted yet: user 7's session is open state, not output
+    assert(spark.table("sess_stream_out").count() == 0)
+    // a later event 59 min after (gap > 30 min) splits: batch 2 closes
+    // the first session and opens a new one
+    mem.addData(Streams.Event(2L, ts(59), 7L, "view", 2.0))
+    query.processAllAvailable()
+    val closed = spark.table("sess_stream_out").as[Streams.UserSession].collect()
+    query.stop()
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 7L && closed.head.n_events == 1L)
+    assert(closed.head.sum_value == 1.5)
+    assert(closed.head.session_start_ms == ts(0).getTime &&
+      closed.head.session_end_ms == ts(0).getTime)
+  }
+
   test("streamingDedup drops duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
