@@ -51,6 +51,31 @@ class SinksSpec extends AnyFunSuite {
       nation.filter(col("n_regionkey") === 1).count())
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val o = Tables.load(spark, SparkFixture.sfDir, "orders")
+    val c = Tables.load(spark, SparkFixture.sfDir, "customer")
+    Sinks.writeBucketedTable(o.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", Seq("o_custkey"), numBuckets = 4, sortCols = Seq("o_custkey"))
+    Sinks.writeBucketedTable(c.select("c_custkey", "c_name"),
+      "b_customer", Seq("c_custkey"), numBuckets = 4, sortCols = Seq("c_custkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides bucketed on the join key with equal bucket counts:
+      // the sort-merge join reads buckets directly — zero Exchange
+      assert(!plan.contains("Exchange"), s"expected shuffle-free join:\n$plan")
+      assert(joined.count() ==
+        o.join(c, col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("text round-trip: one line per row through the documents corpus") {
     val ctx = new graft.engine.Context(spark)
     val docs = Tables.load(spark, SparkFixture.sfDir, "documents")
