@@ -866,6 +866,22 @@ object SparkEntry {
           maxDocFreq = 200)
         .orderBy("id_a", "id_b")),
 
+    // connected components over a pair graph (near-dup clustering: label
+    // every doc with its component's minimum id). The query's edge set —
+    // consecutive doc_ids sharing a language — forms chain components, so
+    // the oracle is a gaps-and-islands SQL while the Spark operator is the
+    // generic pointer-jumping label propagation over ANY graph.
+    "q_connected_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val a = docs.select(col("doc_id").as("src"), col("lang").as("la"))
+      val b = docs.select(col("doc_id").as("dst"), col("lang").as("lb"))
+      val edges = a.join(b, col("dst") === col("src") + 1 && col("la") === col("lb"))
+        .select("src", "dst")
+      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+
     // embedding cosine near-dup pairs via hyperplane LSH (rows-only)
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
@@ -1334,6 +1350,20 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
            count(*) AS n_dups
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "q_connected_components" ->
+      """WITH flags AS (
+           SELECT doc_id, lang,
+             CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang
+                  THEN 0 ELSE 1 END AS new_run
+           FROM documents),
+         runs AS (
+           SELECT doc_id,
+             sum(new_run) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               AS run_id
+           FROM flags)
+         SELECT doc_id, min(doc_id) OVER (PARTITION BY run_id) AS component
+         FROM runs ORDER BY doc_id""",
 
     "q_media_meta" ->
       """SELECT CASE CAST(doc_id % 3 AS INTEGER)

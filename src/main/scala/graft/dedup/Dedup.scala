@@ -213,6 +213,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------- near-dup pair clustering
+
+  /** Distributed connected components over a pair graph — the step that
+    * turns near-dup PAIRS into dedup GROUPS (each doc labeled with the
+    * minimum id of its component, the canonical survivor).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping
+    * (label(x) ← label(label(x)) each round), so convergence is
+    * O(log diameter) rounds instead of O(diameter) — a long chain of
+    * near-dups converges in ~log2(n) joins. Each round is two shuffled
+    * joins + an aggregate, all key-partitioned; intermediate labels are
+    * persisted and the loop stops early on a converged round. At 100 TB
+    * the same loop runs with checkpointing every few rounds to truncate
+    * lineage (persist locally here).
+    *
+    * `nodes`: one column `id`. `edges`: columns `src`, `dst` (undirected;
+    * both orientations are derived internally). Output: (id, component).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 16): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // 1) pull the min label across neighbors
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("nid")).agg(min(col("label")).as("nbr_label"))
+      val pulled = labels.join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // 2) pointer jump: follow the label to ITS label
+      val byId = pulled.select(col("id").as("lid"), col("label").as("llabel"))
+      val next = pulled.join(byId, pulled("label") === col("lid"), "left")
+        .select(pulled("id"), coalesce(col("llabel"), pulled("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changes = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changes == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding near-duplicates: cosine >= threshold, candidates via

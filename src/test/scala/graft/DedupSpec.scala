@@ -55,6 +55,16 @@ class DedupSpec extends AnyFunSuite {
     assert(m((0L, 2L)) > 0.4 && m((0L, 2L)) < 1.0)
   }
 
+  test("connectedComponents labels chains, cliques, and singletons") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
   test("embedding near-dup finds identical vectors") {
     val vecs = Seq(
       (0L, Array.fill(64)(0.5f)),
