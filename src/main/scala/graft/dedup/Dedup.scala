@@ -222,45 +222,63 @@ object Dedup {
     * Algorithm: iterative min-label propagation with pointer jumping
     * (label(x) ← label(label(x)) each round), so convergence is
     * O(log diameter) rounds instead of O(diameter) — a long chain of
-    * near-dups converges in ~log2(n) joins. Each round is two shuffled
-    * joins + an aggregate, all key-partitioned; intermediate labels are
-    * persisted and the loop stops early on a converged round. At 100 TB
-    * the same loop runs with checkpointing every few rounds to truncate
-    * lineage (persist locally here).
+    * near-dups converges in ~log2(n) rounds, with early exit on a
+    * converged round.
+    *
+    * The loop body deliberately runs on RDDs with ONE pinned
+    * HashPartitioner — the case the RDD escape hatch exists for (GraphX
+    * is built the same way): a DataFrame loop re-analyzes a growing
+    * unrolled join chain every round, while here the adjacency list is
+    * shuffled once and every per-round join is co-partitioned, leaving
+    * two shuffles per round (the neighbor-min reduce and the pointer-jump
+    * re-key) and a single co-partitioned action for convergence detection.
+    * The public surface stays DataFrames. At 100 TB the same loop
+    * checkpoints every few rounds to truncate lineage.
     *
     * `nodes`: one column `id`. `edges`: columns `src`, `dst` (undirected;
     * both orientations are derived internally). Output: (id, component).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 16): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("id"), col("id").as("label"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sparkContext.defaultParallelism)
+    // adjacency keyed by the NEIGHBOR (dst) so labels join co-partitioned
+    val byDst = edges.select(col("src"), col("dst")).as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .map { case (src, dst) => (dst, src) }
+      .partitionBy(part).persist(level)
+    var labels = nodes.select(col("id")).as[Long].rdd
+      .map(x => (x, x)).partitionBy(part).persist(level)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // 1) pull the min label across neighbors
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(sym("src").as("nid")).agg(min(col("label")).as("nbr_label"))
-      val pulled = labels.join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // 2) pointer jump: follow the label to ITS label
-      val byId = pulled.select(col("id").as("lid"), col("label").as("llabel"))
-      val next = pulled.join(byId, pulled("label") === col("lid"), "left")
-        .select(pulled("id"), coalesce(col("llabel"), pulled("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changes = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      // 1) pull: deliver each node's label to its neighbors, keep the min
+      val nbrMin = byDst.join(labels) // co-partitioned: no shuffle
+        .map { case (_, (src, lab)) => (src, lab) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // shuffle 1
+      val pulled = labels.leftOuterJoin(nbrMin).mapValues {
+        case (own, nb) => math.min(own, nb.getOrElse(own))
+      }
+      // 2) jump: follow the label to ITS label (doubles reach per round)
+      val byLabel = pulled.map { case (id, lab) => (lab, id) }
+        .partitionBy(part) // shuffle 2
+      val next = byLabel.leftOuterJoin(pulled) // co-partitioned
+        .map { case (lab, (id, ll)) => (id, ll.getOrElse(lab)) }
+        .partitionBy(part).persist(level)
+      val changed = spark.sparkContext.longAccumulator("cc_changed")
+      next.join(labels).foreach { case (_, (nl, ol)) => // the round's one action
+        if (nl != ol) changed.add(1L)
+      }
+      labels.unpersist(blocking = false)
       labels = next
-      converged = changes == 0
+      converged = changed.value == 0L
       i += 1
     }
-    sym.unpersist()
-    labels.select(col("id"), col("label").as("component"))
+    byDst.unpersist(blocking = false)
+    labels.toDF("id", "component")
   }
 
   // ------------------------------------------------- embedding near-dup
