@@ -55,6 +55,7 @@ class Context(val spark: SparkSession) {
       .option("header", options.header)
       .option("delimiter", options.delimiter.toString)
       .option("quote", options.quote.toString)
+      .option("mode", options.mode)
     r = options.schema match {
       case Some(s) => r.schema(s)
       case None    => r.option("inferSchema", true)
@@ -117,12 +118,18 @@ class Context(val spark: SparkSession) {
 }
 
 /** CSV read options — analog of `CsvReadOptions` (ref:
-  * src/io/reader/csv/options.rs:199-254: header/delimiter/quote/schema). */
+  * src/io/reader/csv/options.rs:199-254: header/delimiter/quote/schema),
+  * plus the malformed-row policy the reference lacks: PERMISSIVE (null-fill
+  * bad cells, the default), DROPMALFORMED (skip bad rows), or FAILFAST
+  * (error on first bad row) — at 100 TB a single corrupt row must not be
+  * able to kill a job silently OR invisibly poison it, so the policy is
+  * explicit. */
 case class CsvOptions(
     header: Boolean = true,
     delimiter: Char = ',',
     quote: Char = '"',
-    schema: Option[StructType] = None)
+    schema: Option[StructType] = None,
+    mode: String = "PERMISSIVE")
 
 object Context {
   /** Standard session shape for this engine: AQE on (runtime re-planning,

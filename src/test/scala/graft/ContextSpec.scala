@@ -60,6 +60,27 @@ class ContextSpec extends AnyFunSuite {
     assert(ctx.sql("SELECT sum(c2) AS s FROM simple_csv").collect()(0).getLong(0) == 21)
   }
 
+  test("csv malformed-row policy: permissive null-fills, dropmalformed skips") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsvbad").toFile
+    val f = new java.io.File(dir, "bad.csv")
+    val w = new java.io.PrintWriter(f)
+    w.write("c1,c2\na,1\nb,not_a_number\nc,3\n"); w.close()
+    val ctx = new Context(spark)
+    val schema = StructType(Seq(
+      StructField("c1", StringType), StructField("c2", LongType)))
+
+    val permissive = ctx.readCsv(f.getAbsolutePath,
+      CsvOptions(schema = Some(schema))).collect().sortBy(_.getString(0))
+    assert(permissive.length == 3)
+    assert(permissive(1).isNullAt(1)) // bad cell null-filled
+
+    val dropped = ctx.readCsv(f.getAbsolutePath,
+      CsvOptions(schema = Some(schema), mode = "DROPMALFORMED"))
+    // note: collect(), not count() — count() prunes every column, so the
+    // malformed cell is never parsed and nothing gets dropped
+    assert(dropped.collect().length == 2)
+  }
+
   test("events table canonicalizes nanos to TimestampType") {
     val ev = Tables.load(spark, SparkFixture.sfDir, "events")
     assert(ev.schema("ts").dataType == TimestampType)
