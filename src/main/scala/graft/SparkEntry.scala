@@ -810,6 +810,20 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")),
 
+    // deterministic stratified sampling: per-stratum sampled counts stay
+    // proportional (rare strata don't vanish); reproducible across engines
+    "q_sample_stratified" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val sampled = graft.functions.Profile
+        .stratifiedSample(o, "o_orderkey", pct = 20)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_sampled"))
+      val full = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_total"))
+      full.join(sampled, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("n_total"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("o_orderpriority")
+    }),
+
 
     // text analysis: SQL-expressible per-doc stats (one-pass native
     // TextStats struct; fields are regex-compatible with the oracle)
@@ -1345,6 +1359,19 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_sample_stratified" ->
+      """WITH sampled AS (
+           SELECT o_orderpriority, count(*) AS n_sampled FROM orders
+           WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 20
+           GROUP BY o_orderpriority),
+         full_counts AS (
+           SELECT o_orderpriority, count(*) AS n_total FROM orders
+           GROUP BY o_orderpriority)
+         SELECT f.o_orderpriority, f.n_total,
+           coalesce(s.n_sampled, 0) AS n_sampled
+         FROM full_counts f LEFT JOIN sampled s USING (o_orderpriority)
+         ORDER BY o_orderpriority""",
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -37,4 +37,17 @@ object Profile {
     df.withColumn("split",
       when(bucket < trainPct, "train").otherwise("eval"))
   }
+
+  /** Deterministic stratified sampling: keep ~`pct`% of rows from EVERY
+    * stratum by the same multiplicative id hash — unlike a global sample,
+    * rare strata keep their proportional share rather than vanishing. A
+    * pure narrow filter (no shuffle, no state), reproducible across runs,
+    * partitionings, and engines — what `df.sample`/`TABLESAMPLE` cannot
+    * promise. The stratum column participates only semantically (the
+    * per-id hash is stratum-independent so joins of samples still align
+    * on id). */
+  def stratifiedSample(df: DataFrame, idCol: String, pct: Int): DataFrame = {
+    val bucket = pmod(pmod(col(idCol) * lit(2654435761L), lit(4294967296L)), lit(100L))
+    df.filter(bucket < pct)
+  }
 }
