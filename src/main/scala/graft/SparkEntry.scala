@@ -874,7 +874,10 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
         .orderBy("id_a", "id_b")),
 
-    // word n-gram Jaccard pairs (rows-only oracle)
+    // word n-gram Jaccard pairs. The oracle is the FULL O(n²) exact-Jaccard
+    // self-join in DuckDB — hash-matching it proves the prefix+position-
+    // filtered candidate generation (plus the df-cut) loses no pair at the
+    // gate scale, not just that the survivors score correctly.
     "q_dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5,
           maxDocFreq = 200)
@@ -946,7 +949,7 @@ object SparkEntry {
             .as("features_csv"))
         .orderBy("media_id")),
 
-    // multimodal: frame sampling plumbing (rows-only)
+    // multimodal: frame sampling plumbing (oracle: generate_series twin)
     "q_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.mediaFromDocuments(t(s, dir, "documents")))
@@ -1377,6 +1380,43 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
            count(*) AS n_dups
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \n\t\r]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gs
+           FROM toks),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+               (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+               AS jaccard
+           FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+           WHERE len(a.gs) > 0 AND len(b.gs) > 0)
+         SELECT id_a, id_b, jaccard FROM pairs
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    "q_media_frames" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+           FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+         f AS (
+           SELECT media_id,
+             CAST(floor((n_bytes / 64.0) / 4) AS INTEGER) AS n_frames
+           FROM m)
+         SELECT media_id, CAST(t.k AS BIGINT) AS frame_idx,
+           CAST(t.k * 256 AS BIGINT) AS byte_offset
+         FROM f, unnest(generate_series(0, n_frames - 1)) AS t(k)
+         WHERE n_frames > 0
+         ORDER BY media_id, frame_idx""",
 
     "q_connected_components" ->
       """WITH flags AS (
