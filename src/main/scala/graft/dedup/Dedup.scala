@@ -281,6 +281,20 @@ object Dedup {
     labels.toDF("id", "component")
   }
 
+  /** End-to-end near-dup dedup: given candidate PAIRS (from any of the
+    * pair generators), cluster them into components and keep one canonical
+    * document per component — the component's minimum id — plus every
+    * document that appears in no pair. This is the composition a training
+    * pipeline actually runs: pairs → connectedComponents → survivors. */
+  def nearDupSurvivors(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val nodes = docs.select(col(idCol).as("id"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = connectedComponents(nodes, edges)
+    docs.join(cc.filter(col("id") === col("component")).select(col("id").as(idCol)),
+      Seq(idCol))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding near-duplicates: cosine >= threshold, candidates via

@@ -65,6 +65,15 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("nearDupSurvivors keeps one canonical doc per component plus untouched docs") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (7L, "b"), (9L, "c"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDupSurvivors(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 7L, 9L)) // chain 1-2-3 → keep 1; 7, 9 untouched
+  }
+
   test("embedding near-dup finds identical vectors") {
     val vecs = Seq(
       (0L, Array.fill(64)(0.5f)),
