@@ -558,7 +558,9 @@ object SparkEntry {
     "q_salted_join" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
-      Relational.saltedJoin(l, o, ("l_orderkey", "o_orderkey"), saltBuckets = 8)
+      // bucket count sizes to the measured skew: enough replicas to spread
+      // the hottest key, no more — each bucket replicates the right side
+      Relational.saltedJoin(l, o, ("l_orderkey", "o_orderkey"), saltBuckets = 4)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderstatus")
