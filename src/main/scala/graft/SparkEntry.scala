@@ -861,6 +861,34 @@ object SparkEntry {
           col("st.fingerprint").as("fingerprint"))
         .orderBy("doc_id")),
 
+    // PII/noise redaction (emails → URLs → digit runs, in that order);
+    // patterns injected per-row so the scrubbing has real work
+    "q_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Text.redact(concat(
+            substring(col("text"), 1, 40),
+            lit(" contact bob"), col("doc_id").cast(StringType),
+            lit("@mail-example.com see https://ex.org/d/"),
+            col("doc_id").cast(StringType),
+            lit(" ref 4049100"), col("doc_id").cast(StringType)))
+            .as("redacted"))
+        .orderBy("doc_id")),
+
+    // corpus quality filter funnel: per-source doc counts before/after the
+    // standard token-count / punctuation / word-repetition thresholds
+    "q_quality_filter" -> ((s, dir) => {
+      val st = native.text_stats(col("text"))
+      val keep = st.getField("n_tokens").between(5L, 2000L) &&
+        st.getField("punct_ratio") < 0.3 &&
+        graft.functions.Text.wordRepetitionRatio(col("text")) < 0.6
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // exact dedup (hash-groupBy)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("keep_id")),
@@ -1382,6 +1410,42 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
            count(*) AS n_dups
          FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "q_redact" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 substr(text, 1, 40) || ' contact bob' || CAST(doc_id AS VARCHAR)
+                   || '@mail-example.com see https://ex.org/d/'
+                   || CAST(doc_id AS VARCHAR)
+                   || ' ref 4049100' || CAST(doc_id AS VARCHAR),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^ \t\n]+', '<URL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+
+    "q_quality_filter" ->
+      """WITH scored AS (
+           SELECT source,
+             length(regexp_extract_all(text, '\S+')) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text,
+                         '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+             CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(list_filter(
+                         regexp_split_to_array(text, '\s+'), x -> x <> '')))
+                       AS DOUBLE)
+                       / CAST(len(list_filter(regexp_split_to_array(text,
+                           '\s+'), x -> x <> '')) AS DOUBLE) END AS rep
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_tokens BETWEEN 5 AND 2000
+                          AND punct_ratio < 0.3 AND rep < 0.6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM scored GROUP BY source ORDER BY source""",
 
     "q_dedup_ngram" ->
       """WITH toks AS (

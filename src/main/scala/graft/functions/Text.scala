@@ -103,6 +103,28 @@ object Text {
     array_distinct(when(cnt >= n, grams).otherwise(array()))
   }
 
+  /** Regex scrubbing of the noise/PII patterns corpus pipelines redact
+    * before training: emails, URLs, then long digit runs — applied in that
+    * order (an email must not first lose its digits). Patterns stay in the
+    * regex subset Java and RE2 interpret identically. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^ \\t\\n]+", "<URL>"),
+      "[0-9]{6,}", "<NUM>")
+
+  /** Fraction of repeated words: 1 - distinct/total tokens (0 for empty).
+    * The classic C4/RefinedWeb-style repetition signal — high values mean
+    * boilerplate or degenerate generation loops. */
+  def wordRepetitionRatio(text: Column): Column = {
+    val toks = filter(split(text, "\\s+"), t => t =!= "")
+    when(size(toks) === 0, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+  }
+
   /** Log-free TF-IDF per (doc, term): tf = termCount/docTerms, idf =
     * nDocs/docFreq, score = tf*idf. Log-free on purpose — every factor is an
     * IEEE division/multiplication of exact integer counts, so the score is

@@ -80,6 +80,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(2).length == 1)
   }
 
+  test("redact scrubs emails, urls, and digit runs in order") {
+    val df = Seq("mail a.b+c@ex-site.org now, docs at https://ex.org/p?q=1 code 1234567 ok 123")
+      .toDF("text")
+    val got = df.select(Text.redact(col("text"))).collect()(0).getString(0)
+    assert(got == "mail <EMAIL> now, docs at <URL> code <NUM> ok 123")
+  }
+
+  test("wordRepetitionRatio flags degenerate repetition") {
+    val df = Seq("a b c d", "spam spam spam spam", "").toDF("text")
+    val got = df.select(Text.wordRepetitionRatio(col("text"))).collect()
+      .map(_.getDouble(0))
+    assert(got(0) == 0.0 && got(1) == 0.75 && got(2) == 0.0)
+  }
+
   test("sorted_intersect equals set-intersection size") {
     val df = Seq((Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L))).toDF("a", "b")
     assert(df.select(native.sorted_intersect(col("a"), col("b"))).collect()(0).getInt(0) == 2)
