@@ -409,6 +409,28 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
         .orderBy("event_id")),
 
+    // schema-full JSON parsing (from_json with an explicit schema — the
+    // scale path: one parse to a typed struct vs per-path re-parsing)
+    "q_from_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), StructType(Seq(
+            StructField("k", LongType)))).getField("k").as("k_val"))
+        .orderBy("event_id")),
+
+    // map type: build from arrays, lookup, cardinality
+    "q_map_funcs" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .select(col("n_nationkey"),
+          map_from_arrays(
+            array(lit("nation"), lit("region")),
+            array(col("n_nationkey"), col("n_regionkey").cast(LongType)))
+            .as("m"))
+        .select(col("n_nationkey"),
+          element_at(col("m"), "region").as("region_val"),
+          size(col("m")).as("m_size"))
+        .orderBy("n_nationkey")),
+
     // array functions: collect_set + sort (deterministic), size, element,
     // array_join (array itself serialized to CSV string — the driver's
     // pandas compare can't sort raw array cells)
@@ -1211,6 +1233,21 @@ object SparkEntry {
       """SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
          FROM events ORDER BY event_id""",
+
+    "q_from_json" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         FROM events ORDER BY event_id""",
+
+    "q_map_funcs" ->
+      """SELECT n_nationkey,
+           map(['nation', 'region'],
+               [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)])
+             ['region'][1] AS region_val,
+           CAST(cardinality(map(['nation', 'region'],
+               [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)]))
+             AS INTEGER) AS m_size
+         FROM nation ORDER BY n_nationkey""",
 
     "q_array_funcs" ->
       """SELECT o_custkey,
