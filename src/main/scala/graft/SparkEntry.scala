@@ -1403,8 +1403,13 @@ object SparkEntry {
            FROM orders)
          ORDER BY "column" """,
 
+    // width-safe two-limb Knuth hash (see Profile.hashBucket100): every
+    // intermediate < 1.8e14, so no engine-dependent 64-bit wrap for any id
     "q_split" ->
-      """SELECT CASE WHEN ((o_orderkey * 2654435761) % 4294967296) % 100 < 80
+      """SELECT CASE WHEN (
+             ((o_orderkey % 4294967296) % 65536) * 2654435761
+             + ((((o_orderkey % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+           ) % 4294967296 % 100 < 80
              THEN 'train' ELSE 'eval' END AS split,
            count(*) AS n
          FROM orders GROUP BY 1 ORDER BY split""",
@@ -1433,7 +1438,10 @@ object SparkEntry {
     "q_sample_stratified" ->
       """WITH sampled AS (
            SELECT o_orderpriority, count(*) AS n_sampled FROM orders
-           WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 20
+           WHERE (
+             ((o_orderkey % 4294967296) % 65536) * 2654435761
+             + ((((o_orderkey % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+           ) % 4294967296 % 100 < 20
            GROUP BY o_orderpriority),
          full_counts AS (
            SELECT o_orderpriority, count(*) AS n_total FROM orders
@@ -1735,7 +1743,7 @@ object SparkEntry {
 
     "q_agg_bool" ->
       """SELECT o_orderstatus,
-           count_if(o_totalprice > 200000.0) AS n_big,
+           CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
            bool_and(o_totalprice > 0.0) AS all_positive,
            bool_or(o_orderpriority LIKE '%1%') AS any_urgent,
            max_by(o_custkey, o_orderkey) AS latest_cust,

@@ -3,6 +3,7 @@ package graft.engine
 import scala.collection.mutable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnresolvedWith}
 import org.apache.spark.sql.types.StructType
 
@@ -89,27 +90,33 @@ class Context(val spark: SparkSession) {
     * (2) plan and run. The grammar is a strict superset of the reference's
     * §2.6 subset since we delegate to Spark SQL.
     *
-    * The walk covers expression-level subqueries (EXISTS / IN / scalar) via
-    * `collectWithSubqueries`, and names defined by WITH clauses are part of
-    * the query, not the catalog, so they are excluded from validation. */
+    * The walk covers expression-level subqueries (EXISTS / IN / scalar),
+    * and names defined by WITH clauses are part of the query, not the
+    * catalog, so they are excluded from validation — but only within their
+    * lexical scope: a WITH's names are visible in its own bodies (each sees
+    * the preceding ones plus itself, covering recursive CTEs) and its main
+    * plan, never in siblings or ancestors. UnresolvedWith is a UnaryNode —
+    * CTE bodies are NOT plan children — so the walk descends explicitly. */
   def sql(text: String): DataFrame = {
     val parsed = spark.sessionState.sqlParser.parsePlan(text)
-    // UnresolvedWith is a UnaryNode: CTE bodies are NOT children of the
-    // plan, so expand them explicitly (recursively, for nested WITH).
-    def expand(p: LogicalPlan): Seq[LogicalPlan] = {
-      val cteBodies = p.collectWithSubqueries {
-        case w: UnresolvedWith => w.cteRelations.map(_._2: LogicalPlan)
-      }.flatten
-      p +: cteBodies.flatMap(expand)
+    def missingIn(p: LogicalPlan, scope: Set[String]): Seq[String] = p match {
+      case w: UnresolvedWith =>
+        var s = scope
+        val fromCtes = w.cteRelations.flatMap { case (name, body, _) =>
+          s += name.toLowerCase
+          missingIn(body, s)
+        }
+        fromCtes ++ missingIn(w.child, s)
+      case r: UnresolvedRelation =>
+        val n = r.multipartIdentifier.last.toLowerCase
+        if (registered.contains(n) || scope.contains(n)) Nil else Seq(n)
+      case other =>
+        val fromSubqueries = other.expressions.flatMap(_.collect {
+          case sq: SubqueryExpression => missingIn(sq.plan, scope)
+        }.flatten)
+        other.children.flatMap(missingIn(_, scope)) ++ fromSubqueries
     }
-    val plans = expand(parsed)
-    val cteNames = plans.flatMap(_.collectWithSubqueries {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten).toSet
-    val refs = plans.flatMap(_.collectWithSubqueries {
-      case r: UnresolvedRelation => r.multipartIdentifier.last.toLowerCase
-    }).distinct
-    val missing = refs.filterNot(n => registered.contains(n) || cteNames.contains(n))
+    val missing = missingIn(parsed, Set.empty).distinct
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"Table(s) not registered: ${missing.mkString(", ")}")
@@ -150,23 +157,28 @@ object Context {
     spark
   }
 
-  private val sfDirCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Context]
-  private val boundDir =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, String]
+  /** One Context per session (weak keys — sessions are not retained). Temp
+    * views are session-global, so two Contexts per session could silently
+    * disagree about which sf dir a view reads; a single handle rebound on
+    * dir switch cannot. */
+  private val sessionCtx =
+    new java.util.WeakHashMap[SparkSession, (Context, String)]()
 
   /** A Context with the driver's star-schema tables registered from an
-    * sf directory (TESTDATA.md layout). Memoized per (session, dir):
-    * registration reads 10 parquet footers for schemas, which is pure
-    * overhead when repeated per query. Temp-view names are session-global,
-    * so switching dirs within a session re-registers the views. */
+    * sf directory (TESTDATA.md layout). Memoized per session: registration
+    * reads 10 parquet footers for schemas, which is pure overhead when
+    * repeated per query. Switching dirs within a session re-registers the
+    * views on the SAME Context, so every outstanding handle follows the
+    * switch instead of mixing data from two directories. */
   def forSfDir(spark: SparkSession, sfDir: String): Context = synchronized {
-    val ctx = sfDirCache.getOrElseUpdate((spark, sfDir), new Context(spark))
-    if (!boundDir.get(spark).contains(sfDir)) {
-      Tables.all.foreach(t => ctx.register(t, Tables.load(spark, sfDir, t)))
-      boundDir(spark) = sfDir
+    Option(sessionCtx.get(spark)) match {
+      case Some((ctx, dir)) if dir == sfDir => ctx
+      case prev =>
+        val ctx = prev.map(_._1).getOrElse(new Context(spark))
+        Tables.all.foreach(t => ctx.register(t, Tables.load(spark, sfDir, t)))
+        sessionCtx.put(spark, (ctx, sfDir))
+        ctx
     }
-    ctx
   }
 }
 

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,21 +10,42 @@ object Profile {
 
   /** Per-column profile: one output row per requested column with row
     * count, null count, exact distinct count, and min/max rendered as
-    * strings. Computed as a single pass per column batched into one job
-    * (a union of small aggregates — each is a partial+final hash agg, so
-    * the scan dominates; at 100 TB profile the columns you need, not *). */
+    * strings. ONE aggregate pass computes every column's stats as one wide
+    * row (at 100 TB, one scan instead of |cols| scans), then `stack`
+    * unpivots to long form — a narrow map over a single row. The
+    * count-distincts expand to one Expand branch per column inside the
+    * same aggregation, still a single scan. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val parts = cols.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast(StringType).as("min_value"),
-        max(col(c)).cast(StringType).as("max_value"))
-        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
-          col("n_distinct"), col("min_value"), col("max_value"))
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast(StringType).as(s"${c}__min"),
+        max(col(c)).cast(StringType).as(s"${c}__max"))
     }
-    parts.reduce(_ unionByName _)
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`"
+    }.mkString(", ")
+    wide.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stackArgs) AS (`column`, n_nulls, n_distinct, min_value, max_value)"))
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+
+  /** Knuth multiplicative hash bucket in [0, 100). Width-safe: a naive
+    * `id * 2654435761` overflows a 64-bit long for id ≳ 3.47e9, where Spark
+    * silently wraps but other engines (the DuckDB oracle twin) raise or
+    * diverge — breaking the cross-engine reproducibility this hash exists
+    * for. So compute (id mod 2^32) * C mod 2^32 in two 16-bit limbs: every
+    * intermediate stays below 1.8e14, exact in 64-bit (and in any engine's
+    * BIGINT). */
+  private[graft] def hashBucket100(id: Column): Column = {
+    val c = lit(2654435761L)
+    val a = pmod(id.cast(LongType), lit(4294967296L))
+    val lo = pmod(a, lit(65536L)) * c
+    val hi = shiftleft(pmod(shiftright(a, 16) * c, lit(65536L)), 16)
+    pmod(pmod(lo + hi, lit(4294967296L)), lit(100L))
   }
 
   /** Deterministic hash-based train/eval split on an integer id column —
@@ -33,7 +54,7 @@ object Profile {
     * plain 64-bit integer arithmetic so any engine computes the same
     * assignment. Returns the input plus a `split` column. */
   def hashSplit(df: DataFrame, idCol: String, trainPct: Int = 80): DataFrame = {
-    val bucket = pmod(pmod(col(idCol) * lit(2654435761L), lit(4294967296L)), lit(100L))
+    val bucket = hashBucket100(col(idCol))
     df.withColumn("split",
       when(bucket < trainPct, "train").otherwise("eval"))
   }
@@ -46,8 +67,6 @@ object Profile {
     * promise. The stratum column participates only semantically (the
     * per-id hash is stratum-independent so joins of samples still align
     * on id). */
-  def stratifiedSample(df: DataFrame, idCol: String, pct: Int): DataFrame = {
-    val bucket = pmod(pmod(col(idCol) * lit(2654435761L), lit(4294967296L)), lit(100L))
-    df.filter(bucket < pct)
-  }
+  def stratifiedSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket100(col(idCol)) < pct)
 }

@@ -60,6 +60,10 @@ object PreAggGroupingSets extends Rule[LogicalPlan] {
     val gidAttr = geAttrs.find(_.name == VirtualColumn.groupingIdName)
       .getOrElse(return None)
     val groupingAttrs = geAttrs.filterNot(_.exprId == gidAttr.exprId)
+    // GROUP BY GROUPING SETS ((),()): with no grouping columns the injected
+    // partial Aggregate would be global and emit one row on EMPTY input,
+    // where the unrewritten plan emits zero rows — bail.
+    if (groupingAttrs.isEmpty) return None
     val posOf = output.map(_.exprId).zipWithIndex.toMap
     val gidPos = posOf.getOrElse(gidAttr.exprId, return None)
     val groupingPos = groupingAttrs.map(a => posOf.getOrElse(a.exprId, return None))

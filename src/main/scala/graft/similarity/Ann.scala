@@ -1,7 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.native
@@ -27,6 +26,23 @@ import graft.functions.native
   */
 object Ann {
 
+  /** Rank `scored(query_id, neighbor_id, cosine)` to the per-query top-k as
+    * (query_id, rank, neighbor_id, cosine) — two-stage: the typed TopK
+    * Aggregator keeps a k-bounded buffer per (query × map task), so the
+    * shuffle carries |partitions| × k rows per query instead of every
+    * scored candidate (a Window.partitionBy(query_id) would sort the whole
+    * candidate set in |queries| reducers — with 10 queries that is 10 tasks
+    * each sorting the corpus; at 100 TB that window is the job). */
+  private[similarity] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(k),
+      Encoders.product[graft.functions.Scored])
+    scored.groupBy("query_id")
+      .agg(topk(col("cosine"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.cosine").as("cosine"))
+  }
+
   /** Deterministic random hyperplanes (seed fixed): planes x dim floats. */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)
@@ -51,12 +67,7 @@ object Ann {
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(native.vec_cosine(col("query_vec"), col(vecCol)), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-        col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** Approximate top-k: probe only the query's LSH bucket. Recall depends on
@@ -70,12 +81,7 @@ object Ann {
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(native.vec_cosine(col("query_vec"), col(vecCol)), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-        col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** Convenience: use the first `nQueries` corpus vectors as the query set. */

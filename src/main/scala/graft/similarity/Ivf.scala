@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,12 +9,13 @@ import graft.functions.native
 /** IVF (inverted-file) approximate nearest neighbor — the second scale path
   * next to hyperplane LSH (Ann.scala).
   *
-  * Train: distributed Lloyd iterations entirely in DataFrame ops — assign
-  * each vector to its nearest centroid (broadcast centroids, native
-  * cosine), then recompute centroids as per-dimension means (posexplode →
-  * groupBy(centroid, dim) avg → re-assemble ordered arrays). No collect of
-  * the corpus; only the k centroid vectors ever sit on the driver, which is
-  * exactly the part that is small by construction.
+  * Train: distributed Lloyd iterations — assign each vector to its nearest
+  * centroid with a NARROW per-row argmax over the driver-resident centroid
+  * set (k rows by construction — the one part of IVF that is intentionally
+  * driver-sized), then recompute centroids with the typed VectorMean
+  * Aggregator (partial (sum, count) buffers combine map-side). The corpus
+  * never shuffles during training: assignment is a projection, the
+  * re-mean's shuffle carries one buffer per (centroid × partition).
   *
   * Search: a query probes its `nprobe` nearest centroids and scores only
   * those inverted lists — corpus work per query drops from O(n) to
@@ -31,18 +32,39 @@ object Ivf {
       .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
         col(vecCol).as("centroid"))
 
-  /** Assign each vector its nearest centroid by cosine. */
+  /** Materialize the centroid set on the driver: k (id, vector) pairs —
+    * bounded by k, never by data scale. */
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float])] =
+    centroids.select(col("centroid_id").cast(IntegerType), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+
+  /** Per-row array of (cosine, -centroid_id) structs against every centroid
+    * — struct ordering gives cosine DESC then centroid_id ASC, so
+    * `greatest` is the argmax and a descending sort ranks probes. */
+  private def centroidScores(cents: Array[(Int, Seq[Float])],
+      vec: Column): Array[Column] =
+    cents.map { case (cid, cvec) =>
+      struct(native.vec_cosine(vec, typedlit(cvec)).as("cos"),
+        lit(-cid).as("neg_id"))
+    }
+
+  /** Assign each vector its nearest centroid by cosine — ONE projection
+    * (greatest over k scored structs), zero shuffle. The previous
+    * formulation (crossJoin + Window.partitionBy(vec_id) + row_number)
+    * shuffled and sorted n×k scored rows per Lloyd iteration and per probe
+    * for a per-row argmax over a broadcast-sized set. */
   def assign(corpus: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol),
-        col("centroid_id"),
-        native.vec_cosine(col(vecCol), col("centroid")).as("cos"))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("cos").desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignTo(collectCentroids(centroids), corpus, idCol, vecCol)
+
+  private def assignTo(cents: Array[(Int, Seq[Float])], corpus: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val scores = centroidScores(cents, col(vecCol))
+    val best = if (scores.length == 1) scores.head else greatest(scores.toSeq: _*)
+    corpus.select(col(idCol), col(vecCol),
+      (-best.getField("neg_id")).cast(IntegerType).as("centroid_id"))
   }
 
   /** Lloyd iterations; returns final centroids (centroid_id, centroid).
@@ -71,30 +93,24 @@ object Ivf {
     cents
   }
 
-  /** Approximate top-k: probe the query's `nprobe` nearest centroids. */
+  /** Approximate top-k: probe the query's `nprobe` nearest centroids.
+    * Probe selection is narrow too: sort the per-row centroid-score array
+    * and explode the first nprobe — no window over the query set. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assigned = assign(corpus, centroids, idCol, vecCol)
-    // each query → its nprobe closest centroid ids
-    val qScored = queries.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("query_vec"), col("centroid_id"),
-        native.vec_cosine(col("query_vec"), col("centroid")).as("qcos"))
-    val wq = Window.partitionBy("query_id")
-      .orderBy(col("qcos").desc, col("centroid_id").asc)
-    val probes = qScored.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("query_vec"), col("centroid_id"))
+    val cents = collectCentroids(centroids)
+    val assigned = assignTo(cents, corpus, idCol, vecCol)
+    val qScores = array(centroidScores(cents, col("query_vec")).toSeq: _*)
+    val probes = queries.select(col("query_id"), col("query_vec"),
+        explode(slice(sort_array(qScores, asc = false), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("query_vec"),
+        (-col("pc.neg_id")).cast(IntegerType).as("centroid_id"))
     // score only the probed lists
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
         round(native.vec_cosine(col("query_vec"), col(vecCol)), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
-        col("neighbor_id"), col("cosine"))
+    Ann.topKPerQuery(scored, k)
   }
 }

@@ -98,7 +98,12 @@ object Streams {
               else if (t - cur.lastTs > gapMs) {
                 out += close(cur); cur = SessionState(t, t, 1L, v)
               } else
-                cur = SessionState(cur.startTs, t, cur.count + 1, cur.sumScaled + v)
+                // A late (within-watermark) event from a later micro-batch
+                // may precede the recorded state: never regress the session
+                // end (the gap is always measured against the max-so-far
+                // timestamp) and extend the start backwards if needed.
+                cur = SessionState(math.min(cur.startTs, t),
+                  math.max(cur.lastTs, t), cur.count + 1, cur.sumScaled + v)
             }
             if (cur != null) {
               if (flushOpen) out += close(cur)
