@@ -742,6 +742,17 @@ object SparkEntry {
         .orderBy("name_a", "name_b")
     }),
 
+    // the SCALABLE fuzzy join: FastSS deletion-variant candidate generation
+    // + exact levenshtein verify, proven lossless against the full O(n²)
+    // DuckDB twin (cap set far above any gate-scale bucket so it can't bind)
+    "q_fuzzy_join_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("k"))
+      graft.dedup.Dedup.editDistancePairs(docs, "k", "doc_id",
+          maxDist = 2, maxBucketSize = 100000)
+        .orderBy("id_a", "id_b")
+    }),
+
     // TF-IDF top term per document (log-free: cross-engine deterministic)
     "q_tfidf" -> ((s, dir) => {
       val scored = graft.functions.Text.tfidf(t(s, dir, "documents"))
@@ -915,14 +926,29 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("keep_id")),
 
-    // MinHash+LSH near-dup candidate pairs (rows-only oracle)
+    // MinHash+LSH candidates re-verified with EXACT byte-shingle Jaccard;
+    // the oracle is the FULL O(n²) exact-Jaccard twin, so a hash match
+    // proves banding recall loses no true pair at gate scale (the same
+    // lossless-candidates proof q_dedup_ngram gives the prefix filter)
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(t(s, dir, "documents"), threshold = 0.7,
-          maxBucketSize = 500)
+      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), threshold = 0.7,
+          maxBucketSize = 100000)
         .orderBy("id_a", "id_b")),
 
-    // SimHash near-dup pairs (rows-only oracle)
+    // SimHash pairs at maxHamming=3: with 4 pigeonhole chunks the candidate
+    // generation is provably COMPLETE for hamming <= 3, so the emitted set
+    // is exactly {pairs with hamming(simhash_a, simhash_b) <= 3} — and the
+    // oracle recomputes the FNV simhash bit-exactly in DuckDB (HUGEINT
+    // arithmetic) and compares ALL pairs
     "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3,
+          maxBucketSize = 100000)
+        .orderBy("id_a", "id_b")),
+
+    // wide-radius simhash candidates (hamming <= 8 exceeds the 4-chunk
+    // pigeonhole guarantee: approximate recall, the production wide net;
+    // rows-only by design)
+    "q_dedup_simhash_wide" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
         .orderBy("id_a", "id_b")),
 
@@ -951,7 +977,8 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // embedding cosine near-dup pairs via hyperplane LSH (rows-only)
+    // embedding cosine near-dup pairs via hyperplane LSH; the oracle
+    // recomputes the buckets from the same plane literals + exact cosine
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
           threshold = 0.2, planes = 4)
@@ -1011,6 +1038,26 @@ object SparkEntry {
   // ===================================================================
   // DuckDB oracle twins. Omitted keys → driver records rows-only check.
   // ===================================================================
+
+  /** 2^b HUGEINT literals for the DuckDB simhash twin's bit extraction. */
+  private def pow2Values: String =
+    (0 until 64).map(b => s"($b, CAST('${BigInt(1) << b}' AS HUGEINT))")
+      .mkString(", ")
+
+  /** The deterministic hyperplanes (Ann.hyperplanes, seed 42) as DuckDB
+    * DOUBLE[] literals — Double.toString round-trips exactly, so DuckDB's
+    * list_dot_product sees bit-identical plane values and the bucket signs
+    * match the Spark kernel's. */
+  private def planeLiteral(p: Seq[Float]): String =
+    p.map(_.toDouble.toString).mkString("[", ", ", "]")
+
+  /** Sign-bit bucket expression over `v` for the embedding near-dup twin. */
+  private def embBucketSql(planes: Int, dim: Int): String =
+    graft.similarity.Ann.hyperplanes(planes, dim).zipWithIndex.map {
+      case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${planeLiteral(p)}) > 0.0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
@@ -1492,6 +1539,78 @@ object SparkEntry {
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM scored GROUP BY source ORDER BY source""",
 
+    // full O(n²) exact byte-shingle Jaccard twin — proves MinHash banding
+    // candidate recall is lossless at gate scale (corpus is ASCII, so
+    // DuckDB's char substr == the kernel's byte windows)
+    "q_dedup_minhash" ->
+      """WITH grams AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 4, 0)),
+               i -> substr(text, i, 5))) AS gs
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+               (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+               AS jaccard
+           FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+           WHERE len(a.gs) > 0 AND len(b.gs) > 0)
+         SELECT id_a, id_b, jaccard FROM pairs
+         WHERE jaccard >= 0.7 ORDER BY id_a, id_b""",
+
+    // bit-exact FNV-1a simhash recomputed in DuckDB (HUGEINT mod-2^64
+    // arithmetic), ALL pairs at hamming <= 3 — two-sided proof of the
+    // 4-chunk pigeonhole candidate generation's completeness
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '[ \n\t\r]+'), x -> x <> '')) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(generate_series(1, length(tok)),
+                   i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
+                 % CAST('18446744073709551616' AS HUGEINT)) AS h
+           FROM toks),
+         pw AS (SELECT * FROM (VALUES $pow2Values) AS t(b, p)),
+         bits AS (
+           SELECT t.doc_id, pw.b,
+             sum(CASE WHEN (t.h // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS tally
+           FROM th t CROSS JOIN pw GROUP BY t.doc_id, pw.b),
+         sh AS (
+           SELECT doc_id,
+             list(CASE WHEN tally > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_filter(generate_series(1, 64),
+             i -> a.bits[i] <> b.bits[i])) AS BIGINT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_filter(generate_series(1, 64),
+           i -> a.bits[i] <> b.bits[i])) <= 3
+         ORDER BY id_a, id_b""",
+
+    // hyperplane buckets recomputed in DuckDB from the same (literal-
+    // embedded) planes + exact cosine — full two-sided twin
+    "q_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         b AS (SELECT vec_id, v, ${embBucketSql(4, 64)} AS bucket FROM e),
+         ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= 2000),
+         bb AS (SELECT b.* FROM b JOIN ok USING (bucket))
+         SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+         FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         WHERE round(list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.2
+         ORDER BY id_a, id_b""",
+
     "q_dedup_ngram" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -1679,6 +1798,16 @@ object SparkEntry {
          FROM nation a JOIN nation b ON a.n_name < b.n_name
          WHERE levenshtein(a.n_name, b.n_name) <= 2
          ORDER BY name_a, name_b""",
+
+    // full O(n²) exact twin: proves the FastSS deletion-variant candidate
+    // generation loses no pair (same pattern as q_dedup_ngram's oracle)
+    "q_fuzzy_join_docs" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 24) AS key FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.key, b.key) AS BIGINT) AS edit_dist
+         FROM k a JOIN k b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.key, b.key) <= 2
+         ORDER BY id_a, id_b""",
 
     "q_tfidf" ->
       """WITH words AS (

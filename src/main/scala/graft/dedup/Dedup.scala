@@ -103,6 +103,33 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** MinHash-LSH candidates re-verified with the EXACT byte-shingle Jaccard
+    * the signatures estimate — the production shape (candidates are cheap
+    * and approximate; survivors are exact) and the oracle-checkable one:
+    * the emitted pair set equals {pairs with exact shingle-Jaccard >=
+    * threshold} exactly when banding recall covers every true pair, which
+    * the full O(n²) DuckDB twin verifies at gate scale. Banding runs with
+    * NO estimate filter (threshold 0.0) so the only filter is the exact
+    * one; `bands` trades candidate volume against recall as usual. */
+  def minhashVerifiedPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
+      shingle: Int = 5, threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val cand = minhashPairs(docs, textCol, idCol, numHashes, bands, shingle,
+      threshold = 0.0, maxBucketSize = maxBucketSize).select("id_a", "id_b")
+    val sh = docs.select(col(idCol).as("id"),
+        native.char_shingle_hashes(col(textCol), shingle).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast(LongType))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("shared", native.sorted_intersect(col("sh_a"), col("sh_b")).cast(LongType))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("shared")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
@@ -211,6 +238,39 @@ object Dedup {
         (col("shared").cast(DoubleType) /
           (col("na") + col("nb") - col("shared")).cast(DoubleType)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------- fuzzy (edit-distance) join
+
+  /** Edit-distance <= maxDist self-join on a SHORT string key, bucketed —
+    * never a cross join. Candidates via FastSS deletion neighborhoods
+    * (EditKernel in expressions.scala): two keys within distance k always
+    * share a <=k-deletion variant, so candidate generation is an equi-join
+    * on variant fingerprints; exact `levenshtein` verifies each candidate.
+    * Complete by the FastSS theorem (no false negatives — q_fuzzy_join_docs
+    * proves it against the full O(n²) DuckDB twin), with the usual hot-
+    * bucket cap as the skew guard: a bucket over `maxBucketSize` means a
+    * near-dup clique that large, where quadratic pair output is inherent —
+    * cap it or drown.
+    *
+    * Scale: the posting table is |rows| × C(L, <=k) fixed-width longs plus
+    * the short key — for L=24, k=2 that is 301 variants/row, shuffled once
+    * into a hash join. Targets short keys (titles, codes, prefixes);
+    * neighborhood growth is O(L^k), so apply to a bounded-length column,
+    * not whole documents. */
+  def editDistancePairs(docs: DataFrame, keyCol: String, idCol: String = "doc_id",
+      maxDist: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
+    val posted = docs.select(col(idCol).as("id"), col(keyCol).as("key"),
+      explode(native.deletion_variant_hashes(col(keyCol), maxDist)).as("variant"))
+    val bucketed = dropHotBuckets(posted, Seq("variant"), maxBucketSize)
+    val l = bucketed.select(col("variant"), col("id").as("id_a"), col("key").as("key_a"))
+    val r = bucketed.select(col("variant"), col("id").as("id_b"), col("key").as("key_b"))
+    l.join(r, "variant")
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("key_a"), col("key_b")).cast(LongType).as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
   }
 
   // ------------------------------------------- near-dup pair clustering

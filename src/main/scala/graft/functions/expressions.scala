@@ -177,6 +177,10 @@ object native {
   def sorted_intersect(a: Column, b: Column): Column = col(SortedLongIntersect(ex(a), ex(b)))
   def sig_agree(a: Column, b: Column): Column = col(SigAgree(ex(a), ex(b)))
   def text_stats(c: Column): Column = col(TextStats(ex(c)))
+  def deletion_variant_hashes(c: Column, maxDel: Int): Column =
+    col(DeletionVariantHashes(ex(c), maxDel))
+  def char_shingle_hashes(c: Column, n: Int): Column =
+    col(CharShingleHashes(ex(c), n))
   def strip_accents(c: Column): Column = col(StripAccents(ex(c)))
 
   /** Make the functions usable from `spark.sql` text as well. */
@@ -396,6 +400,29 @@ object NGramKernel {
       java.util.Arrays.copyOf(hs, w))
   }
 
+  /** SORTED distinct FNV fingerprints of every n-byte shingle — the exact
+    * set MinHash estimates over (MinHashKernel.signature hashes the same
+    * windows), so exact byte-shingle Jaccard = sorted_intersect over these
+    * arrays. Mirrors wordNGramHashes' sort+dedup so downstream verification
+    * is a sorted merge. */
+  def charShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    if (bytes.length < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val hs = new Array[Long](bytes.length - n + 1)
+    var i = 0
+    while (i <= bytes.length - n) { hs(i) = HashKernels.fnv1a(bytes, i, i + n); i += 1 }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var k = 0
+    while (k < hs.length) {
+      if (w == 0 || hs(k) != hs(w - 1)) { hs(w) = hs(k); w += 1 }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(hs, w))
+  }
+
   /** Intersection size of two SORTED long arrays — a linear merge with no
     * per-row allocation (vs array_intersect's per-row hash set). */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
@@ -409,6 +436,79 @@ object NGramKernel {
     }
     c
   }
+}
+
+/** FastSS deletion neighborhood (Bocek et al. 2007) for edit-distance joins:
+  * if ed(a, b) <= k then deleting <= k characters from each side reaches a
+  * COMMON string (delete a's substituted+deleted chars and b's
+  * substituted+inserted chars of any optimal alignment), so two strings
+  * within distance k always share a deletion variant — candidate
+  * generation is then an equi-join on variant fingerprints, never a cross
+  * join. Neighborhood size is C(L,0)+...+C(L,k), so this targets SHORT
+  * join keys (titles, prefixes, codes); L=24, k=2 is 301 variants/row. */
+object EditKernel {
+  /** Sorted distinct FNV fingerprints of every <=maxDel-deletion variant.
+    * Char-level (UTF-16 units) to mirror levenshtein's character edits —
+    * byte-level deletions would miss multibyte substitutions. */
+  def deletionVariantHashes(s: UTF8String, maxDel: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val positions = new Array[Int](math.max(maxDel, 1))
+    def hashSkipping(m: Int): Long = {
+      var h = HashKernels.FnvOffset
+      var i = 0
+      var p = 0
+      while (i < n) {
+        if (p < m && positions(p) == i) p += 1
+        else {
+          val c = str.charAt(i)
+          h = (h ^ (c & 0xffL)) * HashKernels.FnvPrime
+          h = (h ^ ((c >> 8) & 0xffL)) * HashKernels.FnvPrime
+        }
+        i += 1
+      }
+      h
+    }
+    def choose(start: Int, depth: Int, m: Int): Unit =
+      if (depth == m) out.add(hashSkipping(m))
+      else {
+        var i = start
+        while (i <= n - (m - depth)) {
+          positions(depth) = i
+          choose(i + 1, depth + 1, m)
+          i += 1
+        }
+      }
+    var m = 0
+    val lim = math.min(maxDel, n)
+    while (m <= lim) { choose(0, 0, m); m += 1 }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var w = 0
+    while (it.hasNext) { arr(w) = it.next(); w += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+  }
+}
+
+/** Sorted distinct fingerprints of a document's n-byte shingles. */
+case class CharShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    NGramKernel.charShingleHashes(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramKernel.charShingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharShingleHashes = copy(c)
+}
+
+/** Sorted distinct fingerprints of the <=k-deletion neighborhood. */
+case class DeletionVariantHashes(child: Expression, maxDel: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    EditKernel.deletionVariantHashes(v.asInstanceOf[UTF8String], maxDel)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.EditKernel.deletionVariantHashes($c, $maxDel)")
+  override protected def withNewChildInternal(c: Expression): DeletionVariantHashes = copy(c)
 }
 
 /** Distinct word n-grams of a whitespace-tokenized document. */

@@ -74,6 +74,31 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 7L, 9L)) // chain 1-2-3 → keep 1; 7, 9 untouched
   }
 
+  test("editDistancePairs equals the exact cross-join result (FastSS complete)") {
+    val keys = Seq(
+      (0L, "spark native engine"),
+      (1L, "spark native enginee"),  // 1 insertion from 0
+      (2L, "spark native engine"),   // exact dup of 0
+      (3L, "sprak native engine"),   // transposition = 2 edits from 0
+      (4L, "flink runtime core"),    // unrelated
+      (5L, "a"), (6L, ""), (7L, "ab")) // degenerate shorts
+      .toDF("doc_id", "k")
+    val got = Dedup.editDistancePairs(keys, "k", maxDist = 2)
+      .select("id_a", "id_b", "edit_dist").as[(Long, Long, Long)].collect().toSet
+    // oracle: exact O(n²) levenshtein
+    val expected = keys.as[(Long, String)].collect().combinations(2).collect {
+      case Array((ia, ka), (ib, kb))
+          if org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+            .apply(ka, kb) <= 2 =>
+        val d = org.apache.commons.text.similarity.LevenshteinDistance
+          .getDefaultInstance.apply(ka, kb).toLong
+        (math.min(ia, ib), math.max(ia, ib), d)
+    }.toSet
+    assert(got == expected)
+    assert(got.contains((0L, 2L, 0L)))
+    assert(got.contains((0L, 1L, 1L)) || got.contains((0L, 1L, 2L)))
+  }
+
   test("embedding near-dup finds identical vectors") {
     val vecs = Seq(
       (0L, Array.fill(64)(0.5f)),
