@@ -115,8 +115,33 @@ object Dedup {
       idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
       shingle: Int = 5, threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
-    val cand = minhashPairs(docs, textCol, idCol, numHashes, bands, shingle,
-      threshold = 0.0, maxBucketSize = maxBucketSize).select("id_a", "id_b")
+    // Candidate generation is SLIM by design: only (band keys, id) travel
+    // through the self-join — not the 64-slot signatures, and no estimated
+    // Jaccard is computed (the exact verify below supersedes it; measured
+    // at sf0.1, sig_agree over every in-bucket pair was ~70% of the
+    // pipeline's wall-clock for a filter that cut 6% of candidates).
+    // The left side is round-robin-spread to the session's shuffle
+    // parallelism first: the band join's output otherwise inherits the
+    // (few) scan partitions, and the pair-dedup's map-side partial
+    // aggregate would run nearly serially (measured 4.5 s → ~1.5 s at
+    // sf0.1). A keyed repartition would NOT do: a hot band bucket is one
+    // key, round-robin spreads its pair enumeration across all tasks.
+    val banded = docs.select(col(idCol).as("id"),
+        posexplode(native.minhash_bands(
+          minhashSignature(col(textCol), numHashes, shingle), bands))
+          .as(Seq("band_id", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = dropHotBuckets(banded, Seq("band_id", "band_hash"), maxBucketSize)
+    val par = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val cand = bucketed.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
+      .repartition(par)
+      .join(bucketed.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
+        .repartition(par), // spread BOTH sides: the streamed side's layout
+                           // becomes the join output's, whichever it is
+        Seq("band_id", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
     val sh = docs.select(col(idCol).as("id"),
         native.char_shingle_hashes(col(textCol), shingle).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast(LongType))
@@ -260,8 +285,13 @@ object Dedup {
     * not whole documents. */
   def editDistancePairs(docs: DataFrame, keyCol: String, idCol: String = "doc_id",
       maxDist: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
+    // Persist the posting: the neighborhood kernel is the pipeline's
+    // dominant cost and four lineage branches read it (hot-bucket agg,
+    // anti join, both self-join sides) — without the persist it would be
+    // recomputed per branch (measured 4x at sf0.1).
     val posted = docs.select(col(idCol).as("id"), col(keyCol).as("key"),
       explode(native.deletion_variant_hashes(col(keyCol), maxDist)).as("variant"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = dropHotBuckets(posted, Seq("variant"), maxBucketSize)
     val l = bucketed.select(col("variant"), col("id").as("id_a"), col("key").as("key_a"))
     val r = bucketed.select(col("variant"), col("id").as("id_b"), col("key").as("key_b"))

@@ -343,6 +343,7 @@ object NGramKernel {
     c
   }
 
+
   /** SORTED distinct 64-bit FNV fingerprints of a document's word n-grams,
     * one pass. Hash-equivalent of `wordNGrams` (tokens joined by a single
     * space before hashing, matching its whitespace normalization), but the
@@ -453,41 +454,54 @@ object EditKernel {
   def deletionVariantHashes(s: UTF8String, maxDel: Int): ArrayData = {
     val str = s.toString
     val n = str.length
-    val out = new java.util.TreeSet[java.lang.Long]()
-    val positions = new Array[Int](math.max(maxDel, 1))
-    def hashSkipping(m: Int): Long = {
+    val lim = math.min(maxDel, n)
+    // neighborhood size = sum_{m<=lim} C(n, m); n is a short join key by
+    // contract so this stays small (n=24, k=2 -> 301)
+    var cap = 1L
+    var m = 1
+    var c = 1L
+    while (m <= lim) { c = c * (n - m + 1) / m; cap += c; m += 1 }
+    val hs = new Array[Long](cap.toInt)
+    var w = 0
+    val positions = new Array[Int](math.max(lim, 1))
+    def hashSkipping(dels: Int): Unit = {
       var h = HashKernels.FnvOffset
       var i = 0
       var p = 0
       while (i < n) {
-        if (p < m && positions(p) == i) p += 1
+        if (p < dels && positions(p) == i) p += 1
         else {
-          val c = str.charAt(i)
-          h = (h ^ (c & 0xffL)) * HashKernels.FnvPrime
-          h = (h ^ ((c >> 8) & 0xffL)) * HashKernels.FnvPrime
+          val ch = str.charAt(i)
+          h = (h ^ (ch & 0xffL)) * HashKernels.FnvPrime
+          h = (h ^ ((ch >> 8) & 0xffL)) * HashKernels.FnvPrime
         }
         i += 1
       }
-      h
+      hs(w) = h; w += 1
     }
-    def choose(start: Int, depth: Int, m: Int): Unit =
-      if (depth == m) out.add(hashSkipping(m))
+    def choose(start: Int, depth: Int, dels: Int): Unit =
+      if (depth == dels) hashSkipping(dels)
       else {
         var i = start
-        while (i <= n - (m - depth)) {
+        while (i <= n - (dels - depth)) {
           positions(depth) = i
-          choose(i + 1, depth + 1, m)
+          choose(i + 1, depth + 1, dels)
           i += 1
         }
       }
-    var m = 0
-    val lim = math.min(maxDel, n)
+    m = 0
     while (m <= lim) { choose(0, 0, m); m += 1 }
-    val arr = new Array[Long](out.size())
-    val it = out.iterator()
-    var w = 0
-    while (it.hasNext) { arr(w) = it.next(); w += 1 }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(arr)
+    java.util.Arrays.sort(hs, 0, w)
+    // in-place dedup (distinct variants only: equal deletions of a string
+    // with repeated chars collide)
+    var k = 0
+    var u = 0
+    while (k < w) {
+      if (u == 0 || hs(k) != hs(u - 1)) { hs(u) = hs(k); u += 1 }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(hs, u))
   }
 }
 
