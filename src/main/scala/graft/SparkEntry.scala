@@ -60,6 +60,17 @@ object SparkEntry {
     "q_scan" -> ((s, dir) =>
       t(s, dir, "nation").orderBy("n_nationkey")),
 
+    // ---------------- P1 CSV source through the oracle (the reference's
+    // ONLY format, ref: src/io/mod.rs:56-59). Both queries write nation —
+    // augmented with a column full of delimiters/quotes — as CSV via the
+    // engine sink, then read it back via the engine source with a supplied
+    // schema. q_csv_roundtrip's oracle is GROUND TRUTH recomputed from the
+    // parquet table (write->read is lossless); q_csv_interchange's oracle
+    // is DuckDB's read_csv over the same files (a foreign parser reads our
+    // RFC 4180 bytes to identical values).
+    "q_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
+    "q_csv_interchange" -> ((s, dir) => csvRoundtrip(s, dir)),
+
     // ---------------- L2 Projection + arithmetic expressions
     // (ref: src/plan/logical/projection.rs, binary ops +,-,*,/)
     "q_projection" -> ((s, dir) =>
@@ -1039,6 +1050,23 @@ object SparkEntry {
   // DuckDB oracle twins. Omitted keys → driver records rows-only check.
   // ===================================================================
 
+  /** CSV write->read roundtrip of nation plus a delimiter/quote-laden
+    * derived column; shared by q_csv_roundtrip and q_csv_interchange. */
+  private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = "/tmp/graft_csv_roundtrip"
+    val tricky = t(s, dir, "nation").select(
+      col("n_nationkey"), col("n_name"), col("n_regionkey"),
+      concat(lit("a,\"b\" "), col("n_name"), lit(";c")).as("tricky"))
+    graft.sources.Sinks.writeCsv(tricky, out)
+    Context.forSfDir(s, dir)
+      .readCsv(out, graft.engine.CsvOptions(schema = Some(StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType),
+        StructField("tricky", StringType))))))
+      .orderBy("n_nationkey")
+  }
+
   /** 2^b HUGEINT literals for the DuckDB simhash twin's bit extraction. */
   private def pow2Values: String =
     (0 until 64).map(b => s"($b, CAST('${BigInt(1) << b}' AS HUGEINT))")
@@ -1061,6 +1089,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+
+    // ground truth recomputed from parquet: the roundtrip must be lossless
+    "q_csv_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+           'a,"b" ' || n_name || ';c' AS tricky
+         FROM nation ORDER BY n_nationkey""",
+
+    // a foreign parser over the engine-written bytes must see the same values
+    "q_csv_interchange" ->
+      """SELECT * FROM read_csv('/tmp/graft_csv_roundtrip/*.csv',
+           header=true, quote='"', escape='"',
+           columns={'n_nationkey':'INTEGER','n_name':'VARCHAR',
+                    'n_regionkey':'INTEGER','tricky':'VARCHAR'})
+         ORDER BY n_nationkey""",
 
     "q_projection" ->
       """SELECT l_orderkey, l_linenumber,

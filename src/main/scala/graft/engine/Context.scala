@@ -56,6 +56,7 @@ class Context(val spark: SparkSession) {
       .option("header", options.header)
       .option("delimiter", options.delimiter.toString)
       .option("quote", options.quote.toString)
+      .option("escape", options.escape.toString)
       .option("mode", options.mode)
     r = options.schema match {
       case Some(s) => r.schema(s)
@@ -135,6 +136,7 @@ case class CsvOptions(
     header: Boolean = true,
     delimiter: Char = ',',
     quote: Char = '"',
+    escape: Char = '"', // RFC 4180 doubled quotes (Spark's default is '\\')
     schema: Option[StructType] = None,
     mode: String = "PERMISSIVE")
 

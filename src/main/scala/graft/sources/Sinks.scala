@@ -30,11 +30,18 @@ object Sinks {
       .parquet(path)
   }
 
+  /** CSV sink writing RFC 4180 interchange form: embedded quotes are
+    * DOUBLED (escape = quote), not backslash-escaped as Spark's default
+    * has it — so any standard CSV reader parses our output byte-for-byte
+    * (q_csv_interchange proves this against DuckDB's read_csv). */
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
-      delimiter: Char = ',', mode: SaveMode = SaveMode.Overwrite): Unit =
+      delimiter: Char = ',', quote: Char = '"',
+      mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode)
       .option("header", header.toString)
       .option("delimiter", delimiter.toString)
+      .option("quote", quote.toString)
+      .option("escape", quote.toString)
       .csv(path)
 
   def writeJson(df: DataFrame, path: String,

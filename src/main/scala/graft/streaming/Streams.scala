@@ -71,10 +71,8 @@ object Streams {
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
       watermark: String = "1 hour"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
-    val flushOpen = !events.isStreaming
-    val src = if (events.isStreaming)
-      events.withWatermark("ts", watermark).as[Event]
-    else events
+    if (!events.isStreaming) return sessionizeBatch(events, gapMs)
+    val src = events.withWatermark("ts", watermark).as[Event]
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -106,14 +104,52 @@ object Streams {
                   math.max(cur.lastTs, t), cur.count + 1, cur.sumScaled + v)
             }
             if (cur != null) {
-              if (flushOpen) out += close(cur)
-              else {
-                state.update(cur)
-                state.setTimeoutTimestamp(cur.lastTs + gapMs)
-              }
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastTs + gapMs)
             }
             out.iterator
           }
+      }
+  }
+
+  /** Batch sessionization as a SECONDARY SORT: repartition by user, sort
+    * within partitions by (user, ts, event_id), then stream every
+    * partition's rows through a one-pass accumulator. No per-user
+    * materialization anywhere — a degenerate user with a billion events
+    * costs one running SessionState, not an in-task array (the streaming
+    * path has the same property because its state is one SessionState per
+    * user; this keeps the batch path's memory equally flat). */
+  private def sessionizeBatch(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        new Iterator[UserSession] {
+          private var out: UserSession = _
+          private var have = false
+          private var cur: SessionState = null
+          private var curUser = 0L
+          private def close(u: Long, s: SessionState): UserSession =
+            UserSession(u, s.startTs, s.lastTs, s.count,
+              new java.math.BigDecimal(
+                java.math.BigInteger.valueOf(s.sumScaled), 6).doubleValue)
+          private def compute(): Unit = {
+            while (!have && it.hasNext) {
+              val e = it.next()
+              val t = e.ts.getTime; val v = scaled6(e.value)
+              if (cur == null) {
+                curUser = e.user_id; cur = SessionState(t, t, 1L, v)
+              } else if (e.user_id != curUser || t - cur.lastTs > gapMs) {
+                out = close(curUser, cur); have = true
+                curUser = e.user_id; cur = SessionState(t, t, 1L, v)
+              } else
+                cur = SessionState(cur.startTs, t, cur.count + 1, cur.sumScaled + v)
+            }
+            if (!have && cur != null) { out = close(curUser, cur); cur = null; have = true }
+          }
+          override def hasNext: Boolean = { compute(); have }
+          override def next(): UserSession = { compute(); have = false; out }
+        }
       }
   }
 
@@ -142,6 +178,23 @@ object Streams {
       events.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
     else events.dropDuplicates(keyCols)
+
+  /** Exactly-once file pipeline: the checkpoint persists source offsets
+    * per committed batch, and the sink is IDEMPOTENT — each micro-batch
+    * overwrites its own `batch_id=N` parquet directory, so replaying the
+    * one possibly-uncommitted batch after a crash/restart rewrites
+    * identical data instead of duplicating it. Offsets-in-checkpoint +
+    * idempotent-by-batchId is Spark's standard exactly-once recipe for
+    * file sinks driven through foreachBatch; downstream readers see the
+    * result as an ordinary hive-partitioned dataset. */
+  def parquetSinkExactlyOnce(streamed: DataFrame, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streamed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
 
   /** Run a streaming query over a bounded source into a memory sink and
     * return the materialized result — used by tests to drive the streaming
