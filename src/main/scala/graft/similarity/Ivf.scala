@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.native
@@ -25,12 +24,19 @@ import graft.functions.native
   */
 object Ivf {
 
-  /** Initial centroids: deterministic corpus sample (lowest ids). */
+  /** Initial centroids: deterministic corpus sample (lowest ids). The k
+    * seeds are numbered on the DRIVER — the centroid set is driver-sized
+    * by construction, and an unpartitioned row_number window here would
+    * put a single-partition WindowExec in every training plan. */
   private def initCentroids(corpus: DataFrame, k: Int,
-      idCol: String, vecCol: String): DataFrame =
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     corpus.orderBy(col(idCol)).limit(k)
-      .select((row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
-        col(vecCol).as("centroid"))
+      .select(col(vecCol)).as[Array[Float]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("centroid_id", "centroid")
+  }
 
   /** Materialize the centroid set on the driver: k (id, vector) pairs —
     * bounded by k, never by data scale. */
