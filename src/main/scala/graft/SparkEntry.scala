@@ -956,6 +956,38 @@ object SparkEntry {
           maxBucketSize = 100000)
         .orderBy("id_a", "id_b")),
 
+    // deterministic training-shard assignment (the writer's hash, per-row
+    // verifiable cross-engine; writeTrainingShards itself is SinksSpec'd)
+    "q_shards" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Profile.shardOf(col("doc_id"), 8).as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("shard")),
+
+    // incremental exact dedup: the new batch (source src0) anti-joined
+    // against the reference corpus (all other sources) on md5(text)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exactNewOnly(docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // incremental NEAR-dup dedup: new batch kept only where no reference
+    // doc reaches exact shingle-Jaccard >= 0.7 among banding candidates;
+    // oracle is the full O(n²) cross-corpus exact twin (cap unbound)
+    "q_dedup_incremental_near" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashNewOnly(docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          threshold = 0.7, maxBucketSize = 100000)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // wide-radius simhash candidates (hamming <= 8 exceeds the 4-chunk
     // pigeonhole guarantee: approximate recall, the production wide net;
     // rows-only by design)
@@ -1003,7 +1035,9 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed approximate top-k (scale path; rows-only)
+    // LSH-bucketed approximate top-k (scale path); the oracle recomputes
+    // the buckets from the same plane literals, so the approximate result
+    // is hash-checked end-to-end
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Ann.lshTopK(emb, Ann.selfQueries(emb, 10), k = 5, planes = 6)
@@ -1524,6 +1558,32 @@ object SparkEntry {
          SELECT query_id, rank, neighbor_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
 
+    // the LSH buckets recomputed in DuckDB from the same literal-embedded
+    // hyperplanes (6 planes), then exact cosine top-k WITHIN each query's
+    // bucket — a full two-sided twin of the approximate path (the
+    // approximation is in WHICH candidates are scored, and the twin
+    // reproduces the bucketing bit-exactly)
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         b AS (SELECT vec_id, v, ${embBucketSql(6, 64)} AS bucket FROM e),
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+               WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+           FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             neighbor_id, cosine
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
     "q_sample_stratified" ->
       """WITH sampled AS (
            SELECT o_orderpriority, count(*) AS n_sampled FROM orders
@@ -1580,6 +1640,46 @@ object SparkEntry {
                           AND punct_ratio < 0.3 AND rep < 0.6
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM scored GROUP BY source ORDER BY source""",
+
+    "q_shards" ->
+      """WITH h AS (
+           SELECT doc_id,
+             (((doc_id % 4294967296) % 65536) * 2654435761
+              + ((((doc_id % 4294967296) // 65536) * 2654435761) % 65536)
+                * 65536)
+             % 4294967296 % 8 AS shard
+           FROM documents)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM h GROUP BY shard ORDER BY shard""",
+
+    "q_dedup_incremental" ->
+      """SELECT i.doc_id, i.source, i.n_chars FROM documents i
+         WHERE i.source = 'src0' AND NOT EXISTS (
+           SELECT 1 FROM documents r
+           WHERE r.source <> 'src0' AND r.text = i.text)
+         ORDER BY i.doc_id""",
+
+    // full O(n²) cross-corpus exact twin; comparison written as
+    // shared >= union * t, matching the engine's formulation bit-for-bit
+    "q_dedup_incremental_near" ->
+      """WITH grams AS (
+           SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 4, 0)),
+               i -> substr(text, i, 5))) AS gs
+           FROM documents),
+         inc AS (SELECT doc_id, gs FROM grams WHERE source = 'src0'),
+         ref AS (SELECT doc_id, gs FROM grams WHERE source <> 'src0'),
+         dup AS (
+           SELECT DISTINCT i.doc_id
+           FROM inc i JOIN ref r ON TRUE
+           WHERE CAST(len(list_intersect(i.gs, r.gs)) AS DOUBLE) >=
+             (len(i.gs) + len(r.gs) - len(list_intersect(i.gs, r.gs)))
+               * 0.7)
+         SELECT doc_id FROM inc
+         WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         ORDER BY doc_id""",
 
     // full O(n²) exact byte-shingle Jaccard twin — proves MinHash banding
     // candidate recall is lossless at gate scale (corpus is ASCII, so

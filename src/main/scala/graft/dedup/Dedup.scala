@@ -265,6 +265,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------- incremental (cross-corpus)
+
+  /** Incremental exact dedup: rows of `incoming` whose text does not
+    * appear in `reference` — the snapshot-over-snapshot pipeline op
+    * (dedup crawl N against crawl N-1 without re-clustering the union).
+    * Left-anti hash join on md5(text): 16-byte join keys, and the
+    * reference side is reduced to DISTINCT hashes first so the join input
+    * is |distinct reference texts|, not |reference rows|. */
+  def exactNewOnly(incoming: DataFrame, reference: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val refHashes = reference.select(md5(col(textCol)).as("__ref_hash")).distinct()
+    incoming.join(refHashes, md5(col(textCol)) === col("__ref_hash"), "left_anti")
+  }
+
+  /** Incremental NEAR-dup dedup: rows of `incoming` with no reference doc
+    * at exact byte-shingle Jaccard >= threshold. Same shape as
+    * minhashVerifiedPairs but across two corpora: banding candidates are
+    * an equi-join of the two band tables (incoming side never self-joins),
+    * survivors verified with the exact sorted-merge intersect, and the
+    * matched incoming ids anti-joined away. At 100 TB the reference band
+    * table is written once (partitioned by band) and every new crawl joins
+    * against it — the reference corpus itself never reshuffles. */
+  def minhashNewOnly(incoming: DataFrame, reference: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
+      threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+    def banded(docs: DataFrame) = docs.select(col(idCol).as("id"),
+      posexplode(native.minhash_bands(
+        minhashSignature(col(textCol), numHashes, shingle), bands))
+        .as(Seq("band_id", "band_hash")))
+    def shingles(docs: DataFrame) = docs.select(col(idCol).as("id"),
+        native.char_shingle_hashes(col(textCol), shingle).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast(LongType))
+
+    val refBands = dropHotBuckets(banded(reference), Seq("band_id", "band_hash"),
+      maxBucketSize)
+    val cand = banded(incoming).select(col("band_id"), col("band_hash"),
+        col("id").as("id_in"))
+      .join(refBands.select(col("band_id"), col("band_hash"), col("id").as("id_ref")),
+        Seq("band_id", "band_hash"))
+      .select("id_in", "id_ref").dropDuplicates("id_in", "id_ref")
+    val dupIn = cand
+      .join(shingles(incoming).select(col("id").as("id_in"),
+        col("sh").as("sh_in"), col("n_sh").as("n_in")), "id_in")
+      .join(shingles(reference).select(col("id").as("id_ref"),
+        col("sh").as("sh_ref"), col("n_sh").as("n_ref")), "id_ref")
+      .withColumn("shared", native.sorted_intersect(col("sh_in"), col("sh_ref")).cast(LongType))
+      .filter(col("shared").cast(DoubleType) >=
+        (col("n_in") + col("n_ref") - col("shared")).cast(DoubleType) * threshold)
+      .select(col("id_in").as(idCol)).distinct()
+    incoming.join(dupIn, idCol, "left_anti")
+  }
+
   // ------------------------------------------------- fuzzy (edit-distance) join
 
   /** Edit-distance <= maxDist self-join on a SHORT string key, bucketed —

@@ -40,13 +40,23 @@ object Profile {
     * for. So compute (id mod 2^32) * C mod 2^32 in two 16-bit limbs: every
     * intermediate stays below 1.8e14, exact in 64-bit (and in any engine's
     * BIGINT). */
-  private[graft] def hashBucket100(id: Column): Column = {
+  private[graft] def hash32(id: Column): Column = {
     val c = lit(2654435761L)
     val a = pmod(id.cast(LongType), lit(4294967296L))
     val lo = pmod(a, lit(65536L)) * c
     val hi = shiftleft(pmod(shiftright(a, 16) * c, lit(65536L)), 16)
-    pmod(pmod(lo + hi, lit(4294967296L)), lit(100L))
+    pmod(lo + hi, lit(4294967296L))
   }
+
+  private[graft] def hashBucket100(id: Column): Column =
+    pmod(hash32(id), lit(100L))
+
+  /** Deterministic shard id in [0, nShards) — same width-safe
+    * multiplicative hash, so shard assignment is reproducible across
+    * runs, partitionings, and engines (and restartable mid-job, which
+    * `repartition(n)`'s round-robin is not). */
+  def shardOf(id: Column, nShards: Int): Column =
+    pmod(hash32(id), lit(nShards.toLong))
 
   /** Deterministic hash-based train/eval split on an integer id column —
     * the reproducible alternative to rand()-based sampling (stable across

@@ -20,6 +20,28 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Sinks {
 
+  /** Deterministic training-shard writer: each row lands in one of
+    * `nShards` hive directories by the width-safe multiplicative id hash
+    * (`Profile.shardOf` — stable across runs, partitionings and engines;
+    * a restarted 100 TB job reproduces the exact same shards, which
+    * `repartition(n)` round-robin or rand() cannot promise), and rows
+    * WITHIN a shard are written in decorrelated hash order — the
+    * reproducible global shuffle an LLM training pipeline wants for its
+    * data loader. `repartition(shard)` co-locates each shard in one task
+    * so every shard directory is written as one sorted unit. */
+  def writeTrainingShards(df: DataFrame, path: String, nShards: Int,
+      idCol: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val id = col(idCol)
+    df.withColumn("shard", graft.functions.Profile.shardOf(id, nShards))
+      .repartition(col("shard"))
+      // order inside a shard by the hash of (id + 1), decorrelated from
+      // the shard hash; id as the total-order tiebreaker
+      .sortWithinPartitions(col("shard"),
+        graft.functions.Profile.hash32(id + lit(1L)), id)
+      .write.mode(mode).partitionBy("shard").parquet(path)
+  }
+
   def writeParquet(df: DataFrame, path: String,
       partitionCols: Seq[String] = Nil,
       mode: SaveMode = SaveMode.Overwrite,

@@ -25,6 +25,37 @@ class SinksSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters"))
   }
 
+  test("writeTrainingShards: deterministic hive shards, hash-ordered within") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val out = tmp() + "/shards"
+    Sinks.writeTrainingShards(df, out, nShards = 4, idCol = "id")
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200)
+    assert(back.select("shard").distinct().as[Int].collect().sorted.toSeq == Seq(0, 1, 2, 3))
+    // hive layout: one directory per shard
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // assignment matches the engine hash (partitionBy round-trips it)
+    val mismatch = back.filter(col("shard") =!=
+      graft.functions.Profile.shardOf(col("id"), 4)).count()
+    assert(mismatch == 0)
+    // within a shard the file is written in decorrelated-hash order
+    val shard0 = spark.read.parquet(out + "/shard=0")
+    val gotIds = shard0.select("id").as[Long].collect().toSeq
+    val wantIds = shard0
+      .orderBy(graft.functions.Profile.hash32(col("id") + lit(1L)), col("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(gotIds == wantIds)
+    assert(gotIds != gotIds.sorted) // i.e. genuinely shuffled, not id order
+    // determinism: a second write produces identical shard contents
+    val out2 = tmp() + "/shards2"
+    Sinks.writeTrainingShards(df.repartition(7), out2, nShards = 4, idCol = "id")
+    val again = spark.read.parquet(out2 + "/shard=0").select("id").as[Long].collect().toSeq
+    assert(again == gotIds)
+  }
+
   test("csv round-trip preserves data with header") {
     val region = Tables.load(spark, SparkFixture.sfDir, "region")
     val out = tmp() + "/region_csv"
