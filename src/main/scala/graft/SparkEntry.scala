@@ -956,6 +956,26 @@ object SparkEntry {
           maxBucketSize = 100000)
         .orderBy("id_a", "id_b")),
 
+    // benchmark decontamination: eval docs (src1) whose word-3-gram
+    // containment in any training doc reaches 0.5 (asymmetric — Jaccard
+    // misses a prompt quoted inside a large doc); df cap unbound so the
+    // full O(n²) cross twin is exact
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramContainmentPairs(docs.filter(col("source") =!= "src1"),
+          docs.filter(col("source") === "src1"),
+          n = 3, threshold = 0.5, maxDocFreq = 1000000)
+        .orderBy("eval_id", "train_id")
+    }),
+
+    // deterministic per-stratum quota sample (data mixing: exact
+    // per-domain counts, hash-ordered so cross-engine reproducible)
+    "q_mix_quota" -> ((s, dir) =>
+      graft.functions.Profile.quotaSample(
+          t(s, dir, "documents"), "source", "doc_id", quota = 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // deterministic training-shard assignment (the writer's hash, per-row
     // verifiable cross-engine; writeTrainingShards itself is SinksSpec'd)
     "q_shards" -> ((s, dir) =>
@@ -1640,6 +1660,47 @@ object SparkEntry {
                           AND punct_ratio < 0.3 AND rep < 0.6
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM scored GROUP BY source ORDER BY source""",
+
+    // full O(n²) cross twin of asymmetric containment; the filter is
+    // written shared >= n_e * t to match the engine bit-for-bit
+    "q_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '[ \n\t\r]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gs
+           FROM toks),
+         ev AS (SELECT doc_id AS eval_id, gs, len(gs) AS n_e FROM grams
+                WHERE source = 'src1' AND len(gs) > 0),
+         tr AS (SELECT doc_id AS train_id, gs FROM grams
+                WHERE source <> 'src1')
+         SELECT e.eval_id, t.train_id,
+           CAST(len(list_intersect(e.gs, t.gs)) AS DOUBLE) / e.n_e
+             AS containment
+         FROM ev e JOIN tr t ON TRUE
+         WHERE CAST(len(list_intersect(e.gs, t.gs)) AS DOUBLE)
+           >= e.n_e * 0.5
+         ORDER BY eval_id, train_id""",
+
+    "q_mix_quota" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             (((doc_id % 4294967296) % 65536) * 2654435761
+              + ((((doc_id % 4294967296) // 65536) * 2654435761) % 65536)
+                * 65536)
+             % 4294967296 AS hh
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+               AS rk
+           FROM h)
+         SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id""",
 
     "q_shards" ->
       """WITH h AS (

@@ -318,6 +318,35 @@ object Dedup {
     incoming.join(dupIn, idCol, "left_anti")
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Train/eval contamination pairs: (eval doc, train doc) where the
+    * fraction of the EVAL doc's word n-grams contained in the train doc
+    * reaches `threshold` — the asymmetric overlap used for benchmark
+    * decontamination (an eval prompt quoted inside a large training doc
+    * scores ~1.0 while its symmetric Jaccard is near 0, so near-dup
+    * machinery cannot find it). Candidates come from the shared-gram
+    * posting join on 64-bit fingerprints with a df cap on boilerplate
+    * grams; the posting-join match count IS the exact intersection size
+    * (both gram sets are distinct), so there is no second verify pass. */
+  def ngramContainmentPairs(train: DataFrame, evalDocs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
+      threshold: Double = 0.8, maxDocFreq: Int = 10000): DataFrame = {
+    val eg = evalDocs.select(col(idCol).as("eval_id"),
+        native.word_ngram_hashes(col(textCol), n).as("grams"))
+      .withColumn("n_e", size(col("grams")).cast(LongType))
+      .filter(col("n_e") > 0)
+    val pe = eg.select(col("eval_id"), col("n_e"), explode(col("grams")).as("gram"))
+    val pt = train.select(col(idCol).as("train_id"),
+      explode(native.word_ngram_hashes(col(textCol), n)).as("gram"))
+    pe.join(dropHotBuckets(pt, Seq("gram"), maxDocFreq), "gram")
+      .groupBy("eval_id", "train_id", "n_e")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast(DoubleType) >= col("n_e").cast(DoubleType) * threshold)
+      .select(col("eval_id"), col("train_id"),
+        (col("shared").cast(DoubleType) / col("n_e").cast(DoubleType)).as("containment"))
+  }
+
   // ------------------------------------------------- fuzzy (edit-distance) join
 
   /** Edit-distance <= maxDist self-join on a SHORT string key, bucketed —

@@ -79,4 +79,20 @@ object Profile {
     * on id). */
   def stratifiedSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket100(col(idCol)) < pct)
+
+  /** Deterministic per-stratum quota: exactly min(quota, |stratum|) rows
+    * per stratum, chosen as the first `quota` in multiplicative-hash
+    * order — the data-mixing primitive (exact per-domain counts, unlike a
+    * pct sample) that is reproducible across runs, partitionings and
+    * engines. The window partitions by stratum, so its parallelism equals
+    * |strata| and each sort touches only one stratum's rows (domains are
+    * plentiful at 100 TB; a single giant stratum is the caller's skew
+    * signal). */
+  def quotaSample(df: DataFrame, stratumCol: String, idCol: String,
+      quota: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(hash32(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota).drop("__rk")
+  }
 }

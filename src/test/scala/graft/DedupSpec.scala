@@ -99,6 +99,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((0L, 1L, 1L)) || got.contains((0L, 1L, 2L)))
   }
 
+  test("ngramContainmentPairs catches a prompt quoted inside a large doc") {
+    val prompt = "what is the capital of france answer in one word"
+    val filler = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val train = Seq(
+      (100L, s"$filler $prompt $filler"), // quotes the prompt verbatim
+      (101L, filler)).toDF("doc_id", "text")
+    val eval_ = Seq((1L, prompt)).toDF("doc_id", "text")
+
+    val hits = Dedup.ngramContainmentPairs(train, eval_, n = 3,
+      threshold = 0.9, maxDocFreq = 1000000)
+      .select("eval_id", "train_id", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(hits.toSeq == Seq((1L, 100L, 1.0)))
+
+    // the symmetric near-dup machinery CANNOT see this pair: tiny Jaccard
+    val jac = Dedup.ngramJaccardPairs(
+      train.union(eval_).toDF("doc_id", "text"), n = 3, threshold = 0.5,
+      maxDocFreq = 1000000)
+    assert(jac.filter(col("id_a") === 1L || col("id_b") === 1L).count() == 0)
+  }
+
   test("embedding near-dup finds identical vectors") {
     val vecs = Seq(
       (0L, Array.fill(64)(0.5f)),
