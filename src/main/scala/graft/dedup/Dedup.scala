@@ -299,8 +299,12 @@ object Dedup {
         native.char_shingle_hashes(col(textCol), shingle).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast(LongType))
 
-    val refBands = dropHotBuckets(banded(reference), Seq("band_id", "band_hash"),
-      maxBucketSize)
+    // persist the reference band table: the hot-bucket agg and the
+    // candidate join both read it, and at 100 TB this is the table you
+    // write ONCE per snapshot and reuse for every incoming crawl
+    val refBands = dropHotBuckets(
+      banded(reference).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      Seq("band_id", "band_hash"), maxBucketSize)
     val cand = banded(incoming).select(col("band_id"), col("band_hash"),
         col("id").as("id_in"))
       .join(refBands.select(col("band_id"), col("band_hash"), col("id").as("id_ref")),
