@@ -894,7 +894,9 @@ object SparkEntry {
             .as("normalized"))
         .orderBy("doc_id")),
 
-    // text analysis: heuristic scores + fingerprint (rows-only oracle)
+    // text analysis: heuristic scores + fingerprint; the oracle
+    // recomputes the full heuristic (and the rolling FNV fingerprint in
+    // HUGEINT) in DuckDB
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), native.text_stats(col("text")).as("st"))
@@ -1660,6 +1662,86 @@ object SparkEntry {
                           AND punct_ratio < 0.3 AND rep < 0.6
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM scored GROUP BY source ORDER BY source""",
+
+    // the full TextStats heuristic recomputed in SQL: token/char class
+    // counts via regex twins of the kernel's char classes, the quality
+    // formula in the same operation order, the first-max-wins language
+    // argmax as an ordered CASE, and the rolling FNV-1a fingerprint in
+    // HUGEINT mod-2^64 arithmetic mapped back to signed BIGINT
+    "q_text_quality" ->
+      """WITH toks AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         base AS (
+           SELECT doc_id, text, tk,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[ \t\n\v\f\r]', '', 'g'))
+               AS BIGINT) AS n_nonws,
+             CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+               AS BIGINT) AS n_punct,
+             CAST(len(list_filter(tk, t -> lower(t) IN ('the','a','an','of',
+               'and','or','to','in','is','are','was','were','be','on','for',
+               'with','as','at','by','it','this','that'))) AS BIGINT) AS stop_hits,
+             CAST(len(list_filter(tk, t -> lower(t) IN ('der','die','das',
+               'und','ist','nicht','mit','ein','eine','zu','von'))) AS BIGINT) AS h_de,
+             CAST(len(list_filter(tk, t -> lower(t) IN ('the','and','is',
+               'of','to','in','that','it','with','for'))) AS BIGINT) AS h_en,
+             CAST(len(list_filter(tk, t -> lower(t) IN ('el','la','los',
+               'las','de','que','y','es','en','un','una','por'))) AS BIGINT) AS h_es,
+             CAST(len(list_filter(tk, t -> lower(t) IN ('le','la','les',
+               'de','et','est','que','dans','pour','une','des'))) AS BIGINT) AS h_fr,
+             CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+               AS BIGINT) AS h_zh
+           FROM toks),
+         m AS (
+           SELECT *,
+             CASE WHEN n_tokens = 0 THEN 0.0
+               ELSE CAST(n_nonws AS DOUBLE) / n_tokens END AS mean_tok_len,
+             CASE WHEN n_chars = 0 THEN 0.0
+               ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+             CASE WHEN n_tokens = 0 THEN 0.0
+               ELSE CAST(stop_hits AS DOUBLE) / n_tokens END AS stopword_ratio
+           FROM base),
+         q AS (
+           SELECT *,
+             (least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.4
+              + least(stopword_ratio * 4.0, 1.0) * 0.3
+              + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+                  THEN 1.0 ELSE 0.5 END) * 0.3)
+             * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END) AS quality,
+             CASE
+               WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+               WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+                 AND h_de >= h_zh THEN 'de'
+               WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+               WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+               WHEN h_fr >= h_zh THEN 'fr'
+               ELSE 'zh'
+             END AS lang_pred
+           FROM m),
+         fp AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(tk, t ->
+                   list_reduce(
+                     list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                       list_transform(generate_series(1, length(t)),
+                         i -> CAST(ord(substr(t, i, 1)) AS HUGEINT))),
+                     (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
+                       % CAST('18446744073709551616' AS HUGEINT)))),
+               (acc, f) -> (acc * 1000003 + f)
+                 % CAST('18446744073709551616' AS HUGEINT)) AS ufp
+           FROM toks)
+         SELECT q.doc_id, q.quality, q.lang_pred, q.stopword_ratio,
+           CAST(CASE WHEN fp.ufp >= CAST('9223372036854775808' AS HUGEINT)
+             THEN fp.ufp - CAST('18446744073709551616' AS HUGEINT)
+             ELSE fp.ufp END AS BIGINT) AS fingerprint
+         FROM q JOIN fp ON q.doc_id = fp.doc_id
+         ORDER BY q.doc_id""",
 
     // full O(n²) cross twin of asymmetric containment; the filter is
     // written shared >= n_e * t to match the engine bit-for-bit
