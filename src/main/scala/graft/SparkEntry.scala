@@ -469,6 +469,15 @@ object SparkEntry {
       Streams.hourlyTypeCounts(t(s, dir, "events"))
         .orderBy("hour_start", "event_type")),
 
+    // stream-stream interval join (click -> views within 10 min), run on
+    // the batch path; the same builder is watermark-bounded in streaming
+    "q_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Streams.intervalJoin(ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"), "10 minutes")
+        .orderBy("user_id", "l_id", "r_id")
+    }),
+
     // session windows (dynamic-length event-time windows)
     "q_session_window" -> ((s, dir) =>
       Streams.userSessions(t(s, dir, "events"), gap = "30 minutes")
@@ -1412,6 +1421,17 @@ object SparkEntry {
            event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "q_interval_join" ->
+      """SELECT c.user_id, c.event_id AS l_id, v.event_id AS r_id,
+           CAST(c.ts AS TIMESTAMP) AS l_ts, CAST(v.ts AS TIMESTAMP) AS r_ts
+         FROM events c JOIN events v
+           ON c.user_id = v.user_id
+          AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+          AND CAST(v.ts AS TIMESTAMP)
+              <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+         WHERE c.event_type = 'click' AND v.event_type = 'view'
+         ORDER BY c.user_id, l_id, r_id""",
 
     "q_normalize" ->
       """SELECT doc_id,

@@ -167,6 +167,26 @@ object Streams {
         col("n_events"))
   }
 
+  /** Stream-stream interval join: each left event matched to right events
+    * of the same user with r.ts in [l.ts, l.ts + window]. In streaming
+    * BOTH sides carry watermarks and the join condition is time-bounded —
+    * the two requirements that let Spark evict join state, the only way a
+    * stream-stream join runs with bounded memory on unbounded input (state
+    * held ≈ watermark + window per side). Batch inputs run the identical
+    * condition as an ordinary range join. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      window: String = "10 minutes", watermark: String = "1 hour"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
+      .select(col("event_id").as("l_id"), col("ts").as("l_ts"), col("user_id"))
+    val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right)
+      .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+        col("user_id").as("r_user"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming exact dedup on a key with state bounded by the watermark:
     * duplicates arriving within the watermark horizon are dropped;
     * state for keys older than the horizon is evicted (the only way

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{EditKernel, HashKernels, NGramKernel}
+
+/** Property tests for the pure hash kernels (no Spark session needed).
+  * The FastSS property is the correctness core of `Dedup.editDistancePairs`:
+  * candidate generation misses no pair within the edit radius. */
+object KernelProps extends Properties("Kernels") {
+
+  private def variantSet(s: String, k: Int): Set[Long] = {
+    val a = EditKernel.deletionVariantHashes(UTF8String.fromString(s), k)
+    (0 until a.numElements()).map(a.getLong).toSet
+  }
+
+  private val strGen: Gen[String] =
+    Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private def mutate1(s: String): Gen[String] = {
+    val ins = for {
+      p <- Gen.choose(0, s.length); c <- Gen.alphaLowerChar
+    } yield s.substring(0, p) + c + s.substring(p)
+    val del =
+      if (s.isEmpty) Gen.const(s)
+      else Gen.choose(0, s.length - 1).map(p => s.substring(0, p) + s.substring(p + 1))
+    val sub =
+      if (s.isEmpty) Gen.const(s)
+      else for {
+        p <- Gen.choose(0, s.length - 1); c <- Gen.alphaLowerChar
+      } yield s.substring(0, p) + c + s.substring(p + 1)
+    Gen.oneOf(ins, del, sub)
+  }
+
+  private val editPairGen: Gen[(String, String)] = for {
+    s <- strGen
+    n <- Gen.choose(0, 2)
+    t <- (0 until n).foldLeft(Gen.const(s))((g, _) => g.flatMap(mutate1))
+  } yield (s, t)
+
+  // the FastSS theorem (Bocek et al. 2007): ed(a,b) <= k implies the
+  // <=k-deletion neighborhoods intersect — zero false negatives
+  property("FastSS: strings within 2 edits share a deletion variant") =
+    forAll(editPairGen) { case (a, b) =>
+      variantSet(a, 2).intersect(variantSet(b, 2)).nonEmpty
+    }
+
+  // with all-distinct characters no two deletion variants collide, so the
+  // neighborhood size is exactly 1 + n + C(n,2)
+  property("deletion neighborhood size = sum C(n,<=2) for distinct chars") =
+    forAll(Gen.choose(0, 20)) { n =>
+      val s = ('a' to 'z').take(n).mkString
+      variantSet(s, 2).size == 1 + n + n * (n - 1) / 2
+    }
+
+  // charShingleHashes equals the naive sorted-distinct set of window hashes
+  property("charShingleHashes = distinct FNV of every n-byte window") =
+    forAll(strGen, Gen.choose(1, 6)) { (s, n) =>
+      val a = NGramKernel.charShingleHashes(UTF8String.fromString(s), n)
+      val got = (0 until a.numElements()).map(a.getLong).toSeq
+      val bytes = s.getBytes("UTF-8")
+      val want = (0 to bytes.length - n)
+        .map(i => HashKernels.fnv1a(bytes, i, i + n)).distinct.sorted
+      got == want
+    }
+}

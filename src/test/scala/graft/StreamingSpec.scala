@@ -104,6 +104,34 @@ class StreamingSpec extends AnyFunSuite {
       closed.head.session_end_ms == ts(0).getTime)
   }
 
+  test("stream-stream interval join matches within window, bounded by watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val memR = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    memL.addData((1L, ts(0), 7L, "click", 1.0, "{}"),
+      (2L, ts(30), 8L, "click", 1.0, "{}"))
+    memR.addData(
+      (10L, ts(5), 7L, "view", 1.0, "{}"),   // within 10 min of click 1
+      (11L, ts(25), 7L, "view", 1.0, "{}"),  // outside window
+      (12L, ts(32), 9L, "view", 1.0, "{}"))  // other user
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val joined = Streams.intervalJoin(
+      memL.toDF.toDF(cols: _*), memR.toDF.toDF(cols: _*), "10 minutes")
+    val got = Streams.runToMemory(joined, "ij_out", OutputMode.Append())
+      .select("user_id", "l_id", "r_id").as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((7L, 1L, 10L)))
+
+    // batch parity on the same rows
+    val lb = Seq((1L, ts(0), 7L, "click", 1.0, "{}"),
+      (2L, ts(30), 8L, "click", 1.0, "{}")).toDF(cols: _*)
+    val rb = Seq((10L, ts(5), 7L, "view", 1.0, "{}"),
+      (11L, ts(25), 7L, "view", 1.0, "{}"),
+      (12L, ts(32), 9L, "view", 1.0, "{}")).toDF(cols: _*)
+    val batch = Streams.intervalJoin(lb, rb, "10 minutes")
+      .select("user_id", "l_id", "r_id").as[(Long, Long, Long)].collect()
+    assert(batch.toSeq == got.toSeq)
+  }
+
   test("checkpointed file source + idempotent foreachBatch sink resumes exactly-once") {
     val root = java.nio.file.Files.createTempDirectory("graft_eo").toString
     val (srcDir, ckpt, outDir) = (s"$root/src", s"$root/ckpt", s"$root/out")
