@@ -142,9 +142,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b")
+    // zero-shingle docs (shorter than the shingle width) have no defined
+    // Jaccard — exclude them before the division, matching the oracle's
+    // len(gs) > 0 guard (two such docs otherwise collide in every band
+    // and the union term divides by zero under ANSI mode)
     val sh = docs.select(col(idCol).as("id"),
         native.char_shingle_hashes(col(textCol), shingle).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast(LongType))
+      .filter(col("n_sh") > 0)
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
     cand.join(a, "id_a").join(b, "id_b")

@@ -99,6 +99,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((0L, 1L, 1L)) || got.contains((0L, 1L, 2L)))
   }
 
+  test("minhashVerifiedPairs survives degenerate docs and finds exact dups") {
+    val docs = Seq(
+      (0L, ""),                               // empty
+      (1L, "ab"),                             // shorter than the shingle
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely unrelated content with other words entirely here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashVerifiedPairs(docs, threshold = 0.7,
+      maxBucketSize = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("incremental dedup: new-only rows against a reference corpus") {
+    val ref = Seq(
+      (100L, "shared duplicated text body number one"),
+      (101L, "reference only content alpha beta gamma")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "shared duplicated text body number one"),    // exact dup of 100
+      (2L, "shared duplicated text body number one!"),   // near dup of 100
+      (3L, "genuinely new content nothing like the rest and more besides"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.exactNewOnly(incoming, ref)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(2L, 3L)) // only the byte-exact dup removed
+    val near = Dedup.minhashNewOnly(incoming, ref, threshold = 0.7,
+      maxBucketSize = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(near == Set(3L)) // the near-dup goes too
+  }
+
   test("ngramContainmentPairs catches a prompt quoted inside a large doc") {
     val prompt = "what is the capital of france answer in one word"
     val filler = (1 to 60).map(i => s"tok$i").mkString(" ")
