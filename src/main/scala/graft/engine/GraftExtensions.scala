@@ -35,9 +35,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_dot", es => FloatVecDot(es(0), es(1)))
     inject("vec_norm", es => FloatVecNorm(es.head))
     inject("vec_cosine", es => FloatVecCosine(es(0), es(1)))
+    // parameterized kernels take their widths as literal int arguments
+    def intArg(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal INT parameter, got: $other")
+    }
     inject("minhash_sig", es => MinHashSig(es.head, 64, 5, 42L))
     inject("word_ngrams", es => WordNGrams(es.head, 3))
     inject("text_stats", es => TextStats(es.head))
+    inject("strip_accents", es => StripAccents(es.head))
+    inject("sorted_intersect", es => SortedLongIntersect(es(0), es(1)))
+    inject("sig_agree", es => SigAgree(es(0), es(1)))
+    inject("char_shingle_hashes",
+      es => CharShingleHashes(es(0), intArg(es(1), "char_shingle_hashes")))
+    inject("deletion_variant_hashes",
+      es => DeletionVariantHashes(es(0), intArg(es(1), "deletion_variant_hashes")))
+    inject("word_ngram_hashes",
+      es => WordNGramHashes(es(0), intArg(es(1), "word_ngram_hashes")))
+    inject("minhash_bands",
+      es => MinHashBandHashes(es(0), intArg(es(1), "minhash_bands")))
 
     ext.injectOptimizerRule(_ => graft.plans.PreAggGroupingSets)
   }

@@ -27,4 +27,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 1.0)
     assert(r.getLong(3) == 3L)
   }
+
+  test("parameterized kernels take literal int widths in SQL") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    Bridge.registerInjectedFunctions(ext, spark.sessionState.functionRegistry)
+
+    val r = spark.sql(
+      """SELECT size(char_shingle_hashes('abcdef', 3)) AS n_shingles,
+               size(deletion_variant_hashes('abc', 1)) AS n_variants,
+               sorted_intersect(char_shingle_hashes('abcdef', 3),
+                                char_shingle_hashes('bcdefg', 3)) AS shared,
+               size(minhash_bands(minhash_sig('the quick brown fox'), 16))
+                 AS n_bands""").collect()(0)
+    assert(r.getInt(0) == 4)  // 6 - 3 + 1 distinct windows
+    assert(r.getInt(1) == 4)  // 'abc' + 3 single deletions
+    assert(r.getInt(2) == 3)  // bcd, cde, def shared
+    assert(r.getInt(3) == 16)
+    // a non-literal width is a clear error, not a silent default
+    val e = intercept[Exception](spark.sql(
+      "SELECT char_shingle_hashes('x', length('ab'))").collect())
+    assert(e.getMessage.contains("literal INT"))
+  }
 }
