@@ -37,6 +37,21 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan("q_cross_theta").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("FastSS fuzzy join and near-dup candidate generation never go cartesian") {
+    for (q <- Seq("q_fuzzy_join_docs", "q_dedup_minhash",
+        "q_dedup_incremental_near", "q_decontaminate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+    }
+  }
+
+  test("ANN top-k ranks via partial aggregation, not a per-query window sort") {
+    val p = plan("q_ann_topk")
+    assert(!p.contains("Window"), "top-k should not shuffle into a window")
+    assert(p.contains("partial"), "TopK aggregator should plan a partial phase")
+  }
+
   test("sort+limit fuses to TakeOrderedAndProject (no global sort for top-k)") {
     assert(plan("q_limit").contains("TakeOrderedAndProject"))
   }
