@@ -461,6 +461,13 @@ object EditKernel {
     var m = 1
     var c = 1L
     while (m <= lim) { c = c * (n - m + 1) / m; cap += c; m += 1 }
+    // fail loudly instead of OOMing a task: the neighborhood is O(L^k),
+    // and a caller pointing this at unbounded text (vs a short join key)
+    // should hear that, not watch an executor die
+    if (cap > 2000000L)
+      throw new IllegalArgumentException(
+        s"deletion neighborhood too large: length-$n key with maxDel=$maxDel " +
+          s"gives $cap variants — bound the key (e.g. substring) or lower maxDel")
     val hs = new Array[Long](cap.toInt)
     var w = 0
     val positions = new Array[Int](math.max(lim, 1))
