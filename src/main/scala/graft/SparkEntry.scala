@@ -1019,11 +1019,13 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
-    // wide-radius simhash candidates (hamming <= 8 exceeds the 4-chunk
-    // pigeonhole guarantee: approximate recall, the production wide net;
-    // rows-only by design)
+    // wide-radius simhash (hamming <= 8 exceeds the 4-chunk pigeonhole
+    // guarantee, so recall is approximate — but DETERMINISTICALLY so: the
+    // oracle reproduces the chunk-collision candidate rule and the exact
+    // hamming filter, hash-checking the approximation itself)
     "q_dedup_simhash_wide" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8,
+          maxBucketSize = 100000)
         .orderBy("id_a", "id_b")),
 
     // word n-gram Jaccard pairs. The oracle is the FULL O(n²) exact-Jaccard
@@ -1131,6 +1133,32 @@ object SparkEntry {
         StructField("tricky", StringType))))))
       .orderBy("n_nationkey")
   }
+
+  /** Shared CTE chain for the simhash twins: tokenize, FNV-1a per token
+    * in HUGEINT mod-2^64, per-bit +1/-1 tallies, 64-bit sign list. */
+  private def simhashBitsCte: String =
+    s"""WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '[ \n\t\r]+'), x -> x <> '')) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(generate_series(1, length(tok)),
+                   i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
+                 % CAST('18446744073709551616' AS HUGEINT)) AS h
+           FROM toks),
+         pw AS (SELECT * FROM (VALUES $pow2Values) AS t(b, p)),
+         bits AS (
+           SELECT t.doc_id, pw.b,
+             sum(CASE WHEN (t.h // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS tally
+           FROM th t CROSS JOIN pw GROUP BY t.doc_id, pw.b),
+         sh AS (
+           SELECT doc_id,
+             list(CASE WHEN tally > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
+           FROM bits GROUP BY doc_id)"""
 
   /** 2^b HUGEINT literals for the DuckDB simhash twin's bit extraction. */
   private def pow2Values: String =
@@ -1868,34 +1896,28 @@ object SparkEntry {
     // arithmetic), ALL pairs at hamming <= 3 — two-sided proof of the
     // 4-chunk pigeonhole candidate generation's completeness
     "q_dedup_simhash" ->
-      s"""WITH toks AS (
-           SELECT doc_id, unnest(list_filter(
-             regexp_split_to_array(text, '[ \n\t\r]+'), x -> x <> '')) AS tok
-           FROM documents),
-         th AS (
-           SELECT doc_id,
-             list_reduce(
-               list_prepend(CAST('14695981039346656037' AS HUGEINT),
-                 list_transform(generate_series(1, length(tok)),
-                   i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
-               (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
-                 % CAST('18446744073709551616' AS HUGEINT)) AS h
-           FROM toks),
-         pw AS (SELECT * FROM (VALUES $pow2Values) AS t(b, p)),
-         bits AS (
-           SELECT t.doc_id, pw.b,
-             sum(CASE WHEN (t.h // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS tally
-           FROM th t CROSS JOIN pw GROUP BY t.doc_id, pw.b),
-         sh AS (
-           SELECT doc_id,
-             list(CASE WHEN tally > 0 THEN 1 ELSE 0 END ORDER BY b) AS bits
-           FROM bits GROUP BY doc_id)
+      s"""$simhashBitsCte
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_filter(generate_series(1, 64),
              i -> a.bits[i] <> b.bits[i])) AS BIGINT) AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(list_filter(generate_series(1, 64),
            i -> a.bits[i] <> b.bits[i])) <= 3
+         ORDER BY id_a, id_b""",
+
+    // the wide radius exceeds the pigeonhole guarantee, so the twin also
+    // reproduces the CANDIDATE rule (agreement on at least one 16-bit
+    // chunk) — hash-checking the deterministic approximation itself
+    "q_dedup_simhash_wide" ->
+      s"""$simhashBitsCte
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_filter(generate_series(1, 64),
+             i -> a.bits[i] <> b.bits[i])) AS BIGINT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE (a.bits[1:16] = b.bits[1:16] OR a.bits[17:32] = b.bits[17:32]
+            OR a.bits[33:48] = b.bits[33:48] OR a.bits[49:64] = b.bits[49:64])
+           AND len(list_filter(generate_series(1, 64),
+             i -> a.bits[i] <> b.bits[i])) <= 8
          ORDER BY id_a, id_b""",
 
     // hyperplane buckets recomputed in DuckDB from the same (literal-
