@@ -1037,6 +1037,20 @@ object SparkEntry {
           maxDocFreq = 200)
         .orderBy("id_a", "id_b")),
 
+    // the END-TO-END near-dup pipeline a training job actually runs:
+    // pair generation (n-gram Jaccard, proven lossless vs its full exact
+    // twin) -> connected components (RDD pointer jumping) -> one canonical
+    // survivor per component; the oracle rebuilds the exact pair graph and
+    // labels components with a recursive CTE
+    "q_dedup_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+        maxDocFreq = 200)
+      Dedup.nearDupSurvivors(docs, pairs)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // connected components over a pair graph (near-dup clustering: label
     // every doc with its component's minimum id). The query's edge set —
     // consecutive doc_ids sharing a language — forms chain components, so
@@ -1937,6 +1951,39 @@ object SparkEntry {
              / (sqrt(list_dot_product(a.v, a.v))
                 * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.2
          ORDER BY id_a, id_b""",
+
+    // exact pair graph + recursive-CTE component labeling (min reachable
+    // id via bidirectional label propagation), survivors = component minima
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \n\t\r]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gs
+           FROM toks),
+         edges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+           WHERE len(a.gs) > 0 AND len(b.gs) > 0
+             AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+               (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+               >= 0.5),
+         bi AS (SELECT src, dst FROM edges
+                UNION SELECT dst, src FROM edges),
+         reach(id, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT b.dst, r.label FROM reach r JOIN bi b ON b.src = r.id),
+         comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN comp c ON d.doc_id = c.id
+         WHERE c.component = d.doc_id
+         ORDER BY d.doc_id""",
 
     "q_dedup_ngram" ->
       """WITH toks AS (
