@@ -175,15 +175,18 @@ object Streams {
     * held ≈ watermark + window per side). Batch inputs run the identical
     * condition as an ordinary range join. */
   def intervalJoin(left: DataFrame, right: DataFrame,
-      window: String = "10 minutes", watermark: String = "1 hour"): DataFrame = {
+      window: String = "10 minutes", watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val l = (if (left.isStreaming) left.withWatermark("ts", watermark) else left)
       .select(col("event_id").as("l_id"), col("ts").as("l_ts"), col("user_id"))
     val r = (if (right.isStreaming) right.withWatermark("ts", watermark) else right)
       .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
         col("user_id").as("r_user"))
+    // leftOuter additionally emits unmatched left rows — in streaming,
+    // once the watermark proves no in-window right row can still arrive
     l.join(r, col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"), joinType)
       .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 

@@ -132,6 +132,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.toSeq == got.toSeq)
   }
 
+  test("left-outer interval join emits unmatched clicks once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val memR = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val joined = Streams.intervalJoin(
+      memL.toDF.toDF(cols: _*), memR.toDF.toDF(cols: _*),
+      "10 minutes", watermark = "5 minutes", joinType = "leftOuter")
+
+    memL.addData((1L, ts(0), 7L, "click", 1.0, "{}"),   // will match
+      (2L, ts(1), 8L, "click", 1.0, "{}"))              // never matches
+    memR.addData((10L, ts(5), 7L, "view", 1.0, "{}"))
+    val q = joined.writeStream.format("memory").queryName("lij_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance both watermarks far past click 2's horizon
+      memL.addData((3L, ts(59), 9L, "click", 1.0, "{}"))
+      memR.addData((11L, ts(59), 9L, "purchaseless", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("lij_out")
+      .select("user_id", "l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+    assert(got.contains((7L, 1L, 10L)))  // matched pair
+    assert(got.contains((8L, 2L, -1L)))  // unmatched left emitted with null right
+  }
+
   test("checkpointed file source + idempotent foreachBatch sink resumes exactly-once") {
     val root = java.nio.file.Files.createTempDirectory("graft_eo").toString
     val (srcDir, ckpt, outDir) = (s"$root/src", s"$root/ckpt", s"$root/out")
