@@ -1,0 +1,56 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.Profile
+
+/** Algebraic laws of the data-management pipeline ops. */
+object PipelineProps extends Properties("Pipeline") {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(5)
+
+  private val docsGen: Gen[List[(Long, String, String)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      strat <- Gen.oneOf("a", "b", "c")
+      words <- Gen.listOfN(6, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    } yield (strat, words.mkString(" ")))
+  } yield rows.zipWithIndex.map { case ((st, tx), i) => (i.toLong, st, tx) }
+
+  property("quotaSample: every stratum keeps exactly min(quota, |stratum|)") =
+    forAll(docsGen, Gen.choose(1, 10)) { (rows, quota) =>
+      val df = rows.toDF("doc_id", "source", "text")
+      val got = Profile.quotaSample(df, "source", "doc_id", quota)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      val want = rows.groupBy(_._2).map { case (k, v) =>
+        k -> math.min(quota, v.size).toLong }
+      got == want
+    }
+
+  property("hashSplit: train/eval partition the input deterministically") =
+    forAll(docsGen) { rows =>
+      val df = rows.toDF("doc_id", "source", "text")
+      val s1 = Profile.hashSplit(df, "doc_id").select("doc_id", "split")
+        .as[(Long, String)].collect().toMap
+      val s2 = Profile.hashSplit(df.repartition(5), "doc_id")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      s1 == s2 && s1.size == rows.size
+    }
+
+  property("exactNewOnly: kept + removed partition incoming; removed ⊆ reference texts") =
+    forAll(docsGen, docsGen) { (inc, ref) =>
+      val incDf = inc.toDF("doc_id", "source", "text")
+      val refDf = ref.toDF("doc_id", "source", "text")
+      val kept = Dedup.exactNewOnly(incDf, refDf)
+        .select("doc_id").as[Long].collect().toSet
+      val refTexts = ref.map(_._3).toSet
+      inc.forall { case (id, _, text) =>
+        if (refTexts.contains(text)) !kept.contains(id) else kept.contains(id)
+      }
+    }
+}
