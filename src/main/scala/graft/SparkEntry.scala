@@ -1108,8 +1108,9 @@ object SparkEntry {
           min(col("n_bytes")).as("min_bytes"), max(col("n_bytes")).as("max_bytes"))
         .orderBy("mime")),
 
-    // multimodal: stubbed decode + featurize via mapPartitions (rows-only;
-    // feature vector serialized to CSV so the driver compare can sort it)
+    // multimodal: stubbed decode + featurize via mapPartitions; the stub
+    // is deterministic in the payload bytes, so the oracle recomputes even
+    // the fake features (feature vector serialized to CSV for the compare)
     "q_media_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(
           Multimodal.mediaFromDocuments(t(s, dir, "documents")))
@@ -2035,6 +2036,41 @@ object SparkEntry {
            FROM flags)
          SELECT doc_id, min(doc_id) OVER (PARTITION BY run_id) AS component
          FROM runs ORDER BY doc_id""",
+
+    // the STUB decode is deterministic in the payload bytes, so even the
+    // fake-feature path is hash-checked: per-slot byte means as FLOAT
+    // (the float cast absorbs double-sum order), entropy at 6dp (absorbs
+    // libm log last-ULP differences), features as shortest-roundtrip
+    // float strings on both engines
+    "q_media_features" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             ['image/png','audio/wav','video/mp4']
+               [CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             text
+           FROM documents),
+         bytes AS (
+           SELECT media_id, i, ord(substr(text, i, 1)) AS b
+           FROM m, unnest(generate_series(1, CAST(n_bytes AS INTEGER))) AS t(i)),
+         ent AS (
+           SELECT media_id, round(-sum(p * log2(p)), 6) AS byte_entropy
+           FROM (
+             SELECT media_id, CAST(count(*) AS DOUBLE) /
+               (SELECT n_bytes FROM m mm WHERE mm.media_id = bytes.media_id) AS p
+             FROM bytes GROUP BY media_id, b)
+           GROUP BY media_id),
+         feat AS (
+           SELECT media_id, (i - 1) % 16 AS slot,
+             CAST(sum(CAST(b AS DOUBLE)) / count(*) / 255.0 AS FLOAT) AS f
+           FROM bytes GROUP BY media_id, (i - 1) % 16),
+         fcsv AS (
+           SELECT media_id,
+             string_agg(CAST(f AS VARCHAR), ',' ORDER BY slot) AS features_csv
+           FROM feat GROUP BY media_id)
+         SELECT m.media_id, m.mime, m.n_bytes, e.byte_entropy, fc.features_csv
+         FROM m JOIN ent e USING (media_id) JOIN fcsv fc USING (media_id)
+         ORDER BY m.media_id""",
 
     "q_media_meta" ->
       """SELECT CASE CAST(doc_id % 3 AS INTEGER)
