@@ -1091,7 +1091,9 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF approximate top-k (k-means lists; second ANN scale path)
+    // IVF approximate top-k (k-means lists; second ANN scale path) —
+    // training is bit-deterministic (ordered fold), so the oracle twins
+    // the entire algorithm including the Lloyd iteration
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = graft.similarity.Ivf.train(emb, k = 8, iters = 1)
@@ -1634,6 +1636,71 @@ object SparkEntry {
                                           CAST(e.embedding AS DOUBLE[])))), 6)
                AS cosine
            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             neighbor_id, cosine
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // FULL twin of the IVF path — seeds, one deterministic Lloyd
+    // iteration (per-dimension sums folded in vec_id order, cast FLOAT,
+    // exactly like Ivf.train's secondary-sort fold), corpus re-assignment,
+    // nprobe=2 probe selection, and exact cosine top-k over the probed
+    // lists. Possible only because training is bit-deterministic.
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         seeds AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cid, v
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         a0 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.v, s.v)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(s.v, s.v)))) DESC,
+                 s.cid ASC) AS rn
+             FROM e CROSS JOIN seeds s) WHERE rn = 1),
+         vals AS (
+           SELECT a0.cid, t.i AS dim, a0.v[t.i] AS val, a0.vec_id
+           FROM a0, unnest(generate_series(1, 64)) AS t(i)),
+         m1 AS (
+           SELECT cid, dim,
+             CAST(list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+               / count(*) AS FLOAT) AS f
+           FROM vals GROUP BY cid, dim),
+         c1 AS (SELECT cid, list(CAST(f AS DOUBLE) ORDER BY dim) AS cv
+                FROM m1 GROUP BY cid),
+         a1 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                 c.cid ASC) AS rn
+             FROM e CROSS JOIN c1 c) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                 c.cid ASC) AS rn
+             FROM e CROSS JOIN c1 c WHERE e.vec_id < 10) WHERE rn <= 2),
+         scored AS (
+           SELECT p.query_id, a1.vec_id AS neighbor_id,
+             round(list_dot_product(p.qv, a1.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(a1.v, a1.v))), 6) AS cosine
+           FROM a1 JOIN probes p
+             ON a1.cid = p.cid AND a1.vec_id <> p.query_id),
          ranked AS (
            SELECT query_id,
              CAST(row_number() OVER (PARTITION BY query_id

@@ -11,10 +11,10 @@ import graft.functions.native
   * Train: distributed Lloyd iterations — assign each vector to its nearest
   * centroid with a NARROW per-row argmax over the driver-resident centroid
   * set (k rows by construction — the one part of IVF that is intentionally
-  * driver-sized), then recompute centroids with the typed VectorMean
-  * Aggregator (partial (sum, count) buffers combine map-side). The corpus
-  * never shuffles during training: assignment is a projection, the
-  * re-mean's shuffle carries one buffer per (centroid × partition).
+  * driver-sized), then recompute centroids with a deterministic
+  * secondary-sort fold (see train). The corpus shuffles once per
+  * iteration, partitioned by centroid; each task keeps one (sum, count)
+  * accumulator per centroid.
   *
   * Search: a query probes its `nprobe` nearest centroids and scores only
   * those inverted lists — corpus work per query drops from O(n) to
@@ -74,10 +74,15 @@ object Ivf {
   }
 
   /** Lloyd iterations; returns final centroids (centroid_id, centroid).
-    * Centroid recomputation uses the typed VectorMean Aggregator
-    * (graft.functions.VectorMean): partial (sum, count) buffers combine
-    * map-side, so the shuffle carries one buffer per (centroid ×
-    * partition) — not the assigned vectors. */
+    * Centroid recomputation is a DETERMINISTIC secondary-sort fold:
+    * repartition by centroid, sort each partition by (centroid, vec_id),
+    * and sum every dimension left-to-right in id order. Double addition is
+    * not associative, so a partial-buffer aggregator's merge order would
+    * make the trained centroids (and thus every downstream ANN result)
+    * vary run-to-run; the ordered fold pins the result bit-for-bit across
+    * runs, partitionings, AND engines — which is what lets q_ann_ivf carry
+    * a full DuckDB twin of the training loop. Memory stays flat: one
+    * (sum, count) accumulator per centroid per task, never the vectors. */
   def train(corpus: DataFrame, k: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       dim: Int = 64): DataFrame = {
@@ -86,14 +91,28 @@ object Ivf {
     val slim = corpus.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = initCentroids(slim, k, idCol, vecCol)
-    val vecMean = new graft.functions.VectorMean(dim).toColumn
     for (_ <- 0 until iters) {
       val assigned = assign(slim, cents, idCol, vecCol)
-      cents = assigned.select(col("centroid_id"), col(vecCol))
-        .as[(Int, Array[Float])]
-        .groupByKey(_._1)
-        .mapValues(_._2)
-        .agg(vecMean.name("centroid"))
+      cents = assigned
+        .select(col("centroid_id"), col(idCol).as("vid"),
+          col(vecCol).as("vec"))
+        .repartition(col("centroid_id"))
+        .sortWithinPartitions(col("centroid_id"), col("vid"))
+        .as[(Int, Long, Array[Float])]
+        .mapPartitions { it =>
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[Int, (Array[Double], Array[Long])]
+          it.foreach { case (cid, _, v) =>
+            val (sums, n) = acc.getOrElseUpdate(cid,
+              (new Array[Double](dim), new Array[Long](1)))
+            var d = 0
+            while (d < math.min(dim, v.length)) { sums(d) += v(d); d += 1 }
+            n(0) += 1
+          }
+          acc.iterator.map { case (cid, (sums, n)) =>
+            (cid, sums.map(sv => (sv / n(0)).toFloat))
+          }
+        }
         .toDF("centroid_id", "centroid")
     }
     cents
