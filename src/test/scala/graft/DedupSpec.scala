@@ -153,6 +153,14 @@ class DedupSpec extends AnyFunSuite {
     assert(jac.filter(col("id_a") === 1L || col("id_b") === 1L).count() == 0)
   }
 
+  test("editDistancePairs at maxDist=0 degrades to exact-key equality") {
+    val keys = Seq((0L, "same"), (1L, "same"), (2L, "samX"), (3L, ""))
+      .toDF("doc_id", "k")
+    val got = Dedup.editDistancePairs(keys, "k", maxDist = 0)
+      .select("id_a", "id_b", "edit_dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 0L)))
+  }
+
   test("embedding near-dup finds identical vectors") {
     val vecs = Seq(
       (0L, Array.fill(64)(0.5f)),
