@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 import java.sql.Timestamp
 
@@ -165,6 +165,51 @@ object Streams {
       .select(col("user_id"),
         unix_millis(col("w.start")).as("session_start_ms"),
         col("n_events"))
+  }
+
+  case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Per-user RUNNING totals via `transformWithState` — Spark 4's
+    * arbitrary-state API (successor to flatMapGroupsWithState): typed
+    * ValueState per key, updated incrementally per micro-batch, optionally
+    * with a state TTL so idle users are evicted by the store itself
+    * instead of hand-rolled timeout bookkeeping. Each batch emits the
+    * updated totals for the users it touched. Requires the RocksDB state
+    * store provider (changelog-checkpointed — the large-state backend
+    * Spark ships for exactly this API); the sum is an exact 6-dp scaled
+    * long, so totals are order-independent and replay-stable.
+    *
+    * A TTL forces TimeMode.ProcessingTime, whose eviction wake-ups keep
+    * the query busy as long as state lives — fine under a real trigger in
+    * production, but a `processAllAvailable`-driven harness should pass
+    * `stateTtl = None`. */
+  def runningUserTotals(events: Dataset[Event],
+      stateTtl: Option[java.time.Duration] = None): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    // resolve the state encoder on the DRIVER and close over it — encoder
+    // derivation inside init() would run on executors, where touching the
+    // session is CANNOT_INVOKE_IN_TRANSFORMATIONS
+    val stateEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long)]]
+    val ttlConf = stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    class TotalsProcessor extends StatefulProcessor[Long, Event, UserTotals] {
+      @transient private var state: ValueState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[(Long, Long)]("totals", stateEnc, ttlConf)
+      override def handleInputRows(user: Long, rows: Iterator[Event],
+          tv: TimerValues): Iterator[UserTotals] = {
+        var (n, s) = if (state.exists()) state.get() else (0L, 0L)
+        rows.foreach { e => n += 1; s += scaled6(e.value) }
+        state.update((n, s))
+        Iterator.single(UserTotals(user, n,
+          new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(s), 6).doubleValue))
+      }
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor,
+        if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Stream-stream interval join: each left event matched to right events

@@ -104,6 +104,41 @@ class StreamingSpec extends AnyFunSuite {
       closed.head.session_end_ms == ts(0).getTime)
   }
 
+  test("transformWithState: running user totals accumulate across batches (RocksDB state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+      val stream = mem.toDF
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Streams.Event]
+      val q = Streams.runningUserTotals(stream)
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      try {
+        mem.addData((1L, ts(0), 7L, "click", 1.5, "{}"),
+          (2L, ts(1), 7L, "click", 1.0, "{}"),
+          (3L, ts(2), 8L, "view", 4.0, "{}"))
+        q.processAllAvailable()
+        mem.addData((4L, ts(3), 7L, "view", 2.0, "{}"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_out")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.contains((7L, 2L, 2.5)))  // after batch 1
+      assert(got.contains((8L, 1L, 4.0)))
+      assert(got.contains((7L, 3L, 4.5)))  // state carried into batch 2
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join matches within window, bounded by watermarks") {
     implicit val sqlCtx = spark.sqlContext
     val memL = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
