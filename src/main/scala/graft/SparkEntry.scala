@@ -979,6 +979,16 @@ object SparkEntry {
         .orderBy("eval_id", "train_id")
     }),
 
+    // deterministic weighted per-domain sampling (domain reweighting:
+    // src0 upsampled to 60%, src1 to 30%, everything else 10%)
+    "q_mix_weighted" -> ((s, dir) =>
+      graft.functions.Profile.weightedSample(
+          t(s, dir, "documents"), "source", "doc_id",
+          Map("src0" -> 60, "src1" -> 30), defaultPct = 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_id"))
+        .orderBy("source")),
+
     // deterministic per-stratum quota sample (data mixing: exact
     // per-domain counts, hash-ordered so cross-engine reproducible)
     "q_mix_quota" -> ((s, dir) =>
@@ -1898,6 +1908,22 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(e.gs, t.gs)) AS DOUBLE)
            >= e.n_e * 0.5
          ORDER BY eval_id, train_id""",
+
+    "q_mix_weighted" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             (((doc_id % 4294967296) % 65536) * 2654435761
+              + ((((doc_id % 4294967296) // 65536) * 2654435761) % 65536)
+                * 65536)
+             % 4294967296 % 100 AS bucket
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           min(doc_id) AS min_id
+         FROM h
+         WHERE bucket < (CASE WHEN source = 'src0' THEN 60
+                              WHEN source = 'src1' THEN 30
+                              ELSE 10 END)
+         GROUP BY source ORDER BY source""",
 
     "q_mix_quota" ->
       """WITH h AS (

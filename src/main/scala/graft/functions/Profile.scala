@@ -80,6 +80,21 @@ object Profile {
   def stratifiedSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket100(col(idCol)) < pct)
 
+  /** Deterministic WEIGHTED sampling: each stratum keeps its own
+    * percentage (domain reweighting — the data-mixing primitive that
+    * up/down-samples sources to a target distribution), as a pure narrow
+    * filter on the same multiplicative id hash: no shuffle, reproducible
+    * across runs/partitionings/engines, and sample membership is nested
+    * across percentages (a 20% sample is a subset of the same stratum's
+    * 40% sample, so mixtures can be retuned without resampling churn). */
+  def weightedSample(df: DataFrame, stratumCol: String, idCol: String,
+      pctByStratum: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === k, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket100(col(idCol)) < pct)
+  }
+
   /** Deterministic per-stratum quota: exactly min(quota, |stratum|) rows
     * per stratum, chosen as the first `quota` in multiplicative-hash
     * order — the data-mixing primitive (exact per-domain counts, unlike a

@@ -32,6 +32,15 @@ object PipelineProps extends Properties("Pipeline") {
       got == want
     }
 
+  property("weightedSample: a lower-pct sample nests inside a higher-pct one") =
+    forAll(docsGen, Gen.choose(0, 50), Gen.choose(50, 100)) { (rows, lo, hi) =>
+      val df = rows.toDF("doc_id", "source", "text")
+      def ids(pct: Int) = Profile.weightedSample(df, "source", "doc_id",
+        Map("a" -> pct, "b" -> pct), defaultPct = pct / 2)
+        .select("doc_id").as[Long].collect().toSet
+      ids(lo).subsetOf(ids(hi))
+    }
+
   property("hashSplit: train/eval partition the input deterministically") =
     forAll(docsGen) { rows =>
       val df = rows.toDF("doc_id", "source", "text")
