@@ -51,11 +51,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // The full line above can run long (one entry per query) and a tail-
-    // capped log capture may cut off its head; repeat the headline numbers
-    // as a SHORT final line so the total always survives truncation.
+    // SHORT line FIRST: the per-query line below can run long (one entry
+    // per query) and a head- or tail-capped log capture may cut it off —
+    // leading with the compact headline gives any parser an intact line.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

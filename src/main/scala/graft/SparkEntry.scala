@@ -69,6 +69,28 @@ object SparkEntry {
     // is DuckDB's read_csv over the same files (a foreign parser reads our
     // RFC 4180 bytes to identical values).
     "q_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
+
+    // hive-partitioned write + pruned read-back — the single biggest scan
+    // lever at 100 TB: the filter on the partition column is resolved at
+    // file-listing time (PartitionFilters in the scan node), so six of the
+    // seven year directories are never opened. The oracle recomputes
+    // ground truth from the base table. (Beyond-reference: the reference's
+    // ListingTable holds exactly one path — src/io/reader/listing/
+    // table.rs:14-19 — so it has no partitioned layout to prune.)
+    "q_partitioned_scan" -> ((s, dir) => {
+      val out = "/tmp/graft_partitioned_orders"
+      graft.sources.Sinks.writeParquet(
+        t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
+        out, partitionCols = Seq("o_year"))
+      s.read.parquet(out)
+        .filter(col("o_year") === 1995)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)")
+            .as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus")
+    }),
     "q_csv_interchange" -> ((s, dir) => csvRoundtrip(s, dir)),
 
     // ---------------- L2 Projection + arithmetic expressions
@@ -395,22 +417,35 @@ object SparkEntry {
           .as("urgent_total"))
         .orderBy("o_orderstatus")),
 
-    // sketch aggregates: t-digest approximate percentiles (rows-only —
-    // sketch internals are engine-specific; exact twin for sanity)
+    // sketch aggregates: t-digest approximate percentiles. The sketch
+    // estimate is engine-specific, so it never enters the hashed output:
+    // the contract emits the exact median plus an in-query within_bound
+    // boolean (approx between exact p45 and p55 — the SketchSpec bound),
+    // and the DuckDB twin computes the exact side and expects `true`.
     "q_approx_percentile" -> ((s, dir) =>
       t(s, dir, "orders").groupBy(col("o_orderpriority"))
         .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
+          expr("percentile(o_totalprice, 0.45)").as("p45_exact"),
           expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
+          expr("percentile(o_totalprice, 0.55)").as("p55_exact"),
           count(lit(1)).as("n"))
+        .select(col("o_orderpriority"), col("p50_exact"), col("n"),
+          (col("p50_approx") >= col("p45_exact") &&
+            col("p50_approx") <= col("p55_exact")).as("within_bound"))
         .orderBy("o_orderpriority")),
 
-    // sketch aggregates: HLL approximate distinct (rows-only — sketch
-    // internals are engine-specific; exact twin included for sanity)
+    // sketch aggregates: HLL approximate distinct. Same oracle shape:
+    // emit the exact count plus within_bound = |approx-exact| <= 3*rsd*exact
+    // (default rsd 0.05 → 15%); the DuckDB twin recomputes the exact side.
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx_orders").cast(DoubleType) -
+              col("exact_orders").cast(DoubleType)) <=
+            lit(0.15) * col("exact_orders").cast(DoubleType)).as("within_bound"))
         .orderBy("l_returnflag")),
 
     // JSON extraction (absent in reference)
@@ -562,6 +597,64 @@ object SparkEntry {
         WHERE EXISTS (SELECT 1 FROM lineitem
                       WHERE l_partkey = p_partkey AND l_quantity > 49.0)
         ORDER BY p_partkey""")
+    }),
+
+    // TPC-H Q17 shape: correlated scalar AGGREGATE subquery against the
+    // fact table itself (small-quantity revenue below 20% of the part's
+    // average). Catalyst decorrelates this into an aggregate + join — the
+    // reference rejects subqueries outright (src/sql/expr.rs:120-124).
+    "q_tpch_q17" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / 7.0 AS avg_yearly,
+               count(*) AS n_small
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)""")
+    }),
+
+    // TPC-H Q20 shape: nested IN subqueries with a correlated aggregate
+    // threshold (suppliers who shipped a 'red gear%' part at nearly twice
+    // that part's average quantity).
+    "q_tpch_q20" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (
+          SELECT l1.l_suppkey FROM lineitem l1
+          WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'red gear%')
+            AND l1.l_quantity > (SELECT 1.95 * avg(l2.l_quantity)
+                                 FROM lineitem l2
+                                 WHERE l2.l_partkey = l1.l_partkey))
+        ORDER BY s_suppkey""")
+    }),
+
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS both correlated to the same
+    // outer fact row (the only late supplier on a multi-supplier order;
+    // "late" adapted to shipdate > orderdate + 60 days — this corpus has
+    // no receipt/commit dates).
+    "q_tpch_q21" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100""")
     }),
 
     // as-of join (custom operator — union + running-last formulation,
@@ -1224,6 +1317,16 @@ object SparkEntry {
                     'n_regionkey':'INTEGER','tricky':'VARCHAR'})
          ORDER BY n_nationkey""",
 
+    // ground truth from the base table: the pruned partitioned read must
+    // see exactly the year-1995 rows
+    "q_partitioned_scan" ->
+      """SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+         FROM orders WHERE year(o_orderdate) = 1995
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
     "q_projection" ->
       """SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1.0 - l_discount) AS net_price,
@@ -1438,6 +1541,22 @@ object SparkEntry {
            count(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
+    // Sketch twins: the engine-specific estimate never enters the hash —
+    // the twin recomputes the exact side and expects within_bound = true
+    // (the engine computed the boolean in-query against its own sketch).
+    "q_approx_percentile" ->
+      """SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50_exact,
+           count(*) AS n,
+           true AS within_bound
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           true AS within_bound
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q_json" ->
       """SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
@@ -1590,6 +1709,44 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_partkey = p_partkey AND l_quantity > 49.0)
          ORDER BY p_partkey""",
+
+    "q_tpch_q17" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  / 7.0 AS avg_yearly,
+                count(*) AS n_small
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#23'
+           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)""",
+
+    "q_tpch_q20" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l1.l_suppkey FROM lineitem l1
+           WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'red gear%')
+             AND l1.l_quantity > (SELECT 1.95 * avg(l2.l_quantity)
+                                  FROM lineitem l2
+                                  WHERE l2.l_partkey = l1.l_partkey))
+         ORDER BY s_suppkey""",
+
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 100""",
 
     "q_asof" ->
       """SELECT c.event_id, c.user_id, p.p_event_id, p.p_value

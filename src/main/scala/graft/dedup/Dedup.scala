@@ -413,16 +413,26 @@ object Dedup {
     * shuffled once and every per-round join is co-partitioned, leaving
     * two shuffles per round (the neighbor-min reduce and the pointer-jump
     * re-key) and a single co-partitioned action for convergence detection.
-    * The public surface stays DataFrames. At 100 TB the same loop
-    * checkpoints every few rounds to truncate lineage.
+    * The public surface stays DataFrames.
+    *
+    * Lineage truncation: persisting each round bounds recomputation on the
+    * happy path, but the dependency chain still grows one round deeper per
+    * iteration — an executor loss late in the loop would recompute from the
+    * adjacency shuffle. So every `checkpointEvery` rounds the new labels
+    * RDD is reliably checkpointed (cutting the chain at that round); the
+    * checkpoint dir defaults to a session-scoped temp dir if the context
+    * has none set. Pass checkpointEvery = 0 to disable.
     *
     * `nodes`: one column `id`. `edges`: columns `src`, `dst` (undirected;
     * both orientations are derived internally). Output: (id, component).
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 16): DataFrame = {
+      maxIter: Int = 16, checkpointEvery: Int = 4): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
+    if (checkpointEvery > 0 && spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString)
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val part = new org.apache.spark.HashPartitioner(
       spark.sparkContext.defaultParallelism)
@@ -449,6 +459,11 @@ object Dedup {
       val next = byLabel.leftOuterJoin(pulled) // co-partitioned
         .map { case (lab, (id, ll)) => (id, ll.getOrElse(lab)) }
         .partitionBy(part).persist(level)
+      // Reliable checkpoint every few rounds: materialized right after the
+      // convergence action below computes `next` (served from the persist,
+      // not recomputed), after which the lineage restarts at this round.
+      if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0)
+        next.checkpoint()
       val changed = spark.sparkContext.longAccumulator("cc_changed")
       next.join(labels).foreach { case (_, (nl, ol)) => // the round's one action
         if (nl != ol) changed.add(1L)

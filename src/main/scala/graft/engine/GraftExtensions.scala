@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vec_dot", es => FloatVecDot(es(0), es(1)))
     inject("vec_norm", es => FloatVecNorm(es.head))
     inject("vec_cosine", es => FloatVecCosine(es(0), es(1)))
+    inject("nearest_centroid", es => NearestCentroid(es(0), es(1)))
     // parameterized kernels take their widths as literal int arguments
     def intArg(e: Expression, fn: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,

@@ -100,6 +100,32 @@ object HashKernels {
     val na = normF(a); val nb = normF(b)
     if (na == 0.0 || nb == 0.0) 0.0 else dotF(a, b) / (na * nb)
   }
+
+  /** Argmax-by-cosine over a literal centroid set: returns the centroid_id
+    * whose vector has the highest cosine with `vec`, ties broken by the
+    * LOWEST id (the set is id-ascending). Bitwise-identical to folding
+    * `greatest(struct(cosine, -id)...)` over the same set — the vec norm is
+    * hoisted out of the loop, but each per-centroid division keeps the
+    * exact `dot / (nvec * ncent)` operand order of cosineF — while the
+    * generated code stays O(1) in k instead of O(k·dim) expression nodes
+    * (which blows past the JIT/64KB method limit at IVF-realistic k).
+    * `cents`: array<struct<id:int, vec:array<float>>>. */
+  def nearestCentroid(vec: ArrayData, cents: ArrayData): Int = {
+    val nv = normF(vec)
+    val k = cents.numElements()
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var i = 0
+    while (i < k) {
+      val c = cents.getStruct(i, 2)
+      val cvec = c.getArray(1)
+      val nc = normF(cvec)
+      val cos = if (nv == 0.0 || nc == 0.0) 0.0 else dotF(vec, cvec) / (nv * nc)
+      if (cos > bestCos) { bestCos = cos; best = c.getInt(0) }
+      i += 1
+    }
+    best
+  }
 }
 
 /** Order-sensitive 64-bit document fingerprint (rolling hash over tokens). */
@@ -145,6 +171,19 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): FloatVecNorm = copy(c)
 }
 
+/** Nearest centroid id by cosine over a literal centroid set (see
+  * HashKernels.nearestCentroid). Left: array<float> vector; right:
+  * array<struct<id:int, vec:array<float>>> — a broadcast-sized literal. */
+case class NearestCentroid(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    HashKernels.nearestCentroid(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) => s"graft.functions.HashKernels.nearestCentroid($v, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestCentroid =
+    copy(left = l, right = r)
+}
+
 /** Cosine similarity of two float vectors; 0.0 when either norm is 0. */
 case class FloatVecCosine(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -169,6 +208,8 @@ object native {
   def vec_dot(a: Column, b: Column): Column = col(FloatVecDot(ex(a), ex(b)))
   def vec_norm(c: Column): Column = col(FloatVecNorm(ex(c)))
   def vec_cosine(a: Column, b: Column): Column = col(FloatVecCosine(ex(a), ex(b)))
+  def nearest_centroid(vec: Column, cents: Column): Column =
+    col(NearestCentroid(ex(vec), ex(cents)))
   def minhash_sig(c: Column, numHashes: Int, shingle: Int, seed: Long = 42L): Column =
     col(MinHashSig(ex(c), numHashes, shingle, seed))
   def minhash_bands(c: Column, bands: Int): Column = col(MinHashBandHashes(ex(c), bands))
@@ -192,6 +233,8 @@ object native {
     reg.createOrReplaceTempFunction("vec_dot", es => FloatVecDot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_norm", es => FloatVecNorm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => FloatVecCosine(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nearest_centroid",
+      es => NearestCentroid(es(0), es(1)), "scala_udf")
   }
 }
 

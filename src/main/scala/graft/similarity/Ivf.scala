@@ -56,21 +56,41 @@ object Ivf {
         lit(-cid).as("neg_id"))
     }
 
-  /** Assign each vector its nearest centroid by cosine — ONE projection
-    * (greatest over k scored structs), zero shuffle. The previous
-    * formulation (crossJoin + Window.partitionBy(vec_id) + row_number)
-    * shuffled and sorted n×k scored rows per Lloyd iteration and per probe
-    * for a per-row argmax over a broadcast-sized set. */
+  /** Above this k, assign via the native NearestCentroid kernel instead of
+    * the `greatest` literal tree: the tree's generated code grows
+    * O(k·dim), which blows past the JIT/64KB method limits at
+    * IVF-realistic k (≥4096) and silently falls back to interpreted eval
+    * per row × per centroid. The kernel loops over ONE array literal —
+    * constant codegen size at any k. Both formulations are
+    * bitwise-identical (IvfSpec asserts parity). */
+  private[similarity] val GreatestMaxK = 64
+
+  /** Assign each vector its nearest centroid by cosine — ONE narrow
+    * projection, zero shuffle. Small k: greatest over k scored structs
+    * (struct ordering = cosine DESC, centroid_id ASC). Large k: the
+    * NearestCentroid kernel over an array literal (same semantics, O(1)
+    * codegen). The previous formulation (crossJoin +
+    * Window.partitionBy(vec_id) + row_number) shuffled and sorted n×k
+    * scored rows per Lloyd iteration and per probe. */
   def assign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     assignTo(collectCentroids(centroids), corpus, idCol, vecCol)
 
-  private def assignTo(cents: Array[(Int, Seq[Float])], corpus: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
-    val scores = centroidScores(cents, col(vecCol))
-    val best = if (scores.length == 1) scores.head else greatest(scores.toSeq: _*)
+  private[graft] def assignTo(cents: Array[(Int, Seq[Float])], corpus: DataFrame,
+      idCol: String, vecCol: String,
+      useKernel: Option[Boolean] = None): DataFrame = {
+    // id-ascending order is the tie-break contract shared by both paths
+    val sorted = cents.sortBy(_._1)
+    val best =
+      if (useKernel.getOrElse(sorted.length > GreatestMaxK))
+        native.nearest_centroid(col(vecCol), typedlit(sorted.toSeq))
+      else {
+        val scores = centroidScores(sorted, col(vecCol))
+        val top = if (scores.length == 1) scores.head else greatest(scores.toSeq: _*)
+        -top.getField("neg_id")
+      }
     corpus.select(col(idCol), col(vecCol),
-      (-best.getField("neg_id")).cast(IntegerType).as("centroid_id"))
+      best.cast(IntegerType).as("centroid_id"))
   }
 
   /** Lloyd iterations; returns final centroids (centroid_id, centroid).

@@ -65,6 +65,27 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents checkpoints: lineage truncated, labels unchanged") {
+    // A long path graph forces many pointer-jumping rounds (O(log n) — here
+    // ~6 for a 64-node chain), enough to cross several checkpoint cadences.
+    val n = 64
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val withCkpt = Dedup.connectedComponents(nodes, edges, checkpointEvery = 2)
+      .as[(Long, Long)].collect().toMap
+    val without = Dedup.connectedComponents(nodes, edges, checkpointEvery = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(withCkpt == without)
+    assert(withCkpt.values.forall(_ == 0L)) // one component, min label 0
+    // the checkpoint actually materialized: the dir holds rdd checkpoints
+    val dir = spark.sparkContext.getCheckpointDir
+    assert(dir.isDefined)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        new java.net.URI(dir.get).getPath))
+      .filter(p => p.getFileName.toString.startsWith("part-")).count()
+    assert(files > 0, "no checkpoint files written")
+  }
+
   test("nearDupSurvivors keeps one canonical doc per component plus untouched docs") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (7L, "b"), (9L, "c"))
       .toDF("doc_id", "text")

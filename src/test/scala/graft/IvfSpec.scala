@@ -31,6 +31,24 @@ class IvfSpec extends AnyFunSuite {
     assert(a1.length == 60)
   }
 
+  test("NearestCentroid kernel ≡ greatest-struct formulation (any k)") {
+    // 70 centroids crosses the GreatestMaxK=64 switch; force BOTH paths on
+    // the same set and assert bitwise-identical assignments (the kernel's
+    // hoisted norm keeps cosineF's exact operand order, so ties — incl.
+    // duplicate centroids — must break identically: lowest id).
+    val cents = ((0 until 68).map(i => (i, mkVec(1000 + i).toSeq)) ++
+      Seq((68, mkVec(1000).toSeq), (69, mkVec(1001).toSeq))) // dup vectors → ties
+      .toArray
+    val viaKernel = Ivf.assignTo(cents, corpus, "vec_id", "embedding",
+        useKernel = Some(true))
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().sortBy(_._1)
+    val viaGreatest = Ivf.assignTo(cents, corpus, "vec_id", "embedding",
+        useKernel = Some(false))
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().sortBy(_._1)
+    assert(viaKernel.toSeq == viaGreatest.toSeq)
+    assert(viaKernel.length == 60)
+  }
+
   test("ivfTopK results are a subset of exact brute-force pairs") {
     val cents = Ivf.train(corpus, k = 4, iters = 1, dim = 16)
     val qs = Ann.selfQueries(corpus, 5)

@@ -56,6 +56,37 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan("q_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("partitioned read prunes at file-listing time (PartitionFilters)") {
+    val p = plan("q_partitioned_scan")
+    assert(p.contains("PartitionFilters: [isnotnull(o_year"),
+      "partition-column filter should resolve at listing time, not as a data filter")
+    assert(p.contains("(o_year") && p.contains("1995"),
+      "the year predicate should appear as a partition filter")
+  }
+
+  test("IVF assign at k=512 still whole-stage-codegens within JIT limits") {
+    // At IVF-realistic k the greatest-literal tree would generate O(k·dim)
+    // code and blow past the JIT (8KB) / javac (64KB) method limits,
+    // silently dropping to interpreted eval; the NearestCentroid kernel
+    // keeps generated code O(1) in k. Assert the compiled stage's biggest
+    // method stays far under the JIT threshold.
+    val r = new scala.util.Random(7)
+    def vec() = Array.fill(16)((r.nextDouble() * 2 - 1).toFloat).toSeq
+    val corpus = graft.engine.Tables.load(spark, dir, "embeddings")
+    val cents = (0 until 512).map(i => (i, vec())).toArray
+    val assigned = graft.similarity.Ivf.assignTo(cents, corpus, "vec_id", "embedding")
+    val exec = assigned.queryExecution.executedPlan
+    assert(exec.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]))
+    val stats = org.apache.spark.sql.execution.debug.codegenStringSeq(exec)
+    assert(stats.nonEmpty)
+    stats.foreach { case (_, _, s) =>
+      assert(s.maxMethodCodeSize < 8000,
+        s"generated method ${s.maxMethodCodeSize}B exceeds the JIT limit")
+    }
+    assert(assigned.count() > 0) // and it runs end to end
+  }
+
   test("PreAggGroupingSets: rollup/cube expand pre-aggregated rows, not the fact table") {
     for (q <- Seq("q_rollup", "q_cube")) {
       val opt = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
