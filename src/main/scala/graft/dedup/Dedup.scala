@@ -110,48 +110,66 @@ object Dedup {
     * threshold} exactly when banding recall covers every true pair, which
     * the full O(n²) DuckDB twin verifies at gate scale. Banding runs with
     * NO estimate filter (threshold 0.0) so the only filter is the exact
-    * one; `bands` trades candidate volume against recall as usual. */
+    * one; `bands` trades candidate volume against recall as usual.
+    *
+    * Candidate-volume control on adversarial corpora (shared vocabulary →
+    * banding selectivity collapses, SCALE.md): a PROVABLY LOSSLESS size
+    * filter. j(a,b) = shared/union <= min(|a|,|b|)/max(|a|,|b|) because
+    * shared <= min and union >= max, so any pair failing
+    * min >= threshold*max cannot reach the threshold and is dropped
+    * BEFORE pair-dedup and the shingle-array join — carrying one extra
+    * long per side through the band join, not the 64-slot signatures.
+    * (A sig_agree estimate prefilter was measured instead and rejected:
+    * on this corpus est-Jaccard at any recall-safe margin cut <6% of
+    * candidates while hauling both signature arrays through the join —
+    * the size filter cuts ~64% here and can never lose a true pair.) */
   def minhashVerifiedPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
       shingle: Int = 5, threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
-    // Candidate generation is SLIM by design: only (band keys, id) travel
-    // through the self-join — not the 64-slot signatures, and no estimated
-    // Jaccard is computed (the exact verify below supersedes it; measured
-    // at sf0.1, sig_agree over every in-bucket pair was ~70% of the
-    // pipeline's wall-clock for a filter that cut 6% of candidates).
-    // The left side is round-robin-spread to the session's shuffle
+    // ONE persisted feature pass feeds both the banding and the verify
+    // branches (band hashes + shingle set + its size) — previously the
+    // shingle kernel ran once per lineage branch. Zero-shingle docs
+    // (shorter than the shingle width) have no defined Jaccard and are
+    // excluded up front, matching the oracle's len(gs) > 0 guard (two
+    // such docs otherwise collide in every band and the union term
+    // divides by zero under ANSI mode).
+    val feat = docs.select(col(idCol).as("id"),
+        native.minhash_bands(
+          minhashSignature(col(textCol), numHashes, shingle), bands).as("bh"),
+        native.char_shingle_hashes(col(textCol), shingle).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast(LongType))
+      .filter(col("n_sh") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Candidate generation is SLIM by design: only (band keys, id, size)
+    // travel through the self-join — not signatures or shingle arrays.
+    // The sides are round-robin-spread to the session's shuffle
     // parallelism first: the band join's output otherwise inherits the
     // (few) scan partitions, and the pair-dedup's map-side partial
     // aggregate would run nearly serially (measured 4.5 s → ~1.5 s at
     // sf0.1). A keyed repartition would NOT do: a hot band bucket is one
     // key, round-robin spreads its pair enumeration across all tasks.
-    val banded = docs.select(col(idCol).as("id"),
-        posexplode(native.minhash_bands(
-          minhashSignature(col(textCol), numHashes, shingle), bands))
-          .as(Seq("band_id", "band_hash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = feat.select(col("id"), col("n_sh"),
+      posexplode(col("bh")).as(Seq("band_id", "band_hash")))
     val bucketed = dropHotBuckets(banded, Seq("band_id", "band_hash"), maxBucketSize)
     val par = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val cand = bucketed.select(col("band_id"), col("band_hash"), col("id").as("id_a"))
+    // 1e-9 slack keeps the one-rounding size inequality strictly more
+    // permissive than the exact two-sided jaccard compare at the boundary
+    val cand = bucketed.select(col("band_id"), col("band_hash"),
+        col("id").as("id_a"), col("n_sh").as("na"))
       .repartition(par)
-      .join(bucketed.select(col("band_id"), col("band_hash"), col("id").as("id_b"))
+      .join(bucketed.select(col("band_id"), col("band_hash"),
+          col("id").as("id_b"), col("n_sh").as("nb"))
         .repartition(par), // spread BOTH sides: the streamed side's layout
                            // becomes the join output's, whichever it is
         Seq("band_id", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("na"), col("nb")).cast(DoubleType) >=
+          lit(threshold - 1e-9) * greatest(col("na"), col("nb")).cast(DoubleType))
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b")
-    // zero-shingle docs (shorter than the shingle width) have no defined
-    // Jaccard — exclude them before the division, matching the oracle's
-    // len(gs) > 0 guard (two such docs otherwise collide in every band
-    // and the union term divides by zero under ANSI mode)
-    val sh = docs.select(col(idCol).as("id"),
-        native.char_shingle_hashes(col(textCol), shingle).as("sh"))
-      .withColumn("n_sh", size(col("sh")).cast(LongType))
-      .filter(col("n_sh") > 0)
-    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
-    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
+    val a = feat.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n_sh").as("na"))
+    val b = feat.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n_sh").as("nb"))
     cand.join(a, "id_a").join(b, "id_b")
       .withColumn("shared", native.sorted_intersect(col("sh_a"), col("sh_b")).cast(LongType))
       .select(col("id_a"), col("id_b"),
@@ -296,7 +314,13 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
       threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
+    // the shingle-set SIZE rides along with the band rows: one long per
+    // side buys the lossless size filter below (j <= min/max — see
+    // minhashVerifiedPairs; the (0,0) boundary pair is kept, matching the
+    // verify rule's multiplication form where two empty docs ARE dups)
     def banded(docs: DataFrame) = docs.select(col(idCol).as("id"),
+      size(native.char_shingle_hashes(col(textCol), shingle))
+        .cast(LongType).as("n_sh"),
       posexplode(native.minhash_bands(
         minhashSignature(col(textCol), numHashes, shingle), bands))
         .as(Seq("band_id", "band_hash")))
@@ -311,9 +335,13 @@ object Dedup {
       banded(reference).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       Seq("band_id", "band_hash"), maxBucketSize)
     val cand = banded(incoming).select(col("band_id"), col("band_hash"),
-        col("id").as("id_in"))
-      .join(refBands.select(col("band_id"), col("band_hash"), col("id").as("id_ref")),
+        col("id").as("id_in"), col("n_sh").as("n_in"))
+      .join(refBands.select(col("band_id"), col("band_hash"),
+          col("id").as("id_ref"), col("n_sh").as("n_ref")),
         Seq("band_id", "band_hash"))
+      .filter(least(col("n_in"), col("n_ref")).cast(DoubleType) >=
+        lit(threshold - 1e-9) *
+          greatest(col("n_in"), col("n_ref")).cast(DoubleType))
       .select("id_in", "id_ref").dropDuplicates("id_in", "id_ref")
     val dupIn = cand
       .join(shingles(incoming).select(col("id").as("id_in"),

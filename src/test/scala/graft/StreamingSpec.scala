@@ -196,6 +196,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((8L, 2L, -1L)))  // unmatched left emitted with null right
   }
 
+  test("interval join drops a right row arriving after the left watermark closed") {
+    // Guards the bounded-state claim: once the watermark proves a left
+    // row's window can no longer match, its state is evicted and the
+    // leftOuter row emitted EXACTLY once — a right row for that window
+    // arriving later must be discarded, not matched and not duplicated.
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val memR = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val joined = Streams.intervalJoin(
+      memL.toDF.toDF(cols: _*), memR.toDF.toDF(cols: _*),
+      "10 minutes", watermark = "5 minutes", joinType = "leftOuter")
+
+    val q = joined.writeStream.format("memory").queryName("late_ij_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: the left row whose window is [0, 10]; right has only an
+      // unrelated user (sets the right watermark without matching)
+      memL.addData((1L, ts(0), 7L, "click", 1.0, "{}"))
+      memR.addData((10L, ts(0), 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: both watermarks jump far past the window → left state
+      // evicted, outer row (7, 1, null) emitted
+      memL.addData((2L, ts(59), 9L, "click", 1.0, "{}"))
+      memR.addData((11L, ts(59), 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 3: a LATE right row that would have matched (ts 5 ∈ [0, 10])
+      // arrives after the watermark closed that window → must be dropped
+      memR.addData((12L, ts(5), 7L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_ij_out")
+      .select("user_id", "l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val user7 = rows.filter(_._1 == 7L).toSeq
+    assert(user7 == Seq((7L, 1L, -1L)),
+      s"expected exactly one unmatched outer row for user 7, got: ${user7.mkString(", ")}")
+  }
+
   test("checkpointed file source + idempotent foreachBatch sink resumes exactly-once") {
     val root = java.nio.file.Files.createTempDirectory("graft_eo").toString
     val (srcDir, ckpt, outDir) = (s"$root/src", s"$root/ckpt", s"$root/out")
