@@ -1101,12 +1101,35 @@ object SparkEntry {
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("shard")),
 
+    // deterministic sequence packing: concat-and-chunk the corpus into
+    // fixed token-budget training sequences in decorrelated hash order,
+    // via a distributed prefix sum (no unpartitioned window anywhere) —
+    // the step between a deduped corpus and the training dataloader
+    "q_pack" -> ((s, dir) =>
+      graft.functions.Profile.packSequences(
+          t(s, dir, "documents").select(col("doc_id"),
+            native.text_stats(col("text")).getField("n_tokens").as("n_tokens")),
+          "doc_id", "n_tokens", budget = 2048L)
+        .orderBy("doc_id")),
+
     // incremental exact dedup: the new batch (source src0) anti-joined
     // against the reference corpus (all other sources) on md5(text)
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.exactNewOnly(docs.filter(col("source") === "src0"),
           docs.filter(col("source") =!= "src0"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // incremental exact dedup via the broadcast BLOOM prefilter — the
+    // disjoint-corpus scale shape (only might_contain survivors pay the
+    // anti-join; no false negatives → result PROVABLY equals the plain
+    // anti-join, so it shares q_dedup_incremental's ground-truth oracle)
+    "q_dedup_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exactNewOnlyBloom(docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"), expectedItems = 100000L)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     }),
@@ -1205,6 +1228,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF probe against the centroid-partitioned store: same result as
+    // q_ann_ivf (shared full twin), but the corpus is written hive-
+    // partitioned by centroid_id and the probe reads ONLY the probed
+    // inverted-list directories (PartitionFilters — see PLANS.md)
+    "q_ann_ivf_pruned" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.similarity.Ivf.train(emb, k = 8, iters = 1)
+      val store = "/tmp/graft_ivf_store"
+      graft.similarity.Ivf.writeAssignedStore(emb, cents, store)
+      graft.similarity.Ivf.ivfTopKFromStore(store, Ann.selfQueries(emb, 10),
+          cents, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // multimodal: typed metadata over binary payloads (oracle on meta)
     "q_media_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocuments(t(s, dir, "documents"))
@@ -1298,6 +1335,71 @@ object SparkEntry {
       case (p, i) =>
         s"(CASE WHEN list_dot_product(v, ${planeLiteral(p)}) > 0.0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Full DuckDB twin of the IVF path (seeds, one Lloyd iteration with
+    * the ordered-fold mean, nprobe=2 probe selection, exact cosine top-k
+    * over the probed lists) — shared by q_ann_ivf and q_ann_ivf_pruned,
+    * whose results are identical by construction (the pruned variant only
+    * changes WHERE the inverted lists are read from). */
+  private val ivfFullTwin: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         seeds AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cid, v
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         a0 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, s.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.v, s.v)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(s.v, s.v)))) DESC,
+                 s.cid ASC) AS rn
+             FROM e CROSS JOIN seeds s) WHERE rn = 1),
+         vals AS (
+           SELECT a0.cid, t.i AS dim, a0.v[t.i] AS val, a0.vec_id
+           FROM a0, unnest(generate_series(1, 64)) AS t(i)),
+         m1 AS (
+           SELECT cid, dim,
+             CAST(list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+               / count(*) AS FLOAT) AS f
+           FROM vals GROUP BY cid, dim),
+         c1 AS (SELECT cid, list(CAST(f AS DOUBLE) ORDER BY dim) AS cv
+                FROM m1 GROUP BY cid),
+         a1 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                 c.cid ASC) AS rn
+             FROM e CROSS JOIN c1 c) WHERE rn = 1),
+         probes AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                 c.cid ASC) AS rn
+             FROM e CROSS JOIN c1 c WHERE e.vec_id < 10) WHERE rn <= 2),
+         scored AS (
+           SELECT p.query_id, a1.vec_id AS neighbor_id,
+             round(list_dot_product(p.qv, a1.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(a1.v, a1.v))), 6) AS cosine
+           FROM a1 JOIN probes p
+             ON a1.cid = p.cid AND a1.vec_id <> p.query_id),
+         ranked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             neighbor_id, cosine
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank"""
 
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -1817,65 +1919,9 @@ object SparkEntry {
     // exactly like Ivf.train's secondary-sort fold), corpus re-assignment,
     // nprobe=2 probe selection, and exact cosine top-k over the probed
     // lists. Possible only because training is bit-deterministic.
-    "q_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             FROM embeddings),
-         seeds AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-               AS cid, v
-           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
-         a0 AS (
-           SELECT vec_id, v, cid FROM (
-             SELECT e.vec_id, e.v, s.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 (list_dot_product(e.v, s.v)
-                  / (sqrt(list_dot_product(e.v, e.v))
-                     * sqrt(list_dot_product(s.v, s.v)))) DESC,
-                 s.cid ASC) AS rn
-             FROM e CROSS JOIN seeds s) WHERE rn = 1),
-         vals AS (
-           SELECT a0.cid, t.i AS dim, a0.v[t.i] AS val, a0.vec_id
-           FROM a0, unnest(generate_series(1, 64)) AS t(i)),
-         m1 AS (
-           SELECT cid, dim,
-             CAST(list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
-               / count(*) AS FLOAT) AS f
-           FROM vals GROUP BY cid, dim),
-         c1 AS (SELECT cid, list(CAST(f AS DOUBLE) ORDER BY dim) AS cv
-                FROM m1 GROUP BY cid),
-         a1 AS (
-           SELECT vec_id, v, cid FROM (
-             SELECT e.vec_id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 (list_dot_product(e.v, c.cv)
-                  / (sqrt(list_dot_product(e.v, e.v))
-                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
-                 c.cid ASC) AS rn
-             FROM e CROSS JOIN c1 c) WHERE rn = 1),
-         probes AS (
-           SELECT query_id, qv, cid FROM (
-             SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 (list_dot_product(e.v, c.cv)
-                  / (sqrt(list_dot_product(e.v, e.v))
-                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
-                 c.cid ASC) AS rn
-             FROM e CROSS JOIN c1 c WHERE e.vec_id < 10) WHERE rn <= 2),
-         scored AS (
-           SELECT p.query_id, a1.vec_id AS neighbor_id,
-             round(list_dot_product(p.qv, a1.v)
-               / (sqrt(list_dot_product(p.qv, p.qv))
-                  * sqrt(list_dot_product(a1.v, a1.v))), 6) AS cosine
-           FROM a1 JOIN probes p
-             ON a1.cid = p.cid AND a1.vec_id <> p.query_id),
-         ranked AS (
-           SELECT query_id,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
-             neighbor_id, cosine
-           FROM scored)
-         SELECT query_id, rank, neighbor_id, cosine FROM ranked
-         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_ann_ivf" -> ivfFullTwin,
+
+    "q_ann_ivf_pruned" -> ivfFullTwin,
 
     // the LSH buckets recomputed in DuckDB from the same literal-embedded
     // hyperplanes (6 planes), then exact cosine top-k WITHIN each query's
@@ -2109,7 +2155,38 @@ object SparkEntry {
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM h GROUP BY shard ORDER BY shard""",
 
+    // the twin replays the pack sequentially: same two-limb hash order,
+    // running token sum (HUGEINT window sum cast back), same div/mod
+    "q_pack" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             (((doc_id % 4294967296) % 65536) * 2654435761
+              + ((((doc_id % 4294967296) // 65536) * 2654435761) % 65536)
+                * 65536)
+             % 4294967296 AS ord
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             CAST(COALESCE(sum(n_tokens) OVER (ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS s
+           FROM t)
+         SELECT doc_id, n_tokens,
+           s // 2048 AS seq_id,
+           s % 2048 AS seq_offset
+         FROM c ORDER BY doc_id""",
+
     "q_dedup_incremental" ->
+      """SELECT i.doc_id, i.source, i.n_chars FROM documents i
+         WHERE i.source = 'src0' AND NOT EXISTS (
+           SELECT 1 FROM documents r
+           WHERE r.source <> 'src0' AND r.text = i.text)
+         ORDER BY i.doc_id""",
+
+    // the bloom-prefiltered path must produce EXACTLY the anti-join result
+    // (no false negatives) — same ground truth as q_dedup_incremental
+    "q_dedup_bloom" ->
       """SELECT i.doc_id, i.source, i.n_chars FROM documents i
          WHERE i.source = 'src0' AND NOT EXISTS (
            SELECT 1 FROM documents r

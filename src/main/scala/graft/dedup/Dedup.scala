@@ -302,6 +302,36 @@ object Dedup {
     incoming.join(refHashes, md5(col(textCol)) === col("__ref_hash"), "left_anti")
   }
 
+  /** Incremental exact dedup with a BROADCAST BLOOM prefilter — the shape
+    * that wins when the reference corpus is huge and mostly disjoint from
+    * the incoming crawl: instead of shuffling every incoming row into an
+    * anti-join against |reference| distinct hashes, build one bloom filter
+    * over the reference keys (an aggregate whose result is sized by BITS,
+    * not rows — fp 3% at the default bits/item, driver- and
+    * broadcast-friendly by construction) and split incoming with it.
+    * Bloom filters have NO false negatives, so rows the filter rejects are
+    * definitely new and skip the join entirely; only the `might_contain`
+    * survivors (true dups + ~fp% of new rows) pay the exact anti-join.
+    * The result is therefore PROVABLY identical to [[exactNewOnly]] —
+    * q_dedup_bloom runs against the same DuckDB oracle. Uses Spark's own
+    * BloomFilterAggregate/BloomFilterMightContain (the expressions behind
+    * runtime row-level filtering), driven directly since they have no
+    * public DSL surface. */
+  def exactNewOnlyBloom(incoming: DataFrame, reference: DataFrame,
+      textCol: String = "text", expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftx.Bridge
+    val key = xxhash64(md5(col(textCol)))
+    val bfCol = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(key), expectedItems).toAggregateExpression())
+    val bf = reference.select(bfCol.as("bf")).head.getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(bf)), Bridge.expression(key)))
+    incoming.filter(!mightContain)
+      .unionAll(exactNewOnly(incoming.filter(mightContain), reference, textCol))
+  }
+
   /** Incremental NEAR-dup dedup: rows of `incoming` with no reference doc
     * at exact byte-shingle Jaccard >= threshold. Same shape as
     * minhashVerifiedPairs but across two corpora: banding candidates are

@@ -110,4 +110,51 @@ object Profile {
     df.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= quota).drop("__rk")
   }
+
+  /** Deterministic SEQUENCE PACKING — the step between a deduped corpus
+    * and a training run: concatenate documents in a reproducible
+    * decorrelated-hash order (the same global shuffle the shard writer
+    * uses) and chunk the stream into fixed token-budget sequences.
+    * Returns (idCol, n_tokens, seq_id, seq_offset): the sequence holding
+    * the document's first token and the offset within it (documents
+    * straddle sequence boundaries, as concat-and-chunk packing does).
+    *
+    * The global running token count is a DISTRIBUTED PREFIX SUM, not a
+    * window over everything: range-partition on the hash order, sort
+    * within partitions, collect ONE subtotal row per partition, prefix
+    * them on the driver (partition-count-sized by construction), and add
+    * the broadcast offset to each partition's local running sum — the
+    * only window is partitioned by partition id. Reproducible across
+    * runs, partitionings AND engines: the order key is the two-limb
+    * width-safe hash, and the result depends only on the global order,
+    * not on where the range boundaries landed. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // persist pins the (sampled, hence run-specific) range boundaries so
+    // the subtotal pass and the final pass see the identical partitioning
+    val sorted = df.select(col(idCol), col(tokensCol).cast(LongType).as("__tok"),
+        hash32(col(idCol)).as("__ord"))
+      .repartitionByRange(parts, col("__ord"), col(idCol))
+      .sortWithinPartitions(col("__ord"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subtotals = sorted.groupBy(col("__pid"))
+      .agg(sum(col("__tok")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = subtotals.map { case (pid, t) =>
+      val o = (pid, acc); acc += t; o
+    }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__ord"), col(idCol))
+    val start = coalesce(element_at(typedlit(offsets), col("__pid")), lit(0L)) +
+      sum(col("__tok")).over(w) - col("__tok")
+    sorted.withColumn("__start", start)
+      .select(col(idCol), col("__tok").as("n_tokens"),
+        expr(s"__start div ${budget}L").as("seq_id"),
+        pmod(col("__start"), lit(budget)).as("seq_offset"))
+  }
 }

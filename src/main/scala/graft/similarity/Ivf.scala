@@ -138,6 +138,44 @@ object Ivf {
     cents
   }
 
+  /** Write the assigned corpus as a CENTROID-PARTITIONED parquet store —
+    * the 100 TB layout the probe path wants: one hive directory per
+    * inverted list, written once per (re)train. */
+  def writeAssignedStore(corpus: DataFrame, centroids: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    graft.sources.Sinks.writeParquet(assign(corpus, centroids, idCol, vecCol),
+      path, partitionCols = Seq("centroid_id"))
+
+  /** IVF top-k against a [[writeAssignedStore]] layout: the probe set (the
+    * union of every query's nprobe nearest centroids — at most k ids,
+    * driver-sized by construction) becomes an IN filter on the partition
+    * column, so the scan lists and reads ONLY the probed inverted-list
+    * directories (PartitionFilters — file-listing-time pruning, the same
+    * lever as q_partitioned_scan). Result is identical to [[ivfTopK]]
+    * over the same centroids, which is how q_ann_ivf_pruned shares
+    * q_ann_ivf's full DuckDB twin. */
+  def ivfTopKFromStore(storePath: String, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = collectCentroids(centroids)
+    val qScores = array(centroidScores(cents, col("query_vec")).toSeq: _*)
+    val probes = queries.select(col("query_id"), col("query_vec"),
+        explode(slice(sort_array(qScores, asc = false), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("query_vec"),
+        (-col("pc.neg_id")).cast(IntegerType).as("centroid_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)) // bounded by k, never by data scale
+    val assigned = spark.read.parquet(storePath)
+      .filter(col("centroid_id").isin(probeIds.map(Int.box): _*))
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(native.vec_cosine(col("query_vec"), col(vecCol)), 6).as("cosine"))
+    Ann.topKPerQuery(scored, k)
+  }
+
   /** Approximate top-k: probe the query's `nprobe` nearest centroids.
     * Probe selection is narrow too: sort the per-row centroid-score array
     * and explode the first nprobe — no window over the query set. */

@@ -153,6 +153,19 @@ class DedupSpec extends AnyFunSuite {
     assert(near == Set(3L)) // the near-dup goes too
   }
 
+  test("exactNewOnlyBloom equals the plain anti-join (no false negatives)") {
+    val incoming = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+      .toDF("doc_id", "text")
+    val reference = Seq((10L, "bb"), (11L, "dd"), (12L, "zz"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactNewOnlyBloom(incoming, reference, expectedItems = 100L)
+      .select("doc_id").as[Long].collect().sorted
+    val want = Dedup.exactNewOnly(incoming, reference)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == want.toSeq)
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
   test("ngramContainmentPairs catches a prompt quoted inside a large doc") {
     val prompt = "what is the capital of france answer in one word"
     val filler = (1 to 60).map(i => s"tok$i").mkString(" ")

@@ -51,6 +51,29 @@ object PipelineProps extends Properties("Pipeline") {
       s1 == s2 && s1.size == rows.size
     }
 
+  property("packSequences: distributed prefix sum equals the sequential pack") =
+    forAll(docsGen, Gen.choose(4L, 64L)) { (rows, budget) =>
+      val df = rows.toDF("doc_id", "source", "text")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      val got = Profile.packSequences(df, "doc_id", "n_tokens", budget)
+        .select("doc_id", "n_tokens", "seq_id", "seq_offset")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      // driver-side oracle: sort by the same hash order, sequential cumsum
+      def h32(id: Long): Long = {
+        val a = java.lang.Math.floorMod(id, 4294967296L)
+        val lo = (a % 65536L) * 2654435761L
+        val hi = ((a >> 16) * 2654435761L % 65536L) << 16
+        (lo + hi) % 4294967296L
+      }
+      val toks = rows.map { case (id, _, tx) => id -> tx.split(" ").length.toLong }.toMap
+      var acc = 0L
+      val want = rows.map(_._1).sortBy(id => (h32(id), id)).map { id =>
+        val start = acc; acc += toks(id)
+        (id, toks(id), start / budget, start % budget)
+      }.sortBy(_._1)
+      got.toSeq == want
+    }
+
   property("exactNewOnly: kept + removed partition incoming; removed ⊆ reference texts") =
     forAll(docsGen, docsGen) { (inc, ref) =>
       val incDf = inc.toDF("doc_id", "source", "text")

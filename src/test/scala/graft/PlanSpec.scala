@@ -64,6 +64,12 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
       "the year predicate should appear as a partition filter")
   }
 
+  test("IVF probe against the partitioned store prunes to the probed lists") {
+    val p = plan("q_ann_ivf_pruned")
+    assert(p.contains("PartitionFilters: [centroid_id"),
+      "probe-set IN filter should resolve at listing time on the store")
+  }
+
   test("IVF assign at k=512 still whole-stage-codegens within JIT limits") {
     // At IVF-realistic k the greatest-literal tree would generate O(k·dim)
     // code and blow past the JIT (8KB) / javac (64KB) method limits,
