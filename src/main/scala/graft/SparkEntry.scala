@@ -986,6 +986,17 @@ object SparkEntry {
           col("st.punct_ratio").as("punct_ratio"))
         .orderBy("doc_id")),
 
+    // intra-document boilerplate removal: drop duplicate LINES, keep first
+    // occurrence in order (repeated headers/footers/menus in web text) —
+    // a one-pass native kernel. The corpus is single-line, so the query
+    // derives lines in-query (word-per-line via translate), the same
+    // inject-the-structure pattern q_normalize uses for accents.
+    "q_dedup_lines" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          native.dedup_lines(translate(col("text"), " ", "\n")).as("cleaned"))
+        .orderBy("doc_id")),
+
     // text normalization: accent-strip + casefold (dedup preprocessing);
     // accents injected via translate so the normalization has real work
     "q_normalize" -> ((s, dir) =>
@@ -2176,6 +2187,20 @@ object SparkEntry {
            s // 2048 AS seq_id,
            s % 2048 AS seq_offset
          FROM c ORDER BY doc_id""",
+
+    // replay the kernel in DuckDB: explode to (line, position), keep each
+    // line's first position, reassemble in order
+    "q_dedup_lines" ->
+      """WITH t AS (SELECT doc_id,
+             string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
+           FROM documents),
+         u AS (SELECT doc_id, ls[i] AS line, i AS ord
+           FROM t, unnest(generate_series(1, length(ls))) AS g(i)),
+         f AS (SELECT doc_id, line, min(ord) AS ord
+           FROM u GROUP BY doc_id, line)
+         SELECT doc_id,
+           array_to_string(list(line ORDER BY ord), chr(10)) AS cleaned
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
 
     "q_dedup_incremental" ->
       """SELECT i.doc_id, i.source, i.n_chars FROM documents i

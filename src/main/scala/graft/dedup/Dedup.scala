@@ -344,27 +344,29 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 64, bands: Int = 16, shingle: Int = 5,
       threshold: Double = 0.7, maxBucketSize: Int = 1000): DataFrame = {
-    // the shingle-set SIZE rides along with the band rows: one long per
-    // side buys the lossless size filter below (j <= min/max — see
+    // ONE feature pass per corpus (band hashes + shingle set + size),
+    // persisted and shared by the banding and the verify branches — the
+    // kernels run once per document, not once per lineage branch. The
+    // shingle-set SIZE rides along with the band rows: one long per side
+    // buys the lossless size filter below (j <= min/max — see
     // minhashVerifiedPairs; the (0,0) boundary pair is kept, matching the
-    // verify rule's multiplication form where two empty docs ARE dups)
-    def banded(docs: DataFrame) = docs.select(col(idCol).as("id"),
-      size(native.char_shingle_hashes(col(textCol), shingle))
-        .cast(LongType).as("n_sh"),
-      posexplode(native.minhash_bands(
-        minhashSignature(col(textCol), numHashes, shingle), bands))
-        .as(Seq("band_id", "band_hash")))
-    def shingles(docs: DataFrame) = docs.select(col(idCol).as("id"),
+    // verify rule's multiplication form where two empty docs ARE dups, so
+    // zero-shingle docs are NOT excluded here). At 100 TB the reference
+    // feature table is the thing you write ONCE per snapshot and reuse
+    // for every incoming crawl.
+    def feat(docs: DataFrame) = docs.select(col(idCol).as("id"),
+        native.minhash_bands(
+          minhashSignature(col(textCol), numHashes, shingle), bands).as("bh"),
         native.char_shingle_hashes(col(textCol), shingle).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast(LongType))
-
-    // persist the reference band table: the hot-bucket agg and the
-    // candidate join both read it, and at 100 TB this is the table you
-    // write ONCE per snapshot and reuse for every incoming crawl
-    val refBands = dropHotBuckets(
-      banded(reference).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refFeat = feat(reference)
+    val inFeat = feat(incoming)
+    def banded(f: DataFrame) = f.select(col("id"), col("n_sh"),
+      posexplode(col("bh")).as(Seq("band_id", "band_hash")))
+    val refBands = dropHotBuckets(banded(refFeat),
       Seq("band_id", "band_hash"), maxBucketSize)
-    val cand = banded(incoming).select(col("band_id"), col("band_hash"),
+    val cand = banded(inFeat).select(col("band_id"), col("band_hash"),
         col("id").as("id_in"), col("n_sh").as("n_in"))
       .join(refBands.select(col("band_id"), col("band_hash"),
           col("id").as("id_ref"), col("n_sh").as("n_ref")),
@@ -374,9 +376,9 @@ object Dedup {
           greatest(col("n_in"), col("n_ref")).cast(DoubleType))
       .select("id_in", "id_ref").dropDuplicates("id_in", "id_ref")
     val dupIn = cand
-      .join(shingles(incoming).select(col("id").as("id_in"),
+      .join(inFeat.select(col("id").as("id_in"),
         col("sh").as("sh_in"), col("n_sh").as("n_in")), "id_in")
-      .join(shingles(reference).select(col("id").as("id_ref"),
+      .join(refFeat.select(col("id").as("id_ref"),
         col("sh").as("sh_ref"), col("n_sh").as("n_ref")), "id_ref")
       .withColumn("shared", native.sorted_intersect(col("sh_in"), col("sh_ref")).cast(LongType))
       .filter(col("shared").cast(DoubleType) >=

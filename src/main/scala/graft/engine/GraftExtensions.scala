@@ -47,6 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("word_ngrams", es => WordNGrams(es.head, 3))
     inject("text_stats", es => TextStats(es.head))
     inject("strip_accents", es => StripAccents(es.head))
+    inject("dedup_lines", es => DedupLines(es.head))
     inject("sorted_intersect", es => SortedLongIntersect(es(0), es(1)))
     inject("sig_agree", es => SigAgree(es(0), es(1)))
     inject("char_shingle_hashes",

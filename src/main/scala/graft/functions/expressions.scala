@@ -101,6 +101,33 @@ object HashKernels {
     if (na == 0.0 || nb == 0.0) 0.0 else dotF(a, b) / (na * nb)
   }
 
+  /** Remove duplicate LINES within a document, keeping the first
+    * occurrence and the original order — the standard boilerplate-removal
+    * step for web corpora (repeated headers/footers/menus), done in one
+    * byte pass per row. Exact (byte-equality via a per-row set of
+    * UTF8String line views — no hash-collision false drops). */
+  def dedupLines(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    val seen = new java.util.HashSet[UTF8String]()
+    var start = 0
+    var first = true
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == '\n') {
+        val line = UTF8String.fromBytes(bytes, start, i - start)
+        if (seen.add(line)) {
+          if (!first) out.write('\n')
+          out.write(bytes, start, i - start)
+          first = false
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+
   /** Argmax-by-cosine over a literal centroid set: returns the centroid_id
     * whose vector has the highest cosine with `vec`, ties broken by the
     * LOWEST id (the set is id-ascending). Bitwise-identical to folding
@@ -171,6 +198,16 @@ case class FloatVecNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): FloatVecNorm = copy(c)
 }
 
+/** Order-preserving intra-document duplicate-line removal. */
+case class DedupLines(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.dedupLines(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.dedupLines($c)")
+  override protected def withNewChildInternal(c: Expression): DedupLines = copy(c)
+}
+
 /** Nearest centroid id by cosine over a literal centroid set (see
   * HashKernels.nearestCentroid). Left: array<float> vector; right:
   * array<struct<id:int, vec:array<float>>> — a broadcast-sized literal. */
@@ -223,6 +260,7 @@ object native {
   def char_shingle_hashes(c: Column, n: Int): Column =
     col(CharShingleHashes(ex(c), n))
   def strip_accents(c: Column): Column = col(StripAccents(ex(c)))
+  def dedup_lines(c: Column): Column = col(DedupLines(ex(c)))
 
   /** Make the functions usable from `spark.sql` text as well. */
   def register(spark: SparkSession): Unit = {

@@ -153,6 +153,22 @@ class DedupSpec extends AnyFunSuite {
     assert(near == Set(3L)) // the near-dup goes too
   }
 
+  test("dedup_lines keeps first occurrence in order, handles empties") {
+    import graft.functions.native
+    val rows = Seq(
+      (1L, "header\nbody a\nheader\nbody b\nheader"),
+      (2L, "a\n\na\n\nb"), // duplicate empty lines collapse too
+      (3L, ""),
+      (4L, "only"))
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"), native.dedup_lines(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "header\nbody a\nbody b")
+    assert(got(2L) == "a\n\nb")
+    assert(got(3L) == "")
+    assert(got(4L) == "only")
+  }
+
   test("exactNewOnlyBloom equals the plain anti-join (no false negatives)") {
     val incoming = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
       .toDF("doc_id", "text")
