@@ -690,6 +690,26 @@ object SparkEntry {
     // skew-salted join (the explicit skew tool beyond AQE): result is
     // salt-independent, so the oracle is the plain join — verifying the
     // rewrite preserves join semantics
+    // CDC upsert (MERGE): apply the order stream as changes to a customer
+    // snapshot — latest order per customer updates the balance (partial
+    // update: name/segment survive), orders for customers missing from the
+    // snapshot insert, and a latest order in status 'P' deletes. The
+    // latest-per-key step is a map-side-combinable max(struct) aggregate,
+    // not a window (operators/Relational.upsert).
+    "q_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      val changes = t(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderdate"), col("o_orderkey"), col("o_orderstatus"))
+      Relational.upsert(base, changes, "c_custkey",
+          versionCols = Seq("o_orderdate", "o_orderkey"), partial = true,
+          deleteWhen = Some(changes("o_orderstatus") === "P"))
+        .orderBy("c_custkey")
+    }),
+
     "q_salted_join" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
@@ -2443,6 +2463,27 @@ object SparkEntry {
                WHERE event_type = 'purchase') p
            ON c.user_id = p.pu AND c.ts <= p.pts
          ORDER BY c.event_id""",
+
+    "q_upsert" ->
+      """WITH base AS (
+           SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey % 7 <> 0
+         ), latest AS (
+           SELECT o_custkey AS k, o_totalprice AS new_bal,
+                  (o_orderstatus = 'P') AS del
+           FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 FROM orders)
+           WHERE rn = 1
+         )
+         SELECT COALESCE(b.c_custkey, l.k) AS c_custkey,
+                b.c_name AS c_name,
+                b.c_mktsegment AS c_mktsegment,
+                CASE WHEN l.k IS NOT NULL THEN COALESCE(l.new_bal, b.c_acctbal)
+                     ELSE b.c_acctbal END AS c_acctbal
+         FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.k
+         WHERE l.k IS NULL OR NOT l.del
+         ORDER BY c_custkey""",
 
     "q_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,

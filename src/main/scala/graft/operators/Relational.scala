@@ -136,6 +136,61 @@ object Relational {
       rightPayload.map(p => col("_m").getField(p).as(p)): _*)
   }
 
+  /** CDC upsert (MERGE): apply a change stream to a snapshot — the core of
+    * every incremental 100-TB pipeline (Delta/Iceberg MERGE INTO, Hudi
+    * upsert). Semantics: for each key, the LATEST change wins (greatest
+    * `versionCols`, compared lexicographically — callers include a unique
+    * tiebreaker, e.g. a change sequence number, to make "latest" total);
+    * a matched key is updated, an unmatched key is inserted, and a latest
+    * change whose `deleteWhen` predicate holds removes the row.
+    *
+    * Scale shape: latest-per-key is `max(struct(version, payload))` — a
+    * plain partial+final hash aggregate with map-side combine (struct
+    * comparison is lexicographic by field order), NOT a window, so a
+    * 100-TB change log reduces before its shuffle. The merge itself is one
+    * full-outer join on the key — shuffle-partitioned on both sides, and
+    * AQE picks broadcast when a day's changes are small vs the snapshot.
+    *
+    * `partial = true` gives partial-update semantics: a null change field
+    * keeps the snapshot value (MERGE ... UPDATE SET col = ...); false takes
+    * the change row wholesale (full-row CDC images).
+    *
+    * `changes` must contain `key`, every base column it updates, and
+    * `versionCols`; base columns absent from `changes` are treated as
+    * all-null (partial mode keeps the snapshot values for them).
+    */
+  def upsert(base: DataFrame, changes: DataFrame, key: String,
+      versionCols: Seq[String], partial: Boolean = false,
+      deleteWhen: Option[Column] = None): DataFrame = {
+    val cols = base.columns.toSeq
+    val present = changes.columns.toSet
+    val payloadFields = cols.filterNot(_ == key).map { c =>
+      (if (present(c)) changes(c) else lit(null).cast(base.schema(c).dataType)).as(c)
+    } :+ deleteWhen.getOrElse(lit(false)).as("_del")
+    // max(struct(version..., payload)) = latest change per key, totally
+    // ordered when versionCols include a unique tiebreaker.
+    val versioned = struct(
+      versionCols.map(v => changes(v).as(s"_v_$v")) :+
+        struct(payloadFields: _*).as("_p"): _*)
+    val latest = changes.groupBy(changes(key).as("_k"))
+      .agg(max(versioned).as("_c"))
+      .select(col("_k"), col("_c").getField("_p").as("_p"))
+    val merged = base.join(latest, base(key) === latest("_k"), "full_outer")
+    val changed = latest("_k").isNotNull
+    val outCols = cols.map {
+      case `key` => coalesce(base(key), latest("_k")).as(key)
+      case c =>
+        val cv = latest("_p").getField(c)
+        val v =
+          if (partial) when(changed, coalesce(cv, base(c))).otherwise(base(c))
+          else when(changed, cv).otherwise(base(c))
+        v.as(c)
+    }
+    merged
+      .filter(!changed || !latest("_p").getField("_del"))
+      .select(outCols: _*)
+  }
+
   /** Salted join for skewed keys: replicate the (small) right side
     * `saltBuckets` times and scatter left rows across the replicas, so one
     * hot key spreads over `saltBuckets` reducers instead of one. AQE's

@@ -173,4 +173,37 @@ class RelationalSpec extends AnyFunSuite {
       count(lit(1)), sum("rv")).collect()(0)
     assert(plain.getLong(0) == salted.getLong(0) && plain.getLong(1) == salted.getLong(1))
   }
+
+  test("upsert: latest change wins; insert, partial update, delete") {
+    val base = Seq((1L, "ann", 10.0), (2L, "bob", 20.0), (3L, "cat", 30.0))
+      .toDF("id", "name", "bal")
+    // key 2: two updates, seq 5 wins; key 3: delete; key 9: insert
+    val changes = Seq(
+      (2L, Some(99.0), 4L, false),
+      (2L, Some(25.0), 5L, false),
+      (3L, None: Option[Double], 6L, true),
+      (9L, Some(90.0), 7L, false)
+    ).toDF("id", "bal", "seq", "is_del")
+    val out = Relational.upsert(base, changes, "id", Seq("seq"),
+        partial = true, deleteWhen = Some(changes("is_del")))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDouble(2))).toSeq
+    // 1 untouched; 2 updated to the seq=5 value, name kept (partial);
+    // 3 deleted; 9 inserted with null name
+    assert(out == Seq((1L, Some("ann"), 10.0), (2L, Some("bob"), 25.0),
+      (9L, None, 90.0)))
+  }
+
+  test("upsert wholesale mode takes the change row fields verbatim") {
+    val base = Seq((1L, "ann", 10.0)).toDF("id", "name", "bal")
+    val changes = Seq((1L, Some(11.0), 1L, false))
+      .toDF("id", "bal", "seq", "is_del")
+    val out = Relational.upsert(base, changes, "id", Seq("seq"),
+        partial = false, deleteWhen = Some(changes("is_del")))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDouble(2))).toSeq
+    // wholesale: name is not carried by the change → null
+    assert(out == Seq((1L, None, 11.0)))
+  }
 }
