@@ -657,6 +657,74 @@ object SparkEntry {
         LIMIT 100""")
     }),
 
+    // TPC-H Q2 shape: correlated MIN subquery selects the cheapest source
+    // per part (adapted: min l_extendedprice over lineitem stands in for
+    // partsupp, which this corpus lacks). Equality on the stored double is
+    // exact — no arithmetic on the compared value.
+    "q_tpch_q2" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT DISTINCT p_partkey, s_name, l_extendedprice AS min_price
+        FROM part, supplier, lineitem, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_size = 15
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                 FROM lineitem l2
+                                 WHERE l2.l_partkey = p_partkey)
+        ORDER BY p_partkey, s_name""")
+    }),
+
+    // TPC-H Q15 shape: top-revenue supplier via a reused CTE + scalar MAX
+    // subquery over it (the "create view revenue" pattern). Revenue
+    // accumulates in DECIMAL on both engines, so the MAX equality is exact.
+    "q_tpch_q15" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                      AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey""")
+    }),
+
+    // TPC-H Q22 shape: anti-join (customers with no orders) gated by an
+    // uncorrelated aggregate threshold (above-average positive balance);
+    // "no orders" adapted to "no orders since 1999" (dormant customers) —
+    // every customer in this corpus has at least one order.
+    // The avg compare is cross-multiplied (bal * n > total) so both
+    // engines evaluate it with exact DECIMAL totals — no decimal-division
+    // rounding divergence. Country code adapted to the customer's nation
+    // (this corpus has no phone column).
+    "q_tpch_q22" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT n_name AS cntry, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer, nation
+        WHERE c_nationkey = n_nationkey
+          AND c_acctbal * (SELECT count(*) FROM customer
+                           WHERE c_acctbal > 0.0)
+              > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY n_name
+        ORDER BY n_name""")
+    }),
+
     // as-of join (custom operator — union + running-last formulation,
     // graft.operators.Relational.asofJoin; oracle is DuckDB native ASOF)
     "q_asof" -> ((s, dir) => {
@@ -887,6 +955,19 @@ object SparkEntry {
     }),
 
     // TF-IDF top term per document (log-free: cross-engine deterministic)
+    // corpus vocabulary building (tokenizer training's first pass): token →
+    // total frequency + document frequency, top 100. Explode+groupBy is
+    // map-side combined before its shuffle; the top-k plans as
+    // TakeOrderedAndProject (per-partition k, no global sort) — the shape
+    // that holds at a 100-TB corpus with a billion-term vocabulary.
+    "q_vocab" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)),
+
     "q_tfidf" -> ((s, dir) => {
       val scored = graft.functions.Text.tfidf(t(s, dir, "documents"))
       val w = Window.partitionBy("doc_id")
@@ -1015,6 +1096,15 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           native.dedup_lines(translate(col("text"), " ", "\n")).as("cleaned"))
+        .orderBy("doc_id")),
+
+    // cross-document boilerplate removal (C4-style): tokens occurring in
+    // >= 100 distinct docs are corpus boilerplate, removed from every doc
+    // (order preserved). The boilerplate set is tiny by construction →
+    // broadcast anti-join; see functions.Text.removeBoilerplate.
+    "q_boilerplate" -> ((s, dir) =>
+      graft.functions.Text.removeBoilerplate(
+          t(s, dir, "documents"), minDocs = 100, sep = " ")
         .orderBy("doc_id")),
 
     // text normalization: accent-strip + casefold (dedup preprocessing);
@@ -1230,6 +1320,15 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
           threshold = 0.2, planes = 4)
         .orderBy("id_a", "id_b")),
+
+    // scalar int8 quantization (FAISS-SQ8 style, 4x memory/IO cut before
+    // indexing): corpus-wide per-dim min/max → affine codes in [-127,127].
+    // Integer codes are engine-exact, so the full path (range pass +
+    // encode) hash-checks against the DuckDB twin.
+    "q_quantize" -> ((s, dir) =>
+      Ann.int8Quantize(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("codes"))
+        .orderBy("vec_id")),
 
     // brute-force cosine top-k (exact ANN baseline; SQL oracle via DuckDB
     // list_dot_product — both sides accumulate in double in index order)
@@ -1881,6 +1980,50 @@ object SparkEntry {
          ORDER BY numwait DESC, s_name
          LIMIT 100""",
 
+    "q_tpch_q2" ->
+      """SELECT DISTINCT p_partkey, s_name, l_extendedprice AS min_price
+         FROM part, supplier, lineitem, nation, region
+         WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+           AND p_size = 15
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'EUROPE'
+           AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                  FROM lineitem l2
+                                  WHERE l2.l_partkey = p_partkey)
+         ORDER BY p_partkey, s_name""",
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                       AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier, revenue
+         WHERE s_suppkey = supplier_no
+           AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+
+    "q_tpch_q22" ->
+      """SELECT n_name AS cntry, count(*) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                  AS totacctbal
+         FROM customer, nation
+         WHERE c_nationkey = n_nationkey
+           AND c_acctbal * (SELECT count(*) FROM customer
+                            WHERE c_acctbal > 0.0)
+               > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                  FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+         GROUP BY n_name
+         ORDER BY n_name""",
+
     "q_asof" ->
       """SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
          FROM (SELECT event_id, ts, user_id FROM events
@@ -1923,6 +2066,20 @@ object SparkEntry {
              THEN 'train' ELSE 'eval' END AS split,
            count(*) AS n
          FROM orders GROUP BY 1 ORDER BY split""",
+
+    "q_quantize" ->
+      """WITH u AS (SELECT vec_id, i AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+           FROM embeddings,
+                unnest(generate_series(1, length(embedding))) AS g(i)),
+         r AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM u GROUP BY pos),
+         c AS (SELECT vec_id, pos,
+                 CASE WHEN hi = lo THEN 0
+                      ELSE CAST(round((x - lo) * 254.0 / (hi - lo)) - 127
+                           AS INT) END AS code
+               FROM u JOIN r USING (pos))
+         SELECT vec_id, list(code ORDER BY pos) AS codes
+         FROM c GROUP BY vec_id ORDER BY vec_id""",
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
@@ -2210,6 +2367,23 @@ object SparkEntry {
 
     // replay the kernel in DuckDB: explode to (line, position), keep each
     // line's first position, reassemble in order
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ls
+           FROM documents),
+         u AS (SELECT doc_id, ls[i] AS line, i AS ord
+           FROM t, unnest(generate_series(1, length(ls))) AS g(i)),
+         b AS (SELECT line FROM (
+                 SELECT line, count(DISTINCT doc_id) AS nd
+                 FROM u GROUP BY line) WHERE nd >= 100),
+         k AS (SELECT doc_id, line, ord FROM u
+               WHERE line NOT IN (SELECT line FROM b)),
+         r AS (SELECT doc_id,
+                 array_to_string(list(line ORDER BY ord), ' ') AS cleaned
+               FROM k GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(r.cleaned, '') AS cleaned
+         FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id""",
+
     "q_dedup_lines" ->
       """WITH t AS (SELECT doc_id,
              string_split(replace(text, ' ', chr(10)), chr(10)) AS ls
@@ -2611,6 +2785,13 @@ object SparkEntry {
          FROM k a JOIN k b ON a.doc_id < b.doc_id
          WHERE levenshtein(a.key, b.key) <= 2
          ORDER BY id_a, id_b""",
+
+    "q_vocab" ->
+      """WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents)
+         SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
+         FROM u GROUP BY token
+         ORDER BY n DESC, token LIMIT 100""",
 
     "q_tfidf" ->
       """WITH words AS (

@@ -148,6 +148,43 @@ object Text {
           (col("n_docs").cast("double") / col("doc_freq"))).as("tfidf"))
   }
 
+  /** Cross-document boilerplate removal (the C4/RefinedWeb corpus-cleaning
+    * step): a line that occurs in at least `minDocs` DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, licence footers) and is removed
+    * from every document; within-document order of the surviving lines is
+    * preserved. Complements the intra-document `dedup_lines` kernel, which
+    * cannot see repetition ACROSS documents.
+    *
+    * Scale shape, in three aggregate-only stages (no windows):
+    *  1. explode → (doc, pos, line);
+    *  2. the boilerplate set = distinct(doc, line) → count per line →
+    *     filter — both steps partial-aggregate before their shuffle, and
+    *     the result is tiny by construction (only lines repeated across
+    *     `minDocs`+ docs survive), so
+    *  3. the removal is a BROADCAST anti-join (the 100-TB line stream
+    *     never shuffles for it), and the only full shuffle is the groupBy
+    *     reassembly on doc id. Docs whose every line was boilerplate are
+    *     re-attached with an empty string (left join on the id spine).
+    */
+  def removeBoilerplate(docs: DataFrame, minDocs: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val boiler = lines.select(col(idCol), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("line")
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), sep).as("cleaned"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Full per-document stats projection over a documents table. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

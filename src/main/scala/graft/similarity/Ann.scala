@@ -84,6 +84,44 @@ object Ann {
     topKPerQuery(scored, k)
   }
 
+  /** Scalar int8 quantization of an embedding column — the standard 4×
+    * memory/IO compression before a vector index is built (FAISS SQ8).
+    * Per-dimension affine codes: code_i = round((x_i - lo_i) * 254 /
+    * (hi_i - lo_i)) - 127 ∈ [-127, 127], with lo/hi the corpus-wide
+    * per-dimension min/max.
+    *
+    * Scale shape: the range pass is posexplode → groupBy(dim) min/max —
+    * map-side combine reduces each partition to `dim` rows before the
+    * shuffle, so the shuffle carries partitions × dim values regardless of
+    * corpus size; the collected ranges are dim-bounded (like IVF
+    * centroids) and re-enter the encode pass as broadcast literals inside
+    * one narrow codegen'd projection. A constant dimension (hi = lo)
+    * encodes as 0.
+    *
+    * Returns the input plus `codes: array<int>`. Dequantize with
+    * `lo_i + (code_i + 127) * (hi_i - lo_i) / 254` (max error: half a
+    * step, (hi_i-lo_i)/508).
+    */
+  def int8Quantize(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val ranges = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast(DoubleType)).as("lo"),
+        max(col("x").cast(DoubleType)).as("hi"))
+      .orderBy("pos")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val lo = ranges.map(_._1).toSeq
+    val hi = ranges.map(_._2).toSeq
+    val codes = transform(col(vecCol), (x, i) => {
+      val l = element_at(typedlit(lo), i + 1)
+      val h = element_at(typedlit(hi), i + 1)
+      when(h === l, lit(0)).otherwise(
+        (round((x.cast(DoubleType) - l) * 254.0 / (h - l)) - 127)
+          .cast(IntegerType))
+    })
+    corpus.withColumn("codes", codes)
+  }
+
   /** Convenience: use the first `nQueries` corpus vectors as the query set. */
   def selfQueries(corpus: DataFrame, nQueries: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =

@@ -55,4 +55,31 @@ class AnnSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(approx.subsetOf(exactAll)) // approx never invents pairs
   }
+
+  test("int8 quantization: codes in [-127,127], roundtrip within half a step per dim") {
+    import org.apache.spark.sql.functions._
+    val q = Ann.int8Quantize(corpus)
+    val rows = q.select("embedding", "codes")
+      .as[(Array[Float], Array[Int])].collect()
+    assert(rows.forall(_._2.forall(c => c >= -127 && c <= 127)))
+    // per-dim lo/hi from the same corpus to check the dequantized bound
+    val dim = 64
+    val all = rows.map(_._1)
+    val lo = (0 until dim).map(i => all.map(_(i)).min.toDouble)
+    val hi = (0 until dim).map(i => all.map(_(i)).max.toDouble)
+    rows.foreach { case (vec, codes) =>
+      (0 until dim).foreach { i =>
+        val step = (hi(i) - lo(i)) / 254.0
+        val deq = lo(i) + (codes(i) + 127) * step
+        assert(math.abs(deq - vec(i)) <= step / 2 + 1e-9,
+          s"dim $i: |$deq - ${vec(i)}| > ${step / 2}")
+      }
+    }
+    // extremes map to the extreme codes
+    (0 until dim).foreach { i =>
+      val minRow = rows.minBy(_._1(i))
+      val maxRow = rows.maxBy(_._1(i))
+      assert(minRow._2(i) == -127 && maxRow._2(i) == 127)
+    }
+  }
 }

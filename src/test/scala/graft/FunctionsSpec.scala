@@ -115,4 +115,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.forall(q => q >= 0.0 && q <= 1.0))
     assert(got(0) < got(1))
   }
+
+  test("removeBoilerplate drops cross-doc repeated lines, keeps order, empties covered docs") {
+    val docs = Seq(
+      (1L, "cookie\nalpha\nbeta"),
+      (2L, "gamma\ncookie\ndelta"),
+      (3L, "cookie\ncookie"), // becomes empty, must still be emitted
+      (4L, "epsilon")
+    ).toDF("doc_id", "text")
+    val got = Text.removeBoilerplate(docs, minDocs = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // "cookie" appears in 3 distinct docs → removed everywhere
+    assert(got == Seq((1L, "alpha\nbeta"), (2L, "gamma\ndelta"),
+      (3L, ""), (4L, "epsilon")))
+  }
 }
