@@ -91,6 +91,31 @@ object SparkEntry {
           countDistinct(col("o_custkey")).as("n_cust"))
         .orderBy("o_orderstatus")
     }),
+    // bucketed co-located join: both sides bucketed on the join key at
+    // write time → the read-side sort-merge join needs ZERO Exchange (the
+    // 100-TB pattern: shuffle once when the table lands, never again;
+    // SinksSpec asserts the plan has no Exchange). Oracle = the same join
+    // on the raw tables — bucketing must not change semantics.
+    "q_bucketed_join" -> ((s, dir) => {
+      import graft.sources.Sinks
+      Sinks.writeBucketedTable(
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_q_b_orders", Seq("o_custkey"), numBuckets = 8,
+        sortCols = Seq("o_custkey"))
+      Sinks.writeBucketedTable(
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "graft_q_b_customer", Seq("c_custkey"), numBuckets = 8,
+        sortCols = Seq("c_custkey"))
+      s.table("graft_q_b_orders")
+        .join(s.table("graft_q_b_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)")
+            .as("sum_total"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_csv_interchange" -> ((s, dir) => csvRoundtrip(s, dir)),
 
     // ---------------- L2 Projection + arithmetic expressions
@@ -1558,6 +1583,13 @@ object SparkEntry {
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
          FROM orders WHERE year(o_orderdate) = 1995
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q_projection" ->
       """SELECT l_orderkey, l_linenumber,
