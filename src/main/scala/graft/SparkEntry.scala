@@ -1123,6 +1123,14 @@ object SparkEntry {
           native.dedup_lines(translate(col("text"), " ", "\n")).as("cleaned"))
         .orderBy("doc_id")),
 
+    // exact substring dedup (Lee et al. 2022): word 8-grams occurring in
+    // >=2 distinct docs are repeated spans; every covered token position
+    // is masked. Catches shared *passages* that doc- and line-level dedup
+    // miss. See dedup.Dedup.maskRepeatedSpans for the scale shape.
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.maskRepeatedSpans(t(s, dir, "documents"), k = 8, minDocs = 2)
+        .orderBy("doc_id")),
+
     // cross-document boilerplate removal (C4-style): tokens occurring in
     // >= 100 distinct docs are corpus boilerplate, removed from every doc
     // (order preserved). The boilerplate set is tiny by construction →
@@ -2399,6 +2407,31 @@ object SparkEntry {
 
     // replay the kernel in DuckDB: explode to (line, position), keep each
     // line's first position, reassemble in order
+    "q_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i AS gpos,
+                 array_to_string(toks[i:i+7], ' ') AS gram
+               FROM t, unnest(generate_series(1,
+                 greatest(0, length(toks) - 7))) AS s(i)),
+         rep AS (SELECT gram FROM (
+                   SELECT gram, count(DISTINCT doc_id) AS nd
+                   FROM g GROUP BY gram) WHERE nd >= 2),
+         cov AS (SELECT DISTINCT g.doc_id, u.p
+                 FROM g JOIN rep USING (gram),
+                      unnest(generate_series(g.gpos, g.gpos + 7)) AS u(p)),
+         u AS (SELECT doc_id, i AS pos, toks[i] AS tok
+               FROM t, unnest(generate_series(1, length(toks))) AS s(i)),
+         kept AS (SELECT u.doc_id, u.pos, u.tok FROM u
+                  WHERE NOT EXISTS (SELECT 1 FROM cov
+                    WHERE cov.doc_id = u.doc_id AND cov.p = u.pos)),
+         r AS (SELECT doc_id,
+                 array_to_string(list(tok ORDER BY pos), ' ') AS cleaned
+               FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(r.cleaned, '') AS cleaned
+         FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+         ORDER BY d.doc_id""",
+
     "q_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ls
            FROM documents),

@@ -553,6 +553,56 @@ object Dedup {
 
   // ------------------------------------------------- embedding near-dup
 
+  /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): any word k-gram occurring in at least
+    * `minDocs` distinct documents is a repeated span; every token position
+    * covered by a repeated span is masked out of its document (surviving
+    * tokens keep their order). This removes shared boilerplate *passages*
+    * that whole-document dedup can't see and line-level dedup only catches
+    * when the span aligns with a line.
+    *
+    * Scale shape — aggregates and equi-joins only, no windows:
+    *  1. tokens and k-grams are derived per-row with array ops (narrow);
+    *  2. the repeated-gram set is distinct(doc, gram) → count → filter,
+    *     partial-aggregated before each shuffle. Grams are compared as
+    *     STRINGS (engine-portable), not hashes — at 100 TB swap in a
+    *     128-bit fingerprint kernel to cut shuffle bytes;
+    *  3. covered positions = equi-join occurrences × repeated grams
+    *     (shuffle join — the repeated set is NOT assumed small, unlike
+    *     `removeBoilerplate`'s broadcast), exploded to k positions,
+    *     distinct;
+    *  4. surviving tokens = anti-join on (doc, pos), reassembled with one
+    *     groupBy; fully-masked docs re-attach as empty strings.
+    */
+  def maskRepeatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
+    val grams = toks.select(col(idCol),
+      when(size(col("toks")) >= k,
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => array_join(slice(col("toks"), i + 1, lit(k)), " ")))
+        .otherwise(typedlit(Seq.empty[String])).as("grams"))
+    val occ = grams.select(col(idCol),
+      posexplode(col("grams")).as(Seq("gpos", "gram")))
+    val repeated = occ.select(col(idCol), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("gram")
+    val covered = occ.join(repeated, Seq("gram"))
+      .select(col(idCol),
+        explode(sequence(col("gpos"), col("gpos") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = toks.select(col(idCol),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Embedding near-duplicates: cosine >= threshold, candidates via
     * random-hyperplane LSH (sign bits → bucket) computed with the native
     * vec_dot expression. See Ann.scala for the plane construction. */

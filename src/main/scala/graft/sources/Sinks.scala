@@ -92,6 +92,17 @@ object Sinks {
       bucketCols: Seq[String], numBuckets: Int,
       sortCols: Seq[String] = Nil,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val s = df.sparkSession
+    if (mode == SaveMode.Overwrite) {
+      // a managed-table LOCATION can survive from an earlier session whose
+      // in-memory catalog is gone; saveAsTable then refuses the name. Drop
+      // both the catalog entry and any orphaned location.
+      s.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
     var w = df.write.mode(mode).format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)

@@ -264,6 +264,53 @@ object Streams {
       }
       .start()
 
+  /** Streaming CDC apply: maintain a keyed snapshot by running
+    * `Relational.upsert` over each micro-batch of changes — the streaming
+    * materialized-view / Delta-MERGE pattern without a table format.
+    *
+    * The snapshot is VERSIONED by batch id (`snapshotDir/v=N`), which
+    * buys exactly-once the same way `parquetSinkExactlyOnce` does: a
+    * replayed batch reads the newest version *below* its own id (its own
+    * possibly-half-written output is ignored) and overwrites
+    * deterministically. Old versions double as time travel; compact by
+    * deleting all but the newest.
+    *
+    * `baseCols` is the snapshot schema (default: the change columns minus
+    * version/delete bookkeeping). The first batch starts from an empty
+    * snapshot. Per batch this is one upsert = one aggregate + one outer
+    * join — the same scale shape as the batch operator.
+    */
+  def cdcApply(changes: DataFrame, snapshotDir: String, checkpointDir: String,
+      key: String, versionCols: Seq[String], partial: Boolean = false,
+      deleteCol: Option[String] = None,
+      baseCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    val cols =
+      if (baseCols.nonEmpty) baseCols
+      else changes.columns.toSeq.diff(versionCols ++ deleteCol)
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val dir = new org.apache.hadoop.fs.Path(snapshotDir)
+        val prev =
+          if (fs.exists(dir))
+            fs.listStatus(dir).map(_.getPath.getName)
+              .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+              .filter(_ < batchId)
+          else Array.empty[Long]
+        val schema = StructType(cols.map(c => batch.schema(c)))
+        val base =
+          if (prev.nonEmpty) s.read.parquet(s"$snapshotDir/v=${prev.max}")
+          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val next = graft.operators.Relational.upsert(base, batch, key,
+          versionCols, partial, deleteCol.map(batch(_)))
+        next.write.mode("overwrite").parquet(s"$snapshotDir/v=$batchId")
+      }
+      .start()
+  }
+
   /** Run a streaming query over a bounded source into a memory sink and
     * return the materialized result — used by tests to drive the streaming
     * path end-to-end with deterministic content. */

@@ -221,4 +221,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists(p => p._2 == 2L))
   }
+
+  test("maskRepeatedSpans masks cross-doc k-gram spans, keeps unique text") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "lazy dog saw the quick brown fox sleep"),
+      (3L, "completely unique words here"),
+      (4L, "xx yy") // shorter than k: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.maskRepeatedSpans(docs, k = 4, minDocs = 2)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // "the quick brown fox" occurs in docs 1 and 2 → its 4 positions are
+    // masked in both; everything else survives in order
+    assert(got == Seq(
+      (1L, "jumps high"),
+      (2L, "lazy dog saw sleep"),
+      (3L, "completely unique words here"),
+      (4L, "xx yy")))
+  }
 }

@@ -307,4 +307,31 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(got.toSeq == batch.toSeq)
   }
+
+  test("cdcApply maintains a versioned keyed snapshot across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val (snapDir, ckpt) = (s"$root/snap", s"$root/ckpt")
+    val mem = MemoryStream[(Long, Double, Long, Boolean)]
+    val changes = mem.toDS().toDF("id", "bal", "seq", "is_del")
+    val q = Streams.cdcApply(changes, snapDir, ckpt, "id", Seq("seq"),
+      partial = false, deleteCol = Some("is_del"))
+    try {
+      mem.addData((1L, 10.0, 1L, false), (2L, 20.0, 2L, false))
+      q.processAllAvailable()
+      val v0 = spark.read.parquet(s"$snapDir/v=0").orderBy("id")
+        .as[(Long, Double)].collect().toSeq
+      assert(v0 == Seq((1L, 10.0), (2L, 20.0))) // first batch: all inserts
+
+      // batch 2: update 2 (latest seq wins), delete 1, insert 3
+      mem.addData((2L, 99.0, 3L, false), (2L, 25.0, 4L, false),
+        (1L, 0.0, 5L, true), (3L, 30.0, 6L, false))
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(s"$snapDir/v=1").orderBy("id")
+        .as[(Long, Double)].collect().toSeq
+      assert(v1 == Seq((2L, 25.0), (3L, 30.0)))
+      // time travel: the v=0 snapshot is still intact
+      assert(spark.read.parquet(s"$snapDir/v=0").count() == 2)
+    } finally q.stop()
+  }
 }
