@@ -1354,6 +1354,15 @@ object SparkEntry {
           threshold = 0.2, planes = 4)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup (cluster-then-compare, Abbas et al. 2023): deterministic
+    // k-means partitions the corpus, exact cosine only WITHIN a cluster —
+    // O(Σ cᵢ²) not O(n²). Bit-deterministic training means the oracle
+    // twins the entire path: seeds → Lloyd → assignment → pairs.
+    "q_semdedup" -> ((s, dir) =>
+      Dedup.semanticNearDupPairs(t(s, dir, "embeddings"), k = 8,
+          threshold = 0.2)
+        .orderBy("id_a", "id_b")),
+
     // scalar int8 quantization (FAISS-SQ8 style, 4x memory/IO cut before
     // indexing): corpus-wide per-dim min/max → affine codes in [-127,127].
     // Integer codes are engine-exact, so the full path (range pass +
@@ -1499,12 +1508,12 @@ object SparkEntry {
         s"(CASE WHEN list_dot_product(v, ${planeLiteral(p)}) > 0.0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
-  /** Full DuckDB twin of the IVF path (seeds, one Lloyd iteration with
-    * the ordered-fold mean, nprobe=2 probe selection, exact cosine top-k
-    * over the probed lists) — shared by q_ann_ivf and q_ann_ivf_pruned,
-    * whose results are identical by construction (the pruned variant only
-    * changes WHERE the inverted lists are read from). */
-  private val ivfFullTwin: String =
+  /** Shared DuckDB CTE prefix twinning the deterministic k-means path:
+    * lowest-id seeds, one Lloyd iteration with the ordered-fold mean, and
+    * the final nearest-centroid assignment (`a1`: vec_id, v, cid). Used by
+    * the IVF twins (probe + top-k on top) and the SemDeDup twin
+    * (within-cluster pair enumeration on top). */
+  private val kmeansAssignCtes: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
          seeds AS (
@@ -1538,7 +1547,15 @@ object SparkEntry {
                   / (sqrt(list_dot_product(e.v, e.v))
                      * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
                  c.cid ASC) AS rn
-             FROM e CROSS JOIN c1 c) WHERE rn = 1),
+             FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
+
+  /** Full DuckDB twin of the IVF path (k-means prefix + nprobe=2 probe
+    * selection + exact cosine top-k over the probed lists) — shared by
+    * q_ann_ivf and q_ann_ivf_pruned, whose results are identical by
+    * construction (the pruned variant only changes WHERE the inverted
+    * lists are read from). */
+  private val ivfFullTwin: String = kmeansAssignCtes +
+    """,
          probes AS (
            SELECT query_id, qv, cid FROM (
              SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
@@ -1563,6 +1580,20 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** SemDeDup twin: the k-means prefix, then exact-cosine pairs strictly
+    * within a cluster (each vector is in exactly one cluster, so the pair
+    * set is unique by construction — the twin needs no dedup step). */
+  private val semdedupTwin: String = kmeansAssignCtes +
+    """,
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+           FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cosine FROM pairs
+         WHERE cosine >= 0.2 ORDER BY id_a, id_b"""
 
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -2150,6 +2181,11 @@ object SparkEntry {
     "q_ann_ivf" -> ivfFullTwin,
 
     "q_ann_ivf_pruned" -> ivfFullTwin,
+
+    // SemDeDup: same deterministic k-means prefix, then within-cluster
+    // exact-cosine pair enumeration — the cluster partition (not just the
+    // survivors) is what the twin proves
+    "q_semdedup" -> semdedupTwin,
 
     // the LSH buckets recomputed in DuckDB from the same literal-embedded
     // hyperplanes (6 planes), then exact cosine top-k WITHIN each query's

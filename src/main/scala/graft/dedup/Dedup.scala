@@ -603,6 +603,36 @@ object Dedup {
       .select(col(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** SemDeDup-style semantic near-duplicates (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding corpus, then compare
+    * pairs ONLY within a cluster — exact cosine inside, zero comparisons
+    * across. The second embedding-dedup scale path next to hyperplane LSH
+    * ([[embeddingNearDupPairs]]): LSH bounds work via many small random
+    * buckets (a pair can collide in several), k-means via data-adaptive
+    * partitions (each vector in exactly ONE cluster, so pairs are unique by
+    * construction — no dropDuplicates pass). Work drops from O(n²) to
+    * O(Σ cᵢ²); at 100 TB, k grows with the corpus to keep cᵢ bounded, the
+    * pair join shuffles both sides once on centroid_id, and a degenerate
+    * cluster (mass at one point) is skew-capped like every other bucketed
+    * generator here. Training reuses the bit-deterministic Lloyd fold from
+    * Ivf.train, which is what lets q_semdedup carry a full DuckDB twin of
+    * the whole path (seeds → Lloyd → assignment → within-cluster cosine). */
+  def semanticNearDupPairs(emb: DataFrame, k: Int, threshold: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      iters: Int = 1, maxClusterSize: Int = 100000): DataFrame = {
+    val cents = graft.similarity.Ivf.train(emb, k, iters, idCol, vecCol)
+    val assigned = graft.similarity.Ivf.assign(emb, cents, idCol, vecCol)
+      .select(col("centroid_id"), col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = dropHotBuckets(assigned, Seq("centroid_id"), maxClusterSize)
+    val l = capped.select(col("centroid_id"), col("id").as("id_a"), col("v").as("va"))
+    val r = capped.select(col("centroid_id"), col("id").as("id_b"), col("v").as("vb"))
+    l.join(r, "centroid_id").filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(native.vec_cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding near-duplicates: cosine >= threshold, candidates via
     * random-hyperplane LSH (sign bits → bucket) computed with the native
     * vec_dot expression. See Ann.scala for the plane construction. */

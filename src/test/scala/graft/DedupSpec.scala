@@ -222,6 +222,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 2L))
   }
 
+  test("semantic near-dup equals brute force restricted to same cluster") {
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+    val got = Dedup.semanticNearDupPairs(emb, k = 4, threshold = 0.2)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // brute-force reference: assign once with the same trained centroids,
+    // enumerate ALL pairs via cross join, keep same-cluster ones over the
+    // threshold — semanticNearDupPairs must find exactly these
+    val cents = graft.similarity.Ivf.train(emb, k = 4, iters = 1)
+    val a = graft.similarity.Ivf.assign(emb, cents)
+    val l = a.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("centroid_id").as("ca"))
+    val r = a.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("centroid_id").as("cb"))
+    val want = l.crossJoin(r)
+      .filter(col("id_a") < col("id_b") && col("ca") === col("cb"))
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.native.vec_cosine(col("va"), col("vb")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("maskRepeatedSpans masks cross-doc k-gram spans, keeps unique text") {
     val docs = Seq(
       (1L, "the quick brown fox jumps high"),
