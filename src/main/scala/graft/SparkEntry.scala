@@ -750,6 +750,85 @@ object SparkEntry {
         ORDER BY n_name""")
     }),
 
+    // TPC-H Q12 shape: fact-to-fact join + conditional aggregation
+    // (priority-split line counts over a one-year ship window; grouped by
+    // l_linestatus — this corpus has no l_shipmode). Counts are integers →
+    // engine-exact.
+    "q_tpch_q12" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus""")
+    }),
+
+    // TPC-H Q14 shape: conditional-revenue ratio (promo share of one
+    // month's revenue). Both legs accumulate in DECIMAL, cast to DOUBLE
+    // once, and the final multiply/divide is plain double arithmetic —
+    // bit-identical across engines.
+    "q_tpch_q14" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT CAST(100 AS DOUBLE)
+                 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                        AS DOUBLE) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'""")
+    }),
+
+    // TPC-H Q18 shape: large-volume orders — IN over a grouped-HAVING
+    // subquery on the fact table, then a 3-way join re-aggregated per
+    // order and top-100 by price. Quantity sums accumulate in DECIMAL.
+    "q_tpch_q18" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(CAST(l_quantity AS DECIMAL(12,2)))
+                                    > 150)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100""")
+    }),
+
+    // TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    // branches over the part join (no shipmode/container in this corpus)
+    // — the OR-of-ANDs predicate Catalyst splits into the common join key
+    // plus a residual filter.
+    "q_tpch_q19" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                    AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")
+    }),
+
     // as-of join (custom operator — union + running-last formulation,
     // graft.operators.Relational.asofJoin; oracle is DuckDB native ASOF)
     "q_asof" -> ((s, dir) => {
@@ -2094,6 +2173,58 @@ object SparkEntry {
                             AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
          GROUP BY n_name
          ORDER BY n_name""",
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus""",
+
+    "q_tpch_q14" ->
+      """SELECT CAST(100 AS DOUBLE)
+                  * CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                         AS DOUBLE) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'""",
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  AS sum_qty
+         FROM customer, orders, lineitem
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING sum(CAST(l_quantity AS DECIMAL(12,2)))
+                                     > 150)
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
+
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                     AS DOUBLE) AS revenue,
+                count(*) AS n_lines
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
 
     "q_asof" ->
       """SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
