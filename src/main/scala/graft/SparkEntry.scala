@@ -1072,6 +1072,16 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(100)),
 
+    // CCNet-style LM fluency: bigram counts trained on the English slice,
+    // every doc scored by mean reference-bigram frequency (log-free →
+    // engine-exact; see Text.bigramFluency)
+    "q_lm_fluency" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.functions.Text.bigramFluency(docs,
+          docs.filter(col("lang") === "en"))
+        .orderBy("doc_id")
+    }),
+
     "q_tfidf" -> ((s, dir) => {
       val scored = graft.functions.Text.tfidf(t(s, dir, "documents"))
       val w = Window.partitionBy("doc_id")
@@ -3024,6 +3034,25 @@ object SparkEntry {
          SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
          FROM u GROUP BY token
          ORDER BY n DESC, token LIMIT 100""",
+
+    "q_lm_fluency" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                FROM d, unnest(generate_series(1, len(ws) - 1)) AS t(i)),
+         ref AS (SELECT w1, w2, count(*) AS bg_n
+                 FROM bg JOIN documents USING (doc_id)
+                 WHERE lang = 'en' GROUP BY w1, w2),
+         sc AS (SELECT bg.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_bigrams,
+                  CAST(sum(coalesce(ref.bg_n, 0)) AS BIGINT) AS bg_total
+                FROM bg LEFT JOIN ref USING (w1, w2)
+                GROUP BY bg.doc_id)
+         SELECT docs.doc_id,
+           coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           CAST(sc.bg_total AS DOUBLE) / sc.n_bigrams AS fluency
+         FROM documents docs LEFT JOIN sc ON docs.doc_id = sc.doc_id
+         ORDER BY docs.doc_id""",
 
     "q_tfidf" ->
       """WITH words AS (

