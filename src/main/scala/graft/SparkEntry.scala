@@ -1072,6 +1072,32 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(100)),
 
+    // corpus curation: per-source top-5 documents by quality score — the
+    // "keep the best K per domain" selection step after quality scoring.
+    // Partitioned window (never global); scores are engine-bit-identical
+    // so the ranking hash-checks.
+    "q_curate" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          native.text_stats(col("text")).getField("quality").as("quality"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .orderBy("source", "rank")
+    }),
+
+    // Z-order (Morton) codes — the native ZOrder2 kernel behind
+    // Sinks.writeZOrdered's multi-dimensional clustering; inputs masked to
+    // 16 bits so the DuckDB twin's shift arithmetic stays in safe range
+    "q_zorder" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          native.zorder2(pmod(col("o_custkey"), lit(65536L)),
+            pmod(col("o_orderkey"), lit(65536L))).as("zcode"))
+        .orderBy("zcode", "o_orderkey")
+        .limit(200)),
+
     // CCNet-style LM fluency: bigram counts trained on the English slice,
     // every doc scored by mean reference-bigram frequency (log-free →
     // engine-exact; see Text.bigramFluency)
@@ -1597,6 +1623,13 @@ object SparkEntry {
         s"(CASE WHEN list_dot_product(v, ${planeLiteral(p)}) > 0.0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** 16-bit Morton interleave as plain shift/mask arithmetic — the DuckDB
+    * twin of the native ZOrder2 kernel (even bits from x, odd from y). */
+  private def mortonSql16(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"(((($x) >> $i) & 1) << ${2 * i}) + (((($y) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
   /** Shared DuckDB CTE prefix twinning the deterministic k-means path:
     * lowest-id seeds, one Lloyd iteration with the ordered-fold mean, and
     * the final nearest-centroid assignment (`a1`: vec_id, v, cid). Used by
@@ -1683,6 +1716,66 @@ object SparkEntry {
            FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id)
          SELECT id_a, id_b, cosine FROM pairs
          WHERE cosine >= 0.2 ORDER BY id_a, id_b"""
+
+  /** Shared DuckDB CTE prefix recomputing the full TextStats quality
+    * heuristic (tokenization, char/punct/stopword counts, ratios, quality
+    * score, language argmax) — ends at CTE `q`. Used by q_text_quality
+    * (adds the rolling-FNV fingerprint) and q_curate (adds per-source
+    * quality ranking). */
+  private val qualityCtes: String =
+    """WITH toks AS (
+           SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         base AS (
+           SELECT doc_id, text, tk,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(tk) AS BIGINT) AS n_tokens,
+             CAST(length(regexp_replace(text, '[ \t\n\v\f\r]', '', 'g'))
+               AS BIGINT) AS n_nonws,
+             CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+               AS BIGINT) AS n_punct,
+             CAST(len(list_filter(tk, t -> lower(t) IN ('the','a','an','of',
+               'and','or','to','in','is','are','was','were','be','on','for',
+               'with','as','at','by','it','this','that'))) AS BIGINT) AS stop_hits,
+             CAST(len(list_filter(tk, t -> lower(t) IN ('der','die','das',
+               'und','ist','nicht','mit','ein','eine','zu','von'))) AS BIGINT) AS h_de,
+             CAST(len(list_filter(tk, t -> lower(t) IN ('the','and','is',
+               'of','to','in','that','it','with','for'))) AS BIGINT) AS h_en,
+             CAST(len(list_filter(tk, t -> lower(t) IN ('el','la','los',
+               'las','de','que','y','es','en','un','una','por'))) AS BIGINT) AS h_es,
+             CAST(len(list_filter(tk, t -> lower(t) IN ('le','la','les',
+               'de','et','est','que','dans','pour','une','des'))) AS BIGINT) AS h_fr,
+             CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+               AS BIGINT) AS h_zh
+           FROM toks),
+         m AS (
+           SELECT *,
+             CASE WHEN n_tokens = 0 THEN 0.0
+               ELSE CAST(n_nonws AS DOUBLE) / n_tokens END AS mean_tok_len,
+             CASE WHEN n_chars = 0 THEN 0.0
+               ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+             CASE WHEN n_tokens = 0 THEN 0.0
+               ELSE CAST(stop_hits AS DOUBLE) / n_tokens END AS stopword_ratio
+           FROM base),
+         q AS (
+           SELECT *,
+             (least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.4
+              + least(stopword_ratio * 4.0, 1.0) * 0.3
+              + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+                  THEN 1.0 ELSE 0.5 END) * 0.3)
+             * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END) AS quality,
+             CASE
+               WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+               WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+                 AND h_de >= h_zh THEN 'de'
+               WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+               WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+               WHEN h_fr >= h_zh THEN 'fr'
+               ELSE 'zh'
+             END AS lang_pred
+           FROM m)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -2416,60 +2509,8 @@ object SparkEntry {
     // formula in the same operation order, the first-max-wins language
     // argmax as an ordered CASE, and the rolling FNV-1a fingerprint in
     // HUGEINT mod-2^64 arithmetic mapped back to signed BIGINT
-    "q_text_quality" ->
-      """WITH toks AS (
-           SELECT doc_id, text,
-             list_filter(regexp_split_to_array(text, '[ \t\n\v\f\r]+'),
-               x -> x <> '') AS tk
-           FROM documents),
-         base AS (
-           SELECT doc_id, text, tk,
-             CAST(length(text) AS BIGINT) AS n_chars,
-             CAST(len(tk) AS BIGINT) AS n_tokens,
-             CAST(length(regexp_replace(text, '[ \t\n\v\f\r]', '', 'g'))
-               AS BIGINT) AS n_nonws,
-             CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
-               AS BIGINT) AS n_punct,
-             CAST(len(list_filter(tk, t -> lower(t) IN ('the','a','an','of',
-               'and','or','to','in','is','are','was','were','be','on','for',
-               'with','as','at','by','it','this','that'))) AS BIGINT) AS stop_hits,
-             CAST(len(list_filter(tk, t -> lower(t) IN ('der','die','das',
-               'und','ist','nicht','mit','ein','eine','zu','von'))) AS BIGINT) AS h_de,
-             CAST(len(list_filter(tk, t -> lower(t) IN ('the','and','is',
-               'of','to','in','that','it','with','for'))) AS BIGINT) AS h_en,
-             CAST(len(list_filter(tk, t -> lower(t) IN ('el','la','los',
-               'las','de','que','y','es','en','un','una','por'))) AS BIGINT) AS h_es,
-             CAST(len(list_filter(tk, t -> lower(t) IN ('le','la','les',
-               'de','et','est','que','dans','pour','une','des'))) AS BIGINT) AS h_fr,
-             CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
-               AS BIGINT) AS h_zh
-           FROM toks),
-         m AS (
-           SELECT *,
-             CASE WHEN n_tokens = 0 THEN 0.0
-               ELSE CAST(n_nonws AS DOUBLE) / n_tokens END AS mean_tok_len,
-             CASE WHEN n_chars = 0 THEN 0.0
-               ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
-             CASE WHEN n_tokens = 0 THEN 0.0
-               ELSE CAST(stop_hits AS DOUBLE) / n_tokens END AS stopword_ratio
-           FROM base),
-         q AS (
-           SELECT *,
-             (least(CAST(n_chars AS DOUBLE) / 200.0, 1.0) * 0.4
-              + least(stopword_ratio * 4.0, 1.0) * 0.3
-              + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
-                  THEN 1.0 ELSE 0.5 END) * 0.3)
-             * (CASE WHEN punct_ratio > 0.2 THEN 0.5 ELSE 1.0 END) AS quality,
-             CASE
-               WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
-               WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
-                 AND h_de >= h_zh THEN 'de'
-               WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
-               WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
-               WHEN h_fr >= h_zh THEN 'fr'
-               ELSE 'zh'
-             END AS lang_pred
-           FROM m),
+    "q_text_quality" -> (qualityCtes +
+      """,
          fp AS (
            SELECT doc_id,
              list_reduce(
@@ -2489,7 +2530,20 @@ object SparkEntry {
              THEN fp.ufp - CAST('18446744073709551616' AS HUGEINT)
              ELSE fp.ufp END AS BIGINT) AS fingerprint
          FROM q JOIN fp ON q.doc_id = fp.doc_id
-         ORDER BY q.doc_id""",
+         ORDER BY q.doc_id"""),
+
+    // top-quality curation: per-source top-5 docs by the TextStats quality
+    // score (ties broken by doc_id; scores are bit-identical across
+    // engines, so the ranking is too — same qualityCtes prefix)
+    "q_curate" -> (qualityCtes +
+      """,
+         sel AS (
+           SELECT q.doc_id, d.source, q.quality,
+             CAST(row_number() OVER (PARTITION BY d.source
+               ORDER BY q.quality DESC, q.doc_id) AS BIGINT) AS rank
+           FROM q JOIN documents d ON q.doc_id = d.doc_id)
+         SELECT doc_id, source, quality, rank FROM sel
+         WHERE rank <= 5 ORDER BY source, rank"""),
 
     // full O(n²) cross twin of asymmetric containment; the filter is
     // written shared >= n_e * t to match the engine bit-for-bit
@@ -3034,6 +3088,11 @@ object SparkEntry {
          SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
          FROM u GROUP BY token
          ORDER BY n DESC, token LIMIT 100""",
+
+    "q_zorder" ->
+      s"""SELECT o_orderkey,
+            ${mortonSql16("o_custkey % 65536", "o_orderkey % 65536")} AS zcode
+          FROM orders ORDER BY zcode, o_orderkey LIMIT 200""",
 
     "q_lm_fluency" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -50,6 +50,26 @@ object HashKernels {
     h
   }
 
+  /** Spread the low 32 bits of v to the even bit positions of a 64-bit
+    * word (magic-masks formulation — O(log w), no per-bit loop). */
+  def mortonSpread(v0: Long): Long = {
+    var v = v0 & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** 64-bit Morton (Z-order) code: bit-interleave of the low 32 bits of x
+    * (even positions) and y (odd positions). Rows sorted by this code are
+    * clustered in BOTH dimensions at once, so parquet row-group min/max
+    * stats stay tight for predicates on either column — the multi-
+    * dimensional data-skipping lever behind Delta/Iceberg OPTIMIZE ZORDER. */
+  def morton2(x: Long, y: Long): Long =
+    mortonSpread(x) | (mortonSpread(y) << 1)
+
   /** 64-bit SimHash over whitespace tokens: each token hash votes +1/-1 on
     * every bit; the sign of each bit's tally forms the output. Near-
     * duplicate documents land within small Hamming distance. */
@@ -165,6 +185,17 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(c)
 }
 
+/** 64-bit Morton (Z-order) code of two long columns (low 32 bits each). */
+case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.morton2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.morton2($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrder2 =
+    copy(l, r)
+}
+
 /** 64-bit SimHash of a whitespace-tokenized document. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -261,6 +292,7 @@ object native {
     col(CharShingleHashes(ex(c), n))
   def strip_accents(c: Column): Column = col(StripAccents(ex(c)))
   def dedup_lines(c: Column): Column = col(DedupLines(ex(c)))
+  def zorder2(a: Column, b: Column): Column = col(ZOrder2(ex(a), ex(b)))
 
   /** Make the functions usable from `spark.sql` text as well. */
   def register(spark: SparkSession): Unit = {
@@ -273,6 +305,8 @@ object native {
     reg.createOrReplaceTempFunction("vec_cosine", es => FloatVecCosine(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("nearest_centroid",
       es => NearestCentroid(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("zorder2",
+      es => ZOrder2(es(0), es(1)), "scala_udf")
   }
 }
 

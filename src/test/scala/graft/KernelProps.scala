@@ -54,6 +54,24 @@ object KernelProps extends Properties("Kernels") {
       variantSet(s, 2).size == 1 + n + n * (n - 1) / 2
     }
 
+  // morton2 is the exact bit interleave: even bits recover x, odd bits y
+  property("morton2 interleaves: even bits = x, odd bits = y") =
+    forAll(Gen.choose(0L, 0xFFFFFFFFL), Gen.choose(0L, 0xFFFFFFFFL)) { (x, y) =>
+      val z = HashKernels.morton2(x, y)
+      def even(v: Long): Long = (0 until 32)
+        .map(i => ((v >>> (2 * i)) & 1L) << i).reduce(_ | _)
+      even(z) == x && even(z >>> 1) == y
+    }
+
+  // magic-mask morton equals the naive per-bit loop
+  property("morton2 = naive per-bit interleave") =
+    forAll(Gen.choose(0L, Long.MaxValue), Gen.choose(0L, Long.MaxValue)) { (x, y) =>
+      val naive = (0 until 32).map { i =>
+        (((x >>> i) & 1L) << (2 * i)) | (((y >>> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+      HashKernels.morton2(x, y) == naive
+    }
+
   // charShingleHashes equals the naive sorted-distinct set of window hashes
   property("charShingleHashes = distinct FNV of every n-byte window") =
     forAll(strGen, Gen.choose(1, 6)) { (s, n) =>

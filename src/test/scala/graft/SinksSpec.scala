@@ -56,6 +56,32 @@ class SinksSpec extends AnyFunSuite {
     assert(again == gotIds)
   }
 
+  test("writeZOrdered clusters both dimensions into tight per-file ranges") {
+    import spark.implicits._
+    // 128x128 grid, shuffled arrival order
+    val grid = (0 until 128).flatMap(x => (0 until 128).map(y => (x.toLong, y.toLong)))
+    val df = scala.util.Random.shuffle(grid).toDF("x", "y").repartition(8)
+    val out = tmp() + "/zorder"
+    Sinks.writeZOrdered(df, out, "x", "y", numFiles = 16)
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 4)
+    val spans = files.map { f =>
+      val mm = spark.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y")).head()
+      (mm.getLong(1) - mm.getLong(0), mm.getLong(3) - mm.getLong(2))
+    }
+    // a z-ordered file covers a small square: both dimensions' average
+    // span must be far below the global span (127); a single-column sort
+    // would leave one dimension's span at ~127 in every file
+    val (avgX, avgY) = (spans.map(_._1).sum / spans.length,
+      spans.map(_._2).sum / spans.length)
+    assert(avgX <= 64, s"x span $avgX")
+    assert(avgY <= 64, s"y span $avgY")
+    // no rows lost
+    assert(spark.read.parquet(out).count() == 128L * 128L)
+  }
+
   test("csv round-trip preserves data with header") {
     val region = Tables.load(spark, SparkFixture.sfDir, "region")
     val out = tmp() + "/region_csv"
