@@ -1072,6 +1072,23 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(100)),
 
+    // subword tokenization: greedy longest-match segmentation of the 100
+    // most frequent corpus words against a fixed piece vocabulary (the
+    // APPLY side of the q_vocab build side); the DuckDB twin replays the
+    // greedy loop as a recursive CTE with a LATERAL longest-match probe
+    "q_tokenize" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(100)
+      words.select(col("word"),
+          native.tokenize_greedy(col("word"), typedlit(subwordVocab))
+            .as("pieces"),
+          col("n"))
+        .orderBy(col("n").desc, col("word"))
+    }),
+
     // corpus curation: per-source top-5 documents by quality score — the
     // "keep the best K per domain" selection step after quality scoring.
     // Partitioned window (never global); scores are engine-bit-identical
@@ -1622,6 +1639,13 @@ object SparkEntry {
       case (p, i) =>
         s"(CASE WHEN list_dot_product(v, ${planeLiteral(p)}) > 0.0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Subword piece vocabulary for q_tokenize — a few frequent digraphs/
+    * trigraphs plus every lowercase letter (full fallback coverage for
+    * this corpus's alphabetic tokens). Shared verbatim with the twin. */
+  private val subwordVocab: Seq[String] =
+    Seq("the", "ing", "er", "on", "ti", "an", "or", "en", "ar", "st") ++
+      ('a' to 'z').map(_.toString)
 
   /** 16-bit Morton interleave as plain shift/mask arithmetic — the DuckDB
     * twin of the native ZOrder2 kernel (even bits from x, odd from y). */
@@ -3088,6 +3112,32 @@ object SparkEntry {
          SELECT token, count(*) AS n, count(DISTINCT doc_id) AS df
          FROM u GROUP BY token
          ORDER BY n DESC, token LIMIT 100""",
+
+    "q_tokenize" ->
+      s"""WITH RECURSIVE vocab(p) AS (
+            SELECT unnest([${subwordVocab.map(p => s"'$p'").mkString(",")}])),
+          tw AS (SELECT word, n FROM (
+             SELECT tok AS word, count(*) AS n FROM (
+               SELECT unnest(string_split(text, ' ')) AS tok
+               FROM documents) u
+             WHERE tok <> '' GROUP BY tok
+             ORDER BY n DESC, tok LIMIT 100) s),
+          seg AS (
+            SELECT word, CAST(1 AS INTEGER) AS pos,
+                   CAST('' AS VARCHAR) AS pieces FROM tw
+            UNION ALL
+            SELECT s.word, CAST(s.pos + coalesce(length(m.p), 1) AS INTEGER),
+                   s.pieces || CASE WHEN s.pieces = '' THEN '' ELSE ' ' END
+                     || coalesce(m.p, '?')
+            FROM seg s LEFT JOIN LATERAL (
+                SELECT p FROM vocab
+                WHERE p = substr(s.word, s.pos, length(p))
+                ORDER BY length(p) DESC LIMIT 1) m ON true
+            WHERE s.pos <= length(s.word)),
+          done AS (SELECT word, pieces FROM seg
+                   WHERE pos = length(word) + 1)
+          SELECT t.word, d.pieces, t.n FROM tw t JOIN done d USING (word)
+          ORDER BY t.n DESC, t.word""",
 
     "q_zorder" ->
       s"""SELECT o_orderkey,

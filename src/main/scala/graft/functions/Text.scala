@@ -148,6 +148,25 @@ object Text {
           (col("n_docs").cast("double") / col("doc_freq"))).as("tfidf"))
   }
 
+  /** Subword tokenization (WordPiece-style greedy inference) over whole
+    * documents: each whitespace word is segmented longest-match-first
+    * against `vocab` by the native GreedyTokenize kernel (unknown char →
+    * "?"), pieces re-joined in order. Completes the tokenizer story next
+    * to vocab building (q_vocab) and token counting (TextStats): build the
+    * vocab, then APPLY it. Purely narrow — one projection, no shuffle, no
+    * UDF; the vocab rides along as an array literal (broadcast-equivalent,
+    * prepared once per executor by the kernel's cache). */
+  def tokenizeSubwords(docs: DataFrame, vocab: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocabLit = typedlit(vocab)
+    docs.select(col(idCol),
+      array_join(
+        transform(
+          filter(split(col(textCol), " "), w => w =!= ""),
+          w => graft.functions.native.tokenize_greedy(w, vocabLit)),
+        " ").as("subwords"))
+  }
+
   /** CCNet-style language-model fluency score, log-free: train word-bigram
     * counts on a REFERENCE corpus (CCNet trains a KenLM on Wikipedia; here
     * any `ref` slice of the data), then score every document by the mean

@@ -185,6 +185,58 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(c)
 }
 
+/** Greedy longest-match subword segmentation (WordPiece-style inference):
+  * at each position emit the longest vocab piece prefixing the remainder;
+  * no match → emit "?" and advance one char. Vocabulary preparation
+  * (length buckets + hash set) is cached per vocab array, so per-row work
+  * is the match loop only. */
+object TokenizeKernel {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[ArrayData, (Array[Int], java.util.HashSet[String])]()
+
+  private def prepare(vocab: ArrayData): (Array[Int], java.util.HashSet[String]) =
+    cache.computeIfAbsent(vocab, { v =>
+      val set = new java.util.HashSet[String]()
+      (0 until v.numElements()).foreach(i => set.add(v.getUTF8String(i).toString))
+      val lens = set.toArray(Array.empty[String]).map(_.length).distinct.sorted.reverse
+      (lens, set)
+    })
+
+  def greedy(word: UTF8String, vocab: ArrayData): UTF8String = {
+    val (lens, set) = prepare(vocab)
+    val w = word.toString
+    val sb = new java.lang.StringBuilder
+    var pos = 0
+    while (pos < w.length) {
+      var matched: String = null
+      var li = 0
+      while (li < lens.length && matched == null) {
+        val L = lens(li)
+        if (L > 0 && pos + L <= w.length) {
+          val cand = w.substring(pos, pos + L)
+          if (set.contains(cand)) matched = cand
+        }
+        li += 1
+      }
+      if (sb.length > 0) sb.append(' ')
+      if (matched == null) { sb.append('?'); pos += 1 }
+      else { sb.append(matched); pos += matched.length }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Greedy longest-match subword pieces of a word, space-joined. */
+case class GreedyTokenize(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(w: Any, v: Any): Any =
+    TokenizeKernel.greedy(w.asInstanceOf[UTF8String], v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, v) => s"graft.functions.TokenizeKernel.greedy($w, $v)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GreedyTokenize =
+    copy(l, r)
+}
+
 /** 64-bit Morton (Z-order) code of two long columns (low 32 bits each). */
 case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -293,6 +345,8 @@ object native {
   def strip_accents(c: Column): Column = col(StripAccents(ex(c)))
   def dedup_lines(c: Column): Column = col(DedupLines(ex(c)))
   def zorder2(a: Column, b: Column): Column = col(ZOrder2(ex(a), ex(b)))
+  def tokenize_greedy(word: Column, vocab: Column): Column =
+    col(GreedyTokenize(ex(word), ex(vocab)))
 
   /** Make the functions usable from `spark.sql` text as well. */
   def register(spark: SparkSession): Unit = {

@@ -80,6 +80,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(2).length == 1)
   }
 
+  test("greedy subword tokenization: longest match, fallback, doc reassembly") {
+    val vocab = Seq("the", "er", "ing", "a", "b", "o", "r", "d")
+    val df = Seq((1L, "order the aboard"), (2L, ""), (3L, "zz"))
+      .toDF("doc_id", "text")
+    val got = Text.tokenizeSubwords(df, vocab).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    // "order" → o r d er (er wins over e at the tail); "the" is one piece;
+    // "aboard" → a b o a r d; unknown chars each become "?"
+    assert(got == Seq(
+      (1L, "o r d er the a b o a r d"),
+      (2L, ""),
+      (3L, "? ?")))
+  }
+
   test("redact scrubs emails, urls, and digit runs in order") {
     val df = Seq("mail a.b+c@ex-site.org now, docs at https://ex.org/p?q=1 code 1234567 ok 123")
       .toDF("text")
