@@ -577,30 +577,38 @@ object Dedup {
   def maskRepeatedSpans(docs: DataFrame, k: Int, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), split(col(textCol), " ").as("toks"))
-    val grams = toks.select(col(idCol),
-      when(size(col("toks")) >= k,
-        transform(sequence(lit(0), size(col("toks")) - k),
-          i => array_join(slice(col("toks"), i + 1, lit(k)), " ")))
-        .otherwise(typedlit(Seq.empty[String])).as("grams"))
-    val occ = grams.select(col(idCol),
-      posexplode(col("grams")).as(Seq("gpos", "gram")))
+    // positional 64-bit gram fingerprints (native one-pass kernel; the
+    // k-token gram's joined string is the raw byte range, so the hash
+    // equals FNV of the joined string) — the shuffle/groupBy below carries
+    // fixed-width longs instead of ~50-byte gram strings, the same trade
+    // ngramJaccardPairs makes (64-bit collision epsilon, caught by the
+    // oracle gate if it ever fired)
+    val occ = docs.select(col(idCol),
+      posexplode(native.span_gram_hashes(col(textCol), k))
+        .as(Seq("gpos", "gram")))
     val repeated = occ.select(col(idCol), col("gram")).distinct()
       .groupBy("gram").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("gram")
+    // Covered positions as ONE array per doc (groupBy on doc id), then the
+    // rebuild is a narrow per-row array filter against the original token
+    // array — no token-level anti-join shuffle, no collect_list re-sort.
+    // (A prior formulation shuffled every token twice; this shuffles only
+    // gram hits once. Per-row cost is O(len·|cov|) via array_contains —
+    // bounded-doc-length precondition, same as the FastSS kernel.)
     val covered = occ.join(repeated, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("gpos"), col("gpos") + (k - 1))))).as("cov"))
+    toks.join(covered, Seq(idCol), "left")
       .select(col(idCol),
-        explode(sequence(col("gpos"), col("gpos") + (k - 1))).as("pos"))
-      .distinct()
-    val kept = toks.select(col(idCol),
-        posexplode(col("toks")).as(Seq("pos", "tok")))
-      .join(covered, Seq(idCol, "pos"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ").as("cleaned"))
-    docs.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("cleaned"), lit("")).as("cleaned"))
+        when(col("cov").isNull, array_join(col("toks"), " "))
+          .otherwise(array_join(
+            transform(
+              filter(
+                transform(col("toks"), (t, i) => struct(i.as("pos"), t.as("tok"))),
+                s => !array_contains(col("cov"), s.getField("pos"))),
+              s => s.getField("tok")), " "))
+          .as("cleaned"))
   }
 
   /** SemDeDup-style semantic near-duplicates (Abbas et al. 2023,

@@ -334,6 +334,7 @@ object native {
     col(MinHashSig(ex(c), numHashes, shingle, seed))
   def minhash_bands(c: Column, bands: Int): Column = col(MinHashBandHashes(ex(c), bands))
   def word_ngrams(c: Column, n: Int): Column = col(WordNGrams(ex(c), n))
+  def span_gram_hashes(c: Column, k: Int): Column = col(SpanGramHashes(ex(c), k))
   def word_ngram_hashes(c: Column, n: Int): Column = col(WordNGramHashes(ex(c), n))
   def sorted_intersect(a: Column, b: Column): Column = col(SortedLongIntersect(ex(a), ex(b)))
   def sig_agree(a: Column, b: Column): Column = col(SigAgree(ex(a), ex(b)))
@@ -499,6 +500,33 @@ object NGramKernel {
     }
     val out = new Array[UTF8String](seen.size())
     seen.toArray(out)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Positional k-token gram fingerprints under single-space split
+    * semantics — see [[SpanGramHashes]]. The joined gram equals the raw
+    * byte range between its first token's start and last token's end. */
+  def spanGramHashes(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var tokStart = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        starts.add(tokStart); ends.add(i); tokStart = i + 1
+      }
+      i += 1
+    }
+    val nToks = starts.size()
+    if (nToks < k)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val out = new Array[Long](nToks - k + 1)
+    var g = 0
+    while (g <= nToks - k) {
+      out(g) = HashKernels.fnv1a(bytes, starts.get(g), ends.get(g + k - 1))
+      g += 1
+    }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
@@ -712,6 +740,22 @@ case class WordNGrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** Sorted distinct 64-bit fingerprints of word n-grams (see kernel doc). */
+/** POSITIONAL 64-bit gram fingerprints for span masking: token boundaries
+  * are single-space split semantics (empty tokens kept — exactly
+  * `split(text, " ")`), so the k-token gram's joined-by-space string IS
+  * the original byte range from token g's start to token g+k-1's end, and
+  * the fingerprint is one FNV pass over that range — no string
+  * materialization at all. Element i = fingerprint of the gram starting
+  * at token position i (not sorted, not distinct — positions matter). */
+case class SpanGramHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    NGramKernel.spanGramHashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramKernel.spanGramHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): SpanGramHashes = copy(c)
+}
+
 case class WordNGramHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(v: Any): Any =

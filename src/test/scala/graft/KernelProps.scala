@@ -54,6 +54,22 @@ object KernelProps extends Properties("Kernels") {
       variantSet(s, 2).size == 1 + n + n * (n - 1) / 2
     }
 
+  // spanGramHashes(i) = FNV of the split(" ")-joined k-gram at position i
+  property("spanGramHashes = FNV of each positional space-joined k-gram") =
+    forAll(Gen.listOf(Gen.oneOf(strGen, Gen.const(""))), Gen.choose(1, 4)) { (ws, k) =>
+      val text = ws.mkString(" ")
+      val a = NGramKernel.spanGramHashes(UTF8String.fromString(text), k)
+      val got = (0 until a.numElements()).map(a.getLong).toSeq
+      val toks = text.split(" ", -1).toSeq
+      val want =
+        if (toks.length < k) Seq.empty
+        else (0 to toks.length - k).map { i =>
+          val gram = toks.slice(i, i + k).mkString(" ").getBytes("UTF-8")
+          HashKernels.fnv1a(gram, 0, gram.length)
+        }
+      got == want
+    }
+
   // morton2 is the exact bit interleave: even bits recover x, odd bits y
   property("morton2 interleaves: even bits = x, odd bits = y") =
     forAll(Gen.choose(0L, 0xFFFFFFFFL), Gen.choose(0L, 0xFFFFFFFFL)) { (x, y) =>
