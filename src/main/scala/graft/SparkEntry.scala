@@ -1035,6 +1035,23 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // binned range join: same result as q_range_join (shared oracle) but
+    // planned as an equi-join on bin id + residual filter — the
+    // hash-partitionable shape that survives when BOTH sides are large
+    // and a broadcast nested loop cannot run
+    "q_range_join_binned" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val buckets = Seq((0.0, 10.0, "q1_small"), (10.0, 25.0, "q2_mid"),
+        (25.0, 40.0, "q3_large"), (40.0, 1000000000.0, "q4_huge"))
+        .toDF("lo", "hi", "label")
+      Relational.binnedRangeJoin(t(s, dir, "lineitem"), buckets,
+          col("l_quantity"), col("lo"), col("hi"),
+          binWidth = 10.0, maxValue = 100.0)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("label")
+    }),
+
     // fuzzy (edit-distance) self-join — entity-resolution shape
     "q_fuzzy_join" -> ((s, dir) => {
       val n1 = t(s, dir, "nation").select(col("n_name").as("name_a"))
@@ -3080,6 +3097,18 @@ object SparkEntry {
          FROM a ORDER BY l_returnflag""",
 
     "q_range_join" ->
+      """WITH buckets(lo, hi, label) AS (VALUES
+           (0.0, 10.0, 'q1_small'), (10.0, 25.0, 'q2_mid'),
+           (25.0, 40.0, 'q3_large'), (40.0, 1000000000.0, 'q4_huge'))
+         SELECT label, count(*) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+         FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY label ORDER BY label""",
+
+    // identical result to q_range_join by construction (each matching
+    // pair meets in exactly one bin — the point's), so the twin is shared
+    "q_range_join_binned" ->
       """WITH buckets(lo, hi, label) AS (VALUES
            (0.0, 10.0, 'q1_small'), (10.0, 25.0, 'q2_mid'),
            (25.0, 40.0, 'q3_large'), (40.0, 1000000000.0, 'q4_huge'))

@@ -83,6 +83,29 @@ object Relational {
       lo: Column, hi: Column): DataFrame =
     fact.join(broadcast(buckets), value >= lo && value < hi)
 
+  /** Binned range join — the large×large scale path [[rangeJoin]]'s
+    * broadcast nested loop cannot take. Both sides map to fixed-width
+    * bins: a point lands in exactly ONE bin, an interval in every bin it
+    * overlaps (hi clamped to `maxValue` so an open-ended interval doesn't
+    * explode into unbounded bins — precondition: maxValue ≥ every fact
+    * value). The join is then an EQUI-join on bin id + the residual range
+    * predicate: hash-partitionable, AQE-skew-splittable, never a nested
+    * loop. Each matching (point, interval) pair meets in exactly one bin
+    * (the point's), so the result equals rangeJoin's with no dedup pass —
+    * which is how q_range_join_binned shares q_range_join's oracle.
+    * Choose binWidth near the median interval width: interval copies ≈
+    * width/binWidth + 1. */
+  def binnedRangeJoin(fact: DataFrame, intervals: DataFrame, value: Column,
+      lo: Column, hi: Column, binWidth: Double, maxValue: Double): DataFrame = {
+    val fb = fact.withColumn("__bin", floor(value / binWidth))
+    val ib = intervals.withColumn("__bin",
+      explode(sequence(floor(lo / binWidth),
+        floor(least(hi, lit(maxValue)) / binWidth))))
+    fb.join(ib, Seq("__bin"))
+      .filter(value >= lo && value < hi)
+      .drop("__bin")
+  }
+
   /** As-of join: for each left row, attach the single right row with the
     * greatest `rightTime` <= `leftTime` (direction "backward", default) or
     * the least `rightTime` >= `leftTime` (direction "forward") within the

@@ -46,6 +46,12 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("binned range join plans an equi-join, not a nested loop") {
+    val p = plan("q_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "binned range join fell back to NLJ")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ANN top-k ranks via partial aggregation, not a per-query window sort") {
     val p = plan("q_ann_topk")
     assert(!p.contains("Window"), "top-k should not shuffle into a window")

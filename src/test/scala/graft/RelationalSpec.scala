@@ -65,6 +65,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", Some(100L)), ("d", None)))
   }
 
+  test("binned range join equals broadcast-NLJ range join, incl. boundaries") {
+    import graft.operators.Relational
+    // values sitting exactly on bin edges, interval edges, and the clamp
+    val fact = Seq(0.0, 9.999, 10.0, 19.999, 20.0, 25.0, 39.999, 40.0, 55.5)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val ivals = Seq((0.0, 10.0, "a"), (10.0, 25.0, "b"), (25.0, 40.0, "c"),
+      (40.0, 1000000000.0, "d")).toDF("lo", "hi", "label")
+    val a = Relational.rangeJoin(fact, ivals, col("v"), col("lo"), col("hi"))
+      .select("id", "label").as[(Long, String)].collect().toSet
+    val b = Relational.binnedRangeJoin(fact, ivals, col("v"), col("lo"),
+        col("hi"), binWidth = 7.0, maxValue = 60.0)
+      .select("id", "label").as[(Long, String)].collect().toSet
+    assert(a == b)
+    assert(a.nonEmpty && a.size == fact.count())
+  }
+
   test("empty-key join routes to cross product with theta filter") {
     val l = Seq(1, 2, 3).toDF("a")
     val r = Seq(2, 3, 4).toDF("b")
