@@ -829,6 +829,95 @@ object SparkEntry {
                AND l_quantity BETWEEN 20 AND 30)""")
     }),
 
+    // TPC-H Q4 shape: EXISTS-gated priority counts (late-shipping orders
+    // in a quarter; "late" = shipped >30 days after order date — this
+    // corpus has no commit/receipt dates)
+    "q_tpch_q4" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
+    // TPC-H Q7 shape: bidirectional nation-pair trade volume by year —
+    // a 6-table join with a symmetric OR pair predicate and a year
+    // extraction in the grouping
+    "q_tpch_q7" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(vol) AS DOUBLE) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                year(l_shipdate) AS l_year,
+                CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2))) AS vol
+              FROM supplier, lineitem, orders, customer, nation n1, nation n2
+              WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                AND c_custkey = o_custkey
+                AND s_nationkey = n1.n_nationkey
+                AND c_nationkey = n2.n_nationkey
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                   AND TIMESTAMP '1996-12-31 00:00:00')
+             shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")
+    }),
+
+    // TPC-H Q8 shape: market-share ratio — one nation's share of an
+    // 8-table join's volume per year, via the Q14 two-sum decimal-exact
+    // ratio pattern
+    "q_tpch_q8" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT o_year,
+          CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                THEN vol ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+          / CAST(sum(vol) AS DOUBLE) AS mkt_share
+        FROM (SELECT year(o_orderdate) AS o_year,
+                CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(12,2))) AS vol,
+                n1.n_name AS supp_nation
+              FROM part, supplier, lineitem, orders, customer,
+                   nation n1, nation n2, region
+              WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND c_nationkey = n2.n_nationkey
+                AND n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+                AND s_nationkey = n1.n_nationkey
+                AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                    AND TIMESTAMP '1996-12-31 00:00:00'
+                AND p_type = 'ECONOMY') allnations
+        GROUP BY o_year ORDER BY o_year""")
+    }),
+
+    // TPC-H Q10 shape: top returned-revenue customers in a quarter
+    // (join + group + decimal-exact revenue + deterministic top-20)
+    "q_tpch_q10" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                    AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    }),
+
     // as-of join (custom operator — union + running-last formulation,
     // graft.operators.Relational.asofJoin; oracle is DuckDB native ASOF)
     "q_asof" -> ((s, dir) => {
@@ -2369,6 +2458,72 @@ object SparkEntry {
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                CAST(sum(vol) AS DOUBLE) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate) AS l_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2))) AS vol
+               FROM supplier, lineitem, orders, customer, nation n1, nation n2
+               WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+                 AND c_custkey = o_custkey
+                 AND s_nationkey = n1.n_nationkey
+                 AND c_nationkey = n2.n_nationkey
+                 AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+                 AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                    AND TIMESTAMP '1996-12-31 00:00:00')
+              shipping
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q_tpch_q8" ->
+      """SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                 THEN vol ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(sum(vol) AS DOUBLE) AS mkt_share
+         FROM (SELECT year(o_orderdate) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2))) AS vol,
+                 n1.n_name AS supp_nation
+               FROM part, supplier, lineitem, orders, customer,
+                    nation n1, nation n2, region
+               WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                 AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                 AND c_nationkey = n2.n_nationkey
+                 AND n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+                 AND s_nationkey = n1.n_nationkey
+                 AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                     AND TIMESTAMP '1996-12-31 00:00:00'
+                 AND p_type = 'ECONOMY') allnations
+         GROUP BY o_year ORDER BY o_year""",
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                     AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
 
     "q_asof" ->
       """SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
