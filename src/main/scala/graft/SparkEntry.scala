@@ -1178,6 +1178,28 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token"))
         .limit(100)),
 
+    // same curation result via the k-bounded TopK AGGREGATOR instead of a
+    // rank window: partial+final aggregation ships ≤ partitions×k rows per
+    // group — the shape that survives when one domain holds most of the
+    // corpus and a window would sort it all in one task. Shares q_curate's
+    // oracle (identical result; PlanSpec asserts the plan has no Window).
+    "q_curate_agg" -> ((s, dir) => {
+      val sp = s; import sp.implicits._
+      val scored = t(s, dir, "documents")
+        .select(col("source"),
+          native.text_stats(col("text")).getField("quality").as("quality"),
+          col("doc_id"))
+        .as[(String, Double, Long)]
+        .map { case (src, q, id) => (src, graft.functions.Scored(q, id)) }
+      scored.groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.TopK(5).toColumn.name("top"))
+        .flatMap { case (src, tops) =>
+          tops.zipWithIndex.map { case (t, i) =>
+            (t.neighbor_id, src, t.cosine, (i + 1).toLong) } }
+        .toDF("doc_id", "source", "quality", "rank")
+        .orderBy("source", "rank")
+    }),
+
     // subword tokenization: greedy longest-match segmentation of the 100
     // most frequent corpus words against a fixed piece vocabulary (the
     // APPLY side of the q_vocab build side); the DuckDB twin replays the
@@ -2732,6 +2754,17 @@ object SparkEntry {
     // score (ties broken by doc_id; scores are bit-identical across
     // engines, so the ranking is too — same qualityCtes prefix)
     "q_curate" -> (qualityCtes +
+      """,
+         sel AS (
+           SELECT q.doc_id, d.source, q.quality,
+             CAST(row_number() OVER (PARTITION BY d.source
+               ORDER BY q.quality DESC, q.doc_id) AS BIGINT) AS rank
+           FROM q JOIN documents d ON q.doc_id = d.doc_id)
+         SELECT doc_id, source, quality, rank FROM sel
+         WHERE rank <= 5 ORDER BY source, rank"""),
+
+    // aggregator formulation — identical result, shared twin
+    "q_curate_agg" -> (qualityCtes +
       """,
          sel AS (
            SELECT q.doc_id, d.source, q.quality,

@@ -46,6 +46,11 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("aggregator curation plans partial aggregation, no window sort") {
+    val p = plan("q_curate_agg")
+    assert(!p.contains("Window"), "q_curate_agg fell back to a window")
+  }
+
   test("binned range join plans an equi-join, not a nested loop") {
     val p = plan("q_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin"), "binned range join fell back to NLJ")
