@@ -58,6 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => WordNGramHashes(es(0), intArg(es(1), "word_ngram_hashes")))
     inject("minhash_bands",
       es => MinHashBandHashes(es(0), intArg(es(1), "minhash_bands")))
+    inject("span_gram_hashes",
+      es => SpanGramHashes(es(0), intArg(es(1), "span_gram_hashes")))
+    inject("zorder2", es => ZOrder2(es(0), es(1)))
+    inject("tokenize_greedy", es => GreedyTokenize(es(0), es(1)))
 
     ext.injectOptimizerRule(_ => graft.plans.PreAggGroupingSets)
   }

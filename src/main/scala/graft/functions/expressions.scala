@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -237,8 +237,12 @@ case class GreedyTokenize(left: Expression, right: Expression) extends BinaryExp
     copy(l, r)
 }
 
-/** 64-bit Morton (Z-order) code of two long columns (low 32 bits each). */
-case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression {
+/** 64-bit Morton (Z-order) code of two long columns (low 32 bits each).
+  * Declares LongType inputs so SQL integer literals coerce instead of
+  * failing at eval. */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HashKernels.morton2(a.asInstanceOf[Long], b.asInstanceOf[Long])
@@ -362,6 +366,8 @@ object native {
       es => NearestCentroid(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("zorder2",
       es => ZOrder2(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("tokenize_greedy",
+      es => GreedyTokenize(es(0), es(1)), "scala_udf")
   }
 }
 

@@ -39,11 +39,18 @@ class ExtensionsSpec extends AnyFunSuite {
                sorted_intersect(char_shingle_hashes('abcdef', 3),
                                 char_shingle_hashes('bcdefg', 3)) AS shared,
                size(minhash_bands(minhash_sig('the quick brown fox'), 16))
-                 AS n_bands""").collect()(0)
+                 AS n_bands,
+               size(span_gram_hashes('a b c d', 2)) AS n_spans,
+               zorder2(3, 1) AS z,
+               tokenize_greedy('order', array('the','er','o','r','d')) AS tok
+        """).collect()(0)
     assert(r.getInt(0) == 4)  // 6 - 3 + 1 distinct windows
     assert(r.getInt(1) == 4)  // 'abc' + 3 single deletions
     assert(r.getInt(2) == 3)  // bcd, cde, def shared
     assert(r.getInt(3) == 16)
+    assert(r.getInt(4) == 3)        // "a b", "b c", "c d"
+    assert(r.getLong(5) == 7L)      // interleave(3=0b11, 1=0b1) = 0b111
+    assert(r.getString(6) == "o r d er")
     // a non-literal width is a clear error, not a silent default
     val e = intercept[Exception](spark.sql(
       "SELECT char_shingle_hashes('x', length('ab'))").collect())
