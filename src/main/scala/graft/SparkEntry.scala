@@ -1217,6 +1217,22 @@ object SparkEntry {
         .orderBy(col("n").desc, col("word"))
     }),
 
+    // end-to-end pipeline composition: exact dedup -> quality filter ->
+    // deterministic train/eval split -> per-(source,split) report. Each
+    // stage is individually oracle-proven elsewhere; this query proves
+    // they COMPOSE (the library's real usage shape) with one twin
+    // replaying all four stages.
+    "q_pipeline" -> ((s, dir) => {
+      val kept = Dedup.exactKept(t(s, dir, "documents"))
+      val scored = kept.withColumn("st", native.text_stats(col("text")))
+      val good = scored.filter(col("st.quality") >= 0.5)
+      val split = graft.functions.Profile.hashSplit(good, "doc_id")
+      split.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("st.n_tokens")).as("total_tokens"))
+        .orderBy("source", "split")
+    }),
+
     // corpus curation: per-source top-5 documents by quality score — the
     // "keep the best K per domain" selection step after quality scoring.
     // Partitioned window (never global); scores are engine-bit-identical
@@ -2762,6 +2778,27 @@ object SparkEntry {
            FROM q JOIN documents d ON q.doc_id = d.doc_id)
          SELECT doc_id, source, quality, rank FROM sel
          WHERE rank <= 5 ORDER BY source, rank"""),
+
+    // four-stage pipeline twin: min-id dedup survivors, quality gate,
+    // the same width-safe two-limb Knuth hash split, per-cell report
+    "q_pipeline" -> (qualityCtes +
+      """,
+         kept AS (SELECT min(doc_id) AS doc_id FROM documents
+                  GROUP BY text),
+         good AS (SELECT q.doc_id, d.source, q.n_tokens
+                  FROM q JOIN kept k ON q.doc_id = k.doc_id
+                  JOIN documents d ON d.doc_id = q.doc_id
+                  WHERE q.quality >= 0.5),
+         sp AS (SELECT *, CASE WHEN (
+                  ((doc_id % 4294967296) % 65536) * 2654435761
+                  + ((((doc_id % 4294967296) // 65536) * 2654435761)
+                     % 65536) * 65536
+                ) % 4294967296 % 100 < 80
+                  THEN 'train' ELSE 'eval' END AS split
+                FROM good)
+         SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         FROM sp GROUP BY source, split ORDER BY source, split"""),
 
     // aggregator formulation — identical result, shared twin
     "q_curate_agg" -> (qualityCtes +

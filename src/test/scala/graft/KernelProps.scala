@@ -54,6 +54,18 @@ object KernelProps extends Properties("Kernels") {
       variantSet(s, 2).size == 1 + n + n * (n - 1) / 2
     }
 
+  // greedy tokenization is lossless when the vocab covers the alphabet:
+  // concatenating the pieces recovers the word exactly
+  property("tokenizeGreedy roundtrip: pieces concatenate back to the word") =
+    forAll(strGen, Gen.someOf("the" :: "ing" :: "er" :: "qu" :: Nil)) { (w, multi) =>
+      val vocab = (multi ++ ('a' to 'z').map(_.toString)).toSeq
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        vocab.map(UTF8String.fromString).toArray)
+      val pieces = graft.functions.TokenizeKernel
+        .greedy(UTF8String.fromString(w), arr).toString
+      pieces.replace(" ", "") == w
+    }
+
   // spanGramHashes(i) = FNV of the split(" ")-joined k-gram at position i
   property("spanGramHashes = FNV of each positional space-joined k-gram") =
     forAll(Gen.listOf(Gen.oneOf(strGen, Gen.const(""))), Gen.choose(1, 4)) { (ws, k) =>
