@@ -1607,6 +1607,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // best-member survivor policy: same clusters as q_dedup_survivors but
+    // each cluster keeps its LONGEST member (ties -> lowest id) — the
+    // "most complete copy" policy production dedup wants; one extra
+    // component-keyed argmax aggregate
+    "q_dedup_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+        maxDocFreq = 200)
+      Dedup.nearDupSurvivorsBy(docs, pairs, col("n_chars"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // connected components over a pair graph (near-dup clustering: label
     // every doc with its component's minimum id). The query's edge set —
     // consecutive doc_ids sharing a language — forms chain components, so
@@ -3092,6 +3105,44 @@ object SparkEntry {
          SELECT d.doc_id, d.source, d.n_chars
          FROM documents d JOIN comp c ON d.doc_id = c.id
          WHERE c.component = d.doc_id
+         ORDER BY d.doc_id""",
+
+    // same component labeling, best-member (longest, ties -> lowest id)
+    // selection instead of min-id canonical
+    "q_dedup_best" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \n\t\r]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gs
+           FROM toks),
+         edges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+           WHERE len(a.gs) > 0 AND len(b.gs) > 0
+             AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+               (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+               >= 0.5),
+         bi AS (SELECT src, dst FROM edges
+                UNION SELECT dst, src FROM edges),
+         reach(id, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT b.dst, r.label FROM reach r JOIN bi b ON b.src = r.id),
+         comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id),
+         sel AS (
+           SELECT c.id,
+             row_number() OVER (PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.id) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.id)
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN sel s ON d.doc_id = s.id
+         WHERE s.rn = 1
          ORDER BY d.doc_id""",
 
     "q_dedup_ngram" ->

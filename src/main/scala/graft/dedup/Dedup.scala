@@ -551,6 +551,25 @@ object Dedup {
       Seq(idCol))
   }
 
+  /** Near-dup survivors keeping the BEST member of each duplicate cluster
+    * by `score` (ties → lowest id) instead of the lowest id — the usual
+    * production policy is score = document length ("keep the most complete
+    * copy") or a quality score. One extra component-keyed aggregate on top
+    * of the same pointer-jumping clustering; `max` over (score, -id)
+    * structs is the deterministic argmax, partial+final like any
+    * aggregate. */
+  def nearDupSurvivorsBy(docs: DataFrame, pairs: DataFrame, score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val nodes = docs.select(col(idCol).as("id"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = connectedComponents(nodes, edges)
+    val scored = docs.select(col(idCol).as("id"), score.as("s")).join(cc, "id")
+    val best = scored.groupBy(col("component"))
+      .agg(max(struct(col("s"), (-col("id")).as("nid"))).as("b"))
+      .select((-col("b.nid")).as(idCol))
+    docs.join(best, Seq(idCol))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
