@@ -68,10 +68,18 @@ object Streams {
     * in batch mode every session is closed at end of input. Demonstrates
     * arbitrary state — the escape hatch for semantics windowed aggs can't
     * express. */
+  /** `maxSessionMs` additionally closes a session when an arriving event
+    * would stretch its duration past the cap (a user active non-stop —
+    * e.g. a bot — would otherwise hold one session open forever, which in
+    * streaming means state that never times out). Split decisions are
+    * made in arrival order against the current state; a late
+    * within-watermark event merges without re-splitting (append-mode
+    * output can't retract an already-emitted session). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
-      watermark: String = "1 hour"): Dataset[UserSession] = {
+      watermark: String = "1 hour",
+      maxSessionMs: Long = Long.MaxValue): Dataset[UserSession] = {
     import events.sparkSession.implicits._
-    if (!events.isStreaming) return sessionizeBatch(events, gapMs)
+    if (!events.isStreaming) return sessionizeBatch(events, gapMs, maxSessionMs)
     val src = events.withWatermark("ts", watermark).as[Event]
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
@@ -93,7 +101,7 @@ object Streams {
               val t = e.ts.getTime; val v = scaled6(e.value)
               if (cur == null)
                 cur = SessionState(t, t, 1L, v)
-              else if (t - cur.lastTs > gapMs) {
+              else if (t - cur.lastTs > gapMs || t - cur.startTs > maxSessionMs) {
                 out += close(cur); cur = SessionState(t, t, 1L, v)
               } else
                 // A late (within-watermark) event from a later micro-batch
@@ -119,7 +127,8 @@ object Streams {
     * costs one running SessionState, not an in-task array (the streaming
     * path has the same property because its state is one SessionState per
     * user; this keeps the batch path's memory equally flat). */
-  private def sessionizeBatch(events: Dataset[Event], gapMs: Long): Dataset[UserSession] = {
+  private def sessionizeBatch(events: Dataset[Event], gapMs: Long,
+      maxSessionMs: Long = Long.MaxValue): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events.repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
@@ -139,7 +148,8 @@ object Streams {
               val t = e.ts.getTime; val v = scaled6(e.value)
               if (cur == null) {
                 curUser = e.user_id; cur = SessionState(t, t, 1L, v)
-              } else if (e.user_id != curUser || t - cur.lastTs > gapMs) {
+              } else if (e.user_id != curUser || t - cur.lastTs > gapMs
+                  || t - cur.startTs > maxSessionMs) {
                 out = close(curUser, cur); have = true
                 curUser = e.user_id; cur = SessionState(t, t, 1L, v)
               } else

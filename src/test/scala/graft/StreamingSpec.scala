@@ -81,6 +81,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(wide.length == 2 && wide.forall(_.n_events == 2))
   }
 
+  test("sessionize max-duration cap splits a continuously-active session") {
+    implicit val sqlCtx = spark.sqlContext
+    // one user, an event every 10 min — no inactivity gap ever fires
+    val ev = (0 to 4).map(i =>
+        Streams.Event((i + 1).toLong, ts(10 * i), 7L, "click", 1.0))
+      .toDS()
+    // cap at 25 min: [0,10,20] would stretch to 30 at the 4th event →
+    // split; second session [30,40] closes at end of input
+    val got = Streams.sessionize(ev, gapMs = 15 * 60 * 1000L,
+        maxSessionMs = 25 * 60 * 1000L)
+      .collect().sortBy(_.session_start_ms)
+    assert(got.map(s => (s.session_start_ms, s.session_end_ms, s.n_events))
+      .toSeq == Seq(
+        (ts(0).getTime, ts(20).getTime, 3L),
+        (ts(30).getTime, ts(40).getTime, 2L)))
+    // streaming path splits identically (first session emitted mid-stream)
+    val mem = MemoryStream[Streams.Event]
+    val query = Streams.sessionize(mem.toDS(), gapMs = 15 * 60 * 1000L,
+        maxSessionMs = 25 * 60 * 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_cap_out").start()
+    mem.addData((0 to 4).map(i =>
+      Streams.Event((i + 1).toLong, ts(10 * i), 7L, "click", 1.0)): _*)
+    query.processAllAvailable()
+    val mid = spark.table("sess_cap_out").as[Streams.UserSession].collect()
+    query.stop()
+    assert(mid.map(s => (s.session_start_ms, s.session_end_ms, s.n_events))
+      .toSeq == Seq((ts(0).getTime, ts(20).getTime, 3L)))
+  }
+
   test("sessionize streaming: open state held, closed on event-time gap across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Streams.Event]
