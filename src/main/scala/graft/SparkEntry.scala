@@ -1217,6 +1217,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("word"))
     }),
 
+    // overlapping character chunking (RAG / context-window prep): 200-char
+    // chunks, 40-char overlap — narrow generator, no shuffle; every chunk
+    // hash-checked including the short tail chunks
+    "q_chunk" -> ((s, dir) =>
+      graft.functions.Text.chunk(t(s, dir, "documents"), size = 200,
+          overlap = 40)
+        .orderBy("doc_id", "chunk_idx")),
+
     // end-to-end pipeline composition: exact dedup -> quality filter ->
     // deterministic train/eval split -> per-(source,split) report. Each
     // stage is individually oracle-proven elsewhere; this query proves
@@ -2791,6 +2799,15 @@ object SparkEntry {
            FROM q JOIN documents d ON q.doc_id = d.doc_id)
          SELECT doc_id, source, quality, rank FROM sel
          WHERE rank <= 5 ORDER BY source, rank"""),
+
+    "q_chunk" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(i * 160 AS BIGINT) AS start_char,
+           substr(text, i * 160 + 1, 200) AS chunk_text
+         FROM documents,
+           unnest(generate_series(0,
+             greatest((length(text) - 1) // 160, 0))) AS g(i)
+         ORDER BY doc_id, chunk_idx""",
 
     // four-stage pipeline twin: min-id dedup survivors, quality gate,
     // the same width-safe two-limb Knuth hash split, per-cell report

@@ -148,6 +148,30 @@ object Text {
           (col("n_docs").cast("double") / col("doc_freq"))).as("tfidf"))
   }
 
+  /** Overlapping fixed-size character chunking — the RAG / context-window
+    * preparation step: each document becomes (chunk_idx, start_char,
+    * chunk_text) rows with `size` characters per chunk and `overlap`
+    * characters shared between neighbors (stride = size - overlap). A
+    * document shorter than one chunk yields one (possibly empty) chunk, so
+    * no document silently disappears. Purely narrow (one generator
+    * expression per row, no shuffle): chunking 100 TB runs at scan speed,
+    * and downstream per-chunk ops (embedding, dedup, packing) see ordinary
+    * rows. */
+  def chunk(docs: DataFrame, size: Int, overlap: Int = 0,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    docs.select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(CAST(floor((length($textCol) - 1) / $step) AS INT), 0))," +
+            s" i -> substring($textCol, i * $step + 1, $size))"))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * step).cast("long").as("start_char"),
+        col("chunk_text"))
+  }
+
   /** Subword tokenization (WordPiece-style greedy inference) over whole
     * documents: each whitespace word is segmented longest-match-first
     * against `vocab` by the native GreedyTokenize kernel (unknown char →

@@ -80,6 +80,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(2).length == 1)
   }
 
+  test("chunking: overlap continuity, short docs, empty docs") {
+    val df = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val got = Text.chunk(df, size = 4, overlap = 2).orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // stride 2: doc 1 chunks start at 0,2,4,6,8; the tail chunks shorten
+    assert(got == Seq(
+      (1L, 0L, 0L, "abcd"), (1L, 1L, 2L, "cdef"), (1L, 2L, 4L, "efgh"),
+      (1L, 3L, 6L, "ghij"), (1L, 4L, 8L, "ij"),
+      (2L, 0L, 0L, "xy"),
+      (3L, 0L, 0L, ""))) // empty doc still yields one (empty) chunk
+    // neighboring chunks share exactly `overlap` characters
+    got.filter(_._1 == 1L).sliding(2).foreach {
+      case Seq(a, b) => assert(a._4.takeRight(2) == b._4.take(2))
+      case _ => ()
+    }
+  }
+
   test("greedy subword tokenization: longest match, fallback, doc reassembly") {
     val vocab = Seq("the", "er", "ing", "a", "b", "o", "r", "d")
     val df = Seq((1L, "order the aboard"), (2L, ""), (3L, "zz"))
