@@ -1217,6 +1217,16 @@ object SparkEntry {
         .orderBy(col("n").desc, col("word"))
     }),
 
+    // temperature-2 domain flattening: each source keeps sqrt(n_min/n_i)
+    // of its rows — heads downsampled toward the geometric mean, smallest
+    // domain kept whole; engine-exact because sqrt/division are correctly
+    // rounded and the threshold is floor-pinned (see Profile)
+    "q_mix_temperature" -> ((s, dir) =>
+      graft.functions.Profile.temperatureFlatten(
+          t(s, dir, "documents"), "source", "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")),
+
     // overlapping character chunking (RAG / context-window prep): 200-char
     // chunks, 40-char overlap — narrow generator, no shuffle; every chunk
     // hash-checked including the short tail chunks
@@ -2799,6 +2809,23 @@ object SparkEntry {
            FROM q JOIN documents d ON q.doc_id = d.doc_id)
          SELECT doc_id, source, quality, rank FROM sel
          WHERE rank <= 5 ORDER BY source, rank"""),
+
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+                    GROUP BY source),
+         m AS (SELECT min(n) AS nmin FROM c),
+         keep AS (
+           SELECT d.doc_id, d.source
+           FROM documents d JOIN c ON d.source = c.source CROSS JOIN m
+           WHERE (
+             ((d.doc_id % 4294967296) % 65536) * 2654435761
+             + ((((d.doc_id % 4294967296) // 65536) * 2654435761)
+                % 65536) * 65536
+           ) % 4294967296
+           < CAST(floor(sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE))
+                        * 4294967296.0) AS BIGINT))
+         SELECT source, count(*) AS n_kept FROM keep
+         GROUP BY source ORDER BY source""",
 
     "q_chunk" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,

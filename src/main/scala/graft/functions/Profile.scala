@@ -95,6 +95,32 @@ object Profile {
     df.filter(hashBucket100(col(idCol)) < pct)
   }
 
+  /** Temperature-2 domain flattening (the pretraining "temperature
+    * sampling" rebalance, anchored at the smallest domain): each stratum
+    * keeps fraction sqrt(n_min / n_i) of its rows, so stratum sizes move
+    * from n_i toward the geometric mean sqrt(n_min·n_i) — heads are
+    * downsampled, the smallest stratum is kept whole. Chosen exactly so
+    * the whole computation is ENGINE-EXACT despite being float-valued:
+    * IEEE sqrt and division are correctly rounded (unlike pow/log, which
+    * is why general temperature T is not offered), scaling by 2^32 is
+    * exact, and floor pins the threshold to an integer compared against
+    * the same 32-bit multiplicative hash every sampler here uses. The
+    * stratum-count table is a tiny partial-agg broadcast join — the corpus
+    * never shuffles. */
+  def temperatureFlatten(df: DataFrame, stratumCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val thresh = floor(
+      sqrt(col("__nmin").cast("double") / col("__n").cast("double"))
+        * lit(4294967296.0))
+    df.join(broadcast(counts), stratumCol)
+      .crossJoin(broadcast(nMin))
+      .filter(hash32(col(idCol)) < thresh)
+      .drop("__n", "__nmin")
+  }
+
   /** Deterministic per-stratum quota: exactly min(quota, |stratum|) rows
     * per stratum, chosen as the first `quota` in multiplicative-hash
     * order — the data-mixing primitive (exact per-domain counts, unlike a
