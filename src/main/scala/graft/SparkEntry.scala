@@ -1670,6 +1670,14 @@ object SparkEntry {
           threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // L2 normalization (unit vectors — cosine becomes plain dot product):
+    // per-element division by the index-order norm, both correctly
+    // rounded, so the full unit vectors hash-check bit-exactly
+    "q_embed_normalize" -> ((s, dir) =>
+      Ann.l2Normalize(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding_unit"))
+        .orderBy("vec_id")),
+
     // scalar int8 quantization (FAISS-SQ8 style, 4x memory/IO cut before
     // indexing): corpus-wide per-dim min/max → affine codes in [-127,127].
     // Integer codes are engine-exact, so the full path (range pass +
@@ -2680,6 +2688,17 @@ object SparkEntry {
     "q_ann_ivf" -> ivfFullTwin,
 
     "q_ann_ivf_pruned" -> ivfFullTwin,
+
+    "q_embed_normalize" ->
+      """SELECT vec_id,
+           CASE WHEN list_dot_product(v, v) = 0.0
+                THEN list_transform(v, x -> CAST(0.0 AS FLOAT))
+                ELSE list_transform(v,
+                  x -> CAST(x / sqrt(list_dot_product(v, v)) AS FLOAT))
+           END AS embedding_unit
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+         ORDER BY vec_id""",
 
     // SemDeDup: same deterministic k-means prefix, then within-cluster
     // exact-cosine pair enumeration — the cluster partition (not just the

@@ -102,6 +102,22 @@ object Ann {
     * `lo_i + (code_i + 127) * (hi_i - lo_i) / 254` (max error: half a
     * step, (hi_i-lo_i)/508).
     */
+  /** L2-normalize the embedding column (unit vectors) — the standard
+    * pre-index step that turns cosine ranking into plain dot products.
+    * One narrow projection: per-element double division by the native
+    * index-order vec_norm, rounded back to FLOAT (divide and both casts
+    * are correctly rounded, so the unit vectors are engine-bit-exact).
+    * Float output keeps the column compatible with every other vector
+    * kernel and store here (they are all float-array-typed); the all-zero
+    * vector stays all-zero instead of dividing by zero. */
+  def l2Normalize(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val n = graft.functions.native.vec_norm(col(vecCol))
+    corpus.withColumn(vecCol + "_unit",
+      when(n === 0.0, transform(col(vecCol), x => lit(0.0f)))
+        .otherwise(transform(col(vecCol),
+          x => (x.cast(DoubleType) / n).cast(FloatType))))
+  }
+
   def int8Quantize(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val ranges = corpus
       .select(posexplode(col(vecCol)).as(Seq("pos", "x")))

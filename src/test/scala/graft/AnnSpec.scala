@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.similarity.Ann
 
 /** Similarity search: exact top-k correctness + LSH recall sanity. */
@@ -54,6 +55,30 @@ class AnnSpec extends AnyFunSuite {
     val exactAll = Ann.bruteForceTopK(corpus, qs, k = 49)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(approx.subsetOf(exactAll)) // approx never invents pairs
+  }
+
+  test("l2Normalize: unit norms, dot of units ~ cosine, zero vector stays zero") {
+    import graft.functions.native
+    val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")
+      .limit(50)
+    val unit = graft.similarity.Ann.l2Normalize(emb)
+    val norms = unit.select(native.vec_norm(col("embedding_unit")))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-6)) // float elements
+    // dot of unit vectors approximates the raw cosine
+    val a = unit.select(col("vec_id").as("ida"),
+      col("embedding").as("va"), col("embedding_unit").as("ua"))
+    val b = unit.select(col("vec_id").as("idb"),
+      col("embedding").as("vb"), col("embedding_unit").as("ub"))
+    val both = a.join(b, col("ida") < col("idb")).limit(200)
+      .select(native.vec_dot(col("ua"), col("ub")),
+        native.vec_cosine(col("va"), col("vb")))
+      .as[(Double, Double)].collect()
+    assert(both.forall { case (d, c) => math.abs(d - c) < 1e-5 })
+    val z = Seq((1L, Array.fill(4)(0f))).toDF("vec_id", "embedding")
+    val zu = graft.similarity.Ann.l2Normalize(z)
+      .select(col("embedding_unit")).as[Seq[Float]].collect().head
+    assert(zu.forall(_ == 0.0f))
   }
 
   test("int8 quantization: codes in [-127,127], roundtrip within half a step per dim") {
