@@ -357,6 +357,21 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // running DISTINCT count per key — Spark has no COUNT(DISTINCT) over
+    // windows, so the engine expresses it as size(collect_set) over the
+    // same frame (set size bounded by the column's cardinality; window
+    // partitioned by user, never global)
+    "q_window_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          size(collect_set(col("event_type")).over(w)).cast(LongType)
+            .as("n_types"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // scalar string functions (absent in reference — SURVEY.md §2.5)
     "q_string_funcs" -> ((s, dir) =>
       t(s, dir, "nation").select(
@@ -2173,6 +2188,13 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_total
          FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "q_window_distinct" ->
+      """SELECT user_id, event_id,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types
+         FROM events ORDER BY user_id, event_id""",
 
     "q_string_funcs" ->
       """SELECT n_nationkey,
