@@ -1685,6 +1685,18 @@ object SparkEntry {
           threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // hard-negative mining (contrastive training): per query, the top-5
+    // most-similar vectors with a DIFFERENT label — brute-force shape with
+    // the label-mismatch predicate in the broadcast join
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"), col("label").as("query_label"))
+      Ann.hardNegatives(emb, queries, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // L2 normalization (unit vectors — cosine becomes plain dot product):
     // per-element division by the index-order norm, both correctly
     // rounded, so the full unit vectors hash-check bit-exactly
@@ -2710,6 +2722,26 @@ object SparkEntry {
     "q_ann_ivf" -> ivfFullTwin,
 
     "q_ann_ivf_pruned" -> ivfFullTwin,
+
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM e
+               WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+           FROM e JOIN q ON e.label <> q.ql AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             neighbor_id, cosine
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q_embed_normalize" ->
       """SELECT vec_id,

@@ -43,6 +43,23 @@ object Ann {
         col("col.neighbor_id").as("neighbor_id"), col("col.cosine").as("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * top-k most-similar corpus vectors with a DIFFERENT label — the
+    * near-misses that teach an embedding model the most. Same scale shape
+    * as brute-force top-k (broadcast query set, narrow scoring, k-bounded
+    * partial+final TopK aggregation); the label-mismatch predicate rides
+    * in the broadcast join condition so same-label pairs are never
+    * scored. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      labelCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val scored = corpus.join(broadcast(queries),
+        col(labelCol) =!= col("query_label") && col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(native.vec_cosine(col("query_vec"), col(vecCol)), 6).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Deterministic random hyperplanes (seed fixed): planes x dim floats. */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)
