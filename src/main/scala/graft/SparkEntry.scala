@@ -1685,6 +1685,18 @@ object SparkEntry {
           threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // recall@5 of the LSH index vs the exact answer — per query hit count
+    // and recall; zero-hit queries stay visible. The twin recomputes both
+    // the exact and the bucketed top-5 and intersects them.
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = Ann.selfQueries(emb, 10)
+      val exact = Ann.bruteForceTopK(emb, qs, k = 5)
+      val approx = Ann.lshTopK(emb, qs, k = 5, planes = 6)
+      Ann.recallAtK(exact, approx, qs, k = 5)
+        .orderBy("query_id")
+    }),
+
     // hard-negative mining (contrastive training): per query, the top-5
     // most-similar vectors with a DIFFERENT label — brute-force shape with
     // the label-mismatch predicate in the broadcast join
@@ -2722,6 +2734,42 @@ object SparkEntry {
     "q_ann_ivf" -> ivfFullTwin,
 
     "q_ann_ivf_pruned" -> ivfFullTwin,
+
+    // both the exact and the LSH-bucketed top-5 recomputed, intersected
+    // per query; zero-hit queries kept by the left join
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+          b AS (SELECT vec_id, v, ${embBucketSql(6, 64)} AS bucket FROM e),
+          q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+                WHERE vec_id < 10),
+          ex AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  round(list_dot_product(q.qv, e.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                  e.vec_id ASC) AS rn
+              FROM e JOIN q ON e.vec_id <> q.query_id) WHERE rn <= 5),
+          ap AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  round(list_dot_product(q.qv, c.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                  c.vec_id ASC) AS rn
+              FROM b c JOIN q ON c.bucket = q.bucket
+                AND c.vec_id <> q.query_id) WHERE rn <= 5),
+          hits AS (SELECT ex.query_id, count(*) AS n_hit
+                   FROM ex JOIN ap ON ex.query_id = ap.query_id
+                     AND ex.neighbor_id = ap.neighbor_id
+                   GROUP BY ex.query_id)
+          SELECT q.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+            CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5 AS recall_at_5
+          FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+          ORDER BY q.query_id""",
 
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label

@@ -43,6 +43,25 @@ object Ann {
         col("col.neighbor_id").as("neighbor_id"), col("col.cosine").as("cosine"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact brute-force
+    * answer — the evaluation metric that justifies an index's
+    * speed/recall trade. Both inputs are (query_id, neighbor_id [, ...])
+    * top-k frames; output is per-query hit count and recall. Left join
+    * from the query set keeps zero-hit queries visible (an index that
+    * misses everything should score 0, not vanish). */
+  def recallAtK(exact: DataFrame, approx: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col("query_id")).join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / k)
+          .as(s"recall_at_$k"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query, the
     * top-k most-similar corpus vectors with a DIFFERENT label — the
     * near-misses that teach an embedding model the most. Same scale shape
