@@ -914,6 +914,39 @@ object SparkEntry {
         GROUP BY o_year ORDER BY o_year""")
     }),
 
+    // TPC-H Q6 shape: pure scan-side conditional revenue — every
+    // predicate lands in PushedFilters, no join at all (the query whose
+    // whole cost is how little of the fact table the scan reads)
+    "q_tpch_q6" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    }),
+
+    // TPC-H Q13 shape: distribution of per-customer order counts — LEFT
+    // join keeping zero-order customers, aggregate, then aggregate the
+    // aggregate (the count-of-counts histogram)
+    "q_tpch_q13" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+    }),
+
     // TPC-H Q10 shape: top returned-revenue customers in a quarter
     // (join + group + decimal-exact revenue + deterministic top-20)
     "q_tpch_q10" -> ((s, dir) => {
@@ -2633,6 +2666,27 @@ object SparkEntry {
                                      AND TIMESTAMP '1996-12-31 00:00:00'
                  AND p_type = 'ECONOMY') allnations
          GROUP BY o_year ORDER BY o_year""",
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+                  AS revenue,
+                count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey
+                 AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey) c_orders
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
 
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,
