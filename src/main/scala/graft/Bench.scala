@@ -51,11 +51,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // SHORT line FIRST: the per-query line below can run long (one entry
-    // per query) and a head- or tail-capped log capture may cut it off —
-    // leading with the compact headline gives any parser an intact line.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // SHORT line FIRST **and** LAST: the per-query line between them can
+    // run long (one entry per query), and a log capture may keep only a
+    // head OR only a tail — bracketing with the compact headline
+    // guarantees an intact parsable line in either capture.
+    val shortLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    println(shortLine)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(shortLine)
     spark.stop()
   }
 }

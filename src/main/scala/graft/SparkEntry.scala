@@ -1744,19 +1744,28 @@ object SparkEntry {
 
     // L2 normalization (unit vectors — cosine becomes plain dot product):
     // per-element division by the index-order norm, both correctly
-    // rounded, so the full unit vectors hash-check bit-exactly
+    // rounded, so the full unit vectors hash-check bit-exactly. The
+    // vector is serialized as exploded (vec_id, pos, unit) FLOAT rows so
+    // the driver comparator can sort scalar columns (raw array cells
+    // crash pandas sort_values) — every component is still compared
+    // bit-for-bit, unlike a decimal-string rendering, whose sci-notation
+    // thresholds differ between the two engines.
     "q_embed_normalize" -> ((s, dir) =>
       Ann.l2Normalize(t(s, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding_unit"))
-        .orderBy("vec_id")),
+        .select(col("vec_id"),
+          posexplode(col("embedding_unit")).as(Seq("pos", "unit")))
+        .orderBy("vec_id", "pos")),
 
     // scalar int8 quantization (FAISS-SQ8 style, 4x memory/IO cut before
     // indexing): corpus-wide per-dim min/max → affine codes in [-127,127].
     // Integer codes are engine-exact, so the full path (range pass +
-    // encode) hash-checks against the DuckDB twin.
+    // encode) hash-checks against the DuckDB twin. Codes serialized to a
+    // CSV string for the same driver-comparator reason as above.
     "q_quantize" -> ((s, dir) =>
       Ann.int8Quantize(t(s, dir, "embeddings"))
-        .select(col("vec_id"), col("codes"))
+        .select(col("vec_id"),
+          array_join(col("codes").cast(ArrayType(StringType)), ",")
+            .as("codes_csv"))
         .orderBy("vec_id")),
 
     // brute-force cosine top-k (exact ANN baseline; SQL oracle via DuckDB
@@ -1787,16 +1796,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF probe against the centroid-partitioned store: same result as
-    // q_ann_ivf (shared full twin), but the corpus is written hive-
+    // IVF probe against the centroid-partitioned store: same algorithm as
+    // q_ann_ivf (parameterized full twin), but the corpus is written hive-
     // partitioned by centroid_id and the probe reads ONLY the probed
-    // inverted-list directories (PartitionFilters — see PLANS.md)
+    // inverted-list directories. 2 queries × nprobe 2 probe AT MOST 4 of
+    // the 8 lists, so the PartitionFilters evidence is a strict subset —
+    // PLANS.md must show `pruned read: m of n` with m < n (PlanAudit
+    // fails the audit otherwise).
     "q_ann_ivf_pruned" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = graft.similarity.Ivf.train(emb, k = 8, iters = 1)
       val store = "/tmp/graft_ivf_store"
       graft.similarity.Ivf.writeAssignedStore(emb, cents, store)
-      graft.similarity.Ivf.ivfTopKFromStore(store, Ann.selfQueries(emb, 10),
+      graft.similarity.Ivf.ivfTopKFromStore(store, Ann.selfQueries(emb, 2),
           cents, k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
@@ -1951,12 +1963,13 @@ object SparkEntry {
              FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
 
   /** Full DuckDB twin of the IVF path (k-means prefix + nprobe=2 probe
-    * selection + exact cosine top-k over the probed lists) — shared by
-    * q_ann_ivf and q_ann_ivf_pruned, whose results are identical by
-    * construction (the pruned variant only changes WHERE the inverted
-    * lists are read from). */
-  private val ivfFullTwin: String = kmeansAssignCtes +
-    """,
+    * selection + exact cosine top-k over the probed lists), parameterized
+    * by the query-set size — q_ann_ivf uses 10 queries; q_ann_ivf_pruned
+    * uses 2 so its probe union is a strict subset of the 8 inverted lists
+    * and the partition pruning is observable (the pruned variant only
+    * changes WHERE the lists are read from, never the result). */
+  private def ivfFullTwin(nQueries: Int): String = kmeansAssignCtes +
+    s""",
          probes AS (
            SELECT query_id, qv, cid FROM (
              SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
@@ -1965,7 +1978,7 @@ object SparkEntry {
                   / (sqrt(list_dot_product(e.v, e.v))
                      * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
                  c.cid ASC) AS rn
-             FROM e CROSS JOIN c1 c WHERE e.vec_id < 10) WHERE rn <= 2),
+             FROM e CROSS JOIN c1 c WHERE e.vec_id < $nQueries) WHERE rn <= 2),
          scored AS (
            SELECT p.query_id, a1.vec_id AS neighbor_id,
              round(list_dot_product(p.qv, a1.v)
@@ -2756,7 +2769,8 @@ object SparkEntry {
                       ELSE CAST(round((x - lo) * 254.0 / (hi - lo)) - 127
                            AS INT) END AS code
                FROM u JOIN r USING (pos))
-         SELECT vec_id, list(code ORDER BY pos) AS codes
+         SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos) AS codes_csv
          FROM c GROUP BY vec_id ORDER BY vec_id""",
 
     "q_ann_topk" ->
@@ -2785,9 +2799,9 @@ object SparkEntry {
     // exactly like Ivf.train's secondary-sort fold), corpus re-assignment,
     // nprobe=2 probe selection, and exact cosine top-k over the probed
     // lists. Possible only because training is bit-deterministic.
-    "q_ann_ivf" -> ivfFullTwin,
+    "q_ann_ivf" -> ivfFullTwin(10),
 
-    "q_ann_ivf_pruned" -> ivfFullTwin,
+    "q_ann_ivf_pruned" -> ivfFullTwin(2),
 
     // both the exact and the LSH-bucketed top-5 recomputed, intersected
     // per query; zero-hit queries kept by the left join
@@ -2845,16 +2859,19 @@ object SparkEntry {
          SELECT query_id, rank, neighbor_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
 
+    // unit vector exploded to (vec_id, pos, unit) FLOAT rows on BOTH
+    // engines: the division and both casts are correctly rounded, so
+    // every component compares bit-for-bit
     "q_embed_normalize" ->
-      """SELECT vec_id,
+      """SELECT vec_id, CAST(i - 1 AS INT) AS pos,
            CASE WHEN list_dot_product(v, v) = 0.0
-                THEN list_transform(v, x -> CAST(0.0 AS FLOAT))
-                ELSE list_transform(v,
-                  x -> CAST(x / sqrt(list_dot_product(v, v)) AS FLOAT))
-           END AS embedding_unit
+                THEN CAST(0.0 AS FLOAT)
+                ELSE CAST(v[i] / sqrt(list_dot_product(v, v)) AS FLOAT)
+           END AS unit
          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings)
-         ORDER BY vec_id""",
+               FROM embeddings),
+              unnest(generate_series(1, length(v))) AS g(i)
+         ORDER BY vec_id, pos""",
 
     // SemDeDup: same deterministic k-means prefix, then within-cluster
     // exact-cosine pair enumeration — the cluster partition (not just the
