@@ -2833,10 +2833,15 @@ object SparkEntry {
           hits AS (SELECT ex.query_id, count(*) AS n_hit
                    FROM ex JOIN ap ON ex.query_id = ap.query_id
                      AND ex.neighbor_id = ap.neighbor_id
-                   GROUP BY ex.query_id)
+                   GROUP BY ex.query_id),
+          exn AS (SELECT query_id, count(*) AS n_exact FROM ex
+                  GROUP BY query_id)
           SELECT q.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-            CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5 AS recall_at_5
+            CASE WHEN coalesce(x.n_exact, 0) = 0 THEN 0.0
+                 ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                      / LEAST(5, x.n_exact) END AS recall_at_5
           FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+               LEFT JOIN exn x ON q.query_id = x.query_id
           ORDER BY q.query_id""",
 
     "q_hard_negatives" ->

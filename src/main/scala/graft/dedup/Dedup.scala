@@ -646,8 +646,11 @@ object Dedup {
     * the whole path (seeds → Lloyd → assignment → within-cluster cosine). */
   def semanticNearDupPairs(emb: DataFrame, k: Int, threshold: Double,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      iters: Int = 1, maxClusterSize: Int = 100000): DataFrame = {
-    val cents = graft.similarity.Ivf.train(emb, k, iters, idCol, vecCol)
+      iters: Int = 1, maxClusterSize: Int = 100000,
+      dim: Int = -1): DataFrame = {
+    // dim defaults to -1 → Ivf.train infers it from the first vector, so
+    // embeddings wider than the old hardcoded 64 train on every dimension
+    val cents = graft.similarity.Ivf.train(emb, k, iters, idCol, vecCol, dim)
     val assigned = graft.similarity.Ivf.assign(emb, cents, idCol, vecCol)
       .select(col("centroid_id"), col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -204,11 +204,13 @@ object Text {
     * array per doc, no shuffle); the reference count table is a map-side-
     * combinable aggregate; scoring is ONE shuffle join on (w1, w2) + one
     * aggregate back to doc id. Natural-language bigram frequency is Zipf —
-    * the few head bigrams are exactly what AQE skew-split handles, and a
+    * the few head bigrams are exactly what AQE skew-split handles, and the
     * `maxRefCount` cap (clamp, not drop, so no doc loses mass) bounds any
-    * single key's contribution. Docs with < 2 tokens score NULL. */
+    * single key's contribution to a document's score (default unbounded).
+    * Docs with < 2 tokens score NULL. */
   def bigramFluency(docs: DataFrame, ref: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxRefCount: Long = Long.MaxValue): DataFrame = {
     def bigrams(df: DataFrame): DataFrame =
       df.select(col(idCol), split(col(textCol), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
@@ -217,7 +219,7 @@ object Text {
             " i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
         .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val counts = bigrams(ref).groupBy("w1", "w2")
-      .agg(count(lit(1)).as("bg_n"))
+      .agg(least(count(lit(1)), lit(maxRefCount)).as("bg_n"))
     val scored = bigrams(docs)
       .join(counts, Seq("w1", "w2"), "left")
       .groupBy(col(idCol))

@@ -185,25 +185,38 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(c)
 }
 
+/** Prepared vocabulary for [[TokenizeKernel]]: distinct piece lengths
+  * (descending) + the piece set. Built once per FOLDABLE vocab expression
+  * and embedded in the codegen references — never cached globally, so a
+  * long-running executor holds at most one index per tokenize expression
+  * in the plan (a prior ConcurrentHashMap keyed on ArrayData grew one
+  * entry per ROW for non-literal vocab columns: unbounded). */
+final class VocabIndex(val lens: Array[Int], val set: java.util.HashSet[String])
+  extends Serializable
+
 /** Greedy longest-match subword segmentation (WordPiece-style inference):
   * at each position emit the longest vocab piece prefixing the remainder;
-  * no match → emit "?" and advance one char. Vocabulary preparation
-  * (length buckets + hash set) is cached per vocab array, so per-row work
-  * is the match loop only. */
+  * no match → emit "?" and advance one char. With a literal vocabulary
+  * (the only shape the library itself generates — Text.tokenizeSubwords
+  * embeds the vocab as a literal) preparation happens once per
+  * expression; a genuinely per-row vocab column falls back to building
+  * the index per call, which is slower but memory-bounded. */
 object TokenizeKernel {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[ArrayData, (Array[Int], java.util.HashSet[String])]()
+  def prepare(vocab: ArrayData): VocabIndex = {
+    val set = new java.util.HashSet[String]()
+    (0 until vocab.numElements()).foreach(i => set.add(vocab.getUTF8String(i).toString))
+    val lens = set.toArray(Array.empty[String]).map(_.length).distinct.sorted.reverse
+    new VocabIndex(lens, set)
+  }
 
-  private def prepare(vocab: ArrayData): (Array[Int], java.util.HashSet[String]) =
-    cache.computeIfAbsent(vocab, { v =>
-      val set = new java.util.HashSet[String]()
-      (0 until v.numElements()).foreach(i => set.add(v.getUTF8String(i).toString))
-      val lens = set.toArray(Array.empty[String]).map(_.length).distinct.sorted.reverse
-      (lens, set)
-    })
+  /** Per-call fallback for non-foldable vocab expressions: correct for
+    * any vocab column, no caching (bounded memory at any scan size). */
+  def greedyUnprepared(word: UTF8String, vocab: ArrayData): UTF8String =
+    greedy(word, prepare(vocab))
 
-  def greedy(word: UTF8String, vocab: ArrayData): UTF8String = {
-    val (lens, set) = prepare(vocab)
+  def greedy(word: UTF8String, idx: VocabIndex): UTF8String = {
+    val lens = idx.lens
+    val set = idx.set
     val w = word.toString
     val sb = new java.lang.StringBuilder
     var pos = 0
@@ -226,13 +239,34 @@ object TokenizeKernel {
   }
 }
 
-/** Greedy longest-match subword pieces of a word, space-joined. */
+/** Greedy longest-match subword pieces of a word, space-joined. A
+  * foldable vocab (the common case: a literal piece list) is prepared
+  * ONCE and shipped as a codegen reference object; a non-foldable vocab
+  * column is re-prepared per call — bounded memory either way. */
 case class GreedyTokenize(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = StringType
-  override protected def nullSafeEval(w: Any, v: Any): Any =
-    TokenizeKernel.greedy(w.asInstanceOf[UTF8String], v.asInstanceOf[ArrayData])
+
+  @transient private lazy val prepared: Option[VocabIndex] =
+    if (right.foldable)
+      Option(right.eval(null)).map(v => TokenizeKernel.prepare(v.asInstanceOf[ArrayData]))
+    else None
+
+  override protected def nullSafeEval(w: Any, v: Any): Any = prepared match {
+    case Some(idx) => TokenizeKernel.greedy(w.asInstanceOf[UTF8String], idx)
+    case None =>
+      TokenizeKernel.greedyUnprepared(w.asInstanceOf[UTF8String], v.asInstanceOf[ArrayData])
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (w, v) => s"graft.functions.TokenizeKernel.greedy($w, $v)")
+    prepared match {
+      case Some(idx) =>
+        val ref = ctx.addReferenceObj("vocabIdx", idx, classOf[VocabIndex].getName)
+        defineCodeGen(ctx, ev, (w, _) => s"graft.functions.TokenizeKernel.greedy($w, $ref)")
+      case None =>
+        defineCodeGen(ctx, ev,
+          (w, v) => s"graft.functions.TokenizeKernel.greedyUnprepared($w, $v)")
+    }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): GreedyTokenize =
     copy(l, r)
 }

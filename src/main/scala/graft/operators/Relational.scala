@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Monotonic suffix source for binnedRangeJoin's working column. */
+  private val binSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** L2 Projection (ref: src/plan/logical/projection.rs:12-40). */
   def project(df: DataFrame, cols: Seq[Column]): DataFrame = df.select(cols: _*)
 
@@ -97,13 +100,20 @@ object Relational {
     * width/binWidth + 1. */
   def binnedRangeJoin(fact: DataFrame, intervals: DataFrame, value: Column,
       lo: Column, hi: Column, binWidth: Double, maxValue: Double): DataFrame = {
-    val fb = fact.withColumn("__bin", floor(value / binWidth))
-    val ib = intervals.withColumn("__bin",
-      explode(sequence(floor(lo / binWidth),
-        floor(least(hi, lit(maxValue)) / binWidth))))
-    fb.join(ib, Seq("__bin"))
+    // working column gets a unique suffix so a user column named "__bin"
+    // on either input survives; the sequence start is clamped to the end
+    // so a degenerate interval (lo > maxValue) yields ONE bin instead of
+    // a descending-sequence row blow-up (the residual range predicate
+    // still removes any false pair)
+    val bin = "__bin_" + Relational.binSeq.getAndIncrement()
+    val hiBin = floor(least(hi, lit(maxValue)) / binWidth)
+    val loBin = floor(lo / binWidth)
+    val fb = fact.withColumn(bin, floor(value / binWidth))
+    val ib = intervals.withColumn(bin,
+      explode(sequence(least(loBin, hiBin), hiBin)))
+    fb.join(ib, Seq(bin))
       .filter(value >= lo && value < hi)
-      .drop("__bin")
+      .drop(bin)
   }
 
   /** As-of join: for each left row, attach the single right row with the

@@ -55,10 +55,20 @@ object Ann {
       .join(approx.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    queries.select(col("query_id")).join(hits, Seq("query_id"), "left")
+    // denominator = what the exact answer actually contains for this
+    // query, capped at k: a corpus smaller than k+1 has < k true
+    // neighbors, and dividing by the constant k would understate recall
+    // (it could never reach 1.0). A query with NO exact neighbors scores
+    // 0 rather than null/NaN.
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    queries.select(col("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .join(nExact, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / k)
+        when(coalesce(col("n_exact"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_hit"), lit(0L)).cast(DoubleType)
+            / least(lit(k.toLong), col("n_exact")))
           .as(s"recall_at_$k"))
   }
 

@@ -105,11 +105,16 @@ object Ivf {
     * (sum, count) accumulator per centroid per task, never the vectors. */
   def train(corpus: DataFrame, k: Int, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      dim: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val slim = corpus.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dim <= 0 → infer from the first vector (a 1-row collect, bounded):
+    // a hardcoded default silently truncated centroids of wider embeddings
+    // to the first 64 dimensions.
+    val vecDim = if (dim > 0) dim
+      else slim.select(size(col(vecCol))).first().getInt(0)
     var cents = initCentroids(slim, k, idCol, vecCol)
     for (_ <- 0 until iters) {
       val assigned = assign(slim, cents, idCol, vecCol)
@@ -124,9 +129,9 @@ object Ivf {
             .empty[Int, (Array[Double], Array[Long])]
           it.foreach { case (cid, _, v) =>
             val (sums, n) = acc.getOrElseUpdate(cid,
-              (new Array[Double](dim), new Array[Long](1)))
+              (new Array[Double](vecDim), new Array[Long](1)))
             var d = 0
-            while (d < math.min(dim, v.length)) { sums(d) += v(d); d += 1 }
+            while (d < math.min(vecDim, v.length)) { sums(d) += v(d); d += 1 }
             n(0) += 1
           }
           acc.iterator.map { case (cid, (sums, n)) =>

@@ -57,6 +57,23 @@ class AnnSpec extends AnyFunSuite {
     assert(approx.subsetOf(exactAll)) // approx never invents pairs
   }
 
+  test("recallAtK reaches 1.0 when exact has fewer than k neighbors") {
+    // corpus of 4 → each query has only 3 true neighbors; a perfect
+    // approx result must score recall 1.0, not 3/5
+    val tiny = corpus.filter(col("vec_id") < 4)
+    val qs = Ann.selfQueries(tiny, 2)
+    val exact = Ann.bruteForceTopK(tiny, qs, k = 5)
+    val rec = Ann.recallAtK(exact, exact, qs, k = 5)
+      .orderBy("query_id")
+      .select("n_hit", "recall_at_5").as[(Long, Double)].collect().toSeq
+    assert(rec == Seq((3L, 1.0), (3L, 1.0)))
+    // an empty approx result scores 0, and queries stay visible
+    val none = exact.filter(col("rank") > 100)
+    val rec0 = Ann.recallAtK(exact, none, qs, k = 5)
+      .select("recall_at_5").as[Double].collect().toSeq
+    assert(rec0 == Seq(0.0, 0.0))
+  }
+
   test("l2Normalize: unit norms, dot of units ~ cosine, zero vector stays zero") {
     import graft.functions.native
     val emb = spark.read.parquet(s"${SparkFixture.sfDir}/embeddings.parquet")

@@ -111,6 +111,37 @@ class FunctionsSpec extends AnyFunSuite {
       (3L, "? ?")))
   }
 
+  test("tokenize_greedy with a NON-literal vocab column matches the literal path") {
+    // per-row vocab exercises the unprepared (no-cache) kernel path — the
+    // literal path embeds one prepared index per expression instead of
+    // growing a global cache entry per row
+    val df = Seq(
+      ("order", Seq("the", "er", "o", "r", "d")),
+      ("dodo", Seq("do")),
+      ("zz", Seq("a"))).toDF("w", "vocab")
+    val got = df.select(native.tokenize_greedy(col("w"), col("vocab")))
+      .as[String].collect().toSeq
+    assert(got == Seq("o r d er", "do do", "? ?"))
+    // same words through a foldable vocab literal agree
+    val lit1 = Seq("order").toDF("w")
+      .select(native.tokenize_greedy(col("w"),
+        typedLit(Seq("the", "er", "o", "r", "d")))).as[String].head()
+    assert(lit1 == "o r d er")
+  }
+
+  test("bigramFluency maxRefCount clamps head-bigram contributions") {
+    val ref = Seq((1L, "a b a b a b a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b"), (11L, "c d")).toDF("doc_id", "text")
+    // unclamped: "a b" occurs 5x in ref, "c d" once
+    val raw = Text.bigramFluency(docs, ref).orderBy("doc_id")
+      .select("fluency").as[Double].collect().toSeq
+    assert(raw == Seq(5.0, 1.0))
+    // clamped at 2: the head bigram contributes at most 2
+    val clamped = Text.bigramFluency(docs, ref, maxRefCount = 2L)
+      .orderBy("doc_id").select("fluency").as[Double].collect().toSeq
+    assert(clamped == Seq(2.0, 1.0))
+  }
+
   test("redact scrubs emails, urls, and digit runs in order") {
     val df = Seq("mail a.b+c@ex-site.org now, docs at https://ex.org/p?q=1 code 1234567 ok 123")
       .toDF("text")

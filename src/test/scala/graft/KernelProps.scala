@@ -62,7 +62,7 @@ object KernelProps extends Properties("Kernels") {
       val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
         vocab.map(UTF8String.fromString).toArray)
       val pieces = graft.functions.TokenizeKernel
-        .greedy(UTF8String.fromString(w), arr).toString
+        .greedyUnprepared(UTF8String.fromString(w), arr).toString
       pieces.replace(" ", "") == w
     }
 

@@ -81,6 +81,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.size == fact.count())
   }
 
+  test("binned range join: user __bin column survives; degenerate interval doesn't blow up") {
+    import graft.operators.Relational
+    // a pre-existing __bin column on BOTH inputs must pass through intact
+    val fact = Seq((1L, 5.0, "keepF"), (2L, 15.0, "keepF2"))
+      .toDF("id", "v", "__bin")
+    val ivals = Seq((0.0, 10.0, "a", "keepI"), (12.0, 20.0, "b", "keepI2"))
+      .toDF("lo", "hi", "label", "__bin2")
+      .withColumnRenamed("__bin2", "__bin_user")
+    val got = Relational.binnedRangeJoin(fact, ivals, col("v"), col("lo"),
+        col("hi"), binWidth = 5.0, maxValue = 30.0)
+    assert(got.columns.contains("__bin")) // user's column, not the temp
+    val rows = got.select("id", "label", "__bin").as[(Long, String, String)]
+      .collect().toSet
+    assert(rows == Set((1L, "a", "keepF"), (2L, "b", "keepF2")))
+    // degenerate interval with lo > maxValue: one clamped bin, zero rows
+    // out (the residual predicate rejects), no descending-sequence fanout
+    val weird = Seq((50.0, 60.0, "x")).toDF("lo", "hi", "label")
+    val deg = Relational.binnedRangeJoin(
+      fact.select("id", "v"), weird, col("v"), col("lo"), col("hi"),
+      binWidth = 5.0, maxValue = 30.0)
+    assert(deg.count() == 0)
+  }
+
   test("empty-key join routes to cross product with theta filter") {
     val l = Seq(1, 2, 3).toDF("a")
     val r = Seq(2, 3, 4).toDF("b")
