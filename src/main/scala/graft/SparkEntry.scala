@@ -966,6 +966,121 @@ object SparkEntry {
         LIMIT 20""")
     }),
 
+    // TPC-H Q3 shape (shipping priority): 3-way join, date filters on
+    // BOTH fact sides, revenue top-10. (q_mjoin_topk is the undated
+    // precursor; this is the full Q3 with the date predicates. The corpus
+    // has no o_shippriority column.) Revenue accumulates in DECIMAL.
+    "q_tpch_q3" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                    AS DOUBLE) AS revenue,
+               o_orderdate
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10""")
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): 6-way join where the
+    // supplier's nation must equal the customer's (the join cycle that
+    // makes Q5 interesting), region filter, one-year-style date window.
+    "q_tpch_q5" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                    AS DOUBLE) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")
+    }),
+
+    // TPC-H Q9 shape (product-type profit): the widest fact join in the
+    // suite (part+supplier+lineitem+orders+nation), part-name LIKE
+    // filter, profit grouped by supplier nation and order year.
+    // p_retailprice stands in for ps_supplycost (no partsupp table in
+    // this corpus); all arithmetic accumulates in DECIMAL so the profit
+    // sums are engine-exact.
+    "q_tpch_q9" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+        FROM (
+          SELECT n_name AS nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                   - CAST(p_retailprice AS DECIMAL(12,2))
+                     * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%red%'
+        ) profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC""")
+    }),
+
+    // TPC-H Q11 shape (important stock): grouped value per part gated by
+    // a HAVING against a scalar subquery over the SAME grouped set.
+    // lineitem value per part stands in for partsupp stock value; the
+    // threshold is scale-free (3x the average part value) and compared
+    // cross-multiplied in exact integer cents — no decimal division, so
+    // the cut is bit-identical on both engines.
+    "q_tpch_q11" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        WITH g AS (
+          SELECT l_partkey AS ps_partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS v,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)
+                      AS BIGINT) AS v_cents
+          FROM lineitem, supplier, nation
+          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_name = 'NATION_12'
+          GROUP BY l_partkey)
+        SELECT ps_partkey, CAST(v AS DOUBLE) AS value
+        FROM g
+        WHERE v_cents * (SELECT count(*) FROM g)
+              > 3 * (SELECT sum(v_cents) FROM g)
+        ORDER BY value DESC, ps_partkey""")
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship): NOT-IN subquery
+    // excluding a supplier set + count-DISTINCT aggregation over part
+    // attribute groups + IN value list. Suppliers with negative balance
+    // stand in for the '%Complaints%' comment filter (no s_comment
+    // column); lineitem supplies the part-supplier pairs.
+    "q_tpch_q16" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand <> 'Brand#45'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    }),
+
     // as-of join (custom operator — union + running-last formulation,
     // graft.operators.Relational.asofJoin; oracle is DuckDB native ASOF)
     "q_asof" -> ((s, dir) => {
@@ -2714,6 +2829,82 @@ object SparkEntry {
          GROUP BY c_custkey, c_name, n_name
          ORDER BY revenue DESC, c_custkey
          LIMIT 20""",
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS revenue,
+           o_orderdate
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2))))
+                AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+
+    "q_tpch_q9" ->
+      """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+         FROM (
+           SELECT n_name AS nation,
+                  CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                  CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    - CAST(p_retailprice AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+           FROM part, supplier, lineitem, orders, nation
+           WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+             AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+             AND p_name LIKE '%red%'
+         ) profit
+         GROUP BY nation, o_year
+         ORDER BY nation, o_year DESC""",
+
+    "q_tpch_q11" ->
+      """WITH g AS (
+           SELECT l_partkey AS ps_partkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS v,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)
+                       AS BIGINT) AS v_cents
+           FROM lineitem, supplier, nation
+           WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             AND n_name = 'NATION_12'
+           GROUP BY l_partkey)
+         SELECT ps_partkey, CAST(v AS DOUBLE) AS value
+         FROM g
+         WHERE v_cents * (SELECT count(*) FROM g)
+               > 3 * (SELECT sum(v_cents) FROM g)
+         ORDER BY value DESC, ps_partkey""",
+
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND p_brand <> 'Brand#45'
+           AND p_type NOT LIKE 'MEDIUM%'
+           AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
 
     "q_asof" ->
       """SELECT c.event_id, c.user_id, p.p_event_id, p.p_value
