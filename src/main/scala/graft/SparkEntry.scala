@@ -1134,6 +1134,50 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // streaming CDC apply, end-to-end: the SAME merge as q_upsert but
+    // maintained by Streams.cdcApply over three bounded, version-ordered
+    // change feeds (micro-batch epochs) chained onto one versioned
+    // snapshot store seeded with the customer base. The final snapshot
+    // equals the one-shot batch upsert — latest-wins converges when
+    // batches arrive in version order — so the query shares q_upsert's
+    // oracle. Exercises the streaming-maintained table: file-source
+    // streams, foreachBatch exactly-once versioning, epoch chaining.
+    "q_cdc_stream" -> ((s, dir) => {
+      val root = "/tmp/graft_cdc_stream"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val base = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      base.write.mode("overwrite").parquet(s"$root/snap/v=0")
+      val changes = t(s, dir, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderdate"), col("o_orderkey"),
+        (col("o_orderstatus") === "P").as("_is_del"))
+      val cuts = Seq(
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType),
+        col("o_orderdate") >= lit("1998-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("2000-01-01").cast(TimestampType),
+        col("o_orderdate") >= lit("2000-01-01").cast(TimestampType))
+      cuts.zipWithIndex.foreach { case (cut, i) =>
+        val feed = s"$root/feed$i"
+        changes.filter(cut).write.mode("overwrite").parquet(feed)
+        val q = graft.streaming.Streams.cdcApply(
+          s.readStream.schema(changes.schema).parquet(feed),
+          s"$root/snap", s"$root/ckpt$i", "c_custkey",
+          versionCols = Seq("o_orderdate", "o_orderkey"), partial = true,
+          deleteCol = Some("_is_del"), epoch = (i + 1) * 1000000L)
+        q.processAllAvailable()
+        q.stop()
+      }
+      val newest = hfs.listStatus(new org.apache.hadoop.fs.Path(s"$root/snap"))
+        .map(_.getPath.getName).filter(_.startsWith("v="))
+        .map(_.drop(2).toLong).max
+      s.read.parquet(s"$root/snap/v=$newest").orderBy("c_custkey")
+    }),
+
     "q_salted_join" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
@@ -2109,6 +2153,45 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Twin of the streaming CDC pipeline (q_cdc_stream): replays the same
+    * three version-ordered change epochs SEQUENTIALLY over the seeded
+    * customer snapshot — latest change per key within an epoch, merged
+    * with partial-update + delete semantics, each epoch reading the
+    * previous epoch's state. Epoch boundaries must match the date cuts
+    * in the Spark query exactly. */
+  private val cdcStreamTwin: String = {
+    val epochs = Seq(
+      "o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'",
+      "o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND " +
+        "o_orderdate < TIMESTAMP '2000-01-01 00:00:00'",
+      "o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'")
+    val steps = epochs.zipWithIndex.map { case (pred, i) =>
+      val n = i + 1
+      s"""l$n AS (
+           SELECT o_custkey AS k, o_totalprice AS new_bal,
+                  (o_orderstatus = 'P') AS del
+           FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                 FROM orders WHERE $pred)
+           WHERE rn = 1),
+         s$n AS (
+           SELECT COALESCE(b.c_custkey, l.k) AS c_custkey,
+                  b.c_name AS c_name,
+                  b.c_mktsegment AS c_mktsegment,
+                  CASE WHEN l.k IS NOT NULL
+                       THEN COALESCE(l.new_bal, b.c_acctbal)
+                       ELSE b.c_acctbal END AS c_acctbal
+           FROM s${i} b FULL OUTER JOIN l$n l ON b.c_custkey = l.k
+           WHERE l.k IS NULL OR NOT l.del)"""
+    }
+    s"""WITH s0 AS (
+           SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey % 7 <> 0),
+         ${steps.mkString(",\n         ")}
+         SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM s3
+         ORDER BY c_custkey"""
+  }
 
   /** SemDeDup twin: the k-means prefix, then exact-cosine pairs strictly
     * within a cluster (each vector is in exactly one cluster, so the pair
@@ -3703,6 +3786,12 @@ object SparkEntry {
          FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.k
          WHERE l.k IS NULL OR NOT l.del
          ORDER BY c_custkey""",
+
+    // the twin REPLAYS the three epochs sequentially — true CDC history
+    // semantics differ from the one-shot merge: a key deleted in an early
+    // epoch and re-inserted later has lost its base-only columns
+    // (c_name/c_mktsegment), which a global latest-wins would resurrect
+    "q_cdc_stream" -> cdcStreamTwin,
 
     "q_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -301,13 +301,22 @@ object Streams {
     *
     * `baseCols` is the snapshot schema (default: the change columns minus
     * version/delete bookkeeping). The first batch starts from an empty
-    * snapshot. Per batch this is one upsert = one aggregate + one outer
-    * join — the same scale shape as the batch operator.
+    * snapshot (or from a pre-seeded `v=N` directory below the first
+    * version id). Per batch this is one upsert = one aggregate + one
+    * outer join — the same scale shape as the batch operator.
+    *
+    * `epoch` offsets the snapshot version ids (`v = epoch + batchId`):
+    * separate bounded change feeds — or a restart with a fresh
+    * checkpoint — chain onto the SAME snapshot by using strictly
+    * increasing epochs, each feed picking up the newest snapshot the
+    * previous one wrote. Replay safety is unchanged: a replayed batch
+    * still ignores versions at or above its own id.
     */
   def cdcApply(changes: DataFrame, snapshotDir: String, checkpointDir: String,
       key: String, versionCols: Seq[String], partial: Boolean = false,
       deleteCol: Option[String] = None,
-      baseCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+      baseCols: Seq[String] = Nil,
+      epoch: Long = 0L): org.apache.spark.sql.streaming.StreamingQuery = {
     val cols =
       if (baseCols.nonEmpty) baseCols
       else changes.columns.toSeq.diff(versionCols ++ deleteCol)
@@ -318,19 +327,25 @@ object Streams {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           s.sparkContext.hadoopConfiguration)
         val dir = new org.apache.hadoop.fs.Path(snapshotDir)
+        val vid = epoch + batchId
         val prev =
           if (fs.exists(dir))
             fs.listStatus(dir).map(_.getPath.getName)
               .filter(_.startsWith("v=")).map(_.drop(2).toLong)
-              .filter(_ < batchId)
+              .filter(_ < vid)
           else Array.empty[Long]
-        val schema = StructType(cols.map(c => batch.schema(c)))
+        // schema lookup only on the empty-start path: a PRE-SEEDED
+        // snapshot (v=N below the first version id) may carry columns
+        // that never appear in the change feed (partial-update CDC)
         val base =
           if (prev.nonEmpty) s.read.parquet(s"$snapshotDir/v=${prev.max}")
-          else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else {
+            val schema = StructType(cols.map(c => batch.schema(c)))
+            s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          }
         val next = graft.operators.Relational.upsert(base, batch, key,
           versionCols, partial, deleteCol.map(batch(_)))
-        next.write.mode("overwrite").parquet(s"$snapshotDir/v=$batchId")
+        next.write.mode("overwrite").parquet(s"$snapshotDir/v=$vid")
       }
       .start()
   }
