@@ -1997,7 +1997,62 @@ object SparkEntry {
     "q_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.mediaFromDocuments(t(s, dir, "documents")))
-        .orderBy("media_id", "frame_idx"))
+        .orderBy("media_id", "frame_idx")),
+
+    // Gopher-style repetition quality filters (Rae et al. 2021): duplicate
+    // -word fraction, most-frequent-bigram coverage, duplicate-5-gram
+    // fraction — the signals that catch looping generations and scraped
+    // boilerplate. Narrow per-row array computations, no shuffle.
+    "q_repetition" -> ((s, dir) =>
+      graft.functions.Text.repetitionStats(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // URL canonicalization + host extraction (crawl-dedup preprocessing):
+    // mixed-case scheme/host, a default port, utm_*/gclid tracking params
+    // and a fragment are injected per row so every normalization rule has
+    // real work to do
+    "q_url_canon" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast(StringType),
+        lit(".COM:443/Docs/"), col("doc_id").cast(StringType),
+        lit("?utm_source=feed&utm_campaign=c"), col("doc_id").cast(StringType),
+        lit("&ref="), col("doc_id").cast(StringType),
+        lit("&gclid=g1#Sec"), col("doc_id").cast(StringType))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Text.canonicalizeUrl(url).as("url_canon"),
+          graft.functions.Text.urlHost(url).as("host"))
+        .orderBy("doc_id")
+    }),
+
+    // window-function completeness: percent_rank / cume_dist / nth_value
+    // over the deterministic per-customer ordering (q_window_lag covers
+    // lag/lead/ntile/first_value; both windows partitioned, never global)
+    "q_window_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_best"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // product quantization (Jégou et al. 2011): m=4 subspace codebooks of
+    // k=8 via the bit-deterministic Lloyd fold, one-byte codes, ADC top-k
+    // — the compressed ANN path (64x store shrink at 100 TB); the oracle
+    // twins training, encoding AND the ADC ranking
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cbs = graft.similarity.Pq.trainCodebooks(emb, m = 4, k = 8,
+        dim = 64, iters = 1)
+      val codes = graft.similarity.Pq.encode(emb, cbs)
+      graft.similarity.Pq.adcTopK(codes, Ann.selfQueries(emb, 10), cbs, k = 5)
+        .orderBy("query_id", "rank")
+    })
   )
 
   // ===================================================================
@@ -2153,6 +2208,85 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id, cosine FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Full DuckDB twin of the PQ path (q_ann_pq): per-subspace k-means —
+    * lowest-id seeds on the SLICED vectors, one Lloyd iteration with the
+    * same ordered-fold mean as [[kmeansAssignCtes]], nearest-codebook
+    * codes — then ADC scoring: the sum of per-subspace dots between the
+    * query slice and each neighbor's code centroid, left-to-right like
+    * the engine's fixed reduce chain, ranked per query. */
+  private def pqFullTwin(m: Int, sub: Int, k: Int, nQueries: Int,
+      topk: Int): String = {
+    val perSub = (0 until m).map { mi =>
+      val lo = mi * sub + 1
+      val hi = lo + sub - 1
+      s"""sl$mi AS (SELECT vec_id, list_slice(v, $lo, $hi) AS sv FROM e),
+         seeds$mi AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cid, sv
+           FROM (SELECT * FROM sl$mi ORDER BY vec_id LIMIT $k)),
+         asg$mi AS (
+           SELECT vec_id, sv, cid FROM (
+             SELECT s.vec_id, s.sv, d.cid,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                 (list_dot_product(s.sv, d.sv)
+                  / (sqrt(list_dot_product(s.sv, s.sv))
+                     * sqrt(list_dot_product(d.sv, d.sv)))) DESC,
+                 d.cid ASC) AS rn
+             FROM sl$mi s CROSS JOIN seeds$mi d) WHERE rn = 1),
+         vals$mi AS (
+           SELECT a.cid, t.i AS dim, a.sv[t.i] AS val, a.vec_id
+           FROM asg$mi a, unnest(generate_series(1, $sub)) AS t(i)),
+         mm$mi AS (
+           SELECT cid, dim,
+             CAST(list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
+               / count(*) AS FLOAT) AS f
+           FROM vals$mi GROUP BY cid, dim),
+         cb$mi AS (SELECT cid, list(CAST(f AS DOUBLE) ORDER BY dim) AS cv
+                   FROM mm$mi GROUP BY cid),
+         code$mi AS (
+           SELECT vec_id, cid AS code FROM (
+             SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                 (list_dot_product(s.sv, c.cv)
+                  / (sqrt(list_dot_product(s.sv, s.sv))
+                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                 c.cid ASC) AS rn
+             FROM sl$mi s CROSS JOIN cb$mi c) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    val dotSum = (0 until m).map { mi =>
+      val lo = mi * sub + 1
+      val hi = lo + sub - 1
+      s"list_dot_product(list_slice(q.qv, $lo, $hi), cb$mi.cv)"
+    }.mkString("\n               + ")
+    val codeJoins = (1 until m).map { mi =>
+      s"JOIN code$mi ON code$mi.vec_id = code0.vec_id"
+    }.mkString("\n             ")
+    val cbJoins = (0 until m).map { mi =>
+      s"JOIN cb$mi ON cb$mi.cid = code$mi.code"
+    }.mkString("\n             ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         $perSub,
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < $nQueries),
+         scored AS (
+           SELECT q.query_id, code0.vec_id AS neighbor_id,
+             round($dotSum, 6) AS adc_dot
+           FROM code0
+             $codeJoins
+             $cbJoins
+             CROSS JOIN q
+           WHERE code0.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dot DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             neighbor_id, adc_dot
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, adc_dot FROM ranked
+         WHERE rank <= $topk ORDER BY query_id, rank"""
+  }
 
   /** Twin of the streaming CDC pipeline (q_cdc_stream): replays the same
     * three version-ordered change epochs SEQUENTIALLY over the seeded
@@ -4076,6 +4210,99 @@ object SparkEntry {
          SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, event_type,
            count(*) AS n_events
          FROM hits GROUP BY w_start, event_type
-         ORDER BY w_start, event_type"""
+         ORDER BY w_start, event_type""",
+
+    // Gopher repetition signals recomputed from scratch: per-doc word and
+    // n-gram multisets via unnest, the top bigram by (count DESC, gram
+    // ASC) — the same deterministic tie-break as the engine's struct sort
+    "q_repetition" ->
+      """WITH tk AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+           FROM documents),
+         base AS (SELECT doc_id, text, toks, len(toks) AS n FROM tk),
+         g2 AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+                FROM base, unnest(generate_series(1, n - 1)) AS t(i)
+                WHERE n >= 2),
+         t2 AS (SELECT doc_id, g, c FROM (
+                  SELECT doc_id, g, count(*) AS c,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY count(*) DESC, g ASC) AS rn
+                  FROM g2 GROUP BY doc_id, g) WHERE rn = 1),
+         g5 AS (SELECT doc_id,
+                  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                    || toks[i+3] || ' ' || toks[i+4] AS g
+                FROM base, unnest(generate_series(1, n - 4)) AS t(i)
+                WHERE n >= 5),
+         d5 AS (SELECT doc_id, count(*) AS total5,
+                  count(DISTINCT g) AS dist5
+                FROM g5 GROUP BY doc_id)
+         SELECT b.doc_id,
+           CAST(b.n AS BIGINT) AS n_words,
+           round(CASE WHEN b.n = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(b.toks)) AS DOUBLE)
+                      / CAST(b.n AS DOUBLE) END, 6) AS dup_word_frac,
+           coalesce(t2.g, '') AS top_bigram,
+           CAST(coalesce(t2.c, 0) AS BIGINT) AS top_bigram_n,
+           round(CASE WHEN b.n < 2 OR length(b.text) = 0 THEN 0.0
+                 ELSE CAST(t2.c * length(t2.g) AS DOUBLE)
+                      / CAST(length(b.text) AS DOUBLE) END, 6)
+             AS top_bigram_char_frac,
+           round(CASE WHEN coalesce(d5.total5, 0) = 0 THEN 0.0
+                 ELSE 1.0 - CAST(d5.dist5 AS DOUBLE)
+                      / CAST(d5.total5 AS DOUBLE) END, 6) AS dup_5gram_frac
+         FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+         ORDER BY doc_id""",
+
+    // the same regexp chain (Java/RE2-common subset) — DuckDB replaces
+    // only the first match by default, so every replace carries 'g'
+    "q_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+             'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+               || '.COM:443/Docs/' || CAST(doc_id AS VARCHAR)
+               || '?utm_source=feed&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+               || '&ref=' || CAST(doc_id AS VARCHAR)
+               || '&gclid=g1#Sec' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         parts AS (SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(lower(regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               ':(80|443)$', '') AS host,
+             regexp_extract(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+           FROM u),
+         cleaned AS (SELECT doc_id, scheme, host,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(rest,
+                     '&(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*', '', 'g'),
+                   '\?(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*&', '?', 'g'),
+                 '\?(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&]*$', '', 'g'),
+               '\?$', '', 'g') AS pathq
+           FROM parts)
+         SELECT doc_id,
+           scheme || '://' || host ||
+             (CASE WHEN pathq = '/' THEN '' ELSE pathq END) AS url_canon,
+           host
+         FROM cleaned ORDER BY doc_id""",
+
+    "q_window_stats" ->
+      """SELECT o_custkey, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_best
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC)
+         ORDER BY o_custkey, o_orderkey""",
+
+    // full PQ twin: per-subspace deterministic k-means + codes + ADC
+    "q_ann_pq" -> pqFullTwin(m = 4, sub = 16, k = 8, nQueries = 10,
+      topk = 5)
   )
 }

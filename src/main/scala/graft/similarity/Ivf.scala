@@ -40,7 +40,7 @@ object Ivf {
 
   /** Materialize the centroid set on the driver: k (id, vector) pairs —
     * bounded by k, never by data scale. */
-  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float])] =
+  private[similarity] def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float])] =
     centroids.select(col("centroid_id").cast(IntegerType), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
@@ -49,7 +49,7 @@ object Ivf {
   /** Per-row array of (cosine, -centroid_id) structs against every centroid
     * — struct ordering gives cosine DESC then centroid_id ASC, so
     * `greatest` is the argmax and a descending sort ranks probes. */
-  private def centroidScores(cents: Array[(Int, Seq[Float])],
+  private[similarity] def centroidScores(cents: Array[(Int, Seq[Float])],
       vec: Column): Array[Column] =
     cents.map { case (cid, cvec) =>
       struct(native.vec_cosine(vec, typedlit(cvec)).as("cos"),

@@ -178,6 +178,47 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(0) < got(1))
   }
 
+  test("repetitionStats: dup fractions, deterministic top bigram, edge docs") {
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "spam spam spam spam spam spam"),
+      (3L, "x"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = Text.repetitionStats(docs).orderBy("doc_id")
+      .as[(Long, Long, Double, String, Long, Double, Double)].collect().toSeq
+    // doc 1: 6 words, 2 distinct; bigrams "a b"(3) beats "b a"(2);
+    // 3 occurrences * 3 chars / 11 chars; both 5-grams distinct
+    assert(got(0) == (1L, 6L, 0.666667, "a b", 3L, 0.818182, 0.0))
+    // doc 2: one distinct word; "spam spam" x5; 2 identical 5-grams
+    assert(got(1)._3 == 0.833333 && got(1)._4 == "spam spam" &&
+      got(1)._5 == 5L && got(1)._7 == 0.5)
+    // single word / empty: no bigrams, zero fractions
+    assert(got(2) == (3L, 1L, 0.0, "", 0L, 0.0, 0.0))
+    assert(got(3) == (4L, 0L, 0.0, "", 0L, 0.0, 0.0))
+  }
+
+  test("canonicalizeUrl: case, ports, tracking params, fragments, root path") {
+    val df = Seq(
+      "HTTP://Example.COM:80/Path/Sub?b=2&utm_source=x#frag",
+      "https://Site.com/?utm_campaign=a",
+      "https://a.com/p?utm_x=1&q=2",
+      "https://a.com:8080/q",
+      "hello world").toDF("u")
+    val got = df.select(Text.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "http://example.com/Path/Sub?b=2", // case + port + tracking + fragment
+      "https://site.com",                // bare root path dropped
+      "https://a.com/p?q=2",             // leading tracker, real param kept
+      "https://a.com:8080/q",            // non-default port survives
+      "hello world"))                    // non-URL passes through
+  }
+
+  test("urlHost extracts lowercased host, strips default ports") {
+    val df = Seq("HTTPS://WWW.Ex.COM:443/x?y#z", "ftp://h:80/f", "plain").toDF("u")
+    val got = df.select(Text.urlHost(col("u"))).as[String].collect().toSeq
+    assert(got == Seq("www.ex.com", "h", ""))
+  }
+
   test("removeBoilerplate drops cross-doc repeated lines, keeps order, empties covered docs") {
     val docs = Seq(
       (1L, "cookie\nalpha\nbeta"),
