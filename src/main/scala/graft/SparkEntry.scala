@@ -2052,6 +2052,62 @@ object SparkEntry {
       val codes = graft.similarity.Pq.encode(emb, cbs)
       graft.similarity.Pq.adcTopK(codes, Ann.selfQueries(emb, 10), cbs, k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // recall@5 of the compressed (PQ/ADC) search vs exact full-precision
+    // cosine — the quality gauge that tells you whether m=4 codebooks are
+    // enough before you shrink the 100 TB store 64x
+    "q_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cbs = graft.similarity.Pq.trainCodebooks(emb, m = 4, k = 8,
+        dim = 64, iters = 1)
+      val codes = graft.similarity.Pq.encode(emb, cbs)
+      val qs = Ann.selfQueries(emb, 10)
+      val approx = graft.similarity.Pq.adcTopK(codes, qs, cbs, k = 5)
+      Ann.recallAtK(Ann.bruteForceTopK(emb, qs, k = 5), approx, qs, k = 5)
+        .orderBy("query_id")
+    }),
+
+    // per-site quota (crawl curation): canonical host as the grouping key,
+    // keep the 20 longest docs per host — rank inside a partitioned
+    // window, never a global sort; at 100 TB hosts shard naturally and
+    // the per-host cap bounds every partition's output
+    "q_host_quota" -> ((s, dir) => {
+      val url = concat(lit("https://Host"), (col("doc_id") % 5).cast(StringType),
+        lit(".Example.COM/page/"), col("doc_id").cast(StringType))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.Text.urlHost(url).as("host"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      val w = Window.partitionBy("host")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs.select(col("doc_id"), col("host"), col("n_chars"),
+          row_number().over(w).cast(LongType).as("host_rank"))
+        .filter(col("host_rank") <= 20)
+        .orderBy("host", "host_rank")
+    }),
+
+    // BM25 keyword retrieval (Robertson-Zaragoza k1=1.2 b=0.75): query =
+    // the 2 globally most frequent terms, integer tf/df/dl aggregates,
+    // narrow scoring, sort+limit top-20 (TakeOrderedAndProject)
+    "q_bm25" -> ((s, dir) =>
+      graft.functions.Text.bm25(t(s, dir, "documents"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)),
+
+    // PageRank over a deterministic synthetic link graph (2 out-edges per
+    // doc via affine maps mod N): 3 power iterations with ordered-fold
+    // contribution sums — the crawl-authority weighting signal; the twin
+    // replays every iteration with the identical double expression tree
+    "q_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // single bounded scalar, never data-sized
+      val nodes = docs.select(col("doc_id").as("node_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst")))
+      graft.graph.PageRank.run(nodes, edges, n, iters = 3)
+        .select(col("node_id"), round(col("rank"), 6).as("pr"))
+        .orderBy("node_id")
     })
   )
 
@@ -2216,7 +2272,90 @@ object SparkEntry {
     * query slice and each neighbor's code centroid, left-to-right like
     * the engine's fixed reduce chain, ranked per query. */
   private def pqFullTwin(m: Int, sub: Int, k: Int, nQueries: Int,
-      topk: Int): String = {
+      topk: Int): String =
+    pqCtes(m, sub, k, nQueries) + s"""
+         SELECT query_id, rank, neighbor_id, adc_dot FROM ranked
+         WHERE rank <= $topk ORDER BY query_id, rank"""
+
+  /** PQ recall twin (q_pq_recall): the shared PQ CTE chain ranked by ADC,
+    * intersected per query with the exact full-precision cosine top-k —
+    * the same recall contract as q_ann_recall. */
+  private def pqRecallTwin(m: Int, sub: Int, k: Int, nQueries: Int,
+      topk: Int): String =
+    pqCtes(m, sub, k, nQueries) + s""",
+         ex AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                 e.vec_id ASC) AS rn
+             FROM e JOIN q ON e.vec_id <> q.query_id) WHERE rn <= $topk),
+         ap AS (SELECT query_id, neighbor_id FROM ranked
+                WHERE rank <= $topk),
+         hits AS (SELECT ex.query_id, count(*) AS n_hit
+                  FROM ex JOIN ap ON ex.query_id = ap.query_id
+                    AND ex.neighbor_id = ap.neighbor_id
+                  GROUP BY ex.query_id),
+         exn AS (SELECT query_id, count(*) AS n_exact FROM ex
+                 GROUP BY query_id)
+         SELECT q.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN coalesce(x.n_exact, 0) = 0 THEN 0.0
+                ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                     / LEAST($topk, x.n_exact) END AS recall_at_$topk
+         FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+              LEFT JOIN exn x ON q.query_id = x.query_id
+         ORDER BY q.query_id"""
+
+  /** Full twin of q_pagerank: the same synthetic 2-out-edge graph, then
+    * `iters` power-iteration stages generated as sequential CTEs. Every
+    * double expression is cast-shaped to match the engine exactly —
+    * DuckDB's bare `1.0 - 0.85` is DECIMAL arithmetic (exact 0.15), the
+    * engine's is IEEE (0.15000000000000002), so literals are CAST to
+    * DOUBLE before any op; per-dst sums replay the engine's ordered fold
+    * via list_reduce over list(c ORDER BY src, c) prepended with 0.0. */
+  private def pageRankTwin(iters: Int): String = {
+    val stages = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""c$i AS (
+           SELECT e.dst, e.src, $prev.rank / CAST(o.outdeg AS DOUBLE) AS c
+           FROM edges e JOIN $prev ON e.src = $prev.node_id
+             JOIN outdeg o ON o.src = e.src),
+         s$i AS (
+           SELECT dst,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c ORDER BY src, c)), (a, b) -> a + b) AS s
+           FROM c$i GROUP BY dst),
+         r$i AS (
+           SELECT nodes.node_id,
+             ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                / CAST(nn.n AS DOUBLE))
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(s$i.s, CAST(0.0 AS DOUBLE)) AS rank
+           FROM nodes CROSS JOIN nn
+             LEFT JOIN s$i ON s$i.dst = nodes.node_id)"""
+    }.mkString(",\n         ")
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         nodes AS (SELECT doc_id AS node_id FROM documents),
+         edges AS (
+           SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id * 13 + 5) % nn.n
+           FROM documents CROSS JOIN nn),
+         outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         r0 AS (SELECT node_id,
+             CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+           FROM nodes CROSS JOIN nn),
+         $stages
+         SELECT node_id, round(rank, 6) AS pr FROM r$iters
+         ORDER BY node_id"""
+  }
+
+  /** Shared PQ CTE chain — training, encoding and ADC ranking — ending at
+    * `ranked` (query_id, rank, neighbor_id, adc_dot). */
+  private def pqCtes(m: Int, sub: Int, k: Int, nQueries: Int): String = {
     val perSub = (0 until m).map { mi =>
       val lo = mi * sub + 1
       val hi = lo + sub - 1
@@ -2283,9 +2422,7 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY adc_dot DESC, neighbor_id ASC) AS BIGINT) AS rank,
              neighbor_id, adc_dot
-           FROM scored)
-         SELECT query_id, rank, neighbor_id, adc_dot FROM ranked
-         WHERE rank <= $topk ORDER BY query_id, rank"""
+           FROM scored)"""
   }
 
   /** Twin of the streaming CDC pipeline (q_cdc_stream): replays the same
@@ -4303,6 +4440,62 @@ object SparkEntry {
 
     // full PQ twin: per-subspace deterministic k-means + codes + ADC
     "q_ann_pq" -> pqFullTwin(m = 4, sub = 16, k = 8, nQueries = 10,
-      topk = 5)
+      topk = 5),
+
+    // the same PQ chain ranked by ADC, intersected with exact cosine
+    "q_pq_recall" -> pqRecallTwin(m = 4, sub = 16, k = 8, nQueries = 10,
+      topk = 5),
+
+    "q_host_quota" ->
+      """WITH d AS (SELECT doc_id,
+             regexp_replace(lower(regexp_extract(
+                 'https://Host' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.Example.COM/page/' || CAST(doc_id AS VARCHAR),
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               ':(80|443)$', '') AS host,
+             length(text) AS n_chars
+           FROM documents),
+         ranked AS (SELECT doc_id, host, n_chars,
+             CAST(row_number() OVER (PARTITION BY host
+               ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS host_rank
+           FROM d)
+         SELECT doc_id, host, n_chars, host_rank FROM ranked
+         WHERE host_rank <= 20 ORDER BY host, host_rank""",
+
+    // BM25 twin — every double expression shaped EXACTLY like the engine's
+    // (idf * (tf*2.2)) / (tf + 1.2*(0.25 + 0.75*(dl/avgdl))); each doc
+    // sums at most 2 addends, so the sum is order-independent
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                GROUP BY doc_id, term),
+         dl AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         qt AS (SELECT term FROM (
+             SELECT term, sum(tf) AS total FROM tf GROUP BY term
+             ORDER BY total DESC, term ASC LIMIT 2)),
+         contrib AS (
+           SELECT tf.doc_id,
+             ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
+                      / (d.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 *
+                   (CAST(dl.dl AS DOUBLE)
+                    / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS c
+           FROM tf JOIN qt USING (term) JOIN dfc d USING (term)
+             JOIN dl USING (doc_id) CROSS JOIN stats s)
+         SELECT doc_id, round(sum(c), 6) AS bm25
+         FROM contrib GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
+
+    // full power-iteration replay with engine-shaped double arithmetic
+    "q_pagerank" -> pageRankTwin(iters = 3)
   )
 }

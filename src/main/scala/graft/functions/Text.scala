@@ -356,6 +356,54 @@ object Text {
       lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
       ":(80|443)$", "")
 
+  /** BM25 document ranking (Robertson & Zaragoza 2009, the Lucene
+    * `k1`/`b` variant with the +1-smoothed idf) — keyword retrieval over
+    * a corpus, the relevance-scoring half of building a RAG/eval set from
+    * training data. Query terms are the `nTerms` globally most frequent
+    * tokens (count DESC, term ASC — fully deterministic), so the query
+    * derives from the corpus instead of arriving as free text.
+    *
+    * Scale shape: tf is one shuffle on (doc, term); df and the query-term
+    * set are vocab-sized aggregates that broadcast; doc length and the
+    * global (N, Σdl) stats are integer aggregates (order-independent,
+    * bit-exact); scoring is a narrow per-row projection and the final
+    * top-k is sort+limit → TakeOrderedAndProject, never a global sort.
+    * Keep `nTerms` ≤ 2: each doc's score then sums at most two doubles,
+    * which is order-independent by commutativity — more terms would need
+    * an ordered fold to stay bit-deterministic. */
+  def bm25(docs: DataFrame, nTerms: Int = 2, topk: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(nTerms <= 2, "score determinism relies on <= 2 addends per doc")
+    val toks = docs.select(col(idCol),
+      explode(filter(split(col(textCol), " "), t => t =!= "")).as("term"))
+    val tf = toks.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol),
+      size(filter(split(col(textCol), " "), t => t =!= ""))
+        .cast(LongType).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = tf.groupBy("term").agg(sum(col("tf")).as("total"))
+      .orderBy(col("total").desc, col("term").asc).limit(nTerms)
+      .select("term")
+    // every arithmetic step mirrors the oracle twin's expression tree
+    // exactly — double ops are deterministic only if identically shaped
+    val avgdl = col("sum_dl").cast(DoubleType) / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df") + 0.5) / (col("df") + 0.5))
+    val denom = col("tf") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * (col("dl").cast(DoubleType) / avgdl))
+    val contrib = idf * (col("tf") * lit(2.2)) / denom
+    // fold df into the nTerms-row query set BEFORE touching tf, so the
+    // broadcast is nTerms rows, not the whole vocabulary
+    val qstats = qt.join(dfc, "term")
+    tf.join(broadcast(qstats), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), contrib.as("c"))
+      .groupBy(idCol).agg(round(sum(col("c")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc).limit(topk)
+  }
+
   /** Full per-document stats projection over a documents table. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

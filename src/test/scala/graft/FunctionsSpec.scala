@@ -232,4 +232,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq((1L, "alpha\nbeta"), (2L, "gamma\ndelta"),
       (3L, ""), (4L, "epsilon")))
   }
+
+  test("bm25: hand-computed scores and ranking on a 3-doc corpus") {
+    // tokens: a=3, b=4, c=2 → query terms are b and a (both df=2)
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b b c"))
+      .toDF("doc_id", "text")
+    val got = Text.bm25(docs, topk = 3).as[(Long, Double)].collect().toSeq
+    // N=3, avgdl=3, idf = ln(1 + 1.5/2.5) for both terms
+    val idf = math.log(1.6)
+    def s(tf: Double, dl: Double, terms: Seq[Double]): Double =
+      terms.map(t => idf * (t * 2.2) /
+        (t + 1.2 * (0.25 + 0.75 * (dl / 3.0)))).sum
+    val exp1 = s(0, 3, Seq(2.0, 1.0)) // d1: tf(a)=2, tf(b)=1
+    val exp3 = idf * (3 * 2.2) / (3 + 1.2 * (0.25 + 0.75 * (4.0 / 3)))
+    val exp2 = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * (2.0 / 3)))
+    assert(got.map(_._1) == Seq(1L, 3L, 2L)) // ranking d1 > d3 > d2
+    val exps = Seq(exp1, exp3, exp2)
+    got.zip(exps).foreach { case ((_, g), e) =>
+      assert(math.abs(g - e) < 1e-6, s"got=$g exp=$e")
+    }
+  }
+
+  test("bm25: multi-space tokenization and nTerms guard") {
+    val docs = Seq((1L, "x  x   y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = Text.bm25(docs, topk = 2).collect()
+    assert(got.length == 2) // runs of spaces don't create empty terms
+    intercept[IllegalArgumentException] { Text.bm25(docs, nTerms = 3) }
+  }
 }

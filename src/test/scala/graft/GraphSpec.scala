@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.PageRank
+
+/** PageRank semantics on small hand-checkable graphs. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ranksOf(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Double] = {
+    val n = nodes.toDF("node_id")
+    val e = edges.toDF("src", "dst")
+    PageRank.run(n, e, nodes.size.toLong, iters)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  test("3-cycle is a fixed point: every rank stays 1/N") {
+    val r = ranksOf(Seq(0L, 1L, 2L), Seq((0L, 1L), (1L, 2L), (2L, 0L)), 5)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("star graph: hub accumulates, leaves hold the base term") {
+    // 1,2,3 -> 0; 0 has no out-edges (dangling: its mass is dropped)
+    val r = ranksOf(Seq(0L, 1L, 2L, 3L),
+      Seq((1L, 0L), (2L, 0L), (3L, 0L)), 1)
+    val base = 0.15 / 4
+    assert(math.abs(r(1L) - base) < 1e-12)
+    assert(math.abs(r(2L) - base) < 1e-12)
+    assert(math.abs(r(3L) - base) < 1e-12)
+    // hub: base + d * 3 * (0.25 / 1)
+    assert(math.abs(r(0L) - (base + 0.85 * 3 * 0.25)) < 1e-12)
+  }
+
+  test("dangling mass is not redistributed: total rank decays below 1") {
+    val r = ranksOf(Seq(0L, 1L), Seq((1L, 0L)), 2)
+    val total = r.values.sum
+    assert(total < 1.0 - 1e-9, s"total=$total")
+    assert(r.values.forall(_ >= 0.15 / 2 - 1e-12))
+  }
+
+  test("two runs are bit-identical (ordered-fold determinism)") {
+    val nodes = (0L until 30L)
+    val edges = nodes.flatMap(i => Seq((i, (i * 7 + 3) % 30), (i, (i * 13 + 5) % 30)))
+    val a = ranksOf(nodes, edges, 4)
+    val b = ranksOf(nodes, edges, 4)
+    nodes.foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(a(i)) ==
+        java.lang.Double.doubleToLongBits(b(i)))
+    }
+  }
+
+  test("checkpointing every round does not change values") {
+    val nodes = (0L until 20L)
+    val edges = nodes.map(i => (i, (i + 1) % 20)) ++ nodes.map(i => (i, (i * 3 + 1) % 20))
+    val n = nodes.toDF("node_id")
+    val e = edges.toDF("src", "dst")
+    val plain = PageRank.run(n, e, 20L, 5, checkpointEvery = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ckpt = PageRank.run(n, e, 20L, 5, checkpointEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    nodes.foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(plain(i)) ==
+        java.lang.Double.doubleToLongBits(ckpt(i)))
+    }
+  }
+}
