@@ -2108,7 +2108,65 @@ object SparkEntry {
       graft.graph.PageRank.run(nodes, edges, n, iters = 3)
         .select(col("node_id"), round(col("rank"), 6).as("pr"))
         .orderBy("node_id")
-    })
+    }),
+
+    // per-node triangle counts on a deterministic synthetic link graph
+    // (ring + skip + affine edges — the ring/skip pairs guarantee a
+    // triangle per consecutive node triple, the affine edges add
+    // irregular extras) — degree-ordered node-iterator (oriented wedge
+    // join, no cartesian, per-key fan-out bounded by O(sqrt(m)) even on
+    // hub nodes)
+    "q_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val id = col("doc_id")
+      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
+        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
+        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      graft.graph.Triangles.perNode(edges).orderBy("node_id")
+    }),
+
+    // calendar gap-fill + linear interpolation of each user's daily
+    // purchase series — per-key spine (no global day x user cross join),
+    // fill windows ride the same user_id hash partitioning
+    "q_interpolate" -> ((s, dir) => {
+      val obs = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(max(col("value")).as("v"))
+      graft.operators.TimeSeries.gapFillInterpolate(obs, "user_id", "day", "v")
+        // midnight timestamp, not DATE: parquet date cells surface as
+        // python date objects while the DuckDB oracle's dates surface as
+        // datetimes — the comparator needs one type from both engines
+        .withColumn("day", col("day").cast(TimestampType))
+        .orderBy("user_id", "day")
+    }),
+
+    // SCD2 dimension history: build versioned history from the pre-cutoff
+    // change log, then incrementally apply the post-cutoff delta — closed
+    // rows pass through without re-windowing (the 100 TB-relevant property:
+    // apply cost is O(delta), not O(history))
+    "q_scd2" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cutoff = lit("2024-01-16").cast(TimestampType)
+      val attrs = Seq("event_type", "value")
+      val history = graft.operators.Scd.buildHistory(
+        ev.filter(col("ts") < cutoff), "user_id", "ts", "event_id", attrs)
+      graft.operators.Scd.applyChanges(history,
+          ev.filter(col("ts") >= cutoff), "user_id", "ts", "event_id", attrs)
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("user_id", "valid_from", "change_id")
+    }),
+
+    // hashed-bag-of-words linear classifier (fastText-shaped quality
+    // model APPLY): narrow per-row fold over the token array — runs at
+    // parquet-scan speed, no shuffle/explode/UDF
+    "q_classify" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Text.linearScore(col("text")).as("score"))
+        .withColumn("keep", col("score") > lit(0.0))
+        .orderBy("doc_id"))
   )
 
   // ===================================================================
@@ -4496,6 +4554,117 @@ object SparkEntry {
          ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
 
     // full power-iteration replay with engine-shaped double arithmetic
-    "q_pagerank" -> pageRankTwin(iters = 3)
+    "q_pagerank" -> pageRankTwin(iters = 3),
+
+    // same ring+skip+affine synthetic graph as the engine query; the
+    // oriented wedge join replayed relationally (orientation = (deg, id)
+    // lexicographic order)
+    "q_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         edges0 AS (
+           SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id + 2) % nn.n
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id * 7 + 3) % nn.n
+           FROM documents CROSS JOIN nn),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges0 WHERE src <> dst),
+         deg AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+           GROUP BY v),
+         ori AS (SELECT
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+               THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+               THEN u.b ELSE u.a END AS w
+           FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+         wedges AS (SELECT e1.u, e1.w AS v1, e2.w AS v2
+           FROM ori e1 JOIN ori e2 USING (u) WHERE e1.w <> e2.w),
+         tris AS (SELECT wg.u, wg.v1, wg.v2
+           FROM wedges wg JOIN ori c ON c.u = wg.v1 AND c.w = wg.v2),
+         corners AS (SELECT unnest([u, v1, v2]) AS node_id FROM tris)
+         SELECT node_id, count(*) AS n_tri FROM corners
+         GROUP BY node_id ORDER BY node_id""",
+
+    // identical window/interp expression tree (same casts, same division)
+    "q_interpolate" ->
+      """WITH obs AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS v
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         b AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+           FROM obs GROUP BY 1),
+         spine AS (SELECT user_id, CAST(unnest(generate_series(
+             CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+             INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         j AS (SELECT s.user_id, s.day, o.v
+           FROM spine s LEFT JOIN obs o USING (user_id, day)),
+         f AS (SELECT user_id, day, v,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wb AS pd,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wf AS nd
+           FROM j
+           WINDOW wb AS (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+           v IS NOT NULL AS observed,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) *
+                  (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+           END AS value_filled
+         FROM f ORDER BY user_id, day""",
+
+    // the incremental apply equals one global lead() pass whenever the
+    // cutoff splits each key's timeline (it does: ts < vs >= literal)
+    "q_scd2" ->
+      """SELECT user_id, event_type, value, ts AS valid_from,
+           event_id AS change_id,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, valid_from, change_id""",
+
+    // per-token FNV-1a replayed in HUGEINT mod-2^64 (the simhash twin's
+    // hash), bucket = low 8 bits, integer weights, one double division
+    "q_classify" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '[ \n\t\r]+'), x -> x <> '')) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(generate_series(1, length(tok)),
+                   i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
+                 % CAST('18446744073709551616' AS HUGEINT)) AS h
+           FROM toks),
+         tw AS (SELECT doc_id,
+             ((CAST(h % 256 AS BIGINT) * 2654435761 + 12345) % 2001) - 1000
+               AS w
+           FROM th),
+         agg AS (SELECT doc_id, sum(w) AS s, count(*) AS n
+           FROM tw GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(a.s, 0) AS DOUBLE)
+             / (CAST(1000.0 AS DOUBLE)
+                * CAST(greatest(coalesce(a.n, 0), 1) AS DOUBLE)) AS score,
+           (CAST(coalesce(a.s, 0) AS DOUBLE)
+             / (CAST(1000.0 AS DOUBLE)
+                * CAST(greatest(coalesce(a.n, 0), 1) AS DOUBLE))) > 0.0
+             AS keep
+         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
   )
 }

@@ -404,6 +404,30 @@ object Text {
       .orderBy(col("bm25").desc, col(idCol).asc).limit(topk)
   }
 
+  /** FastText-shaped linear classifier APPLY: hashed bag-of-words
+    * features (FNV-1a token hash -> one of `buckets` feature ids) dotted
+    * with a weight vector, mean-normalized by token count. In production
+    * the weights come from an offline-trained quality/toxicity model; here
+    * they are a deterministic integer function of the bucket id so the
+    * oracle can replay them, but the plan shape is the real one: a narrow
+    * per-row fold over the token array — no shuffle, no UDF, no explode —
+    * so classification runs at parquet-scan speed over 100 TB. Integer
+    * weight accumulation + one final double division keeps the score
+    * bit-exact under any evaluation order. */
+  def linearScore(text: Column, buckets: Int = 256): Column = {
+    require((buckets & (buckets - 1)) == 0, "buckets must be a power of 2")
+    // signed & (2^k - 1) == unsigned mod 2^k: matches the oracle's
+    // nonnegative HUGEINT h % buckets on the low bits
+    val toks = filter(split(text, "[ \n\t\r]+"), t => t =!= lit(""))
+    val weight = (tok: Column) => {
+      val b = native.fnv64(tok).bitwiseAND(lit((buckets - 1).toLong))
+      (b * lit(2654435761L) + lit(12345L)) % lit(2001L) - lit(1000L)
+    }
+    val acc = aggregate(toks, lit(0L), (a, tok) => a + weight(tok))
+    acc.cast(DoubleType) /
+      (lit(1000.0) * greatest(size(toks), lit(1)).cast(DoubleType))
+  }
+
   /** Full per-document stats projection over a documents table. */
   def documentStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

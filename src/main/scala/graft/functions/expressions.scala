@@ -31,6 +31,14 @@ object HashKernels {
     h
   }
 
+  /** FNV-1a of a whole string's UTF-8 bytes — the per-token feature hash
+    * behind the hashed-bag-of-words linear classifier (and the same hash
+    * the simhash kernel applies per token). */
+  def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    fnv1a(bytes, 0, bytes.length)
+  }
+
   /** Rolling/polynomial fingerprint over whitespace tokens:
     * fp = foldLeft(1000003 * acc + fnv1a(token)). Order-sensitive, so it is
     * a document fingerprint (not a bag-of-words hash). */
@@ -183,6 +191,18 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.rollingFingerprint($c)")
   override protected def withNewChildInternal(c: Expression): RollingFingerprint = copy(c)
+}
+
+/** FNV-1a hash of a string's UTF-8 bytes as a signed 64-bit value —
+  * codegen'd so it stays inside whole-stage codegen even when applied per
+  * array element inside a higher-order lambda. */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.fnv64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.fnv64($c)")
+  override protected def withNewChildInternal(c: Expression): Fnv64 = copy(c)
 }
 
 /** Prepared vocabulary for [[TokenizeKernel]]: distinct piece lengths
@@ -362,6 +382,7 @@ object native {
   private def ex(c: Column): Expression = Bridge.expression(c)
 
   def rolling_fingerprint(c: Column): Column = col(RollingFingerprint(ex(c)))
+  def fnv64(c: Column): Column = col(Fnv64(ex(c)))
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
   def vec_dot(a: Column, b: Column): Column = col(FloatVecDot(ex(a), ex(b)))
   def vec_norm(c: Column): Column = col(FloatVecNorm(ex(c)))
@@ -393,6 +414,7 @@ object native {
     reg.createOrReplaceTempFunction("rolling_fingerprint",
       es => RollingFingerprint(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("fnv64", es => Fnv64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_dot", es => FloatVecDot(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_norm", es => FloatVecNorm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vec_cosine", es => FloatVecCosine(es(0), es(1)), "scala_udf")

@@ -259,4 +259,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.length == 2) // runs of spaces don't create empty terms
     intercept[IllegalArgumentException] { Text.bm25(docs, nTerms = 3) }
   }
+
+  test("linearScore: hand-computed hashed-bag-of-words score") {
+    // replicate the kernel's arithmetic in plain Scala
+    def fnv(tok: String): Long = {
+      var h = 0xcbf29ce484222325L
+      tok.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+      h
+    }
+    def w(tok: String): Long =
+      ((fnv(tok) & 255L) * 2654435761L + 12345L) % 2001L - 1000L
+    val text = "the quick brown fox"
+    val exp = text.split(" ").map(w).sum.toDouble / (1000.0 * 4)
+    val got = Seq(text).toDF("text")
+      .select(Text.linearScore(col("text"))).as[Double].head()
+    assert(java.lang.Double.doubleToLongBits(got) ==
+      java.lang.Double.doubleToLongBits(exp))
+  }
+
+  test("linearScore: empty and whitespace-only text scores 0.0") {
+    val got = Seq("", "  \n\t ").toDF("text")
+      .select(Text.linearScore(col("text"))).as[Double].collect().toSeq
+    assert(got == Seq(0.0, 0.0))
+    intercept[IllegalArgumentException] {
+      Text.linearScore(col("text"), buckets = 100)
+    }
+  }
+
+  test("linearScore: score is mean-normalized (repetition-invariant)") {
+    val one = Seq("alpha beta").toDF("text")
+      .select(Text.linearScore(col("text"))).as[Double].head()
+    val four = Seq("alpha beta alpha beta alpha beta alpha beta")
+      .toDF("text")
+      .select(Text.linearScore(col("text"))).as[Double].head()
+    assert(math.abs(one - four) < 1e-12)
+  }
 }

@@ -66,4 +66,37 @@ class GraphSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(ckpt(i)))
     }
   }
+
+  private def triCounts(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    graft.graph.Triangles.perNode(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangle: K3 gives each corner one triangle") {
+    assert(triCounts(Seq((0L, 1L), (1L, 2L), (2L, 0L))) ==
+      Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("triangle: K4 gives each corner C(3,2)=3 triangles") {
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(triCounts(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangle: path and star graphs have none") {
+    assert(triCounts(Seq((0L, 1L), (1L, 2L), (2L, 3L))).isEmpty)
+    assert(triCounts(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))).isEmpty)
+  }
+
+  test("triangle: duplicate/reverse/self edges do not change counts") {
+    val noisy = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 2L), (2L, 0L),
+      (1L, 1L), (2L, 2L))
+    assert(triCounts(noisy) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("triangle: hub sharing two fans counts each closed wedge once") {
+    // hub 0 connects to 1..4; extra edges close only (1,2) and (3,4)
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L), (3L, 4L))
+    assert(triCounts(e) ==
+      Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Date
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Scd, TimeSeries}
+
+/** TimeSeries gap-fill/interpolation and SCD2 history semantics on small
+  * hand-checkable inputs. */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def d(s: String): Date = Date.valueOf(s)
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def fill(rows: Seq[(Long, Date, java.lang.Double)]) = {
+    val obs = rows.toDF("k", "day", "v").filter(col("v").isNotNull)
+    TimeSeries.gapFillInterpolate(obs, "k", "day", "v")
+      .orderBy("k", "day")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getBoolean(2),
+        r.getDouble(3)))
+  }
+
+  test("interpolate: interior gap is linear between neighbors") {
+    val out = fill(Seq(
+      (1L, d("2024-01-01"), Double.box(10.0)),
+      (1L, d("2024-01-04"), Double.box(40.0))))
+    assert(out.map(_._2) ===
+      Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+    assert(out.map(_._4) === Seq(10.0, 20.0, 30.0, 40.0))
+    assert(out.map(_._3) === Seq(true, false, false, true))
+  }
+
+  test("interpolate: each key gets its own span, no cross-key bleed") {
+    val out = fill(Seq(
+      (1L, d("2024-01-01"), Double.box(1.0)),
+      (1L, d("2024-01-03"), Double.box(3.0)),
+      (2L, d("2024-02-10"), Double.box(7.0))))
+    assert(out.count(_._1 == 1L) == 3)
+    // key 2's span is one day: no spine rows from key 1's January window
+    assert(out.filter(_._1 == 2L).toSeq ===
+      Seq((2L, "2024-02-10", true, 7.0)))
+  }
+
+  test("interpolate: single observation spans one row, observed") {
+    val out = fill(Seq((5L, d("2024-03-01"), Double.box(2.5))))
+    assert(out.toSeq === Seq((5L, "2024-03-01", true, 2.5)))
+  }
+
+  test("scd2: buildHistory closes each version at the next change") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100L, "a"),
+      (1L, ts("2024-01-05 00:00:00"), 101L, "b"),
+      (2L, ts("2024-01-02 00:00:00"), 102L, "x"))
+      .toDF("k", "ts", "id", "attr")
+    val h = Scd.buildHistory(changes, "k", "ts", "id", Seq("attr"))
+      .orderBy("k", "valid_from")
+      .select("k", "attr", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3))))
+    assert(h.toSeq === Seq(
+      (1L, "a", ts("2024-01-01 00:00:00"), Some(ts("2024-01-05 00:00:00"))),
+      (1L, "b", ts("2024-01-05 00:00:00"), None),
+      (2L, "x", ts("2024-01-02 00:00:00"), None)))
+  }
+
+  test("scd2: applyChanges equals buildHistory over the full log") {
+    val all = (1 to 20).map { i =>
+      (i % 4L, ts(f"2024-01-${i}%02d 00:00:00"), i.toLong, s"v$i")
+    }.toDF("k", "ts", "id", "attr")
+    val (pre, post) = (all.filter(col("ts") < ts("2024-01-11 00:00:00")),
+      all.filter(col("ts") >= ts("2024-01-11 00:00:00")))
+    val incremental = Scd.applyChanges(
+      Scd.buildHistory(pre, "k", "ts", "id", Seq("attr")),
+      post, "k", "ts", "id", Seq("attr"))
+    val full = Scd.buildHistory(all, "k", "ts", "id", Seq("attr"))
+    val key = Seq("k", "attr", "valid_from", "valid_to", "change_id")
+    assert(incremental.select(key.map(col): _*).orderBy(key.map(col): _*)
+      .collect().toSeq ===
+      full.select(key.map(col): _*).orderBy(key.map(col): _*)
+        .collect().toSeq)
+  }
+
+  test("scd2: untouched keys keep their open row open") {
+    val pre = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 00:00:00"), 2L, "b")).toDF("k", "ts", "id", "attr")
+    val post = Seq((1L, ts("2024-01-09 00:00:00"), 3L, "a2"))
+      .toDF("k", "ts", "id", "attr")
+    val out = Scd.applyChanges(Scd.buildHistory(pre, "k", "ts", "id",
+        Seq("attr")), post, "k", "ts", "id", Seq("attr"))
+    val open = out.filter(col("valid_to").isNull)
+      .select("k", "attr").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(open.toSet === Set((1L, "a2"), (2L, "b")))
+  }
+}
