@@ -2068,6 +2068,21 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // IVFADC (Jégou et al. 2011 §IV): IVF probe pruning composed with PQ
+    // ADC ranking — the billion-vector search shape: nprobe/k of the
+    // lists scanned, m bytes per candidate instead of d floats; both
+    // training stages bit-deterministic, so the oracle twins the ENTIRE
+    // path (k-means, codebooks, probe selection, ADC ranking)
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.similarity.Ivf.train(emb, k = 8, iters = 1)
+      val cbs = graft.similarity.Pq.trainCodebooks(emb, m = 4, k = 8,
+        dim = 64, iters = 1)
+      graft.similarity.Pq.ivfAdcTopK(emb, Ann.selfQueries(emb, 10), cents,
+          cbs, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // per-site quota (crawl curation): canonical host as the grouping key,
     // keep the 20 longest docs per host — rank inside a partitioned
     // window, never a global sort; at 100 TB hosts shard naturally and
@@ -2411,10 +2426,11 @@ object SparkEntry {
          ORDER BY node_id"""
   }
 
-  /** Shared PQ CTE chain — training, encoding and ADC ranking — ending at
-    * `ranked` (query_id, rank, neighbor_id, adc_dot). */
-  private def pqCtes(m: Int, sub: Int, k: Int, nQueries: Int): String = {
-    val perSub = (0 until m).map { mi =>
+  /** Per-subspace PQ training + encoding CTEs (sl/seeds/asg/vals/mm/cb/
+    * code per subspace), shared by the standalone PQ twins and the
+    * IVF+PQ twin. Assumes an `e (vec_id, v)` CTE is already in scope. */
+  private def pqPerSubCtes(m: Int, sub: Int, k: Int): String =
+    (0 until m).map { mi =>
       val lo = mi * sub + 1
       val hi = lo + sub - 1
       s"""sl$mi AS (SELECT vec_id, list_slice(v, $lo, $hi) AS sv FROM e),
@@ -2451,28 +2467,79 @@ object SparkEntry {
                  c.cid ASC) AS rn
              FROM sl$mi s CROSS JOIN cb$mi c) WHERE rn = 1)"""
     }.mkString(",\n         ")
-    val dotSum = (0 until m).map { mi =>
+
+  /** ADC approximate dot: sum over subspaces of dot(query slice, code
+    * centroid), left-to-right like the engine's fixed reduce chain.
+    * `qvAlias` is the table alias holding the full-precision `qv`. */
+  private def pqAdcSum(m: Int, sub: Int, qvAlias: String): String =
+    (0 until m).map { mi =>
       val lo = mi * sub + 1
       val hi = lo + sub - 1
-      s"list_dot_product(list_slice(q.qv, $lo, $hi), cb$mi.cv)"
+      s"list_dot_product(list_slice($qvAlias.qv, $lo, $hi), cb$mi.cv)"
     }.mkString("\n               + ")
+
+  /** Joins stitching the m per-subspace code and codebook CTEs onto
+    * code0's vec_id spine. */
+  private def pqStoreJoins(m: Int): String = {
     val codeJoins = (1 until m).map { mi =>
       s"JOIN code$mi ON code$mi.vec_id = code0.vec_id"
     }.mkString("\n             ")
     val cbJoins = (0 until m).map { mi =>
       s"JOIN cb$mi ON cb$mi.cid = code$mi.code"
     }.mkString("\n             ")
+    codeJoins + "\n             " + cbJoins
+  }
+
+  /** Full DuckDB twin of the IVFADC path (q_ann_ivfpq): the IVF k-means
+    * prefix ([[kmeansAssignCtes]]: e/seeds/a0/vals/m1/c1/a1) + the PQ
+    * per-subspace chain ([[pqPerSubCtes]]) + nprobe probe selection over
+    * the trained centroids + ADC scoring restricted to the probed
+    * inverted lists. Name-disjoint by construction: the IVF prefix uses
+    * bare names (seeds, vals, c1, a1), the PQ chain suffixes per
+    * subspace (seeds0.., cb0..). */
+  private def ivfPqTwin(m: Int, sub: Int, k: Int, nQueries: Int,
+      topk: Int, nprobe: Int): String =
+    kmeansAssignCtes + ",\n         " + pqPerSubCtes(m, sub, k) + s""",
+         probes AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                 c.cid ASC) AS rn
+             FROM e CROSS JOIN c1 c WHERE e.vec_id < $nQueries)
+           WHERE rn <= $nprobe),
+         scored AS (
+           SELECT p.query_id, code0.vec_id AS neighbor_id,
+             round(${pqAdcSum(m, sub, "p")}, 6) AS adc_dot
+           FROM code0
+             ${pqStoreJoins(m)}
+             JOIN a1 ON a1.vec_id = code0.vec_id
+             JOIN probes p ON a1.cid = p.cid
+           WHERE code0.vec_id <> p.query_id),
+         ranked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dot DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             neighbor_id, adc_dot
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, adc_dot FROM ranked
+         WHERE rank <= $topk ORDER BY query_id, rank"""
+
+  /** Shared PQ CTE chain — training, encoding and ADC ranking — ending at
+    * `ranked` (query_id, rank, neighbor_id, adc_dot). */
+  private def pqCtes(m: Int, sub: Int, k: Int, nQueries: Int): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
-         $perSub,
+         ${pqPerSubCtes(m, sub, k)},
          q AS (SELECT vec_id AS query_id, v AS qv FROM e
                WHERE vec_id < $nQueries),
          scored AS (
            SELECT q.query_id, code0.vec_id AS neighbor_id,
-             round($dotSum, 6) AS adc_dot
+             round(${pqAdcSum(m, sub, "q")}, 6) AS adc_dot
            FROM code0
-             $codeJoins
-             $cbJoins
+             ${pqStoreJoins(m)}
              CROSS JOIN q
            WHERE code0.vec_id <> q.query_id),
          ranked AS (
@@ -2481,7 +2548,6 @@ object SparkEntry {
                ORDER BY adc_dot DESC, neighbor_id ASC) AS BIGINT) AS rank,
              neighbor_id, adc_dot
            FROM scored)"""
-  }
 
   /** Twin of the streaming CDC pipeline (q_cdc_stream): replays the same
     * three version-ordered change epochs SEQUENTIALLY over the seeded
@@ -4497,6 +4563,8 @@ object SparkEntry {
          ORDER BY o_custkey, o_orderkey""",
 
     // full PQ twin: per-subspace deterministic k-means + codes + ADC
+    "q_ann_ivfpq" -> ivfPqTwin(m = 4, sub = 16, k = 8, nQueries = 10,
+      topk = 5, nprobe = 2),
     "q_ann_pq" -> pqFullTwin(m = 4, sub = 16, k = 8, nQueries = 10,
       topk = 5),
 

@@ -92,4 +92,44 @@ object Pq {
         round(approx, 6).as("cosine"))
     Ann.topKPerQuery(scored, k).withColumnRenamed("cosine", "adc_dot")
   }
+
+  /** IVFADC (Jégou et al. 2011 §IV) — IVF pruning composed with ADC
+    * ranking, the standard billion-vector search shape: the probe set
+    * bounds WHICH inverted lists are scanned (~nprobe/k of the corpus)
+    * and the PQ codes bound WHAT is scanned per candidate (m bytes
+    * instead of d floats). Non-residual variant: codes quantize the raw
+    * vectors, so IVF centroids and PQ codebooks train independently —
+    * both stages stay bit-deterministic and the whole path carries a
+    * full DuckDB twin (training, probe selection, encoding, ADC).
+    *
+    * Scale shape: the compressed store is (id, centroid_id, m codes) —
+    * at 100 TB of raw embeddings this is the table you persist
+    * (centroid-partitioned, like [[Ivf.writeAssignedStore]]); the probe
+    * join broadcasts queries into only the probed lists, and ranking is
+    * the same partial+final TopK aggregate as every other ANN path. */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Array[(Int, Seq[Float])]], k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = Ivf.collectCentroids(centroids)
+    val store = Ivf.assignTo(cents, corpus, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"))
+      .join(encode(corpus, codebooks, idCol, vecCol), idCol)
+    val qScores = array(Ivf.centroidScores(cents, col("query_vec")).toSeq: _*)
+    val probes = queries.select(col("query_id"), col("query_vec"),
+        explode(slice(sort_array(qScores, asc = false), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("query_vec"),
+        (-col("pc.neg_id")).cast(IntegerType).as("centroid_id"))
+    val sub = codebooks.head.head._2.length
+    val approx = codebooks.zipWithIndex.map { case (cb, mi) =>
+      val centArr = typedlit(cb.sortBy(_._1).map(_._2))
+      native.vec_dot(
+        slice(col("query_vec"), mi * sub + 1, sub),
+        element_at(centArr, col(s"code_$mi") + 1))
+    }.reduce(_ + _)
+    val scored = store.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(approx, 6).as("cosine"))
+    Ann.topKPerQuery(scored, k).withColumnRenamed("cosine", "adc_dot")
+  }
 }

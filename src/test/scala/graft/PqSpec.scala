@@ -83,4 +83,31 @@ class PqSpec extends AnyFunSuite {
       assert(math.abs(adc - expect) < 1e-5, s"q=$qid n=$nid adc=$adc expect=$expect")
     }
   }
+
+  test("ivfAdcTopK probing every list equals the full ADC scan") {
+    val cents = graft.similarity.Ivf.train(corpus, k = 4, iters = 1)
+    val cbs = Pq.trainCodebooks(corpus, m = 4, k = 4, dim = 16)
+    val codes = Pq.encode(corpus, cbs)
+    val qs = Ann.selfQueries(corpus, 3)
+    val full = Pq.adcTopK(codes, qs, cbs, k = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val ivf = Pq.ivfAdcTopK(corpus, qs, cents, cbs, k = 5, nprobe = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(ivf == full)
+  }
+
+  test("ivfAdcTopK with nprobe=1 only returns neighbors from probed lists") {
+    val cents = graft.similarity.Ivf.train(corpus, k = 4, iters = 1)
+    val cbs = Pq.trainCodebooks(corpus, m = 4, k = 4, dim = 16)
+    val assigned = graft.similarity.Ivf.assign(corpus, cents)
+      .select("vec_id", "centroid_id")
+      .as[(Long, Int)].collect().toMap
+    val got = Pq.ivfAdcTopK(corpus, Ann.selfQueries(corpus, 3), cents, cbs,
+        k = 5, nprobe = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    // with one probed list per query, every neighbor shares that list
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(r => assigned(r._3)).distinct.length == 1)
+    }
+  }
 }
