@@ -2181,7 +2181,58 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.functions.Text.linearScore(col("text")).as("score"))
         .withColumn("keep", col("score") > lit(0.0))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // multi-source BFS seed distance (TrustRank-style hop prior) on the
+    // same ring+skip+affine synthetic graph as q_triangles; level-
+    // synchronous frontier expansion, every step an equi-join on a node
+    // id — the twin replays it as a recursive CTE with min-over-paths
+    "q_bfs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // single bounded scalar, never data-sized
+      val id = col("doc_id")
+      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
+        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
+        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      val sources = docs.filter(id < 2).select(id.as("node_id"))
+      graft.graph.Bfs.hops(edges, sources, maxHops = 4).orderBy("node_id")
+    }),
+
+    // hybrid retrieval: BM25 top-50 fused with cosine-ANN top-50 by
+    // reciprocal-rank fusion (k=60) — the heavy work is the two bounded
+    // upstream top-k operators; the fuse joins two <=50-row lists. The
+    // rank window below runs AFTER bm25's sort+limit, so it orders <= 50
+    // rows — bounded by construction, not a data-sized global window.
+    "q_rrf_hybrid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.functions.Text.bm25(t(s, dir, "documents"), topk = 50)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast(LongType))
+        .select("doc_id", "lex_rank")
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val vec = Ann.bruteForceTopK(emb, q0, k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+      Ann.rrfFuse(lex, vec, kRrf = 60, topk = 20)
+    }),
+
+    // cluster-blocked k-NN graph (NN-Descent / HNSW seeding): exact top-3
+    // within each trained coarse cell — O(sum c_i^2), never O(n^2); the
+    // twin replays the bit-deterministic k-means prefix then ranks within
+    // cells
+    "q_knn_graph" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.similarity.Ivf.train(emb, k = 8, iters = 1)
+      graft.similarity.Ivf.knnGraph(emb, cents, k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PMI collocation mining (phrase/merge-candidate signal): adjacent
+    // bigrams vs the unigram model, long tail dropped BEFORE the
+    // vocabulary joins
+    "q_pmi" -> ((s, dir) =>
+      graft.functions.Text.pmiCollocations(
+        t(s, dir, "documents"), minCount = 5, topk = 20))
   )
 
   // ===================================================================
@@ -4620,6 +4671,130 @@ object SparkEntry {
          SELECT doc_id, round(sum(c), 6) AS bm25
          FROM contrib GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
+
+    // recursive-CTE replay of the level-synchronous BFS: every path of
+    // <= 4 hops enumerated, min(hop) per node = the BFS first-visit level
+    "q_bfs" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+         edges AS (
+           SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id + 2) % nn.n
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id * 7 + 3) % nn.n
+           FROM documents CROSS JOIN nn),
+         walk(node_id, hop) AS (
+           SELECT doc_id, CAST(0 AS BIGINT) FROM documents WHERE doc_id < 2
+           UNION ALL
+           SELECT e.dst, w.hop + 1
+           FROM walk w JOIN edges e ON e.src = w.node_id
+           WHERE w.hop < 4)
+         SELECT node_id, min(hop) AS hop FROM walk
+         GROUP BY node_id ORDER BY node_id""",
+
+    // same BM25 CTE chain at top-50, cosine list for query vec 0 at
+    // top-50, then the identical one-expression RRF fuse (k=60)
+    "q_rrf_hybrid" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                GROUP BY doc_id, term),
+         dl AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS BIGINT) AS dl
+           FROM documents),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+         dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         qt AS (SELECT term FROM (
+             SELECT term, sum(tf) AS total FROM tf GROUP BY term
+             ORDER BY total DESC, term ASC LIMIT 2)),
+         contrib AS (
+           SELECT tf.doc_id,
+             ln(1.0 + (CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
+                      / (d.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 *
+                   (CAST(dl.dl AS DOUBLE)
+                    / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))) AS c
+           FROM tf JOIN qt USING (term) JOIN dfc d USING (term)
+             JOIN dl USING (doc_id) CROSS JOIN stats s),
+         bm AS (SELECT doc_id, round(sum(c), 6) AS bm25
+           FROM contrib GROUP BY doc_id
+           ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+         lexr AS (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+               AS BIGINT) AS lex_rank
+           FROM bm),
+         q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         vscored AS (SELECT e.vec_id AS doc_id,
+             round(list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))), 6)
+               AS cosine
+           FROM embeddings e, q WHERE e.vec_id <> 0),
+         vecr AS (SELECT doc_id, vec_rank FROM (
+             SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC)
+                 AS BIGINT) AS vec_rank
+             FROM vscored) WHERE vec_rank <= 50),
+         fused AS (
+           SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0.0)
+                 + coalesce(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0.0), 6)
+               AS rrf
+           FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+         SELECT doc_id, lex_rank, vec_rank, rrf FROM fused
+         ORDER BY rrf DESC, doc_id ASC LIMIT 20""",
+
+    // k-means prefix (bit-deterministic, shared with q_ann_ivf) then
+    // exact cosine ranks WITHIN each a1 cell — the blocked k-NN graph
+    "q_knn_graph" -> (kmeansAssignCtes +
+      """,
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+           FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             neighbor_id, cosine
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         WHERE rank <= 3 ORDER BY query_id, rank"""),
+
+    // PMI over adjacent-token bigrams with the identical one-expression
+    // double shape ln((c_xy*T*T) / (B*c_x*c_y))
+    "q_pmi" ->
+      """WITH toks AS (SELECT list_filter(string_split(text, ' '),
+             x -> x <> '') AS tk FROM documents),
+         bigrams AS (
+           SELECT tk[i] AS w1, tk[i + 1] AS w2
+           FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+           WHERE len(tk) > 1),
+         unic AS (SELECT w, count(*) AS c FROM (
+             SELECT unnest(tk) AS w FROM toks) GROUP BY w),
+         bg AS (SELECT w1, w2, count(*) AS c_xy FROM bigrams
+                GROUP BY w1, w2 HAVING count(*) >= 5),
+         totals AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS t_uni,
+             CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) AS b_tot
+           FROM toks)
+         SELECT bg.w1, bg.w2, bg.c_xy,
+           round(ln((CAST(bg.c_xy AS DOUBLE) * t.t_uni * t.t_uni)
+                  / (CAST(t.b_tot AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+         FROM bg JOIN unic u1 ON bg.w1 = u1.w
+           JOIN unic u2 ON bg.w2 = u2.w
+           CROSS JOIN totals t
+         ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""",
 
     // full power-iteration replay with engine-shaped double arithmetic
     "q_pagerank" -> pageRankTwin(iters = 3),

@@ -188,16 +188,25 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load a driver table. The events table carries nanosecond parquet
-    * timestamps, which Spark only reads as raw longs
-    * (spark.sql.legacy.parquet.nanosAsLong — set in all our sessions);
-    * canonicalize to Spark's native microsecond TimestampType here with
-    * integer arithmetic (`DIV` — a double roundtrip would lose precision
-    * above 2^53 ns). */
+  /** Load a driver table. The events table's `ts` has shipped as either
+    * nanosecond parquet timestamps (Spark reads them as raw longs under
+    * spark.sql.legacy.parquet.nanosAsLong — set in all our sessions) or
+    * plain microsecond timestamps without UTC adjustment (Spark 4 infers
+    * TimestampNTZ). Canonicalize both to the native microsecond
+    * TimestampType: the nanos path uses integer arithmetic (`DIV` — a
+    * double roundtrip would lose precision above 2^53 ns), and the NTZ
+    * cast is value-preserving because every session pins
+    * spark.sql.session.timeZone=UTC. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 }

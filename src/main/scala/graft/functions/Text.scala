@@ -404,6 +404,48 @@ object Text {
       .orderBy(col("bm25").desc, col(idCol).asc).limit(topk)
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): adjacent-token bigrams
+    * scored by pointwise mutual information against the unigram model —
+    * the phrase-mining signal a corpus pipeline uses to build tokenizer
+    * merge candidates and multi-word entities. PMI = ln(p(xy) / (p(x)
+    * p(y))) computed as ONE fixed-shape double expression over integer
+    * counts, ln((c_xy·T·T) / (B·c_x·c_y)) — deterministic because every
+    * factor is an exact integer-valued double and the mul/div order is
+    * pinned to match the oracle twin.
+    *
+    * Scale shape: bigram generation is a narrow zip of each token array
+    * with its own tail (no self-join); counting is two map-side-combined
+    * groupBys; the two unigram lookups join on the FILTERED bigram set
+    * (c_xy >= minCount), so the heavy vocabulary join happens after the
+    * long tail is dropped; the totals row is a 1-row broadcast. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, topk: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      filter(split(col(textCol), " "), t => t =!= "").as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigrams = toks.filter(size(col("tk")) > 1)
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val totals = toks.agg(
+      sum(size(col("tk"))).cast(LongType).as("t_uni"),
+      sum(greatest(size(col("tk")) - 1, lit(0))).cast(LongType).as("b_tot"))
+    val pmi = log(
+      (col("c_xy").cast(DoubleType) * col("t_uni") * col("t_uni")) /
+        (col("b_tot").cast(DoubleType) * col("c1") * col("c2")))
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_xy"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(topk)
+  }
+
   /** FastText-shaped linear classifier APPLY: hashed bag-of-words
     * features (FNV-1a token hash -> one of `buckets` feature ids) dotted
     * with a weight vector, mean-normalized by token count. In production

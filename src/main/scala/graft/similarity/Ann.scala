@@ -72,6 +72,27 @@ object Ann {
           .as(s"recall_at_$k"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * a lexical and a vector rank list — the standard hybrid-retrieval
+    * merge: score(d) = Σ 1/(kRrf + rank_list(d)), with a list the doc is
+    * absent from contributing 0. Inputs are (doc_id, lex_rank) and
+    * (doc_id, vec_rank) top-k lists, so both sides are bounded by their
+    * own k BY CONSTRUCTION — the full-outer join is tiny-on-tiny no
+    * matter the corpus size; all the heavy lifting happened in the
+    * upstream BM25 / ANN top-k operators, which are the distributed
+    * part. The fused score is one fixed-shape double expression
+    * (coalesce-per-list, left-to-right sum) so an oracle replays it
+    * bit-for-bit. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, kRrf: Int = 60,
+      topk: Int = 20): DataFrame =
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("vec_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(topk)
+
   /** Hard-negative mining for contrastive training: for each query, the
     * top-k most-similar corpus vectors with a DIFFERENT label — the
     * near-misses that teach an embedding model the most. Same scale shape

@@ -201,4 +201,31 @@ object Ivf {
         round(native.vec_cosine(col("query_vec"), col(vecCol)), 6).as("cosine"))
     Ann.topKPerQuery(scored, k)
   }
+
+  /** k-NN graph construction, cluster-blocked: every vector's exact
+    * top-k cosine neighbors WITHIN its coarse-quantizer cell. This is the
+    * all-pairs analogue of [[ivfTopK]] (query set = the whole corpus) and
+    * the first stage of graph-index builds (NN-Descent seeding, HNSW base
+    * layer) and of SemDeDup-style curation. Blocking by the trained
+    * centroid turns the O(n²) all-pairs cosine into O(Σ cᵢ²) over cell
+    * sizes — the same contract Dedup.semanticNearDupPairs relies on —
+    * and each cell's self-join is an equi-join on centroid_id, so the
+    * plan shuffles each vector once and never goes cartesian. Per-query
+    * results come from the k-bounded TopK partial+final aggregate:
+    * ≤ partitions×k rows shuffle per query, not the full candidate set. */
+  def knnGraph(corpus: DataFrame, centroids: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = assign(corpus, centroids, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = assigned.select(col("centroid_id"),
+      col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val r = assigned.select(col("centroid_id"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("nbr_vec"))
+    val scored = l.join(r, "centroid_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(native.vec_cosine(col("query_vec"), col("nbr_vec")), 6)
+          .as("cosine"))
+    Ann.topKPerQuery(scored, k)
+  }
 }

@@ -124,4 +124,31 @@ class AnnSpec extends AnyFunSuite {
       assert(minRow._2(i) == -127 && maxRow._2(i) == 127)
     }
   }
+
+  test("rrfFuse: both-list docs sum both reciprocal terms, single-list docs one") {
+    val lex = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "lex_rank")
+    val vec = Seq((10L, 3L), (30L, 1L)).toDF("doc_id", "vec_rank")
+    val got = Ann.rrfFuse(lex, vec, kRrf = 60, topk = 10)
+      .select("doc_id", "rrf").as[(Long, Double)].collect().toMap
+    def r(x: Long) = 1.0 / (60 + x)
+    assert(math.abs(got(10L) - (r(1) + r(3))) < 1e-6)
+    assert(math.abs(got(20L) - r(2)) < 1e-6)
+    assert(math.abs(got(30L) - r(1)) < 1e-6)
+  }
+
+  test("rrfFuse: ordered by fused score desc, doc_id tiebreak, topk cap") {
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "lex_rank")
+    val vec = Seq((2L, 1L), (4L, 2L), (5L, 3L)).toDF("doc_id", "vec_rank")
+    val got = Ann.rrfFuse(lex, vec, kRrf = 60, topk = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    // doc 2 is in both lists -> highest; then doc 1 (rank 1) beats
+    // doc 4 (rank 2); ties impossible here, cap drops docs 3 and 5
+    assert(got == Seq(2L, 1L, 4L))
+    // same-score tie between docs 1 and 4 at identical ranks: id wins
+    val tie = Ann.rrfFuse(
+      Seq((7L, 1L)).toDF("doc_id", "lex_rank"),
+      Seq((4L, 1L)).toDF("doc_id", "vec_rank"), kRrf = 60, topk = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(tie == Seq(4L, 7L))
+  }
 }

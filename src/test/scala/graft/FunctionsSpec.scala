@@ -260,6 +260,26 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Text.bm25(docs, nTerms = 3) }
   }
 
+  test("pmi: hand-computed collocation score, minCount drops the tail") {
+    // "a b" x3, "b c" x1 over docs; unigrams a=3 b=4 c=1, T=8, B=4
+    val docs = Seq((1L, "a b c"), (2L, "a b"), (3L, "a b"), (4L, "b")).toDF("doc_id", "text")
+    val got = Text.pmiCollocations(docs, minCount = 3, topk = 10)
+      .select("w1", "w2", "c_xy", "pmi")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // only (a,b) with c_xy=3 survives minCount=3
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq(("a", "b", 3L)))
+    val exp = math.log((3.0 * 8 * 8) / (4.0 * 3 * 4))
+    assert(math.abs(got.head._4 - exp) < 1e-6)
+  }
+
+  test("pmi: single-token and empty docs contribute unigrams, no bigrams") {
+    val docs = Seq((1L, "q"), (2L, ""), (3L, "q w"), (4L, "q w"))
+      .toDF("doc_id", "text")
+    val got = Text.pmiCollocations(docs, minCount = 2, topk = 10)
+      .select("w1", "w2", "c_xy").as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("q", "w", 2L)))
+  }
+
   test("linearScore: hand-computed hashed-bag-of-words score") {
     // replicate the kernel's arithmetic in plain Scala
     def fnv(tok: String): Long = {

@@ -99,4 +99,34 @@ class GraphSpec extends AnyFunSuite {
     assert(triCounts(e) ==
       Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  private def bfsHops(edges: Seq[(Long, Long)], sources: Seq[Long],
+      maxHops: Int): Map[Long, Long] =
+    graft.graph.Bfs.hops(edges.toDF("src", "dst"),
+        sources.toDF("node_id"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfs: chain distances from a single seed, capped at maxHops") {
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(bfsHops(chain, Seq(0L), 3) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("bfs: min hop wins when a node is reachable two ways") {
+    // 0->1->2->3 and a shortcut 0->3
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
+    assert(bfsHops(e, Seq(0L), 4) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("bfs: multi-source keeps hop 0 for seeds; edges are directed") {
+    val e = Seq((0L, 1L), (1L, 0L), (2L, 1L)) // 2 unreachable from 0/1
+    assert(bfsHops(e, Seq(0L, 2L), 4) ==
+      Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("bfs: early exit when the frontier drains before the cap") {
+    val e = Seq((0L, 1L))
+    assert(bfsHops(e, Seq(0L), 100) == Map(0L -> 0L, 1L -> 1L))
+  }
 }

@@ -64,4 +64,37 @@ class IvfSpec extends AnyFunSuite {
       .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
     assert(full == bf)
   }
+
+  test("knnGraph: every vector gets neighbors only from its own cell") {
+    val cents = Ivf.train(corpus, k = 4, iters = 1, dim = 16)
+    val cell = Ivf.assign(corpus, cents)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toMap
+    val g = Ivf.knnGraph(corpus, cents, k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect()
+    assert(g.nonEmpty)
+    g.foreach { case (q, _, n) =>
+      assert(q != n)
+      assert(cell(q) == cell(n), s"$q and $n live in different cells")
+    }
+    // every vector in a cell of size >= 4 has exactly k=3 neighbors
+    val sizes = cell.values.groupBy(identity).map { case (c, v) => c -> v.size }
+    val perQuery = g.groupBy(_._1).map { case (q, rs) => q -> rs.length }
+    cell.foreach { case (v, c) =>
+      if (sizes(c) >= 4) assert(perQuery.getOrElse(v, 0) == 3, s"vec $v")
+    }
+  }
+
+  test("knnGraph within one cell equals exact brute-force ranks") {
+    // one centroid -> blocking is a no-op and the graph is exact
+    val cents = Ivf.train(corpus, k = 1, iters = 1, dim = 16)
+    val g = Ivf.knnGraph(corpus, cents, k = 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    val qs = corpus.selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    val bf = Ann.bruteForceTopK(corpus, qs, k = 2)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(g == bf)
+  }
 }
