@@ -280,45 +280,36 @@ object Text {
     *    that 2-gram over total characters;
     *  - `dup_5gram_frac`: fraction of word-5-gram occurrences that are
     *    repeats of an earlier gram in the same document.
-    * All four are narrow per-row array computations (no shuffle, no UDF):
-    * at 100 TB they run at scan speed next to the other quality columns.
-    * The per-row cost of the top-bigram argmax is O(distinct·total) in the
-    * document's own gram counts — bounded by document length, never by
-    * corpus size. */
+    * All four are narrow per-row computations (no shuffle, no UDF): at
+    * 100 TB they run at scan speed next to the other quality columns.
+    * The counting runs in the one-pass native RepetitionKernel — O(words)
+    * per row with per-document hash maps, bounded by document length,
+    * never by corpus size. (A previous formulation with nested array
+    * higher-order functions sat in the interpreted CodegenFallback path
+    * and cost O(words²) per output column — 300+ s at sf0.1; the kernel
+    * is sub-second.) The fractions stay Catalyst double expressions over
+    * the kernel's integer counts so the oracle twin replays them
+    * bit-for-bit. */
   def repetitionStats(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val toks = filter(split(col(textCol), " "), t => t =!= "")
-    val n = size(toks)
-    def grams(k: Int): Column =
-      when(n >= k,
-        transform(sequence(lit(0), n - k),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-        .otherwise(array())
-    val g2 = grams(2)
-    val g5 = grams(5)
-    // most frequent bigram via sorted (-count, gram) structs: count DESC,
-    // then gram ASC — fully deterministic, both engines sort identically
-    val scored2 = array_sort(transform(array_distinct(g2),
-      g => struct((-size(filter(g2, x => x === g))).as("negc"), g.as("gram"))))
-    // get() (not getItem) — docs under 2 words have NO bigrams and ANSI
-    // mode turns [0] on an empty array into a runtime error
-    val top2 = get(scored2, lit(0))
-    def dupFrac(g: Column): Column =
-      when(size(g) === 0, 0.0).otherwise(
-        lit(1.0) - size(array_distinct(g)).cast(DoubleType) /
-          size(g).cast(DoubleType))
+    val r = native.repetition_summary(col(textCol))
+    val nWords = r.getField("n_words")
+    val nG5 = r.getField("n_g5")
     docs.select(
       col(idCol),
-      n.cast(LongType).as("n_words"),
-      round(dupFrac(toks), 6).as("dup_word_frac"),
-      coalesce(top2.getField("gram"), lit("")).as("top_bigram"),
-      coalesce(-top2.getField("negc"), lit(0)).cast(LongType)
-        .as("top_bigram_n"),
-      round(when(n < 2 || length(col(textCol)) === 0, 0.0).otherwise(
-        (-top2.getField("negc") * length(top2.getField("gram")))
+      nWords.as("n_words"),
+      round(when(nWords === 0, 0.0).otherwise(
+        lit(1.0) - r.getField("n_distinct_words").cast(DoubleType) /
+          nWords.cast(DoubleType)), 6).as("dup_word_frac"),
+      r.getField("top_bigram").as("top_bigram"),
+      r.getField("top_bigram_n").as("top_bigram_n"),
+      round(when(nWords < 2 || length(col(textCol)) === 0, 0.0).otherwise(
+        (r.getField("top_bigram_n") * length(r.getField("top_bigram")))
           .cast(DoubleType) / length(col(textCol)).cast(DoubleType)), 6)
         .as("top_bigram_char_frac"),
-      round(dupFrac(g5), 6).as("dup_5gram_frac"))
+      round(when(nG5 === 0, 0.0).otherwise(
+        lit(1.0) - r.getField("n_distinct_g5").cast(DoubleType) /
+          nG5.cast(DoubleType)), 6).as("dup_5gram_frac"))
   }
 
   /** URL canonicalization — the normalization pass URL-keyed corpus dedup

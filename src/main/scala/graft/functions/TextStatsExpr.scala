@@ -130,6 +130,110 @@ object TextStatsKernel {
   }
 }
 
+/** One-pass repetition summary for the Gopher-style filters
+  * (q_repetition): token/bigram/5-gram duplicate counts plus the most
+  * frequent bigram, in O(tokens) per row with two hash maps. Replaces a
+  * nested higher-order-function formulation (filter-inside-transform over
+  * the bigram array) that was O(tokens²) in the INTERPRETED expression
+  * path — Spark's array HOFs are CodegenFallback, and the top-bigram
+  * struct was re-evaluated once per referencing output column, which
+  * measured 307 s for 5k docs at sf0.1; this kernel does the same work in
+  * milliseconds.
+  *
+  * Semantics pinned to the DuckDB oracle twin: tokens split on single
+  * spaces (empties dropped), k-grams joined with one space and defined
+  * only when n >= k, top bigram = max count with ties broken by the
+  * lexicographically (UTF-8 byte order — Spark's string comparison)
+  * smallest gram, no bigrams → ("", 0). */
+object RepetitionKernel {
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct_words", LongType, nullable = false),
+    StructField("top_bigram", StringType, nullable = false),
+    StructField("top_bigram_n", LongType, nullable = false),
+    StructField("n_g5", LongType, nullable = false),
+    StructField("n_distinct_g5", LongType, nullable = false)))
+
+  private def utf8Lt(a: String, b: String): Boolean =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+
+  def eval(u: UTF8String): InternalRow = {
+    val s = u.toString
+    // tokenize: split on single spaces, drop empties (split(text, " ")
+    // + filter semantics)
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    var start = -1
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (start >= 0) { toks.add(s.substring(start, i)); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    val nw = toks.size
+    val words = new java.util.HashSet[String]()
+    var w = 0
+    while (w < nw) { words.add(toks.get(w)); w += 1 }
+
+    // bigram counts + deterministic argmax (count desc, gram asc)
+    var topGram = ""
+    var topN = 0L
+    if (nw >= 2) {
+      val counts = new java.util.HashMap[String, Long]()
+      var j = 0
+      while (j < nw - 1) {
+        val g = toks.get(j) + " " + toks.get(j + 1)
+        counts.merge(g, 1L, (a, b) => a + b)
+        j += 1
+      }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue
+        if (c > topN || (c == topN && utf8Lt(e.getKey, topGram))) {
+          topN = c; topGram = e.getKey
+        }
+      }
+    }
+
+    var ng5 = 0L
+    var nd5 = 0L
+    if (nw >= 5) {
+      val g5 = new java.util.HashSet[String]()
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < nw - 4) {
+        sb.setLength(0)
+        var k = 0
+        while (k < 5) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks.get(j + k))
+          k += 1
+        }
+        g5.add(sb.toString)
+        ng5 += 1
+        j += 1
+      }
+      nd5 = g5.size.toLong
+    }
+
+    InternalRow(nw.toLong, words.size.toLong,
+      UTF8String.fromString(topGram), topN, ng5, nd5)
+  }
+}
+
+/** Struct of repetition statistics for a document (see RepetitionKernel). */
+case class RepetitionSummary(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionKernel.schema
+  override protected def nullSafeEval(v: Any): Any =
+    RepetitionKernel.eval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionKernel.eval($c)")
+  override protected def withNewChildInternal(c: Expression): RepetitionSummary = copy(c)
+}
+
 /** Struct of all text statistics for a document (see TextStatsKernel). */
 case class TextStats(child: Expression) extends UnaryExpression {
   override def dataType: DataType = TextStatsKernel.schema

@@ -398,6 +398,7 @@ object native {
   def sorted_intersect(a: Column, b: Column): Column = col(SortedLongIntersect(ex(a), ex(b)))
   def sig_agree(a: Column, b: Column): Column = col(SigAgree(ex(a), ex(b)))
   def text_stats(c: Column): Column = col(TextStats(ex(c)))
+  def repetition_summary(c: Column): Column = col(RepetitionSummary(ex(c)))
   def deletion_variant_hashes(c: Column, maxDel: Int): Column =
     col(DeletionVariantHashes(ex(c), maxDel))
   def char_shingle_hashes(c: Column, n: Int): Column =
