@@ -27,7 +27,17 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] failed: ${e.getMessage}"); return -1.0 }
-      finally spark.catalog.clearCache() // per-query persists don't accumulate
+      finally {
+        // job-boundary hygiene: clearCache drops DataFrame persists, but
+        // iterative operators (BFS/CC/PageRank) also leave RDD persists
+        // and localCheckpoint blocks behind — across a 169-query sweep
+        // those accumulate into block-manager memory pressure that taxes
+        // every later query (dedup family measured 2x slower in-session
+        // than isolated before this cleanup)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -2232,7 +2232,27 @@ object SparkEntry {
     // vocabulary joins
     "q_pmi" -> ((s, dir) =>
       graft.functions.Text.pmiCollocations(
-        t(s, dir, "documents"), minCount = 5, topk = 20))
+        t(s, dir, "documents"), minCount = 5, topk = 20)),
+
+    // TrustRank (personalized PageRank): teleport mass restricted to the
+    // doc_id < 2 seed set on the same affine link graph as q_pagerank —
+    // rank decays with link distance from the seeds; the twin replays
+    // every iteration with seed-conditional base/init expressions
+    "q_trustrank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // single bounded scalar, never data-sized
+      val nodes = docs.select(col("doc_id").as("node_id"))
+      val edges = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .union(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst")))
+      val seeds = docs.filter(col("doc_id") < 2)
+        .select(col("doc_id").as("node_id"))
+      graft.graph.PageRank.personalizedRun(nodes, edges, seeds,
+          nSeeds = 2, iters = 3)
+        .select(col("node_id"), round(col("rank"), 6).as("tr"))
+        .orderBy("node_id")
+    })
   )
 
   // ===================================================================
@@ -2439,7 +2459,14 @@ object SparkEntry {
     * engine's is IEEE (0.15000000000000002), so literals are CAST to
     * DOUBLE before any op; per-dst sums replay the engine's ordered fold
     * via list_reduce over list(c ORDER BY src, c) prepended with 0.0. */
-  private def pageRankTwin(iters: Int): String = {
+  /** Power-iteration replay shared by the uniform (q_pagerank) and
+    * seed-personalized (q_trustrank) twins: `baseSql`/`initSql` are the
+    * per-node teleport base and initial-rank expressions (they may
+    * reference `nodes.node_id` and the 1-row `nn`), `outCol` names the
+    * rounded output column. The double expression tree of every stage
+    * matches PageRank.iterate exactly. */
+  private def prTwin(iters: Int, baseSql: String, initSql: String,
+      outCol: String): String = {
     val stages = (1 to iters).map { i =>
       val prev = s"r${i - 1}"
       s"""c$i AS (
@@ -2453,8 +2480,7 @@ object SparkEntry {
            FROM c$i GROUP BY dst),
          r$i AS (
            SELECT nodes.node_id,
-             ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
-                / CAST(nn.n AS DOUBLE))
+             ($baseSql)
                + CAST(0.85 AS DOUBLE)
                  * coalesce(s$i.s, CAST(0.0 AS DOUBLE)) AS rank
            FROM nodes CROSS JOIN nn
@@ -2469,13 +2495,30 @@ object SparkEntry {
            SELECT doc_id, (doc_id * 13 + 5) % nn.n
            FROM documents CROSS JOIN nn),
          outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-         r0 AS (SELECT node_id,
-             CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS rank
+         r0 AS (SELECT node_id, $initSql AS rank
            FROM nodes CROSS JOIN nn),
          $stages
-         SELECT node_id, round(rank, 6) AS pr FROM r$iters
+         SELECT node_id, round(rank, 6) AS $outCol FROM r$iters
          ORDER BY node_id"""
   }
+
+  private def pageRankTwin(iters: Int): String = prTwin(iters,
+    baseSql = """((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                / CAST(nn.n AS DOUBLE))""",
+    initSql = "CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE)",
+    outCol = "pr")
+
+  /** Seed-personalized variant: teleport/init mass only on doc_id < 2
+    * (|S| = 2), matching PageRank.personalizedRun's base/init columns. */
+  private def trustRankTwin(iters: Int): String = prTwin(iters,
+    baseSql = """(CASE WHEN nodes.node_id < 2
+               THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                    / CAST(2 AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END)""",
+    initSql = """CASE WHEN node_id < 2
+               THEN CAST(1.0 AS DOUBLE) / CAST(2 AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END""",
+    outCol = "tr")
 
   /** Per-subspace PQ training + encoding CTEs (sl/seeds/asg/vals/mm/cb/
     * code per subspace), shared by the standalone PQ twins and the
@@ -4798,6 +4841,9 @@ object SparkEntry {
 
     // full power-iteration replay with engine-shaped double arithmetic
     "q_pagerank" -> pageRankTwin(iters = 3),
+
+    // same replay with seed-personalized teleport (TrustRank)
+    "q_trustrank" -> trustRankTwin(iters = 3),
 
     // same ring+skip+affine synthetic graph as the engine query; the
     // oriented wedge join replayed relationally (orientation = (deg, id)

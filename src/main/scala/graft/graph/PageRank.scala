@@ -32,9 +32,44 @@ object PageRank {
     * with no in-edges keep the base term. Returns (node_id, rank). */
   def run(nodes: DataFrame, edges: DataFrame, nNodes: Long, iters: Int,
       d: Double = 0.85, checkpointEvery: Int = 8): DataFrame = {
+    val base = lit((1.0 - d) / nNodes)
+    val init = lit(1.0 / nNodes)
+    iterate(nodes.select(col("node_id"), base.as("base"), init.as("init")),
+      edges, iters, d, checkpointEvery)
+  }
+
+  /** Personalized PageRank / TrustRank (Gyöngyi et al. 2004): the teleport
+    * mass lands ONLY on the trusted seed set instead of uniformly, so rank
+    * decays with link distance from the seeds — the trust prior a crawl
+    * pipeline combines with raw PageRank to demote link-farmed authority.
+    * rank(v) = (1-d)·s(v) + d·Σ contributions, with s(v) = 1/|S| on seeds
+    * and 0 elsewhere; the initial distribution is s itself. Identical
+    * iteration/scale shape to [[run]] — the seed membership rides the node
+    * list as a precomputed base column, so the loop stays two equi-join
+    * shuffles per round. */
+  def personalizedRun(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      nSeeds: Long, iters: Int, d: Double = 0.85,
+      checkpointEvery: Int = 8): DataFrame = {
+    val withSeed = nodes.join(
+      seeds.select(col("node_id"), lit(true).as("is_seed")),
+      Seq("node_id"), "left")
+    val nb = withSeed.select(col("node_id"),
+      when(col("is_seed"), lit((1.0 - d) / nSeeds))
+        .otherwise(lit(0.0)).as("base"),
+      when(col("is_seed"), lit(1.0 / nSeeds))
+        .otherwise(lit(0.0)).as("init"))
+    iterate(nb, edges, iters, d, checkpointEvery)
+  }
+
+  /** Shared power-iteration loop over (node_id, base, init): one co-keyed
+    * join edges×ranks on src, one ordered-fold sum grouped by dst, one
+    * left join back to the node list per round; lineage cut every
+    * `checkpointEvery` rounds. */
+  private def iterate(nodesWithBase: DataFrame, edges: DataFrame,
+      iters: Int, d: Double, checkpointEvery: Int): DataFrame = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = edges.join(outdeg, "src")
-    var ranks = nodes.select(col("node_id"), lit(1.0 / nNodes).as("rank"))
+    var ranks = nodesWithBase.select(col("node_id"), col("init").as("rank"))
     for (i <- 1 to iters) {
       val contribs = withDeg
         .join(ranks, withDeg("src") === ranks("node_id"))
@@ -44,10 +79,10 @@ object PageRank {
         .agg(aggregate(
           sort_array(collect_list(struct(col("src"), col("c")))),
           lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
-      ranks = nodes.join(summed, nodes("node_id") === summed("dst"), "left")
-        .select(col("node_id"),
-          (lit((1.0 - d) / nNodes) +
-            lit(d) * coalesce(col("s"), lit(0.0))).as("rank"))
+      ranks = nodesWithBase
+        .join(summed, nodesWithBase("node_id") === summed("dst"), "left")
+        .select(nodesWithBase("node_id"),
+          (col("base") + lit(d) * coalesce(col("s"), lit(0.0))).as("rank"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }

@@ -35,7 +35,11 @@ object QueryBench {
         } catch {
           case e: Throwable =>
             println(s"[qbench] $name run$i FAILED: ${e.getMessage}")
-        } finally spark.catalog.clearCache()
+        } finally {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
       }
     }
     spark.stop()

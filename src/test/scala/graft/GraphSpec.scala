@@ -129,4 +129,29 @@ class GraphSpec extends AnyFunSuite {
     val e = Seq((0L, 1L))
     assert(bfsHops(e, Seq(0L), 100) == Map(0L -> 0L, 1L -> 1L))
   }
+
+  test("trustrank: teleport mass stays on the seed side of a split graph") {
+    // two disjoint 2-cycles; seed only node 0 — component {2,3} must
+    // decay to exactly zero (no uniform teleport)
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node_id")
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node_id")
+    val r = PageRank.personalizedRun(nodes, edges, seeds, nSeeds = 1, iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(2L) == 0.0 && r(3L) == 0.0)
+    assert(r(0L) > 0.0 && r(1L) > 0.0)
+    // seed keeps the base term every round; non-seed holds only passed mass
+    assert(r(0L) > r(1L))
+  }
+
+  test("trustrank: hand-computed one iteration on a seed -> leaf edge") {
+    // S={0}, 0 -> 1, d=0.85: r1(0) = 0.15, r1(1) = 0.85 * 1.0
+    val nodes = Seq(0L, 1L).toDF("node_id")
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node_id")
+    val r = PageRank.personalizedRun(nodes, edges, seeds, nSeeds = 1, iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(0L) - (1.0 - 0.85)) < 1e-12)
+    assert(math.abs(r(1L) - 0.85) < 1e-12)
+  }
 }
