@@ -2234,6 +2234,24 @@ object SparkEntry {
       graft.functions.Text.pmiCollocations(
         t(s, dir, "documents"), minCount = 5, topk = 20)),
 
+    // ordered-funnel conversion (view -> click -> purchase by FIRST
+    // occurrence, strict order): one min-per-step groupBy, stage explode
+    // bounded by the literal step count — event volume never fans out
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.Analytics.funnel(t(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
+    // weekly cohort retention (Monday-truncated first-event cohorts x
+    // week offset): activity deduped to user-weeks BEFORE the cohort join
+    "q_cohort" -> ((s, dir) =>
+      graft.operators.Analytics.cohortRetention(t(s, dir, "events"))),
+
+    // equi-width histogram of order totals: one narrow bucket map + a
+    // 20-group aggregate — the scan-speed distribution profile
+    "q_histogram" -> ((s, dir) =>
+      graft.operators.Analytics.histogram(t(s, dir, "orders"),
+        "o_totalprice", lo = 0.0, hi = 500000.0, buckets = 20)),
+
     // TrustRank (personalized PageRank): teleport mass restricted to the
     // doc_id < 2 seed set on the same affine link graph as q_pagerank —
     // rank decays with link distance from the seeds; the twin replays
@@ -4844,6 +4862,62 @@ object SparkEntry {
 
     // same replay with seed-personalized teleport (TrustRank)
     "q_trustrank" -> trustRankTwin(iters = 3),
+
+    // first-occurrence strict-order funnel: stage per user, then a
+    // lateral fan-out of at most |steps| rows per user
+    "q_funnel" ->
+      """WITH firsts AS (SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')
+           GROUP BY user_id),
+         staged AS (SELECT CASE WHEN t0 IS NULL THEN 0
+             WHEN t1 IS NULL OR t1 <= t0 THEN 1
+             WHEN t2 IS NULL OR t2 <= t1 THEN 2
+             ELSE 3 END AS stage FROM firsts),
+         counts AS (SELECT CAST(t.i AS INTEGER) AS step_idx,
+             count(*) AS n_users
+           FROM staged, unnest(generate_series(1, staged.stage)) AS t(i)
+           GROUP BY 1),
+         fst AS (SELECT n_users AS n_first FROM counts WHERE step_idx = 1)
+         SELECT c.step_idx,
+           CASE c.step_idx WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+             ELSE 'purchase' END AS step,
+           c.n_users,
+           round(CAST(c.n_users AS DOUBLE) / CAST(f.n_first AS DOUBLE), 6)
+             AS conversion
+         FROM counts c CROSS JOIN fst f ORDER BY c.step_idx""",
+
+    // Monday-week cohorts x week offset over deduped user-weeks
+    "q_cohort" ->
+      """WITH cohorts AS (SELECT user_id,
+             date_trunc('week', min(ts)) AS cohort_week
+           FROM events GROUP BY user_id),
+         active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+           FROM events),
+         j AS (SELECT c.cohort_week,
+             CAST(floor(datediff('day', CAST(c.cohort_week AS DATE),
+                                 CAST(a.wk AS DATE)) / 7) AS BIGINT)
+               AS week_offset
+           FROM active a JOIN cohorts c USING (user_id))
+         SELECT cohort_week, week_offset, count(*) AS n_users
+         FROM j GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
+
+    // identical clamp+floor bucket expression over the same [0, 500000)
+    // range in 20 bins
+    "q_histogram" ->
+      """WITH b AS (SELECT least(greatest(
+             CAST(floor((o_totalprice - CAST(0.0 AS DOUBLE))
+               / CAST(25000.0 AS DOUBLE)) AS BIGINT), 0), 19) AS bucket
+           FROM orders WHERE o_totalprice IS NOT NULL)
+         SELECT bucket,
+           CAST(0.0 AS DOUBLE) + CAST(bucket AS DOUBLE)
+             * CAST(25000.0 AS DOUBLE) AS lo_edge,
+           count(*) AS n
+         FROM b GROUP BY bucket ORDER BY bucket""",
 
     // same ring+skip+affine synthetic graph as the engine query; the
     // oriented wedge join replayed relationally (orientation = (deg, id)

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-analytics operators: funnel conversion, cohort retention, and
+  * equi-width histograms — the OLAP reporting layer a product/events
+  * pipeline runs next to the training-data jobs. The reference engine
+  * stops at joins + aggregates (no window/temporal surface at all), so
+  * this module is beyond-reference capability expressed as plain
+  * aggregate compositions Catalyst plans with partial+final hash
+  * aggregation.
+  *
+  * Scale shape: every operator here reduces to per-key aggregates over
+  * hash-partitioned shuffles — no windows over data-sized partitions, no
+  * driver-side collection; stage fan-out (funnel) is an explode bounded
+  * by the literal step count. */
+object Analytics {
+
+  /** Ordered-funnel conversion over `steps` (e.g. view → click →
+    * purchase): a user reaches stage k when the FIRST occurrence of each
+    * of the first k steps happened in strict step order. Returns one row
+    * per stage: (step_idx, step, n_users, conversion) where conversion
+    * is n_users / stage-1 users.
+    *
+    * The per-user reduction is one groupBy with a min-timestamp per step
+    * (map-side combinable); stage membership then explodes each user
+    * into at most |steps| rows, so shuffled volume is ≤ |users|·|steps|
+    * regardless of event volume. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val firsts = events.filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === steps.head, col(tsCol))).as("t0"),
+        steps.tail.zipWithIndex.map { case (s, i) =>
+          min(when(col(typeCol) === s, col(tsCol))).as(s"t${i + 1}")
+        }: _*)
+    // deepest stage whose first-occurrence chain is strictly increasing
+    val stage = steps.indices.reverse.foldLeft(lit(steps.length)) {
+      case (deeper, i) =>
+        val broken =
+          if (i == 0) col("t0").isNull
+          else col(s"t$i").isNull || col(s"t$i") <= col(s"t${i - 1}")
+        when(broken, lit(i)).otherwise(deeper)
+    }
+    val counts = firsts.select(stage.as("stage"))
+      .filter(col("stage") >= 1)
+      .select(explode(sequence(lit(1), col("stage"))).as("step_idx"))
+      .groupBy("step_idx").agg(count(lit(1)).as("n_users"))
+    val names = steps.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }.toDF("step_idx", "step")
+    // stage-1 denominator: a 1-row broadcast, never data-sized
+    val first = counts.filter(col("step_idx") === 1)
+      .select(col("n_users").as("n_first"))
+    counts.join(broadcast(names), "step_idx")
+      .crossJoin(broadcast(first))
+      .select(col("step_idx"), col("step"), col("n_users"),
+        round(col("n_users").cast(DoubleType) /
+          col("n_first").cast(DoubleType), 6).as("conversion"))
+      .orderBy("step_idx")
+  }
+
+  /** Weekly cohort retention: cohort = Monday-start week of each user's
+    * first event; one output row per (cohort_week, week_offset) with the
+    * distinct-user count active that many weeks after their cohort week.
+    * Activity is deduped to user-weeks BEFORE the cohort join, so the
+    * join and final aggregate move ≤ |users|·|weeks| rows. */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val cohorts = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val active = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("wk"))
+      .distinct()
+    active.join(cohorts, userCol)
+      .select(col("cohort_week"),
+        floor(datediff(col("wk"), col("cohort_week")) / lit(7))
+          .cast(LongType).as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users")) // rows are distinct user-weeks
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Equi-width histogram of `valueCol` over [lo, hi) in `buckets` bins
+    * (outliers clamp to the edge bins): (bucket, lo_edge, n). One narrow
+    * map + one |buckets|-group aggregate — scan-speed at any scale. The
+    * bucket index and edge use one fixed double expression shape so an
+    * oracle replays them bit-for-bit. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      buckets: Int): DataFrame = {
+    require(buckets > 0 && hi > lo, "histogram needs hi > lo, buckets > 0")
+    val width = (hi - lo) / buckets
+    val raw = floor((col(valueCol) - lit(lo)) / lit(width)).cast(LongType)
+    val bucket = least(greatest(raw, lit(0L)), lit(buckets - 1L))
+    df.filter(col(valueCol).isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket").cast(DoubleType) * lit(width)).as("lo_edge"),
+        col("n"))
+      .orderBy("bucket")
+  }
+}

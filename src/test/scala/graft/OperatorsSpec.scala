@@ -97,4 +97,58 @@ class OperatorsSpec extends AnyFunSuite {
       .select("k", "attr").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(open.toSet === Set((1L, "a2"), (2L, "b")))
   }
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, w) => (u, t, ts(w)) }
+      .toDF("user_id", "event_type", "ts")
+
+  test("funnel: strict first-occurrence order, per-stage conversion") {
+    // u1 completes all 3; u2 clicks BEFORE viewing (stops at stage 1);
+    // u3 views only; u4 never views (excluded entirely)
+    val e = ev(
+      (1L, "view", "2024-01-01 10:00:00"), (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "purchase", "2024-01-01 12:00:00"),
+      (2L, "click", "2024-01-02 09:00:00"), (2L, "view", "2024-01-02 10:00:00"),
+      (3L, "view", "2024-01-03 10:00:00"),
+      (4L, "purchase", "2024-01-04 10:00:00"))
+    val got = graft.operators.Analytics
+      .funnel(e, Seq("view", "click", "purchase"))
+      .collect().map(r =>
+        (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1, "view", 3L, 1.0),
+      (2, "click", 1L, 0.333333), (3, "purchase", 1L, 0.333333)))
+  }
+
+  test("funnel: a tie at the same timestamp does not advance the stage") {
+    val e = ev((1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 10:00:00"))
+    val got = graft.operators.Analytics.funnel(e, Seq("view", "click"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 1L)))
+  }
+
+  test("cohort retention: offsets count distinct active user-weeks") {
+    // u1 first event Mon Jan 1 week; active weeks 0 and 2.
+    // u2 first event Jan 8 week; active weeks 0 and 1.
+    val e = ev(
+      (1L, "view", "2024-01-02 10:00:00"), (1L, "view", "2024-01-03 10:00:00"),
+      (1L, "view", "2024-01-16 10:00:00"),
+      (2L, "view", "2024-01-08 10:00:00"), (2L, "view", "2024-01-11 10:00:00"),
+      (2L, "view", "2024-01-18 10:00:00"))
+    val got = graft.operators.Analytics.cohortRetention(e)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
+  }
+
+  test("histogram: buckets, clamped outliers, null skipped") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
+      Some(99.0), Some(250.0), None).toDF("v")
+    val got = graft.operators.Analytics.histogram(df, "v", 0.0, 100.0, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // -5 clamps to bucket 0; 250 clamps to bucket 9 (with 99.0)
+    assert(got == Seq((0L, 0.0, 3L), (1L, 10.0, 1L), (2L, 20.0, 1L),
+      (9L, 90.0, 2L)))
+  }
 }
