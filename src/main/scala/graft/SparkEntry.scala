@@ -70,6 +70,31 @@ object SparkEntry {
     // RFC 4180 bytes to identical values).
     "q_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
 
+    // ORC write -> read roundtrip (the second native columnar format):
+    // ground truth recomputed by the oracle from the parquet base table,
+    // so the roundtrip must preserve every value bit-for-bit
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_orc_roundtrip"
+      graft.sources.Sinks.writeOrc(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey"), col("s_acctbal")), out)
+      Context.forSfDir(s, dir).readOrc(out).orderBy("s_suppkey")
+    }),
+
+    // JSON-lines write -> read roundtrip: schema round-trips through
+    // text (longs stay integral, doubles stay exact via shortest-
+    // roundtrip serialization), read back with an explicit schema so
+    // column types match the parquet ground truth
+    "q_json_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_json_roundtrip"
+      graft.sources.Sinks.writeJson(
+        t(s, dir, "region").select(col("r_regionkey"), col("r_name")), out)
+      s.read.schema(StructType(Seq(
+          StructField("r_regionkey", LongType),
+          StructField("r_name", StringType))))
+        .json(out).orderBy("r_regionkey")
+    }),
+
     // hive-partitioned write + pruned read-back — the single biggest scan
     // lever at 100 TB: the filter on the partition column is resolved at
     // file-listing time (PartitionFilters in the scan node), so six of the
@@ -2234,6 +2259,18 @@ object SparkEntry {
       graft.functions.Text.pmiCollocations(
         t(s, dir, "documents"), minCount = 5, topk = 20)),
 
+    // SpaceSaving heavy hitters (mergeable k-counter sketch) over the
+    // token stream: emits the EXACT top-10 tokens plus the sketch's
+    // est-err bound check per item — the q_approx_* contract pattern;
+    // the flags are TRUE under any merge order (the sketch invariant),
+    // which is what the twin hash-checks
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(
+        explode(filter(split(col("text"), " "), x => x =!= "")).as("tok"))
+      graft.functions.SpaceSavingOps
+        .heavyHittersChecked(toks, "tok", k = 256, topn = 10)
+    }),
+
     // ordered-funnel conversion (view -> click -> purchase by FIRST
     // occurrence, strict order): one min-per-step groupBy, stage explode
     // bounded by the literal step count — event volume never fans out
@@ -2779,6 +2816,18 @@ object SparkEntry {
       "SELECT * FROM nation ORDER BY n_nationkey",
 
     // ground truth recomputed from parquet: the roundtrip must be lossless
+    // ground truth from the parquet base table — the ORC roundtrip must
+    // preserve every value (including the double s_acctbal) bit-for-bit
+    "q_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier ORDER BY s_suppkey""",
+
+    // BIGINT cast matches the explicit LongType read schema on the
+    // engine side (JSON numbers surface as long)
+    "q_json_roundtrip" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+         FROM region ORDER BY r_regionkey""",
+
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey,
            'a,"b" ' || n_name || ';c' AS tricky
@@ -4862,6 +4911,14 @@ object SparkEntry {
 
     // same replay with seed-personalized teleport (TrustRank)
     "q_trustrank" -> trustRankTwin(iters = 3),
+
+    // exact token top-10; the sketch bound flags are invariantly TRUE
+    "q_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+             x -> x <> '')) AS tok FROM documents),
+         cnt AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok)
+         SELECT tok, n_exact, TRUE AS within_bound
+         FROM cnt ORDER BY n_exact DESC, tok ASC LIMIT 10""",
 
     // first-occurrence strict-order funnel: stage per user, then a
     // lateral fan-out of at most |steps| rows per user
