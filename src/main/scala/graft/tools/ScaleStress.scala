@@ -78,13 +78,14 @@ object ScaleStress {
         docs.filter(col("source") =!= "src0"), threshold = 0.7))
     )
 
-    println(f"${"pipeline"}%-18s ${"wall_s"}%8s ${"rows"}%9s ${"tasks"}%7s ${"worst-stage max/med (ms, tasks)"}")
-    pipelines.foreach { case (name, mk) =>
+    def measure(name: String, mk: () => DataFrame): Unit = {
       byStage.synchronized(byStage.clear())
       val t0 = System.nanoTime()
       val rows = mk().count()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val stages = byStage.synchronized(byStage.map { case (k, v) =>
         (k, v.toSeq.sorted) }.toMap)
       val nTasks = stages.valuesIterator.map(_.size).sum
@@ -100,6 +101,29 @@ object ScaleStress {
       }.getOrElse("no stage >= 2s")
       println(f"$name%-18s $wall%8.2f $rows%9d $nTasks%7d  $w")
     }
+
+    println(f"${"pipeline"}%-18s ${"wall_s"}%8s ${"rows"}%9s ${"tasks"}%7s ${"worst-stage max/med (ms, tasks)"}")
+    pipelines.foreach { case (name, mk) => measure(name, mk) }
+
+    // graph family at the same 10x node count (50k nodes, 150k directed
+    // edges: ring + skip + affine — same generator family as the
+    // contract queries, so the plan shapes match what PLANS.md audits)
+    val nNodes = docs.count()
+    val nodes = docs.select(col("doc_id").as("node_id"))
+    val id = col("doc_id")
+    val edges = docs.select(id.as("src"), ((id + 1) % nNodes).as("dst"))
+      .union(docs.select(id.as("src"), ((id + 2) % nNodes).as("dst")))
+      .union(docs.select(id.as("src"), ((id * 7 + 3) % nNodes).as("dst")))
+    val seeds = nodes.filter(col("node_id") < 2)
+    val graphPipelines: Seq[(String, () => DataFrame)] = Seq(
+      "pagerank_3it" -> (() =>
+        graft.graph.PageRank.run(nodes, edges, nNodes, iters = 3)),
+      "trustrank_3it" -> (() =>
+        graft.graph.PageRank.personalizedRun(nodes, edges, seeds, 2, 3)),
+      "bfs_4hop" -> (() => graft.graph.Bfs.hops(edges, seeds, 4)),
+      "triangles" -> (() => graft.graph.Triangles.perNode(edges))
+    )
+    graphPipelines.foreach { case (name, mk) => measure(name, mk) }
     spark.stop()
   }
 }
