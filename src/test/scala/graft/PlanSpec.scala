@@ -121,4 +121,26 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!d.contains("_pre0"))
   }
+
+  test("round-5 additions stay shuffle-sane: no cartesian products") {
+    // BroadcastNestedLoopJoin with a 1-row broadcast (totals/stats/rank
+    // lists) is fine; CartesianProduct is not
+    for (q <- Seq("q_knn_graph", "q_rrf_hybrid", "q_pmi", "q_funnel",
+        "q_cohort", "q_histogram", "q_heavy_hitters", "q_trustrank")) {
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a CartesianProduct")
+    }
+  }
+
+  test("funnel/cohort/histogram never plan a data-sized global window") {
+    for (q <- Seq("q_funnel", "q_cohort", "q_histogram"))
+      assert(!plan(q).contains("Window"), s"$q plans a Window")
+  }
+
+  test("knn graph blocks by centroid: equi-join, k-bounded aggregation") {
+    val p = plan("q_knn_graph")
+    assert(p.contains("centroid_id"))
+    assert(p.contains("TopK") || p.contains("topk"),
+      "per-query results should come from the k-bounded TopK aggregate")
+  }
 }
