@@ -2259,6 +2259,20 @@ object SparkEntry {
       graft.functions.Text.pmiCollocations(
         t(s, dir, "documents"), minCount = 5, topk = 20)),
 
+    // HITS hubs/authorities (2 unnormalized rounds) on the affine link
+    // graph — exact path-count integers, so plain sum() is deterministic
+    // under any partitioning and the twin replays the rounds verbatim
+    "q_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // single bounded scalar, never data-sized
+      val id = col("doc_id")
+      val nodes = docs.select(id.as("node_id"))
+      val edges = docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst"))
+        .union(docs.select(id.as("src"), ((id * 13 + 5) % n).as("dst")))
+      graft.graph.Hits.run(nodes, edges, iters = 2)
+        .orderBy("node_id")
+    }),
+
     // SpaceSaving heavy hitters (mergeable k-counter sketch) over the
     // token stream: emits the EXACT top-10 tokens plus the sketch's
     // est-err bound check per item — the q_approx_* contract pattern;
@@ -4911,6 +4925,45 @@ object SparkEntry {
 
     // same replay with seed-personalized teleport (TrustRank)
     "q_trustrank" -> trustRankTwin(iters = 3),
+
+    // two staged HITS rounds in exact BIGINT arithmetic (sum cast back
+    // from DuckDB's HUGEINT to match Spark's long sums)
+    "q_hits" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         nodes AS (SELECT doc_id AS node_id FROM documents),
+         edges AS (
+           SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id * 13 + 5) % nn.n
+           FROM documents CROSS JOIN nn),
+         h0 AS (SELECT node_id, CAST(1 AS BIGINT) AS hub FROM nodes),
+         a1 AS (SELECT nodes.node_id,
+             coalesce(s.a, CAST(0 AS BIGINT)) AS authority
+           FROM nodes LEFT JOIN (
+             SELECT e.dst, CAST(sum(h0.hub) AS BIGINT) AS a
+             FROM edges e JOIN h0 ON e.src = h0.node_id GROUP BY e.dst) s
+           ON s.dst = nodes.node_id),
+         h1 AS (SELECT nodes.node_id,
+             coalesce(s.h, CAST(0 AS BIGINT)) AS hub
+           FROM nodes LEFT JOIN (
+             SELECT e.src, CAST(sum(a1.authority) AS BIGINT) AS h
+             FROM edges e JOIN a1 ON e.dst = a1.node_id GROUP BY e.src) s
+           ON s.src = nodes.node_id),
+         a2 AS (SELECT nodes.node_id,
+             coalesce(s.a, CAST(0 AS BIGINT)) AS authority
+           FROM nodes LEFT JOIN (
+             SELECT e.dst, CAST(sum(h1.hub) AS BIGINT) AS a
+             FROM edges e JOIN h1 ON e.src = h1.node_id GROUP BY e.dst) s
+           ON s.dst = nodes.node_id),
+         h2 AS (SELECT nodes.node_id,
+             coalesce(s.h, CAST(0 AS BIGINT)) AS hub
+           FROM nodes LEFT JOIN (
+             SELECT e.src, CAST(sum(a2.authority) AS BIGINT) AS h
+             FROM edges e JOIN a2 ON e.dst = a2.node_id GROUP BY e.src) s
+           ON s.src = nodes.node_id)
+         SELECT a2.node_id, a2.authority, h2.hub
+         FROM a2 JOIN h2 USING (node_id) ORDER BY node_id""",
 
     // exact token top-10; the sketch bound flags are invariantly TRUE
     "q_heavy_hitters" ->

@@ -144,6 +144,28 @@ class GraphSpec extends AnyFunSuite {
     assert(r(0L) > r(1L))
   }
 
+  test("hits: hand-computed one round on a star (hub points at two leaves)") {
+    // 0 -> 1, 0 -> 2: a1 = (0,1,1); h1(0) = a1(1)+a1(2) = 2, leaves hub 0
+    val nodes = Seq(0L, 1L, 2L).toDF("node_id")
+    val edges = Seq((0L, 1L), (0L, 2L)).toDF("src", "dst")
+    val r = graft.graph.Hits.run(nodes, edges, iters = 1)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(0L) == (0L, 2L))
+    assert(r(1L) == (1L, 0L))
+    assert(r(2L) == (1L, 0L))
+  }
+
+  test("hits: path counts after two rounds on a chain are exact") {
+    // 0 -> 1 -> 2
+    val nodes = Seq(0L, 1L, 2L).toDF("node_id")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r = graft.graph.Hits.run(nodes, edges, iters = 2)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // round1: a=(0,1,1), h=(1,1,0); round2: a(1)=h(0)=1, a(2)=h(1)=1,
+    // then h(0)=a(1)=1, h(1)=a(2)=1
+    assert(r == Map(0L -> (0L, 1L), 1L -> (1L, 1L), 2L -> (1L, 0L)))
+  }
+
   test("trustrank: hand-computed one iteration on a seed -> leaf edge") {
     // S={0}, 0 -> 1, d=0.85: r1(0) = 0.15, r1(1) = 0.85 * 1.0
     val nodes = Seq(0L, 1L).toDF("node_id")
