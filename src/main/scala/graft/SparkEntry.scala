@@ -116,6 +116,44 @@ object SparkEntry {
           countDistinct(col("o_custkey")).as("n_cust"))
         .orderBy("o_orderstatus")
     }),
+    // DYNAMIC partition pruning: the filter lives on a separate dim
+    // TABLE (not the fact), so the partitions to read are only known
+    // after the dim filter runs — Catalyst injects a
+    // dynamicpruningexpression subquery into the fact scan's
+    // PartitionFilters (PlanSpec asserts it), and at 100 TB the fact
+    // scan opens only the join-surviving year directories. The static
+    // variant (q_partitioned_scan) has the filter on the fact column
+    // itself; this is the join-driven form every star-schema query needs.
+    "q_dpp" -> ((s, dir) => {
+      val factOut = "/tmp/graft_dpp_orders"
+      val dimOut = "/tmp/graft_dpp_years"
+      graft.sources.Sinks.writeParquet(
+        t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
+        factOut, partitionCols = Seq("o_year"))
+      // dim: one row per year with an attribute the filter hits; parquet-
+      // backed so the planner cannot constant-fold the filter result, and
+      // an EqualTo predicate (not a bare boolean column) so the DPP
+      // rule's isLikelySelective check recognizes the dim filter
+      graft.sources.Sinks.writeParquet(
+        t(s, dir, "orders")
+          .select(year(col("o_orderdate")).as("d_year")).distinct()
+          .withColumn("focus",
+            when(col("d_year").isin(1995, 1996), 1).otherwise(0)),
+        dimOut)
+      // the stats-based benefit heuristic vetoes DPP on a 7-partition toy
+      // store (pruning overhead > bytes saved — correctly); disable
+      // useStats so the fallback ratio heuristic decides, which is the
+      // branch that fires on a real multi-TB partitioned fact
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val fact = s.read.parquet(factOut)
+      val dim = s.read.parquet(dimOut).filter(col("focus") === 1)
+      fact.join(dim, fact("o_year") === dim("d_year"))
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)")
+            .as("total"))
+        .orderBy("o_year")
+    }),
     // bucketed co-located join: both sides bucketed on the join key at
     // write time → the read-side sort-merge join needs ZERO Exchange (the
     // 100-TB pattern: shuffle once when the table lands, never again;
@@ -2830,6 +2868,16 @@ object SparkEntry {
       "SELECT * FROM nation ORDER BY n_nationkey",
 
     // ground truth recomputed from parquet: the roundtrip must be lossless
+    // join-driven year restriction recomputed from the base table
+    "q_dpp" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total
+         FROM orders
+         WHERE year(o_orderdate) IN (1995, 1996)
+         GROUP BY 1 ORDER BY 1""",
+
     // ground truth from the parquet base table — the ORC roundtrip must
     // preserve every value (including the double s_acctbal) bit-for-bit
     "q_orc_roundtrip" ->

@@ -137,6 +137,12 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(!plan(q).contains("Window"), s"$q plans a Window")
   }
 
+  test("q_dpp: the fact scan carries a dynamic (join-driven) partition filter") {
+    val p = plan("q_dpp")
+    assert(p.contains("dynamicpruning"),
+      "fact scan should carry a dynamicpruningexpression PartitionFilter")
+  }
+
   test("knn graph blocks by centroid: equi-join, k-bounded aggregation") {
     val p = plan("q_knn_graph")
     assert(p.contains("centroid_id"))
