@@ -110,4 +110,55 @@ object KernelProps extends Properties("Kernels") {
         .map(i => HashKernels.fnv1a(bytes, i, i + n)).distinct.sorted
       got == want
     }
+
+  // ---- RepetitionKernel vs a naive Scala reference over random docs
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba", "c", ""))
+    extraSpace <- Gen.listOfN(n, Gen.oneOf("", " "))
+  } yield toks.zip(extraSpace).map { case (t, e) => t + e }.mkString(" ")
+
+  property("RepetitionKernel matches the naive token/bigram/5-gram counts") =
+    forAll(docGen) { s =>
+      val row = graft.functions.RepetitionKernel.eval(UTF8String.fromString(s))
+      val toks = s.split(" ", -1).filter(_.nonEmpty).toSeq
+      val g2 = if (toks.length >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq else Nil
+      val g5 = if (toks.length >= 5) toks.sliding(5).map(_.mkString(" ")).toSeq else Nil
+      val counts = g2.groupBy(identity).map { case (g, v) => g -> v.size.toLong }
+      val (topGram, topN) =
+        if (counts.isEmpty) ("", 0L)
+        else counts.toSeq.minBy { case (g, c) => (-c, g) }
+      row.getLong(0) == toks.length.toLong &&
+        row.getLong(1) == toks.distinct.length.toLong &&
+        row.getUTF8String(2).toString == topGram &&
+        row.getLong(3) == topN &&
+        row.getLong(4) == g5.length.toLong &&
+        row.getLong(5) == g5.distinct.length.toLong
+    }
+
+  // ---- SpaceSaving invariants under arbitrary streams and merge splits
+  private val streamGen: Gen[List[String]] = for {
+    n <- Gen.choose(0, 120)
+    items <- Gen.listOfN(n, Gen.oneOf((1 to 15).map("w" + _)))
+  } yield items
+
+  property("SpaceSaving: est/err bounds and n/k guarantee under any split") =
+    forAll(streamGen, Gen.choose(1, 6), Gen.choose(1, 8)) { (items, k, cuts) =>
+      val ss = new graft.functions.SpaceSaving(k)
+      // partition the stream into `cuts` chunks, reduce each, merge all
+      val chunks = items.grouped(math.max(1, (items.size + cuts - 1) / cuts)).toSeq
+      val partials = chunks.map(_.foldLeft(ss.zero)(ss.reduce))
+      val merged = partials.foldLeft(ss.zero)(ss.merge)
+      val exact = items.groupBy(identity).map { case (i, v) => i -> v.size.toLong }
+      val n = items.size.toLong
+      val sizeOk = merged.size <= k
+      val boundsOk = merged.forall { case (i, v) =>
+        val t = exact.getOrElse(i, 0L)
+        v.est >= t && v.est - v.err <= t
+      }
+      val heavyOk = exact.forall { case (i, c) =>
+        c <= n / k || merged.contains(i)
+      }
+      sizeOk && boundsOk && heavyOk
+    }
 }
