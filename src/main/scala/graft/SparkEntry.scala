@@ -70,6 +70,29 @@ object SparkEntry {
     // RFC 4180 bytes to identical values).
     "q_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
 
+    // schema evolution on read: two parquet batches with different
+    // column sets land in one dataset directory (the standard additive
+    // drift of a long-lived 100 TB corpus — new crawls add columns);
+    // mergeSchema=true unifies them at read time, old rows null-fill the
+    // new column. The oracle recomputes the union-by-name from the base
+    // table.
+    "q_merge_schema" -> ((s, dir) => {
+      val out = "/tmp/graft_merge_schema"
+      val nat = t(s, dir, "nation")
+      graft.sources.Sinks.writeParquet(
+        nat.filter(col("n_nationkey") < 12)
+          .select(col("n_nationkey"), col("n_name")),
+        out + "/batch=old")
+      graft.sources.Sinks.writeParquet(
+        nat.filter(col("n_nationkey") >= 12)
+          .select(col("n_nationkey"), col("n_name"),
+            col("n_regionkey").as("region_added")),
+        out + "/batch=new")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("n_nationkey"), col("n_name"), col("region_added"))
+        .orderBy("n_nationkey")
+    }),
+
     // ORC write -> read roundtrip (the second native columnar format):
     // ground truth recomputed by the oracle from the parquet base table,
     // so the roundtrip must preserve every value bit-for-bit
@@ -2877,6 +2900,13 @@ object SparkEntry {
          FROM orders
          WHERE year(o_orderdate) IN (1995, 1996)
          GROUP BY 1 ORDER BY 1""",
+
+    // union-by-name ground truth: pre-drift rows null-fill the added
+    // column
+    "q_merge_schema" ->
+      """SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey >= 12 THEN n_regionkey END AS region_added
+         FROM nation ORDER BY n_nationkey""",
 
     // ground truth from the parquet base table — the ORC roundtrip must
     // preserve every value (including the double s_acctbal) bit-for-bit
