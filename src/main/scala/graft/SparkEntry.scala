@@ -2364,6 +2364,14 @@ object SparkEntry {
       graft.operators.Analytics.histogram(t(s, dir, "orders"),
         "o_totalprice", lo = 0.0, hi = 500000.0, buckets = 20)),
 
+    // equi-DEPTH histogram (decile binning): ONE percentile aggregate
+    // yields the 9 boundaries as a broadcast row — never a global
+    // sort/ntile window; counts are exact because both engines compute
+    // bit-identical interpolated quantiles (q_percentile proves it)
+    "q_equidepth" -> ((s, dir) =>
+      graft.operators.Analytics.equiDepthHistogram(
+        t(s, dir, "orders"), "o_totalprice", buckets = 10)),
+
     // TrustRank (personalized PageRank): teleport mass restricted to the
     // doc_id < 2 seed set on the same affine link graph as q_pagerank —
     // rank decays with link distance from the seeds; the twin replays
@@ -5093,6 +5101,20 @@ object SparkEntry {
          SELECT cohort_week, week_offset, count(*) AS n_users
          FROM j GROUP BY cohort_week, week_offset
          ORDER BY cohort_week, week_offset""",
+
+    // same decile boundaries from quantile_cont (bit-identical to
+    // Spark's percentile), same boundaries-strictly-below-x bucket fold
+    "q_equidepth" ->
+      """WITH bounds AS (SELECT quantile_cont(o_totalprice,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         bk AS (SELECT CAST(list_sum(list_transform(b.bs,
+             x -> CASE WHEN o.o_totalprice > x THEN 1 ELSE 0 END))
+               AS BIGINT) AS bucket
+           FROM orders o CROSS JOIN bounds b
+           WHERE o.o_totalprice IS NOT NULL)
+         SELECT bucket, count(*) AS n FROM bk
+         GROUP BY bucket ORDER BY bucket""",
 
     // identical clamp+floor bucket expression over the same [0, 500000)
     // range in 20 bins

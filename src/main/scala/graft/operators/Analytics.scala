@@ -86,6 +86,31 @@ object Analytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Equi-DEPTH histogram: bucket boundaries are the exact
+    * (interpolated) quantiles of the column, so each bucket holds ~1/n of
+    * the rows — the binning feature engineering actually wants for
+    * skewed columns, where equi-width puts everything in two bins. The
+    * scale-safe shape: ONE percentile aggregate produces the n-1
+    * boundaries (a single broadcast row — never a data-sized global
+    * sort/ntile window), then a narrow per-row fold counts boundaries
+    * strictly below the value. Rows equal to a boundary go to the lower
+    * bucket (count of boundaries < x). */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 1, s"equi-depth needs buckets > 1, got $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = df.filter(col(valueCol).isNotNull)
+      .agg(expr(s"percentile($valueCol, array(${probs.mkString(",")}))")
+        .as("bs"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + when(col(valueCol) > b, 1L).otherwise(0L))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   /** Equi-width histogram of `valueCol` over [lo, hi) in `buckets` bins
     * (outliers clamp to the edge bins): (bucket, lo_edge, n). One narrow
     * map + one |buckets|-group aggregate — scan-speed at any scale. The

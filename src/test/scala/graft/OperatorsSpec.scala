@@ -142,6 +142,28 @@ class OperatorsSpec extends AnyFunSuite {
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
 
+  test("equi-depth histogram: near-equal bucket loads on a uniform column") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val got = graft.operators.Analytics.equiDepthHistogram(df, "v", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // quartile boundaries of 1..100 interpolate between ranks, so each
+    // bucket gets 25 +- 1 rows and all 4 buckets are present
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(got.map(_._2).sum == 100L)
+    got.foreach { case (_, n) => assert(n >= 24L && n <= 26L, s"n=$n") }
+  }
+
+  test("equi-depth histogram: boundary-equal values fall in the lower bucket") {
+    // 8 copies of 1.0 and 2.0: the median boundary is 1.5; values equal
+    // to a boundary would matter only if a value == quantile — force it
+    val df = (Seq.fill(4)(1.0) ++ Seq.fill(4)(3.0) :+ 3.0).toDF("v")
+    val got = graft.operators.Analytics.equiDepthHistogram(df, "v", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // median of (1,1,1,1,3,3,3,3,3) = 3.0; values > 3.0: none ->
+    // bucket 0 = all 9 rows
+    assert(got == Map(0L -> 9L))
+  }
+
   test("histogram: buckets, clamped outliers, null skipped") {
     val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
       Some(99.0), Some(250.0), None).toDF("v")
