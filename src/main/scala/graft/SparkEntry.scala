@@ -2364,6 +2364,31 @@ object SparkEntry {
       graft.operators.Analytics.histogram(t(s, dir, "orders"),
         "o_totalprice", lo = 0.0, hi = 500000.0, buckets = 20)),
 
+    // per-group z-score outlier flagging (anomaly detection for event
+    // streams): moments accumulate in DECIMAL (exact, order-independent
+    // — events.value is 2-dp), mean/sd and z are fixed-shape double
+    // expressions, and the outlier predicate is the division-free
+    // |v - mean| > 2*sd so both engines compare bit-identical
+    // quantities; the per-type stats row is a broadcast, the event
+    // stream never shuffles
+    "q_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(col("value")).as("cnt"),
+        sum(dec2(col("value"))).cast(DoubleType).as("s"),
+        sum(dec2(col("value")) * dec2(col("value")))
+          .cast(DoubleType).as("ss"))
+      val n = col("cnt").cast(DoubleType)
+      val m = stats.select(col("event_type"),
+        (col("s") / n).as("mean"),
+        sqrt((col("ss") - col("s") * col("s") / n) / (n - 1)).as("sd"))
+      ev.join(broadcast(m), "event_type")
+        .filter(abs(col("value") - col("mean")) > lit(2.0) * col("sd"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     // equi-DEPTH histogram (decile binning): ONE percentile aggregate
     // yields the 9 boundaries as a broadcast row — never a global
     // sort/ntile window; counts are exact because both engines compute
@@ -5101,6 +5126,25 @@ object SparkEntry {
          SELECT cohort_week, week_offset, count(*) AS n_users
          FROM j GROUP BY cohort_week, week_offset
          ORDER BY cohort_week, week_offset""",
+
+    // exact DECIMAL moments, identical double shapes for mean/sd/z, and
+    // the same division-free outlier predicate
+    "q_outliers" ->
+      """WITH a AS (SELECT event_type, count(value) AS cnt,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+             CAST(sum(CAST(value AS DECIMAL(12,2))
+               * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS ss
+           FROM events GROUP BY event_type),
+         m AS (SELECT event_type,
+             s / CAST(cnt AS DOUBLE) AS mean,
+             sqrt((ss - s * s / CAST(cnt AS DOUBLE))
+               / (CAST(cnt AS DOUBLE) - 1)) AS sd
+           FROM a)
+         SELECT e.event_id, e.event_type, e.value,
+           round((e.value - m.mean) / m.sd, 6) AS z
+         FROM events e JOIN m USING (event_type)
+         WHERE abs(e.value - m.mean) > 2.0 * m.sd
+         ORDER BY e.event_type, e.event_id""",
 
     // same decile boundaries from quantile_cont (bit-identical to
     // Spark's percentile), same boundaries-strictly-below-x bucket fold
