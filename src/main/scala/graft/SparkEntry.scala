@@ -2259,6 +2259,90 @@ object SparkEntry {
         .orderBy("user_id", "valid_from", "change_id")
     }),
 
+    // Deequ-style data-quality expectation suite: all lineitem checks run
+    // as ONE aggregate pass (one scan at 100 TB, not |checks| scans), the
+    // orders checks (incl. a count-distinct uniqueness branch) as another,
+    // and the FK check as a left join against the distinct parent key set.
+    // Exact integer violation counts — no float ratios — so every row
+    // hash-compares. Checks are chosen so both outcomes appear: range/set
+    // violations fire on the tightened bounds, the rest are clean.
+    "q_expectations" -> ((s, dir) => {
+      import graft.operators.Expectations
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val liChecks = Expectations.run(li, Seq(
+        Expectations.notNull("li_returnflag_not_null", col("l_returnflag")),
+        Expectations.inRange("li_quantity_in_1_50", col("l_quantity"), 1, 50),
+        Expectations.inRange("li_quantity_in_1_25", col("l_quantity"), 1, 25),
+        Expectations.inSet("li_returnflag_accepted", col("l_returnflag"),
+          Seq("A", "N", "R")),
+        Expectations.satisfies("li_discount_le_5pct", col("l_discount") <= 0.05),
+        Expectations.satisfies("li_price_positive", col("l_extendedprice") > 0)))
+      val ordChecks = Expectations.run(ord, Seq(
+          Expectations.notNull("ord_custkey_not_null", col("o_custkey")),
+          Expectations.inSet("ord_status_f_or_o", col("o_orderstatus"),
+            Seq("F", "O"))),
+        uniqueKey = Some(("ord_orderkey_unique", col("o_orderkey"))))
+      val fk = Expectations.foreignKey("li_orderkey_fk",
+        li, col("l_orderkey"), ord, col("o_orderkey"))
+      liChecks.unionByName(ordChecks).unionByName(fk).orderBy("check")
+    }),
+
+    // snapshot diff: classify every order key across two table versions
+    // (before/after are deterministic date slices of orders; urgent
+    // orders get a price bump in the "after" version so all three change
+    // classes appear). One full-outer join on the key — at 100 TB both
+    // snapshots are bucketed on the key so the join co-locates.
+    "q_table_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val before = o.filter(col("o_orderdate") < lit("1999-01-01").cast(TimestampType))
+      val after = o.filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
+        .withColumn("o_totalprice",
+          when(col("o_orderpriority") === "1-URGENT", col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      Relational.snapshotDiff(before, after, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus"))
+        .filter(col("change_type") =!= "unchanged")
+        .orderBy("o_orderkey")
+    }),
+
+    // incremental aggregate maintenance (materialized-view refresh): the
+    // maintained state = agg(old slice) ⊕ agg(new slice), merged by
+    // addition on (DECIMAL sum, count) — refresh cost scales with the
+    // delta, never the corpus. The oracle recomputes the SAME aggregate
+    // from the full table, proving state ⊕ delta ≡ full recompute
+    // (avg derived at read time from the exact decimal sum).
+    "q_incremental_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cut = lit("1998-01-01").cast(TimestampType)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val state = Relational.aggState(
+        li.filter(col("l_shipdate") < cut), keys, "l_extendedprice")
+      val delta = Relational.aggState(
+        li.filter(col("l_shipdate") >= cut), keys, "l_extendedprice")
+      Relational.mergeAggState(state, delta, keys)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("agg_sum").cast(DoubleType).as("sum_price"),
+          col("agg_cnt").as("n"),
+          (col("agg_sum").cast(DoubleType) / col("agg_cnt")).as("avg_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // leakage-safe train/eval split: near-duplicate documents co-assign to
+    // the same split (pairs → connected components → hash split on the
+    // component label), so eval never contains a near-copy of a training
+    // doc. Same pair generator as q_dedup_survivors; the twin relabels
+    // components with the recursive CTE and replays the two-limb split
+    // hash on the component id.
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5,
+        maxDocFreq = 200)
+      Dedup.leakageSafeSplit(docs, pairs, trainPct = 80)
+        .select("doc_id", "component", "split")
+        .orderBy("doc_id")
+    }),
+
     // hashed-bag-of-words linear classifier (fastText-shaped quality
     // model APPLY): narrow per-row fold over the token array — runs at
     // parquet-scan speed, no shuffle/explode/UDF
@@ -3712,6 +3796,112 @@ object SparkEntry {
              THEN 'train' ELSE 'eval' END AS split,
            count(*) AS n
          FROM orders GROUP BY 1 ORDER BY split""",
+
+    // same null semantics as the engine checks: a null predicate is a
+    // violation (CASE null -> ELSE branch); violations cast to BIGINT
+    "q_expectations" ->
+      """WITH li AS (
+           SELECT count(*) AS n,
+             sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS v_notnull,
+             sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS v_q50,
+             sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 25 THEN 0 ELSE 1 END) AS v_q25,
+             sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS v_set,
+             sum(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) AS v_disc,
+             sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v_price
+           FROM lineitem),
+         o AS (
+           SELECT count(*) AS n,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_ck,
+             sum(CASE WHEN o_orderstatus IN ('F','O') THEN 0 ELSE 1 END) AS v_st,
+             count(*) - count(DISTINCT o_orderkey) AS v_dup
+           FROM orders),
+         fk AS (
+           SELECT count(*) AS n,
+             sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
+           FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+             ON l.l_orderkey = p.o_orderkey)
+         SELECT "check", CAST(violations AS BIGINT) AS violations,
+           n_rows, violations = 0 AS passed
+         FROM (
+           SELECT 'li_returnflag_not_null' AS "check", v_notnull AS violations, n AS n_rows FROM li
+           UNION ALL SELECT 'li_quantity_in_1_50', v_q50, n FROM li
+           UNION ALL SELECT 'li_quantity_in_1_25', v_q25, n FROM li
+           UNION ALL SELECT 'li_returnflag_accepted', v_set, n FROM li
+           UNION ALL SELECT 'li_discount_le_5pct', v_disc, n FROM li
+           UNION ALL SELECT 'li_price_positive', v_price, n FROM li
+           UNION ALL SELECT 'ord_custkey_not_null', v_ck, n FROM o
+           UNION ALL SELECT 'ord_status_f_or_o', v_st, n FROM o
+           UNION ALL SELECT 'ord_orderkey_unique', v_dup, n FROM o
+           UNION ALL SELECT 'li_orderkey_fk', v, n FROM fk)
+         ORDER BY "check" """,
+
+    "q_table_diff" ->
+      """WITH b AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+             FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+         a AS (SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+               THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+         d AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+             CASE WHEN b.o_orderkey IS NULL THEN 'added'
+                  WHEN a.o_orderkey IS NULL THEN 'deleted'
+                  WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+                    OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+           FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+         SELECT o_orderkey, change_type FROM d
+         WHERE change_type <> 'unchanged'
+         ORDER BY o_orderkey""",
+
+    // the full recompute the incremental merge must equal
+    "q_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE) AS sum_price,
+           count(l_extendedprice) AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(22,2))) AS DOUBLE)
+             / count(l_extendedprice) AS avg_price
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    // q_dedup_survivors' recursive-CTE component labeling + the q_split
+    // two-limb hash, applied to the COMPONENT label
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \n\t\r]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gs
+           FROM toks),
+         edges AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+           WHERE len(a.gs) > 0 AND len(b.gs) > 0
+             AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+               (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+               >= 0.5),
+         bi AS (SELECT src, dst FROM edges
+                UNION SELECT dst, src FROM edges),
+         reach(id, label) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT b.dst, r.label FROM reach r JOIN bi b ON b.src = r.id),
+         comp AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+         SELECT d.doc_id, c.component,
+           CASE WHEN (
+               ((c.component % 4294967296) % 65536) * 2654435761
+               + ((((c.component % 4294967296) // 65536) * 2654435761) % 65536) * 65536
+             ) % 4294967296 % 100 < 80
+             THEN 'train' ELSE 'eval' END AS split
+         FROM documents d JOIN comp c ON d.doc_id = c.id
+         ORDER BY d.doc_id""",
 
     "q_quantize" ->
       """WITH u AS (SELECT vec_id, i AS pos,

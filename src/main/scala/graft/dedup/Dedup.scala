@@ -570,6 +570,27 @@ object Dedup {
     docs.join(best, Seq(idCol))
   }
 
+  /** Leakage-safe train/eval split: near-duplicate documents must land in
+    * the SAME split, or eval becomes a memorization test (train/test
+    * contamination via duplicates — the failure whole-row hash splits
+    * can't prevent). Composition: candidate pairs → connected components
+    * → deterministic hash split on the COMPONENT label (each component's
+    * minimum doc id), so the whole duplicate cluster co-assigns; singleton
+    * docs split on their own id as usual. The split hash is the same
+    * width-safe two-limb multiplicative hash every sampler here uses
+    * (Profile.hash32) — reproducible across runs, partitionings, and
+    * engines. Adds one equi-join to the clustering cost. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", trainPct: Int = 80): DataFrame = {
+    val nodes = docs.select(col(idCol).as("id"))
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = connectedComponents(nodes, edges)
+    val bucket = graft.functions.Profile.hashBucket100(col("component"))
+    docs.join(cc.withColumnRenamed("id", idCol), Seq(idCol))
+      .withColumn("split",
+        when(bucket < trainPct, "train").otherwise("eval"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deequ-style data-quality expectations: declarative checks evaluated
+  * scale-consciously. All single-table checks against one table compile
+  * into ONE aggregate pass over that table (at 100 TB: one scan, not
+  * |checks| scans — the same one-wide-row-then-stack shape
+  * `Profile.profile` uses), and referential-integrity checks are
+  * left-anti joins whose parent key set Catalyst/AQE broadcasts when it
+  * fits. Every metric is an exact integer violation count (no float
+  * ratios), so results hash-compare bit-exactly across engines.
+  *
+  * The reference has no quality machinery at all; this is part of the
+  * beyond-reference pipeline surface (SURVEY.md §7.2 step 9).
+  */
+object Expectations {
+
+  /** One declarative column-level expectation; `violated` is a boolean
+    * Column that is true on rows FAILING the expectation. */
+  final case class Check(name: String, violated: Column)
+
+  /** Rows where `c` is null. */
+  def notNull(name: String, c: Column): Check = Check(name, c.isNull)
+
+  /** Rows outside [lo, hi] (nulls count as violations — an absent value
+    * cannot attest the range). */
+  def inRange(name: String, c: Column, lo: Double, hi: Double): Check =
+    Check(name, !(c >= lo && c <= hi) || c.isNull)
+
+  /** Rows whose value is not in the accepted set. */
+  def inSet(name: String, c: Column, values: Seq[String]): Check =
+    Check(name, !c.isin(values: _*) || c.isNull)
+
+  /** Rows failing an arbitrary predicate. */
+  def satisfies(name: String, predicate: Column): Check =
+    Check(name, !predicate || predicate.isNull)
+
+  /** Evaluate all checks against `df` in a single aggregate pass.
+    * Returns one row per check: (check, violations, n_rows, passed). A
+    * uniqueness check on `uniqueKey` (if given) rides in the same pass as
+    * a count-distinct Expand branch — still one scan. */
+  def run(df: DataFrame, checks: Seq[Check],
+      uniqueKey: Option[(String, Column)] = None): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      (checks.zipWithIndex.map { case (ck, i) =>
+        sum(when(ck.violated, 1L).otherwise(0L)).as(s"__v$i")
+      } ++ uniqueKey.toSeq.map { case (_, key) =>
+        (count(lit(1)) - countDistinct(key)).as("__vdup")
+      })
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val names = checks.map(_.name) ++ uniqueKey.toSeq.map(_._1)
+    val cols = checks.indices.map(i => s"`__v$i`") ++
+      uniqueKey.toSeq.map(_ => "`__vdup`")
+    val stackArgs = names.zip(cols)
+      .map { case (n, c) => s"'$n', $c" }.mkString(", ")
+    wide.select(col("__n"), expr(
+        s"stack(${names.size}, $stackArgs) AS (`check`, violations)"))
+      .select(col("check"), col("violations").cast(LongType).as("violations"),
+        col("__n").as("n_rows"))
+      .withColumn("passed", col("violations") === 0L)
+  }
+
+  /** Referential integrity: count child rows whose `childKey` has no
+    * match in `parent.parentKey` (null child keys are orphans too — they
+    * reference nothing). One pass over the child: a left join against the
+    * DISTINCT parent key set (no fan-out possible), orphan = unmatched;
+    * the key set broadcasts when small, SMJ at scale. No driver action. */
+  def foreignKey(name: String, child: DataFrame, childKey: Column,
+      parent: DataFrame, parentKey: Column): DataFrame =
+    child
+      .join(parent.select(parentKey.as("__pk")).distinct(),
+        childKey === col("__pk"), "left")
+      .agg(sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("violations"),
+        count(lit(1)).as("n_rows"))
+      .select(lit(name).as("check"),
+        coalesce(col("violations"), lit(0L)).cast(LongType).as("violations"),
+        col("n_rows"))
+      .withColumn("passed", col("violations") === 0L)
+}

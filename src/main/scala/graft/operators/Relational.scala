@@ -243,4 +243,55 @@ object Relational {
         joinType)
       .drop("_salt")
   }
+
+  /** Snapshot diff: classify every key across two table versions as
+    * added / deleted / changed / unchanged. One full-outer sort-merge
+    * join on the key (the inevitable shuffle; at 100 TB both snapshots
+    * should be bucketed or Z-ordered on the key so the join co-locates —
+    * see Sinks.writeBucketed), then a null-safe column compare — no
+    * window, no collect. `compareCols` defaults to every non-key column
+    * shared by both sides. Returns one row per key present in either
+    * side: (key..., change_type). */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keys: Seq[String],
+      compareCols: Seq[String] = Nil): DataFrame = {
+    val cmp = if (compareCols.nonEmpty) compareCols
+      else before.columns.filterNot(keys.contains)
+        .filter(after.columns.contains).toSeq
+    val b = before.select((keys ++ cmp).map(col): _*)
+      .withColumn("__b", lit(true))
+    val a = after.select((keys ++ cmp).map(c =>
+        col(c).as(if (keys.contains(c)) c else s"__a_$c")): _*)
+      .withColumn("__a", lit(true))
+    val joined = b.join(a, keys, "full_outer")
+    val differs = cmp.map(c => !(col(c) <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined.select(keys.map(col) :+
+      when(col("__b").isNull, "added")
+        .when(col("__a").isNull, "deleted")
+        .when(differs, "changed")
+        .otherwise("unchanged").as("change_type"): _*)
+  }
+
+  /** Incremental aggregate maintenance (materialized-view refresh): merge
+    * a maintained per-key aggregate STATE with the aggregate of a new
+    * delta batch, without rescanning the base data — the 100 TB pattern
+    * for keeping corpus statistics fresh (refresh cost scales with the
+    * delta, not the corpus). State is (key, sum DECIMAL, cnt) — sums and
+    * counts are mergeable by addition; avg is derived at read time, so it
+    * is exactly the avg a full recompute would produce. Both inputs and
+    * the output share one schema, so refreshes chain: state ⊕ delta₁ ⊕
+    * delta₂ = agg(base ∪ delta₁ ∪ delta₂). */
+  def aggState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(22, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(22, 2)).as("agg_sum"),
+        count(col(valueCol)).as("agg_cnt"))
+
+  def mergeAggState(state: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("agg_sum"))
+          .cast(org.apache.spark.sql.types.DecimalType(22, 2)).as("agg_sum"),
+        coalesce(sum(col("agg_cnt")), lit(0L)).as("agg_cnt"))
 }

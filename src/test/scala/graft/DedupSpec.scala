@@ -264,4 +264,29 @@ class DedupSpec extends AnyFunSuite {
       (3L, "completely unique words here"),
       (4L, "xx yy")))
   }
+
+  test("leakageSafeSplit co-assigns whole duplicate clusters to one split") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // chain 0-1-2 and pair 10-11 are dup clusters; the rest are singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.leakageSafeSplit(docs, pairs, trainPct = 50)
+      .select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got.size == 40)
+    // every member of a component carries the same split label
+    val byComp = got.groupBy(_._2).values
+    assert(byComp.forall(g => g.map(_._3).distinct.size == 1))
+    // the clusters really are clustered (component = min member id)
+    val m = got.map(g => g._1 -> g._2).toMap
+    assert(m(0L) == 0L && m(1L) == 0L && m(2L) == 0L)
+    assert(m(10L) == 10L && m(11L) == 10L)
+    // split agrees with the hash of the COMPONENT, not the member id
+    val expected = graft.functions.Profile.hashBucket100(col("component"))
+    val check = Dedup.leakageSafeSplit(docs, pairs, trainPct = 50)
+      .withColumn("b", expected)
+      .filter((col("b") < 50) =!= (col("split") === "train"))
+    assert(check.count() == 0)
+    // both labels occur (40 singleton hashes won't all land one side)
+    assert(got.map(_._3).distinct.toSet == Set("train", "eval"))
+  }
 }

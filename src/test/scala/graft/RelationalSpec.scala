@@ -245,4 +245,68 @@ class RelationalSpec extends AnyFunSuite {
     // wholesale: name is not carried by the change → null
     assert(out == Seq((1L, None, 11.0)))
   }
+
+  test("snapshotDiff classifies added/deleted/changed/unchanged (null-safe)") {
+    val before = Seq(
+      (1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (3L, None: Option[String], 3.0), (4L, Some("d"), 4.0)
+    ).toDF("id", "v", "x")
+    val after = Seq(
+      (2L, Some("b"), 2.0),                 // unchanged
+      (3L, None: Option[String], 3.0),      // unchanged (null <=> null)
+      (4L, Some("D"), 4.0),                 // changed
+      (5L, Some("e"), 5.0)                  // added
+    ).toDF("id", "v", "x")
+    val got = Relational.snapshotDiff(before, after, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "deleted"), (2L, "unchanged"), (3L, "unchanged"),
+      (4L, "changed"), (5L, "added")))
+  }
+
+  test("incremental agg state merge equals full recompute, schema stable") {
+    val full = Seq(("a", 1.25), ("a", 2.50), ("b", 3.75), ("a", 4.00),
+      ("b", 0.10)).toDF("k", "v")
+    val s1 = Relational.aggState(full.filter(col("v") < 3.0), Seq("k"), "v")
+    val s2 = Relational.aggState(full.filter(col("v") >= 3.0), Seq("k"), "v")
+    val merged = Relational.mergeAggState(s1, s2, Seq("k"))
+    assert(merged.schema == s1.schema) // refreshes chain without drift
+    val again = Relational.mergeAggState(merged,
+      Relational.aggState(full.limit(0), Seq("k"), "v"), Seq("k"))
+    val gotM = merged.orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toString, r.getLong(2))).toSeq
+    val gotF = Relational.aggState(full, Seq("k"), "v").orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toString, r.getLong(2))).toSeq
+    assert(gotM == gotF)
+    assert(again.orderBy("k").collect().map(_.getDecimal(1)).toSeq ==
+      merged.orderBy("k").collect().map(_.getDecimal(1)).toSeq)
+  }
+
+  test("expectations: one-pass checks count violations exactly; FK finds orphans") {
+    import graft.operators.Expectations
+    val df = Seq(
+      (1L, Some(5.0), Some("A")), (2L, Some(60.0), Some("X")),
+      (3L, None: Option[Double], Some("N")), (4L, Some(10.0), None)
+    ).toDF("id", "qty", "flag")
+    val got = Expectations.run(df, Seq(
+        Expectations.notNull("flag_not_null", col("flag")),
+        Expectations.inRange("qty_1_50", col("qty"), 1, 50),
+        Expectations.inSet("flag_accepted", col("flag"), Seq("A", "N", "R"))),
+        uniqueKey = Some(("id_unique", col("id"))))
+      .orderBy("check").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got == Seq(
+      ("flag_accepted", 2L, 4L, false),  // X + null
+      ("flag_not_null", 1L, 4L, false),
+      ("id_unique", 0L, 4L, true),
+      ("qty_1_50", 2L, 4L, false)))     // 60.0 + null
+
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq((10L, Some(1L)), (11L, Some(3L)),
+      (12L, None: Option[Long])).toDF("cid", "fk")
+    val fkRow = Expectations.foreignKey("fk_ok", child, col("fk"),
+      parent, col("pk")).collect().head
+    assert((fkRow.getString(0), fkRow.getLong(1), fkRow.getLong(2),
+      fkRow.getBoolean(3)) == ("fk_ok", 2L, 3L, false)) // orphan 3 + null
+  }
 }
