@@ -2343,6 +2343,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Count-Min Sketch built purely relationally (grouped count = the
+    // d×w counter matrix, map-side combined; estimates = broadcast join +
+    // min over the d rows). w=64 over 150+ users forces real collisions,
+    // so `exact` is false for collided keys while the CMS guarantee
+    // est ≥ true (`ge_true`) holds for every key — both checked in-query
+    // and replayed bit-exactly by the twin via the same two-limb hash.
+    "q_cms" -> ((s, dir) => {
+      import graft.functions.CountMin
+      val ev = t(s, dir, "events")
+      val sketch = CountMin.build(ev, col("user_id"), d = 4, w = 64)
+      val est = CountMin.estimate(sketch, ev.select("user_id"), "user_id",
+        d = 4, w = 64)
+      ev.groupBy("user_id").agg(count(lit(1)).as("true_cnt"))
+        .join(est, Seq("user_id"))
+        .select(col("user_id"), col("true_cnt"), col("est"),
+          (col("est") >= col("true_cnt")).as("ge_true"),
+          (col("est") === col("true_cnt")).as("exact"))
+        .orderBy("user_id")
+    }),
+
+    // media perceptual-hash near-dup: aHash/pHash-shaped bits (byte-slot
+    // mean vs whole-payload mean, exact integer cross-multiplication) →
+    // 4-bit band buckets → exact Hamming verify — image/audio near-dup
+    // without pairwise payload compares. The twin replays the byte-slot
+    // sums, the bit rule, the banding, and xor/bit_count in SQL.
+    "q_media_phash" -> ((s, dir) =>
+      Multimodal.phashNearDupPairs(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents")),
+          dim = 32, maxHamming = 2)
+        .orderBy("id_a", "id_b")),
+
     // hashed-bag-of-words linear classifier (fastText-shaped quality
     // model APPLY): narrow per-row fold over the token array — runs at
     // parquet-scan speed, no shuffle/explode/UDF
@@ -2525,6 +2556,13 @@ object SparkEntry {
 
   /** Shared CTE chain for the simhash twins: tokenize, FNV-1a per token
     * in HUGEINT mod-2^64, per-bit +1/-1 tallies, 64-bit sign list. */
+  /** The width-safe two-limb Knuth hash (Profile.hash32) over an SQL
+    * expression — every intermediate < 1.8e14, identical in any engine. */
+  private def hash32Sql(x: String): String =
+    s"(((($x) % 4294967296) % 65536) * 2654435761" +
+      s" + ((((($x) % 4294967296) // 65536) * 2654435761) % 65536) * 65536)" +
+      " % 4294967296"
+
   private def simhashBitsCte: String =
     s"""WITH toks AS (
            SELECT doc_id, unnest(list_filter(
@@ -3902,6 +3940,66 @@ object SparkEntry {
              THEN 'train' ELSE 'eval' END AS split
          FROM documents d JOIN comp c ON d.doc_id = c.id
          ORDER BY d.doc_id""",
+
+    // CMS replay: the same double hash (h(h(key) + row) % w) builds the
+    // d×w counter table and serves the point lookups
+    "q_cms" ->
+      s"""WITH ks AS (SELECT user_id, ${hash32Sql("user_id")} AS h1
+             FROM events),
+         bk AS (SELECT user_id, j,
+             ${hash32Sql("h1 + j")} % 64 AS b
+           FROM ks, (VALUES (0),(1),(2),(3)) js(j)),
+         cms AS (SELECT j, b, count(*) AS cnt FROM bk GROUP BY j, b),
+         probe AS (SELECT DISTINCT user_id, h1 FROM ks),
+         pb AS (SELECT user_id, j, ${hash32Sql("h1 + j")} % 64 AS b
+           FROM probe, (VALUES (0),(1),(2),(3)) js(j)),
+         est AS (SELECT user_id, min(cnt) AS est
+           FROM pb JOIN cms USING (j, b) GROUP BY user_id),
+         tr AS (SELECT user_id, count(*) AS true_cnt FROM events
+           GROUP BY user_id)
+         SELECT t.user_id, t.true_cnt, CAST(e.est AS BIGINT) AS est,
+           e.est >= t.true_cnt AS ge_true, e.est = t.true_cnt AS exact
+         FROM tr t JOIN est e USING (user_id)
+         ORDER BY user_id""",
+
+    // byte-slot sums → integer-exact bit rule → 4-bit bands → xor verify
+    "q_media_phash" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id, text,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+           FROM documents),
+         bytes AS (
+           SELECT media_id, i, ord(substr(text, i, 1)) AS b
+           FROM m, unnest(generate_series(1, CAST(n_bytes AS INTEGER))) AS t(i)),
+         slots AS (
+           SELECT media_id, (i - 1) % 32 AS slot,
+             CAST(sum(b) AS BIGINT) AS s, count(*) AS c
+           FROM bytes GROUP BY media_id, (i - 1) % 32),
+         tot AS (
+           SELECT media_id, CAST(sum(s) AS BIGINT) AS total,
+             CAST(sum(c) AS BIGINT) AS n
+           FROM slots GROUP BY media_id),
+         ph AS (
+           SELECT s.media_id,
+             CAST(sum(CASE WHEN s.s * t.n > t.total * s.c
+               THEN (CAST(1 AS BIGINT) << s.slot) ELSE 0 END) AS BIGINT) AS phash
+           FROM slots s JOIN tot t USING (media_id)
+           GROUP BY s.media_id),
+         bands AS (
+           SELECT media_id, phash, j AS band_idx,
+             (phash >> (j * 4)) & 15 AS band_val
+           FROM ph, unnest(generate_series(0, 7)) AS js(j)),
+         cand AS (
+           SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.phash AS pa, b.phash AS pb
+           FROM bands a JOIN bands b
+             ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.media_id < b.media_id)
+         SELECT id_a, id_b,
+           CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+         FROM cand
+         WHERE bit_count(xor(pa, pb)) <= 2
+         ORDER BY id_a, id_b""",
 
     "q_quantize" ->
       """WITH u AS (SELECT vec_id, i AS pos,

@@ -97,6 +97,71 @@ object Multimodal {
     }
   }
 
+  /** Per-media perceptual hash row. */
+  case class MediaHash(media_id: Long, phash: Long)
+
+  /** Perceptual hash over the payload: bit i is set when byte-slot i's
+    * mean exceeds the whole payload's mean — the aHash/pHash family shape
+    * (bits = per-cell intensity vs global reference) computed on the raw
+    * bytes the way [[stubDecode]] stands in for a codec. All arithmetic
+    * is exact INTEGER cross-multiplication (slotSum·C > total·slotCnt ⇔
+    * slotMean > mean), so the hash is bit-identical in any engine — no
+    * float thresholds. Exact for payloads < ~190 MB (255·L² < 2^63).
+    * Runs per-partition like the decoder (codec init amortizes). */
+  def perceptualHash(media: DataFrame, dim: Int = 32): Dataset[MediaHash] = {
+    require(dim <= 63, "phash must fit a signed long")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val p = if (r.payload == null) Array.emptyByteArray else r.payload
+        val sums = new Array[Long](dim)
+        val cnts = new Array[Long](dim)
+        var i = 0
+        while (i < p.length) {
+          sums(i % dim) += (p(i) & 0xff); cnts(i % dim) += 1; i += 1
+        }
+        val total = sums.sum
+        val n = p.length.toLong
+        var h = 0L
+        var j = 0
+        while (j < dim) {
+          if (n > 0 && sums(j) * n > total * cnts(j)) h |= (1L << j)
+          j += 1
+        }
+        MediaHash(r.media_id, h)
+      }
+    }
+  }
+
+  /** Perceptual-hash near-dup pairs: candidates share at least one 4-bit
+    * band (pigeonhole: ≤ 3 differing bits leave ≥ dim/4 − 3 of the bands
+    * intact, so `maxHamming` ≤ 3 loses nothing), verified by exact
+    * Hamming distance. The same band→bucket-join→verify shape as SimHash
+    * text dedup, but over the media payload hash — image/audio near-dup
+    * at 100 TB without ever comparing payloads pairwise. */
+  def phashNearDupPairs(media: DataFrame, dim: Int = 32,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming <= 3, "band completeness only proven to hamming 3")
+    val nBands = dim / 4
+    val h = perceptualHash(media, dim).toDF()
+    val bands = h.select(col("media_id"), col("phash"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("phash"), b * 4).bitwiseAND(lit(15L))): _*)))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_val")
+    val a = bands.select(col("media_id").as("id_a"), col("phash").as("pa"),
+      col("band_idx"), col("band_val"))
+    val b = bands.select(col("media_id").as("id_b"), col("phash").as("pb"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "pa", "pb").distinct()
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** "Frame sampling" for video payloads: every `stride`-th fixed-size byte
     * window becomes one frame row (explode → one row per frame). Real
     * pipelines do exactly this shape with decoded frames. */

@@ -45,4 +45,49 @@ class MultimodalSpec extends AnyFunSuite {
       assert(idx.toSeq == (0L until idx.length).toSeq) // contiguous frame_idx
     }
   }
+
+  test("perceptualHash: deterministic bits, identical payloads collide, near payloads near") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // identical
+      (3L, "The quick brown fox jumps over the lazy dog again and again"), // 1 byte off
+      (4L, "zzzzzz completely different high bytes zzzzzzzzzzzzzz")
+    ).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(texts)
+    val h = Multimodal.perceptualHash(media, dim = 32).collect()
+      .map(r => r.media_id -> r.phash).toMap
+    assert(h(1L) == h(2L)) // identical bytes → identical hash
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <=
+      java.lang.Long.bitCount(h(1L) ^ h(4L))) // near < far
+    // empty payload hashes to 0, not an error
+    val empty = Multimodal.perceptualHash(
+      Multimodal.mediaFromDocuments(Seq((9L, "")).toDF("doc_id", "text")))
+      .collect().head
+    assert(empty.phash == 0L)
+    // pair pipeline finds the identical pair with hamming 0 and is
+    // symmetric-free (id_a < id_b)
+    val pairs = Multimodal.phashNearDupPairs(media, dim = 32, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("count-min sketch: est >= true always; exact when no collision") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.CountMin
+    val df = (Seq.fill(40)(7L) ++ Seq.fill(25)(13L) ++
+      (100L until 160L)).toDF("k")
+    val sketch = CountMin.build(df, col("k"), d = 4, w = 32)
+    // sketch is bounded: at most d*w counter rows
+    assert(sketch.count() <= 4 * 32)
+    val est = CountMin.estimate(sketch, df.select("k"), "k", d = 4, w = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, t) => assert(est(k) >= t, s"key $k") }
+    // the two heavy keys dominate their buckets: est within n_tail slack
+    assert(est(7L) >= 40L && est(13L) >= 25L)
+  }
 }
