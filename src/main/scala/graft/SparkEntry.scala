@@ -2343,6 +2343,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE merge training: k rounds of count-adjacent-pairs → merge the
+    // most frequent pair, run on the BOUNDED word-frequency table (one
+    // corpus scan; iteration cost independent of corpus size). The twin
+    // replays all k rounds as unrolled CTEs — replace() is left-to-right
+    // non-overlapping in both engines, which IS the BPE merge rule.
+    "q_bpe_train" -> ((s, dir) =>
+      graft.functions.Text.bpeTrainMerges(t(s, dir, "documents"), k = 6)
+        .orderBy("merge_rank")),
+
     // Count-Min Sketch built purely relationally (grouped count = the
     // d×w counter matrix, map-side combined; estimates = broadcast join +
     // min over the d rows). w=64 over 150+ users forces real collisions,
@@ -2556,6 +2565,36 @@ object SparkEntry {
 
   /** Shared CTE chain for the simhash twins: tokenize, FNV-1a per token
     * in HUGEINT mod-2^64, per-bit +1/-1 tallies, 64-bit sign list. */
+  /** BPE training replay: k rounds unrolled as chained CTEs — each round
+    * counts adjacent pairs over the spaced-token word strings (weighted
+    * by word freq), picks the (cnt DESC, lhs, rhs) argmax, and applies
+    * the merge with the same non-overlapping replace() the engine uses. */
+  private def bpeTwin(k: Int): String = {
+    val head =
+      """WITH words AS (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest(regexp_split_to_array(text, '[ \n\t\r]+')) AS w
+             FROM documents) WHERE w <> '' GROUP BY w),
+         v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, freq
+                FROM words)"""
+    val rounds = (1 to k).map { r =>
+      s""",
+         t$r AS (SELECT string_split(trim(s), ' ') AS t, freq FROM v${r - 1}),
+         p$r AS (SELECT t[i] AS l, t[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM t$r, unnest(generate_series(1, len(t) - 1)) AS g(i)
+           GROUP BY 1, 2),
+         m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         v$r AS (SELECT replace(s,
+             ' ' || (SELECT l FROM m$r) || ' ' || (SELECT r FROM m$r) || ' ',
+             ' ' || (SELECT l FROM m$r) || (SELECT r FROM m$r) || ' ') AS s, freq
+           FROM v${r - 1})"""
+    }.mkString
+    val finals = (1 to k).map(r =>
+      s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS freq FROM m$r")
+      .mkString("\n         UNION ALL ")
+    head + rounds + "\n         " + finals + "\n         ORDER BY merge_rank"
+  }
+
   /** The width-safe two-limb Knuth hash (Profile.hash32) over an SQL
     * expression — every intermediate < 1.8e14, identical in any engine. */
   private def hash32Sql(x: String): String =
@@ -3940,6 +3979,8 @@ object SparkEntry {
              THEN 'train' ELSE 'eval' END AS split
          FROM documents d JOIN comp c ON d.doc_id = c.id
          ORDER BY d.doc_id""",
+
+    "q_bpe_train" -> bpeTwin(6),
 
     // CMS replay: the same double hash (h(h(key) + row) % w) builds the
     // d×w counter table and serves the point lookups

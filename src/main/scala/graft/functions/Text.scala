@@ -476,4 +476,66 @@ object Text {
       langId(t).as("lang_pred"),
       fingerprint(t).as("fingerprint"))
   }
+
+  /** BPE merge TRAINING (Sennrich et al. 2016) — the learn side of the
+    * tokenizer story (`q_vocab` counts, `tokenizeSubwords` applies): k
+    * rounds of count-adjacent-pairs → merge the most frequent pair
+    * (ties → lexicographically smallest), returning the learned merge
+    * table (merge_rank, lhs, rhs, merged, freq).
+    *
+    * Scale shape — the classic trainer factorization: ONE corpus scan
+    * builds the word-frequency table; every training round then runs on
+    * that BOUNDED vocabulary table (distinct words, not corpus rows), so
+    * at 100 TB the iteration cost is independent of corpus size. The only
+    * driver actions are k one-row argmax collects (the chosen merge must
+    * feed the next round's plan — same bounded pattern as IVF's k
+    * centroids).
+    *
+    * Engine-portable by construction: words are held as spaced token
+    * strings (" a b c ") and a merge is `replace(s, " l r ", " lr ")` —
+    * string replace scans left-to-right non-overlapping in Spark and
+    * DuckDB alike, which IS the BPE merge rule (" a a a " → " aa a "),
+    * so the oracle twin replays training exactly by unrolling the same
+    * k rounds as chained CTEs. Pair counts weight by word frequency and
+    * count every adjacent index (standard trainer counting). */
+  def bpeTrainMerges(docs: DataFrame, textCol: String = "text",
+      k: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // " a b c " — leading space + one trailing space per char
+    var vocab = words.select(
+      concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
+      col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count() // materialize before the loop re-reads it k times
+    val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to k) {
+      val toks = vocab.select(col("freq"), split(trim(col("s")), " ").as("t"))
+        .filter(size(col("t")) >= 2) // sequence(0,-1) would count DOWN
+      val best = toks.select(col("freq"), explode(expr(
+          "transform(sequence(0, size(t)-2), i -> struct(t[i] AS l, t[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0) // ONE row: the round's chosen merge
+      val (l, rr, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, l, rr, cnt))
+      val next = vocab.select(
+        call_function("replace", col("s"),
+          lit(s" $l $rr "), lit(s" $l$rr ")).as("s"),
+        col("freq"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      vocab.unpersist(blocking = false)
+      vocab = next
+    }
+    vocab.unpersist(blocking = false)
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+      .select(col("merge_rank"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("freq"))
+  }
 }

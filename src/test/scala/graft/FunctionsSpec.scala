@@ -314,4 +314,25 @@ class FunctionsSpec extends AnyFunSuite {
       .select(Text.linearScore(col("text"))).as[Double].head()
     assert(math.abs(one - four) < 1e-12)
   }
+
+  test("bpeTrainMerges: argmax pair, deterministic ties, non-overlapping merge") {
+    // corpus: "low" x3, "lower" x2, "aaa" x1
+    val docs = Seq("low low low lower lower aaa").toDF("text")
+    val m = Text.bpeTrainMerges(docs, k = 3).orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    // round 1 pair counts: (l,o)=5 (w,e... ) (o,w)=5 (w,e)=2 (e,r)=2 (a,a)=2
+    // tie (l,o) vs (o,w) at 5 -> lexicographic: (l,o)
+    assert(m(0) == ((1, "l", "o", "lo", 5L)))
+    // round 2: (lo,w)=5 wins
+    assert(m(1) == ((2, "lo", "w", "low", 5L)))
+    // round 3: (low,er)? counts: (low,e... ) words now [low]x3 [low e r]x2
+    // [a a a]: pairs (low,e)=2 (e,r)=2 (a,a)=2 -> lexicographic min (a,a)
+    assert(m(2) == ((3, "a", "a", "aa", 2L)))
+    // non-overlap check rides in round 3's count: "aaa" counted (a,a)=2
+    // adjacent indices, and merging (a,a) on " a a a " must give " aa a "
+    val after = Text.bpeTrainMerges(Seq("aaa aaa").toDF("text"), k = 1)
+    val r1 = after.collect().head
+    assert((r1.getString(1), r1.getString(2)) == (("a", "a")))
+  }
 }

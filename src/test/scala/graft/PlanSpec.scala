@@ -149,4 +149,40 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(p.contains("TopK") || p.contains("topk"),
       "per-query results should come from the k-bounded TopK aggregate")
   }
+
+  test("expectations run as one aggregate pass per table + anti-join-shaped FK") {
+    val p = plan("q_expectations")
+    // single-scan proof: lineitem and orders are each read once (the FK
+    // check reuses the same two tables, so <= 2 lineitem + 2 orders scans
+    // total across the union), and no cartesian anywhere
+    assert(!p.contains("CartesianProduct"))
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 2,
+      "lineitem should be scanned once for checks + once for the FK probe")
+    assert(p.contains("partial_sum"), "violation counts must map-side combine")
+  }
+
+  test("table diff is one key-partitioned join, no window, no cartesian") {
+    val p = plan("q_table_diff")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "big-big snapshot diff should be a shuffle join on the key")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
+  test("incremental agg merge stays a pure aggregate pipeline") {
+    val p = plan("q_incremental_agg")
+    assert(!p.contains("Join"), "state merge is a union+agg, never a join")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("CMS estimate joins the bounded sketch via broadcast") {
+    assert(plan("q_cms").contains("BroadcastHashJoin"),
+      "the d*w sketch table should broadcast to the probe join")
+  }
+
+  test("phash near-dup is a band equi-join with pruned payload read") {
+    val p = plan("q_media_phash")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "only id+payload source columns should be read")
+  }
 }
