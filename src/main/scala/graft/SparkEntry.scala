@@ -2343,6 +2343,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // positional inverted-index phrase search: three posting lists
+    // equi-joined on (doc, pos − offset) — token-exact (not substring),
+    // reads postings not the corpus. Twin replays the positional join.
+    "q_phrase_search" -> ((s, dir) =>
+      graft.functions.Text.phraseSearch(t(s, dir, "documents"),
+          Seq("table", "part", "a"))
+        .orderBy("doc_id", "pos")),
+
     // BPE merge training: k rounds of count-adjacent-pairs → merge the
     // most frequent pair, run on the BOUNDED word-frequency table (one
     // corpus scan; iteration cost independent of corpus size). The twin
@@ -3981,6 +3989,24 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "q_bpe_train" -> bpeTwin(6),
+
+    // positional postings + n-way self-join at fixed offsets
+    "q_phrase_search" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \n\t\r]+'),
+               x -> x <> '') AS t
+           FROM documents),
+         p AS (SELECT doc_id, i - 1 AS pos, t[i] AS term
+           FROM toks, unnest(generate_series(1, len(t))) AS g(i))
+         SELECT a.doc_id, CAST(a.pos AS BIGINT) AS pos
+         FROM p a
+         JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           AND b.term = 'part'
+         JOIN p c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+           AND c.term = 'a'
+         WHERE a.term = 'table'
+         ORDER BY a.doc_id, pos""",
 
     // CMS replay: the same double hash (h(h(key) + row) % w) builds the
     // d×w counter table and serves the point lookups

@@ -477,6 +477,31 @@ object Text {
       fingerprint(t).as("fingerprint"))
   }
 
+  /** Exact phrase search over a positional inverted index — the
+    * retrieval-side complement of BM25's bag-of-words ranking: emit every
+    * (doc, position) where the token phrase occurs verbatim. The posting
+    * table (doc, pos, term) is filtered to the phrase's terms BEFORE any
+    * shuffle (narrow projection of the scan), then the phrase is an
+    * n-way self-equi-join on (doc, pos − offset) — query cost scales
+    * with the matched terms' posting sizes, never the corpus, which is
+    * the point of an inverted index at 100 TB (a LIKE scan reads
+    * everything; this reads three posting lists). */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty)
+    val posts = docs.select(col("doc_id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val base = posts.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    phrase.zipWithIndex.tail.foldLeft(base) { case (acc, (t, i)) =>
+      acc.join(posts.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("p0")),
+        Seq("doc_id", "p0"))
+    }.select(col("doc_id"),
+      col("p0").cast(org.apache.spark.sql.types.LongType).as("pos"))
+  }
+
   /** BPE merge TRAINING (Sennrich et al. 2016) — the learn side of the
     * tokenizer story (`q_vocab` counts, `tokenizeSubwords` applies): k
     * rounds of count-adjacent-pairs → merge the most frequent pair

@@ -315,6 +315,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(one - four) < 1e-12)
   }
 
+  test("phraseSearch: token-exact positional match, all occurrences, no substring hits") {
+    val docs = Seq(
+      (1L, "x table part a y table part a"),   // two occurrences
+      (2L, "table part about"),                 // 'about' != 'a': no hit
+      (3L, "table part"),                       // truncated: no hit
+      (4L, "parts table part a")                // one hit at pos 1
+    ).toDF("doc_id", "text")
+    val got = Text.phraseSearch(docs, Seq("table", "part", "a"))
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (1L, 5L), (4L, 1L)))
+  }
+
   test("bpeTrainMerges: argmax pair, deterministic ties, non-overlapping merge") {
     // corpus: "low" x3, "lower" x2, "aaa" x1
     val docs = Seq("low low low lower lower aaa").toDF("text")
