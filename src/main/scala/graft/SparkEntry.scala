@@ -2343,6 +2343,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // weighted cheapest paths (4 Bellman-Ford relax rounds = exact min
+    // cost over ≤4-hop paths) on the same ring+skip+affine graph as
+    // q_bfs, with deterministic integer weights; the twin is the
+    // recursive-CTE min over all bounded-hop paths
+    "q_sssp" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // single bounded scalar, never data-sized
+      val id = col("doc_id")
+      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
+        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
+        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+        .withColumn("w", (col("src") % 5) + 1)
+      val sources = docs.filter(id < 2).select(id.as("node_id"))
+      graft.graph.Sssp.cheapestPaths(edges, sources, maxHops = 4)
+        .orderBy("node_id")
+    }),
+
+    // first-order Markov transition matrix over per-user event sequences
+    // (lead window partitioned by user — bounded partitions); exact
+    // counts, per-row IEEE probability quotient
+    "q_transitions" -> ((s, dir) =>
+      graft.operators.Analytics.transitionMatrix(t(s, dir, "events"))
+        .orderBy("from_type", "to_type")),
+
     // positional inverted-index phrase search: three posting lists
     // equi-joined on (doc, pos − offset) — token-exact (not substring),
     // reads postings not the corpus. Twin replays the positional join.
@@ -3989,6 +4013,45 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "q_bpe_train" -> bpeTwin(6),
+
+    // min cost over all ≤4-hop paths from the seed set (recursive CTE);
+    // the engine's 4 relax rounds must produce exactly this table
+    "q_sssp" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+         edges AS (
+           SELECT doc_id AS src, (doc_id + 1) % (SELECT c FROM nn) AS dst,
+             doc_id % 5 + 1 AS w FROM documents
+           UNION ALL
+           SELECT doc_id, (doc_id + 2) % (SELECT c FROM nn),
+             doc_id % 5 + 1 FROM documents
+           UNION ALL
+           SELECT doc_id, (doc_id * 7 + 3) % (SELECT c FROM nn),
+             doc_id % 5 + 1 FROM documents),
+         reach(id, cost, hops) AS (
+           SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents
+           WHERE doc_id < 2
+           UNION
+           SELECT e.dst, r.cost + e.w, r.hops + 1
+           FROM reach r JOIN edges e ON e.src = r.id
+           WHERE r.hops < 4)
+         SELECT id AS node_id, min(cost) AS cost FROM reach
+         GROUP BY id ORDER BY node_id""",
+
+    // lead window partitioned per user, then exact transition counts
+    "q_transitions" ->
+      """WITH p AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM p
+           WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS total_from
+           FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n, t.total_from,
+           CAST(c.n AS DOUBLE) / CAST(t.total_from AS DOUBLE) AS prob
+         FROM c JOIN t USING (from_type)
+         ORDER BY from_type, to_type""",
 
     // positional postings + n-way self-join at fixed offsets
     "q_phrase_search" ->

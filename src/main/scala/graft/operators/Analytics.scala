@@ -131,4 +131,33 @@ object Analytics {
         col("n"))
       .orderBy("bucket")
   }
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * count (event_type → next event_type) transitions, with the next
+    * event taken per user in (ts, tiebreak) order via a lead window
+    * PARTITIONED BY user (bounded partitions — never a global window).
+    * Returns (from_type, to_type, n, total_from, prob): n is the exact
+    * transition count, total_from the exact out-count of the source
+    * state, prob their per-row IEEE quotient (identical on identical
+    * longs in any engine). The sequence-model use: behavioral signatures
+    * for bot/spam filtering and next-event priors. */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      tiebreakCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol), col(tiebreakCol))
+    val pairs = events
+      .select(col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type")
+      .agg(sum(col("n")).as("total_from"))
+    counts.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        col("total_from").cast(LongType).as("total_from"),
+        (col("n").cast(DoubleType) / col("total_from").cast(DoubleType))
+          .as("prob"))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.graph.PageRank
+import graft.graph.{PageRank, Sssp}
 
 /** PageRank semantics on small hand-checkable graphs. */
 class GraphSpec extends AnyFunSuite {
@@ -175,5 +175,25 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(math.abs(r(0L) - (1.0 - 0.85)) < 1e-12)
     assert(math.abs(r(1L) - 0.85) < 1e-12)
+  }
+
+  test("sssp: relax rounds find the cheap detour over the direct edge") {
+    import spark.implicits._
+    // 0 -> 1 costs 10 direct, but 0 -> 2 -> 1 costs 1 + 1 = 2
+    val edges = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 1L),
+      (1L, 3L, 5L)).toDF("src", "dst", "w")
+    val sources = Seq(0L).toDF("node_id")
+    val got = Sssp.cheapestPaths(edges, sources, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 2L, 2L -> 1L, 3L -> 7L))
+    // hop cap binds: with 1 hop the detour is unreachable
+    val capped = Sssp.cheapestPaths(edges, sources, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(1L) == 10L && !capped.contains(3L))
+    // seed cost stays 0 even on a cycle back to it
+    val cyc = Seq((0L, 1L, 1L), (1L, 0L, 1L)).toDF("src", "dst", "w")
+    val c = Sssp.cheapestPaths(cyc, sources, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(0L) == 0L && c(1L) == 1L)
   }
 }

@@ -142,6 +142,28 @@ class OperatorsSpec extends AnyFunSuite {
       ("2024-01-08", 0L, 1L), ("2024-01-08", 1L, 1L)))
   }
 
+  test("transition matrix: per-user lead order, exact counts, prob sums to 1") {
+    val e = Seq(
+      (1L, 1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 2L, "click", ts("2024-01-01 11:00:00")),
+      (1L, 3L, "view", ts("2024-01-01 12:00:00")),
+      (2L, 4L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 5L, "click", ts("2024-01-01 10:00:00")), // same ts: event_id breaks
+      (3L, 6L, "buy", ts("2024-01-01 10:00:00"))    // single event: no pair
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = graft.operators.Analytics.transitionMatrix(e)
+      .orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // u1: view->click, click->view; u2: view->click; u3 contributes nothing
+    assert(got == Seq(("click", "view", 1L, 1L), ("view", "click", 2L, 2L)))
+    val probs = graft.operators.Analytics.transitionMatrix(e)
+      .groupBy("from_type")
+      .agg(org.apache.spark.sql.functions.sum("prob").as("p"))
+      .collect().map(_.getDouble(1))
+    probs.foreach(p => assert(math.abs(p - 1.0) < 1e-12))
+  }
+
   test("equi-depth histogram: near-equal bucket loads on a uniform column") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val got = graft.operators.Analytics.equiDepthHistogram(df, "v", 4)
