@@ -2343,6 +2343,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cluster labeling (c-TF-IDF-style "what is this cluster about"):
+    // top-3 terms per k-means cluster by exact count. The rank window is
+    // partitioned by cluster and runs over (cluster × vocab) count rows —
+    // bounded by vocabulary, never by corpus. Twin = the bit-deterministic
+    // k-means replay (q_semdedup's CTEs) + counts + rank.
+    "q_cluster_terms" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val cents = graft.similarity.Ivf.train(emb, k = 8, iters = 1)
+      val assign = graft.similarity.Ivf.assign(emb, cents)
+        .select(col("vec_id").as("doc_id"),
+          col("centroid_id").cast(IntegerType).as("cluster"))
+      val toks = docs.join(assign, "doc_id")
+        .select(col("cluster"), explode(split(col("text"), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val counts = toks.groupBy("cluster", "term").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("n").desc, col("term").asc)
+      counts.withColumn("rnk", row_number().over(w).cast(LongType))
+        .filter(col("rnk") <= 3)
+        .orderBy("cluster", "rnk")
+    }),
+
+    // robust outlier gate: median absolute deviation (MAD) per group —
+    // the quantile analog of q_outliers' z-score (robust to the heavy
+    // tail that inflates a stddev gate). dev > 4.4478·mad ≈ |z_robust|>3;
+    // exact interpolated percentiles (quantile_cont twin), multiply-only
+    // predicate, exact counts.
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.operators.Analytics.madOutliers(t(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority")),
+
     // weighted cheapest paths (4 Bellman-Ford relax rounds = exact min
     // cost over ≤4-hop paths) on the same ring+skip+affine graph as
     // q_bfs, with deterministic integer weights; the twin is the
@@ -4013,6 +4046,43 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "q_bpe_train" -> bpeTwin(6),
+
+    // k-means replay CTEs (a1 = assignments after 1 Lloyd iteration) +
+    // per-cluster token counts + rank
+    "q_cluster_terms" -> (kmeansAssignCtes +
+      """,
+         asg AS (SELECT vec_id AS doc_id, cid AS cluster FROM a1),
+         tk AS (SELECT a.cluster,
+             unnest(list_filter(regexp_split_to_array(d.text, '[ \n\t\r]+'),
+               x -> x <> '')) AS term
+           FROM documents d JOIN asg a USING (doc_id)),
+         c AS (SELECT cluster, term, count(*) AS n FROM tk GROUP BY 1, 2),
+         r AS (SELECT cluster, term, n,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY n DESC, term) AS rnk
+           FROM c)
+         SELECT cluster, term, n, CAST(rnk AS BIGINT) AS rnk FROM r
+         WHERE rnk <= 3 ORDER BY cluster, rnk"""),
+
+    // exact interpolated median + MAD per group (quantile_cont is the
+    // same linear interpolation as Spark's percentile)
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.5) AS med
+           FROM orders GROUP BY 1),
+         d AS (SELECT o.o_orderpriority,
+             abs(o.o_totalprice - m.med) AS dev, m.med
+           FROM orders o JOIN med m USING (o_orderpriority)),
+         md AS (SELECT o_orderpriority, max(med) AS med,
+             quantile_cont(dev, 0.5) AS mad
+           FROM d GROUP BY 1)
+         SELECT d.o_orderpriority, max(md.med) AS med, max(md.mad) AS mad,
+           count(*) AS n,
+           CAST(sum(CASE WHEN d.dev > 4.4478 * md.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+         FROM d JOIN md USING (o_orderpriority)
+         GROUP BY d.o_orderpriority
+         ORDER BY o_orderpriority""",
 
     // min cost over all ≤4-hop paths from the seed set (recursive CTE);
     // the engine's 4 relax rounds must produce exactly this table

@@ -132,6 +132,30 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Robust per-group outlier gate by median absolute deviation: returns
+    * (group, med, mad, n, n_outliers) where an outlier is
+    * dev > k·mad (multiply-only predicate; k = 4.4478 ≈ 3·1.4826 makes
+    * it the robust analog of |z| > 3). Three grouped aggregate passes
+    * (median, MAD, counts) — Spark's exact `percentile` is the same
+    * linear interpolation as DuckDB's quantile_cont, so the whole chain
+    * is engine-exact. Robust where the z-score gate is not: a heavy tail
+    * inflates a stddev but barely moves the MAD. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 4.4478): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.join(med, Seq(groupCol))
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mads = dev.groupBy(groupCol)
+      .agg(max(col("med")).as("med2"), expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mads, Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(max(col("med2")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * count (event_type → next event_type) transitions, with the next
     * event taken per user in (ts, tiebreak) order via a lead window

@@ -164,6 +164,21 @@ class OperatorsSpec extends AnyFunSuite {
     probs.foreach(p => assert(math.abs(p - 1.0) < 1e-12))
   }
 
+  test("madOutliers: heavy tail moves the stddev gate, not the MAD gate") {
+    // group g: 9 values near 100 plus one extreme at 10000.
+    // med = 100, deviations = (0..4 small, one 9900) -> mad stays small,
+    // the single extreme is the only outlier.
+    val vals = Seq(98.0, 99.0, 99.0, 100.0, 100.0, 100.0, 101.0, 101.0,
+      102.0, 10000.0)
+    val df = vals.map(("g", _)).toDF("grp", "v")
+    val r = graft.operators.Analytics.madOutliers(df, "grp", "v")
+      .collect().head
+    assert(r.getAs[Double]("med") == 100.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
   test("equi-depth histogram: near-equal bucket loads on a uniform column") {
     val df = (1 to 100).map(_.toDouble).toDF("v")
     val got = graft.operators.Analytics.equiDepthHistogram(df, "v", 4)
