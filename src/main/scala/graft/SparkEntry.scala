@@ -2343,6 +2343,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // key-skew diagnosis before a shuffle: per-key count distribution
+    // shape for two candidate join/group keys — the "measure before
+    // salting" report (skew_factor in the tens → saltedJoin/AQE skew)
+    "q_skew_report" -> ((s, dir) =>
+      graft.functions.Profile.skewReport(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_suppkey"))
+        .orderBy("key_col")),
+
+    // distribution drift between two corpus slices per language stratum;
+    // the 10% gate is decided in exact cross-multiplied longs (no float
+    // share ever enters the decision), shares emitted as per-row
+    // quotients for reporting
+    "q_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.functions.Profile.distributionDrift(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+          "lang")
+        .orderBy("lang")
+    }),
+
     // cluster labeling (c-TF-IDF-style "what is this cluster about"):
     // top-3 terms per k-means cluster by exact count. The rank window is
     // partitioned by cluster and runs over (cluster × vocab) count rows —
@@ -4046,6 +4066,44 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "q_bpe_train" -> bpeTwin(6),
+
+    "q_skew_report" ->
+      """WITH ko AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem
+           GROUP BY 1),
+         ks AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem
+           GROUP BY 1),
+         ro AS (SELECT 'l_orderkey' AS key_col, count(*) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS total, max(n) AS max_n,
+             quantile_cont(n, 0.5) AS p50_n, quantile_cont(n, 0.99) AS p99_n
+           FROM ko),
+         rs AS (SELECT 'l_suppkey', count(*), CAST(sum(n) AS BIGINT),
+             max(n), quantile_cont(n, 0.5), quantile_cont(n, 0.99)
+           FROM ks)
+         SELECT key_col, n_keys, total, max_n, p50_n, p99_n,
+           CAST(max_n AS DOUBLE) / CAST(total AS DOUBLE) AS top_share,
+           CAST(max_n AS DOUBLE) / p50_n AS skew_factor
+         FROM (SELECT * FROM ro UNION ALL SELECT * FROM rs)
+         ORDER BY key_col""",
+
+    // integer-exact drift gate: 10*|n_a*t_b - n_b*t_a| > t_a*t_b
+    "q_drift" ->
+      """WITH a AS (SELECT lang, count(*) AS n_a FROM documents
+           WHERE doc_id % 2 = 0 GROUP BY 1),
+         b AS (SELECT lang, count(*) AS n_b FROM documents
+           WHERE doc_id % 2 = 1 GROUP BY 1),
+         j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+             coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+           FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+         t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a,
+             CAST(sum(n_b) AS BIGINT) AS t_b FROM j)
+         SELECT j.lang, CAST(j.n_a AS BIGINT) AS n_a,
+           CAST(j.n_b AS BIGINT) AS n_b, t.t_a, t.t_b,
+           CAST(j.n_a AS DOUBLE) / CAST(t.t_a AS DOUBLE) AS p_a,
+           CAST(j.n_b AS DOUBLE) / CAST(t.t_b AS DOUBLE) AS p_b,
+           abs(j.n_a * t.t_b - j.n_b * t.t_a) * 10 > t.t_a * t.t_b
+             AS drifted
+         FROM j, t
+         ORDER BY lang""",
 
     // k-means replay CTEs (a1 = assignments after 1 Lloyd iteration) +
     // per-cluster token counts + rank

@@ -33,6 +33,56 @@ object Profile {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Key-skew diagnosis for a prospective shuffle key: one output row per
+    * candidate column with the per-key count distribution's shape —
+    * n_keys, total, max_n, interpolated p50/p99 of the key counts, the
+    * hottest key's share, and max/median skew factor. This is the
+    * "measure before salting" tool: a skew factor in the tens says the
+    * plain hash join will strand one reducer and `saltedJoin`/AQE skew
+    * handling is worth its cost. One grouped count per column (each a
+    * different key space — unavoidable), each map-side combined; the
+    * percentile runs over per-key counts (|keys| rows), never raw data. */
+  def skewReport(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"),
+          max(col("n")).as("max_n"),
+          expr("percentile(n, 0.5)").as("p50_n"),
+          expr("percentile(n, 0.99)").as("p99_n"))
+        .select(lit(c).as("key_col"), col("n_keys"),
+          col("total").cast(LongType).as("total"), col("max_n"),
+          col("p50_n"), col("p99_n"),
+          (col("max_n").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("top_share"),
+          (col("max_n").cast(DoubleType) / col("p50_n")).as("skew_factor"))
+    }.reduce(_ unionByName _)
+
+  /** Distribution drift between two dataset slices, per stratum: exact
+    * counts and an INTEGER-EXACT drift flag — |p_a − p_b| > 10% decided
+    * as 10·|n_a·T_b − n_b·T_a| > T_a·T_b, pure 64-bit cross-multiplied
+    * longs (no float shares enter the decision, so every engine agrees
+    * at the boundary). The monitoring use: a corpus refresh whose
+    * language/source mix moved more than the gate means the mixing
+    * weights need retuning before training. Strata missing from one
+    * slice count 0 (full-outer join on the stratum). */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+      stratumCol: String): DataFrame = {
+    val ca = a.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_a"))
+    val cb = b.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_b"))
+    val joined = ca.join(cb, Seq(stratumCol), "full_outer")
+      .select(col(stratumCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tots = joined.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    joined.crossJoin(broadcast(tots))
+      .select(col(stratumCol), col("n_a"), col("n_b"),
+        col("t_a").cast(LongType).as("t_a"), col("t_b").cast(LongType).as("t_b"),
+        (col("n_a").cast(DoubleType) / col("t_a").cast(DoubleType)).as("p_a"),
+        (col("n_b").cast(DoubleType) / col("t_b").cast(DoubleType)).as("p_b"),
+        (abs(col("n_a") * col("t_b") - col("n_b") * col("t_a")) * 10 >
+          col("t_a") * col("t_b")).as("drifted"))
+  }
+
   /** Knuth multiplicative hash bucket in [0, 100). Width-safe: a naive
     * `id * 2654435761` overflows a 64-bit long for id ≳ 3.47e9, where Spark
     * silently wraps but other engines (the DuckDB oracle twin) raise or

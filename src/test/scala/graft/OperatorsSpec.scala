@@ -164,6 +164,38 @@ class OperatorsSpec extends AnyFunSuite {
     probs.foreach(p => assert(math.abs(p - 1.0) < 1e-12))
   }
 
+  test("skewReport: hot key dominates max_n and skew_factor") {
+    // key "hot" carries 90 of 100 rows; 10 singleton keys
+    val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"k$i")).toDF("k")
+    val r = graft.functions.Profile.skewReport(df, Seq("k")).collect().head
+    assert(r.getAs[Long]("n_keys") == 11L)
+    assert(r.getAs[Long]("total") == 100L)
+    assert(r.getAs[Long]("max_n") == 90L)
+    assert(r.getAs[Double]("p50_n") == 1.0)
+    assert(r.getAs[Double]("top_share") == 0.9)
+    assert(r.getAs[Double]("skew_factor") == 90.0)
+  }
+
+  test("distributionDrift: integer-exact gate fires both ways; missing strata count 0") {
+    val a = (Seq.fill(50)("en") ++ Seq.fill(50)("de")).toDF("lang")
+    val b = (Seq.fill(80)("en") ++ Seq.fill(15)("de") ++ Seq.fill(5)("zh"))
+      .toDF("lang")
+    val got = graft.functions.Profile.distributionDrift(a, b, "lang")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Boolean]("drifted"))).toSeq
+    // de: 50% -> 15% (drifted); en: 50% -> 80% (drifted);
+    // zh: 0% -> 5% (within the 10% gate, and absent-in-a counts 0)
+    assert(got == Seq(("de", 50L, 15L, true), ("en", 50L, 80L, true),
+      ("zh", 0L, 5L, false)))
+    // boundary exactness: 10% apart exactly is NOT drift (strict >)
+    val x = (Seq.fill(2)("p") ++ Seq.fill(8)("q")).toDF("lang") // 20% p
+    val y = (Seq.fill(1)("p") ++ Seq.fill(9)("q")).toDF("lang") // 10% p
+    val edge = graft.functions.Profile.distributionDrift(x, y, "lang")
+      .filter(col("lang") === "p").collect().head
+    assert(!edge.getAs[Boolean]("drifted"))
+  }
+
   test("madOutliers: heavy tail moves the stddev gate, not the MAD gate") {
     // group g: 9 values near 100 plus one extreme at 10000.
     // med = 100, deviations = (0..4 small, one 9900) -> mad stays small,
