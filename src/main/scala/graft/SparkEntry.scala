@@ -2396,6 +2396,40 @@ object SparkEntry {
           "o_orderpriority", "o_totalprice")
         .orderBy("o_orderpriority")),
 
+    // integer-exact exponentially-decayed engagement: newest of the last
+    // 16 events weighs 2^15, the 16th weighs 1 — the decayed sum is a sum
+    // of distinct powers of two (exact BIGINT), score = num / 2^15
+    // (power-of-two division, exact double). Window partitioned by user.
+    "q_decay" -> ((s, dir) =>
+      graft.operators.Analytics.decayedScore(t(s, dir, "events"),
+          eventType = "click", k = 16)
+        .orderBy("user_id")),
+
+    // corpus novelty rate: per-doc share of distinct word 3-grams whose
+    // FIRST corpus occurrence (min doc_id) is this doc — down-weights
+    // templated/spun recombinations during curation. Longs end-to-end
+    // (64-bit gram fingerprints); one quotient per row.
+    "q_novelty" -> ((s, dir) =>
+      graft.functions.Text.noveltyRate(t(s, dir, "documents"), n = 3)
+        .orderBy("doc_id")),
+
+    // Borda rank fusion of three integer quality signals (chars, tokens,
+    // chars-per-1000-tokens) stratified by language: rank windows
+    // partition by lang, ranks sum in longs, top-5 per stratum survive.
+    // No float enters any ordering — engine-independent by construction.
+    "q_rank_ensemble" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.operators.Analytics.bordaFusion(
+        d.withColumn("n_tokens", graft.functions.Text.tokenCount(col("text"))),
+        groupCol = "lang", idCol = "doc_id",
+        signals = Seq(
+          "s_chars" -> col("n_chars"),
+          "s_tokens" -> col("n_tokens"),
+          "s_density" -> expr("n_chars * 1000L div greatest(n_tokens, 1L)")),
+        topk = 5)
+        .orderBy("lang", "final_rank")
+    }),
+
     // weighted cheapest paths (4 Bellman-Ford relax rounds = exact min
     // cost over ≤4-hop paths) on the same ring+skip+affine graph as
     // q_bfs, with deterministic integer weights; the twin is the
@@ -4066,6 +4100,89 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "q_bpe_train" -> bpeTwin(6),
+
+    // decayed sum replayed with BIGINT shifts; the engine's
+    // otherwise(0) sum can never be NULL, so the twin coalesces
+    "q_decay" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_recent,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_matching,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click'
+               THEN CAST(1 AS BIGINT) << (16 - rn) ELSE 0 END), 0)
+             AS BIGINT) AS decay_num,
+           CAST(coalesce(sum(CASE WHEN event_type = 'click'
+               THEN CAST(1 AS BIGINT) << (16 - rn) ELSE 0 END), 0)
+             AS DOUBLE) / 32768.0 AS decay_score
+         FROM r WHERE rn <= 16
+         GROUP BY user_id ORDER BY user_id""",
+
+    // string grams mirror the fingerprint kernel's distinct word
+    // 3-grams; first-occurrence = min doc_id, one quotient per row
+    "q_novelty" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \n\t\r]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS gram
+           FROM toks),
+         f AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+         p AS (SELECT g.doc_id, count(*) AS total_grams,
+             sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+               AS novel_grams
+           FROM grams g JOIN f USING (gram) GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(p.total_grams, 0) AS BIGINT) AS total_grams,
+           CAST(coalesce(p.novel_grams, 0) AS BIGINT) AS novel_grams,
+           CASE WHEN coalesce(p.total_grams, 0) = 0 THEN 0.0
+                ELSE CAST(p.novel_grams AS DOUBLE)
+                     / CAST(p.total_grams AS DOUBLE) END AS novelty
+         FROM documents d LEFT JOIN p USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    // all-integer Borda fusion: per-lang row_number ranks (value DESC,
+    // doc_id ASC), integer-division density, top-5 by rank sum
+    "q_rank_ensemble" ->
+      """WITH base AS (
+           SELECT lang, doc_id,
+             CAST(n_chars AS BIGINT) AS s_chars,
+             CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+               AS s_tokens
+           FROM documents),
+         sig AS (
+           SELECT lang, doc_id, s_chars, s_tokens,
+             CAST(s_chars * 1000 // greatest(s_tokens, 1) AS BIGINT)
+               AS s_density
+           FROM base),
+         r AS (
+           SELECT lang, doc_id, s_chars, s_tokens, s_density,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY s_chars DESC, doc_id) AS BIGINT) AS rank_s_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY s_tokens DESC, doc_id) AS BIGINT) AS rank_s_tokens,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY s_density DESC, doc_id) AS BIGINT) AS rank_s_density
+           FROM sig),
+         b AS (
+           SELECT lang, doc_id, rank_s_chars, rank_s_tokens, rank_s_density,
+             rank_s_chars + rank_s_tokens + rank_s_density AS borda
+           FROM r),
+         t AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY borda, doc_id) AS BIGINT) AS final_rank
+           FROM b)
+         SELECT lang, doc_id, rank_s_chars, rank_s_tokens, rank_s_density,
+           borda, final_rank
+         FROM t WHERE final_rank <= 5 ORDER BY lang, final_rank""",
 
     "q_skew_report" ->
       """WITH ko AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem

@@ -563,4 +563,46 @@ object Text {
       .select(col("merge_rank"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("freq"))
   }
+
+  /** Corpus novelty rate: the share of each document's distinct word
+    * n-grams that occur for the FIRST time in that document (first
+    * occurrence = the minimum doc id carrying the gram — a deterministic
+    * attribution under any ingest order). A high novelty share marks
+    * genuinely new content; a low one marks recombinations of text the
+    * corpus already holds — the document-level complement of span-level
+    * dedup, used to down-weight templated/spun content when curating.
+    *
+    * Returns (doc_id, total_grams, novel_grams, novelty) with one row per
+    * input document (gram-less docs report 0/0/0.0). The ratio is a
+    * single per-row IEEE quotient of two longs — engine-exact.
+    *
+    * Scale shape: grams are 64-bit fingerprints from the one-pass native
+    * kernel (collision-free in practice at corpus scale; a collision only
+    * merges two grams' attribution, it cannot crash the pipeline), so the
+    * explode shuffles longs, not strings. first-doc attribution is a
+    * map-side-combinable min per gram, and the join back to the posting
+    * list is co-partitioned on the same gram key — Catalyst reuses the
+    * exchange, so the whole operator costs one wide shuffle plus a
+    * doc-keyed reduce. */
+  def noveltyRate(docs: DataFrame, n: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+        explode(array_distinct(
+          graft.functions.native.word_ngram_hashes(col(textCol), n)))
+          .as("gram"))
+    val firstDoc = grams.groupBy("gram").agg(min(col("id")).as("first_doc"))
+    val per = grams.join(firstDoc, "gram")
+      .groupBy("id")
+      .agg(count(lit(1)).as("total_grams"),
+        sum(when(col("first_doc") === col("id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+    docs.select(col(idCol))
+      .join(per, docs(idCol) === per("id"), "left")
+      .select(col(idCol),
+        coalesce(col("total_grams"), lit(0L)).as("total_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        when(coalesce(col("total_grams"), lit(0L)) === 0L, 0.0)
+          .otherwise(col("novel_grams").cast(DoubleType) /
+            col("total_grams").cast(DoubleType)).as("novelty"))
+  }
 }

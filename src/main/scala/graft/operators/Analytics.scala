@@ -156,6 +156,79 @@ object Analytics {
           .as("n_outliers"))
   }
 
+  /** Integer-exact exponentially-decayed engagement score per user:
+    * among each user's most recent `k` events (ts desc, id desc — total
+    * order), a matching event at recency rank r contributes weight
+    * 2^(k-r), so the newest event weighs 2^(k-1) and the k-th weighs 1.
+    * With alpha fixed at 1/2 the decayed sum is a sum of distinct powers
+    * of two — an exact BIGINT — and the reported double score is
+    * num / 2^(k-1), exact because the divisor is a power of two. No
+    * float ever enters an ordering or a comparison, so any engine
+    * reproduces the score bit-for-bit.
+    *
+    * Scale shape: one window PARTITIONED BY user (bounded partitions),
+    * rows cut to k per user before the aggregate, then a map-side
+    * combinable groupBy on the same key — the shuffle moves at most
+    * k rows per user. Recency-weighted engagement is the standard
+    * freshness prior for ranking/curation feeds. */
+  def decayedScore(events: DataFrame, eventType: String = "click",
+      k: Int = 16, userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", typeCol: String = "event_type"): DataFrame = {
+    require(k >= 1 && k <= 62, s"k=$k must fit decayed weights in a long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol).desc, col(idCol).desc)
+    events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(userCol)
+      .agg(
+        count(lit(1)).as("n_recent"),
+        sum(when(col(typeCol) === eventType, 1L).otherwise(0L))
+          .as("n_matching"),
+        sum(when(col(typeCol) === eventType,
+            expr(s"shiftleft(1L, $k - __rn)"))
+          .otherwise(0L)).as("decay_num"))
+      .withColumn("decay_score",
+        col("decay_num").cast(DoubleType) / lit(math.pow(2.0, k - 1)))
+  }
+
+  /** Borda rank fusion of heterogeneous per-document quality signals,
+    * stratified by a group column: each signal is turned into a
+    * row_number rank inside its stratum (value desc, id asc — fully
+    * deterministic), ranks are summed, and the `topk` lowest-sum docs
+    * per stratum survive. Rank aggregation is the robust way to combine
+    * signals on incomparable scales (chars vs tokens vs ratios) without
+    * normalizing floats — everything stays in longs end-to-end.
+    *
+    * Scale shape: the rank windows all partition by the stratum column,
+    * so they ride one hash partitioning of bounded per-stratum
+    * partitions; the final top-k is another window on the same key. No
+    * global window, no collect. `signals` are (name, integer column)
+    * pairs — callers supply exact integer signals (counts, integer-scaled
+    * ratios) so ties and ranks are engine-independent. */
+  def bordaFusion(df: DataFrame, groupCol: String, idCol: String,
+      signals: Seq[(String, org.apache.spark.sql.Column)],
+      topk: Int = 5): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    val withSignals = signals.foldLeft(df) { case (d, (nm, c)) =>
+      d.withColumn(nm, c.cast(LongType))
+    }
+    val ranked = signals.foldLeft(withSignals) { case (d, (nm, _)) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCol).orderBy(col(nm).desc, col(idCol).asc)
+      d.withColumn(s"rank_$nm", row_number().over(w).cast(LongType))
+    }
+    val borda = ranked.withColumn("borda",
+      signals.map { case (nm, _) => col(s"rank_$nm") }.reduce(_ + _))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("borda").asc, col(idCol).asc)
+    borda.withColumn("final_rank", row_number().over(wTop).cast(LongType))
+      .filter(col("final_rank") <= topk)
+      .select((Seq(col(groupCol), col(idCol)) ++
+        signals.map { case (nm, _) => col(s"rank_$nm") } ++
+        Seq(col("borda"), col("final_rank"))): _*)
+  }
+
   /** First-order Markov transition matrix over per-user event sequences:
     * count (event_type → next event_type) transitions, with the next
     * event taken per user in (ts, tiebreak) order via a lead window

@@ -233,6 +233,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(0L -> 9L))
   }
 
+  test("decayedScore: distinct powers of two, window cut at k, exact score") {
+    // user 1: clicks at ranks 1 and 3 of 4 events (ts desc) with k = 4
+    // -> weights 2^3 + 2^1 = 10; user 2: no clicks -> 0
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:04"), 1L, "click"),
+      (2L, ts("2024-01-01 00:00:03"), 1L, "view"),
+      (3L, ts("2024-01-01 00:00:02"), 1L, "click"),
+      (4L, ts("2024-01-01 00:00:01"), 1L, "view"),
+      (5L, ts("2024-01-01 00:00:00"), 1L, "click"), // rank 5 > k: ignored
+      (6L, ts("2024-01-01 00:00:00"), 2L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.Analytics
+      .decayedScore(ev, eventType = "click", k = 4)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq((1L, 4L, 2L, 10L, 10.0 / 8.0), (2L, 1L, 0L, 0L, 0.0)))
+  }
+
+  test("noveltyRate: first-occurrence attribution by min doc id") {
+    val docs = Seq(
+      (1L, "a b c d"),       // grams abc, bcd -> both first here
+      (2L, "a b c e"),       // abc (seen), bce (novel) -> 1/2
+      (3L, "x y"),           // no 3-gram -> 0/0
+      (4L, "a b c d"))       // both grams seen -> 0/2
+      .toDF("doc_id", "text")
+    val got = graft.functions.Text.noveltyRate(docs, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5),
+      (3L, 0L, 0L, 0.0), (4L, 2L, 0L, 0.0)))
+  }
+
+  test("bordaFusion: integer ranks, deterministic ties, stratified top-k") {
+    // one stratum; signals disagree: s1 ranks a>b>c, s2 ranks c>b>a,
+    // s3 all-equal (ties -> id order). Borda: a=1+3+1=5, b=2+2+2=6,
+    // c=3+1+3=7 -> top-2 = a, b
+    val df = Seq(("g", 1L, 30L, 10L), ("g", 2L, 20L, 20L), ("g", 3L, 10L, 30L))
+      .toDF("grp", "id", "s1", "s2")
+    val got = graft.operators.Analytics.bordaFusion(
+        df, "grp", "id",
+        Seq("s1" -> col("s1"), "s2" -> col("s2"), "s3" -> lit(7L)),
+        topk = 2)
+      .orderBy("final_rank").collect()
+      .map(r => (r.getLong(1), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq((1L, 5L, 1L), (2L, 6L, 2L)))
+  }
+
   test("histogram: buckets, clamped outliers, null skipped") {
     val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
       Some(99.0), Some(250.0), None).toDF("v")
