@@ -2430,6 +2430,58 @@ object SparkEntry {
         .orderBy("lang", "final_rank")
     }),
 
+    // HTML → text extraction (web-corpus ingestion): the corpus is plain
+    // text, so the query deterministically wraps it in markup — element
+    // drops (script/style), tag strips, entity decodes, an UNCLOSED
+    // script tag every 7th doc — then runs the native one-pass kernel.
+    // The twin replays the exact 4-stage regexp chain in DuckDB.
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style type=\"text/css\">body { color: #fff; }" +
+          "</style></head><body><h1>Doc &amp; "), col("doc_id"),
+        lit("</h1><script>var x = 1 < 2 && 3 > 2;</script>" +
+          "<p class=\"main\">"), col("text"),
+        lit("</p><span>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end" +
+          "</span>"),
+        when(col("doc_id") % 7 === 0, lit("<script>unclosed"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), native.html_extract_text(html).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
+    // Wilson 95% lower-bound CTR per item (the ranking-under-uncertainty
+    // score: a 2/2 item must NOT outrank a 95/100 one). Counts are exact
+    // longs; the bound is one fixed double expression tree over them —
+    // +,*,/,sqrt are all correctly rounded, so any engine reproduces it
+    // bit-for-bit. Item id parsed from the JSON props.
+    "q_wilson" -> ((s, dir) => {
+      val agg = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy(get_json_object(col("props"), "$.k").cast(LongType)
+          .as("item"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"), count(lit(1)).as("n"))
+      val nD = col("n").cast(DoubleType)
+      val p = col("clicks").cast(DoubleType) / nD
+      val z = lit(1.96)
+      val z2 = z * z
+      val lb = (p + z2 / (lit(2.0) * nD) -
+        z * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * nD)) / nD)) /
+        (lit(1.0) + z2 / nD)
+      agg.select(col("item"), col("clicks"), col("n"), lb.as("wilson_lb"))
+        .orderBy("item")
+    }),
+
+    // k-anonymity audit on the (lang, source) quasi-identifier: classes
+    // smaller than k=10 are re-identifiable; risk share decided in longs
+    "q_kanon" -> ((s, dir) =>
+      graft.operators.Expectations.kAnonymity(
+          t(s, dir, "documents"), Seq("lang", "source"), k = 10)
+        .orderBy("lang", "source")),
+
     // weighted cheapest paths (4 Bellman-Ford relax rounds = exact min
     // cost over ≤4-hop paths) on the same ring+skip+affine graph as
     // q_bfs, with deterministic integer weights; the twin is the
@@ -4183,6 +4235,76 @@ object SparkEntry {
          SELECT lang, doc_id, rank_s_chars, rank_s_tokens, rank_s_density,
            borda, final_rank
          FROM t WHERE final_rank <= 5 ORDER BY lang, final_rank""",
+
+    // the kernel's exact 4-stage chain: script/style elements, tags,
+    // entities (&amp; last), whitespace collapse
+    "q_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+             '</title><style type="text/css">body { color: #fff; }' ||
+             '</style></head><body><h1>Doc &amp; ' ||
+             CAST(doc_id AS VARCHAR) ||
+             '</h1><script>var x = 1 < 2 && 3 > 2;</script>' ||
+             '<p class="main">' || text ||
+             '</p><span>&lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' ||
+             '</span>' ||
+             CASE WHEN doc_id % 7 = 0 THEN '<script>unclosed' ELSE '' END ||
+             '</body></html>' AS html
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(html,
+             '<script[^>]*>.*?</script>', ' ', 'gis') AS x FROM h),
+         s2 AS (SELECT doc_id, regexp_replace(x,
+             '<style[^>]*>.*?</style>', ' ', 'gis') AS x FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x
+           FROM s2),
+         s4 AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(x,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS x
+           FROM s3)
+         SELECT doc_id, trim(regexp_replace(x, '[ \n\t\r]+', ' ', 'g'))
+           AS extracted
+         FROM s4 ORDER BY doc_id""",
+
+    // identical expression tree: (p + z²/2n − z·sqrt((p(1−p)+z²/4n)/n))
+    // / (1 + z²/n). Every z is CAST to DOUBLE: DuckDB parses a bare 1.96
+    // as DECIMAL, so bare 1.96*1.96 would fold to exactly 3.8416 instead
+    // of the double product 3.8415999999999997 Spark computes (1-ULP
+    // drift in 4/100 rows, caught by the bit-exact compare)
+    "q_wilson" ->
+      """WITH a AS (
+           SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS clicks,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE event_type IN ('view', 'click')
+           GROUP BY 1),
+         z AS (SELECT CAST(1.96 AS DOUBLE) AS z1)
+         SELECT item, clicks, n,
+           (CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE)
+              + (z1 * z1) / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE))
+              - z1 * sqrt(((CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(1.0 AS DOUBLE)
+                     - CAST(clicks AS DOUBLE) / CAST(n AS DOUBLE))
+                  + (z1 * z1) / (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE)))
+                / CAST(n AS DOUBLE)))
+           / (CAST(1.0 AS DOUBLE) + (z1 * z1) / CAST(n AS DOUBLE))
+             AS wilson_lb
+         FROM a, z ORDER BY item""",
+
+    // class sizes and the risk share in exact longs; one quotient per row
+    "q_kanon" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n FROM documents
+           GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(coalesce(sum(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+               AS risky
+           FROM c)
+         SELECT lang, source, CAST(n AS BIGINT) AS n, n < 10 AS at_risk,
+           t.risky AS rows_at_risk, t.total AS rows_total,
+           CAST(t.risky AS DOUBLE) / CAST(t.total AS DOUBLE) AS risk_share
+         FROM c, t ORDER BY lang, source""",
 
     "q_skew_report" ->
       """WITH ko AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem

@@ -405,6 +405,7 @@ object native {
     col(CharShingleHashes(ex(c), n))
   def strip_accents(c: Column): Column = col(StripAccents(ex(c)))
   def dedup_lines(c: Column): Column = col(DedupLines(ex(c)))
+  def html_extract_text(c: Column): Column = col(HtmlExtractText(ex(c)))
   def zorder2(a: Column, b: Column): Column = col(ZOrder2(ex(a), ex(b)))
   def tokenize_greedy(word: Column, vocab: Column): Column =
     col(GreedyTokenize(ex(word), ex(vocab)))
@@ -866,4 +867,45 @@ case class StripAccents(child: Expression) extends UnaryExpression {
         s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFD)" +
         s""".replaceAll("\\\\p{M}", ""))""")
   override protected def withNewChildInternal(c: Expression): StripAccents = copy(c)
+}
+
+/** HTML → text extraction for web-corpus ingestion. Staged exactly like
+  * the classic strip chain so any regexp engine reproduces it: (1) drop
+  * <script>/<style> ELEMENTS wholesale (lazy dot-all match to the first
+  * close tag; an unclosed element is left for stage 2, which then strips
+  * only the opening tag — markup-as-text survives, never silent data
+  * loss), (2) strip remaining tags, (3) decode the six ubiquitous
+  * entities with &amp; LAST (so "&amp;lt;" single-decodes to "&lt;", not
+  * "<"), (4) collapse [ \n\t\r]+ runs and trim. Patterns are compiled
+  * once per JVM; the kernel is a straight-line per-row map that stays in
+  * WholeStageCodegen. */
+object HtmlKernel {
+  private val Script = java.util.regex.Pattern.compile(
+    "(?is)<script[^>]*>.*?</script>")
+  private val Style = java.util.regex.Pattern.compile(
+    "(?is)<style[^>]*>.*?</style>")
+  private val Tag = java.util.regex.Pattern.compile("<[^>]*>")
+  private val Ws = java.util.regex.Pattern.compile("[ \n\t\r]+")
+
+  def extractText(v: UTF8String): UTF8String = {
+    var s = v.toString
+    s = Script.matcher(s).replaceAll(" ")
+    s = Style.matcher(s).replaceAll(" ")
+    s = Tag.matcher(s).replaceAll(" ")
+    s = s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'")
+      .replace("&nbsp;", " ").replace("&amp;", "&")
+    s = Ws.matcher(s).replaceAll(" ").trim
+    UTF8String.fromString(s)
+  }
+}
+
+case class HtmlExtractText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    HtmlKernel.extractText(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlKernel.extractText($c)")
+  override protected def withNewChildInternal(c: Expression): HtmlExtractText =
+    copy(c)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Deequ-style data-quality expectations: declarative checks evaluated
   * scale-consciously. All single-table checks against one table compile
@@ -79,4 +79,30 @@ object Expectations {
         coalesce(col("violations"), lit(0L)).cast(LongType).as("violations"),
         col("n_rows"))
       .withColumn("passed", col("violations") === 0L)
+
+  /** k-anonymity audit over quasi-identifier columns: every row whose
+    * quasi-identifier combination is shared by fewer than `k` rows is
+    * re-identifiable — the standard privacy gate run before releasing or
+    * training on user-adjacent data. Returns one row per equivalence
+    * class: the quasi-identifier values, its size `n`, `at_risk`
+    * (n < k), and the exact corpus-wide share of rows in risky classes
+    * (constant across rows — cross-multiplied longs, one quotient).
+    *
+    * Scale shape: one map-side-combinable groupBy on the quasi-identifier
+    * tuple; the corpus totals are a 1-row aggregate broadcast back — no
+    * window, no collect. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < k)
+    val totals = classes.agg(
+      sum(col("n")).as("__total"),
+      sum(when(col("at_risk"), col("n")).otherwise(0L)).as("__risky"))
+    classes.crossJoin(broadcast(totals))
+      .select((quasiCols.map(col) ++ Seq(col("n"), col("at_risk"),
+        col("__risky").cast(LongType).as("rows_at_risk"),
+        col("__total").cast(LongType).as("rows_total"),
+        (col("__risky").cast(DoubleType) / col("__total").cast(DoubleType))
+          .as("risk_share"))): _*)
+  }
 }

@@ -348,4 +348,35 @@ class FunctionsSpec extends AnyFunSuite {
     val r1 = after.collect().head
     assert((r1.getString(1), r1.getString(2)) == (("a", "a")))
   }
+
+  test("HtmlKernel: elements, tags, entities, whitespace — staged order") {
+    def x(s: String): String =
+      graft.functions.HtmlKernel.extractText(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    // script/style elements drop wholesale (case-insensitive, dot-all)
+    assert(x("a<SCRIPT x=1>var y\n= 2;</script>b") == "a b")
+    assert(x("a<style>p { c: 1 < 2 }</STYLE>b") == "a b")
+    // unclosed script: element regex can't match -> only the TAG drops,
+    // the content survives as text (no silent data loss)
+    assert(x("a<script>tail") == "a tail")
+    // entity decode order: &amp; LAST, so &amp;lt; single-decodes
+    assert(x("&amp;lt; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;.") ==
+      "&lt; <b> \"q\" 's' .")
+    // tags with attributes, whitespace collapse + trim
+    assert(x("  <p class=\"m\">one\n\ttwo</p>  ") == "one two")
+    // naive-stripper semantics (identical in kernel and twin): a bare
+    // '<'..'>' span IS consumed as a tag; a '<' that never closes is not
+    assert(x("1 < 2 and 3 > 2") == "1 2")
+    assert(x("1 < 2 always") == "1 < 2 always")
+  }
+
+  test("noveltyRate gram-hash path matches the kernel's tokenizer") {
+    // multi-whitespace tokenization: tabs/newlines split like spaces
+    val docs = Seq((1L, "a\tb\nc"), (2L, "a b c d")).toDF("doc_id", "text")
+    val got = graft.functions.Text.noveltyRate(docs, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1 owns gram abc; doc 2 repeats abc (seen), adds bcd (novel)
+    assert(got == Seq((1L, 1L, 1L), (2L, 2L, 1L)))
+  }
 }

@@ -282,6 +282,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 5L, 1L), (2L, 6L, 2L)))
   }
 
+  test("kAnonymity: class sizes, risk flags, exact corpus share") {
+    // classes: (a,x)=3 rows, (a,y)=1, (b,x)=2; k=2 -> only (a,y) risky
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "x"), ("b", "x")).toDF("g1", "g2")
+    val got = graft.operators.Expectations.kAnonymity(df, Seq("g1", "g2"), 2)
+      .orderBy("g1", "g2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("a", "x", 3L, false, 1L, 6L, 1.0 / 6.0),
+      ("a", "y", 1L, true, 1L, 6L, 1.0 / 6.0),
+      ("b", "x", 2L, false, 1L, 6L, 1.0 / 6.0)))
+  }
+
   test("histogram: buckets, clamped outliers, null skipped") {
     val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
       Some(99.0), Some(250.0), None).toDF("v")
