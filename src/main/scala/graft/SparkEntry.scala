@@ -2482,6 +2482,55 @@ object SparkEntry {
           t(s, dir, "documents"), Seq("lang", "source"), k = 10)
         .orderBy("lang", "source")),
 
+    // per-query reciprocal rank of the LSH list vs the exact top-5 (the
+    // metric behind MRR) — 1/first-hit-rank, one exact division per row
+    "q_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = Ann.selfQueries(emb, 10)
+      val exact = Ann.bruteForceTopK(emb, qs, k = 5)
+      val approx = Ann.lshTopK(emb, qs, k = 5, planes = 6)
+      Ann.reciprocalRank(exact, approx, qs).orderBy("query_id")
+    }),
+
+    // exact equi-join cardinality from per-key histograms, validated
+    // in-query against the materialized join — the pre-shuffle planning
+    // primitive (broadcast vs SMJ vs salt) exercised as a contract
+    "q_join_size" -> ((s, dir) => {
+      val est = graft.functions.Profile.joinCardinality(
+          t(s, dir, "orders"), "o_orderkey",
+          t(s, dir, "lineitem"), "l_orderkey")
+        .agg(count(lit(1)).as("n_keys"), sum(col("rows_out")).as("est_rows"),
+          max(col("rows_out")).as("max_key_rows"))
+      val actual = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      est.crossJoin(actual)
+        .select(col("n_keys"), col("est_rows").cast(LongType).as("est_rows"),
+          col("max_key_rows"), col("actual_rows"),
+          (col("est_rows") === col("actual_rows")).as("exact_match"))
+    }),
+
+    // corpus-mixture reweighting: per-lang sampling weight that hits the
+    // literal target shares; exact long ratio + one double quotient
+    "q_mix_weights" -> ((s, dir) =>
+      graft.functions.Profile.mixtureWeights(t(s, dir, "documents"), "lang",
+          Map("en" -> 40L, "de" -> 15L, "es" -> 15L, "fr" -> 15L,
+            "zh" -> 15L))
+        .orderBy("lang")),
+
+    // CUSUM drift detector on hourly per-type event counts: the reset
+    // recursion unrolled to running-sum minus reflected running-min —
+    // two window frames per key, all longs, no recursion anywhere
+    "q_cusum" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.TimeSeries.cusum(hourly, "event_type", "hour", "n",
+          target = 3L, threshold = 10L)
+        .orderBy("event_type", "hour")
+    }),
+
     // weighted cheapest paths (4 Bellman-Ford relax rounds = exact min
     // cost over ≤4-hop paths) on the same ring+skip+affine graph as
     // q_bfs, with deterministic integer weights; the twin is the
@@ -4306,6 +4355,56 @@ object SparkEntry {
            CAST(t.risky AS DOUBLE) / CAST(t.total AS DOUBLE) AS risk_share
          FROM c, t ORDER BY lang, source""",
 
+    // histogram product vs the materialized join, both exact
+    "q_join_size" ->
+      """WITH ha AS (SELECT o_orderkey AS key, count(*) AS n_a FROM orders
+           GROUP BY 1),
+         hb AS (SELECT l_orderkey AS key, count(*) AS n_b FROM lineitem
+           GROUP BY 1),
+         j AS (SELECT ha.key, n_a * n_b AS rows_out
+           FROM ha JOIN hb USING (key)),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(rows_out) AS BIGINT) AS est_rows,
+             CAST(max(rows_out) AS BIGINT) AS max_key_rows
+           FROM j),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+         SELECT s.n_keys, s.est_rows, s.max_key_rows, a.actual_rows,
+           s.est_rows = a.actual_rows AS exact_match
+         FROM s, a""",
+
+    // integer mixture weights: target_pct·total / (100·n) per stratum
+    "q_mix_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         m AS (SELECT * FROM (VALUES ('en', 40), ('de', 15), ('es', 15),
+             ('fr', 15), ('zh', 15)) AS v(lang, pct))
+         SELECT c.lang, CAST(c.n AS BIGINT) AS n,
+           CAST(coalesce(m.pct, 0) AS BIGINT) AS target_pct,
+           CAST(coalesce(m.pct, 0) * t.total AS BIGINT) AS weight_num,
+           CAST(100 * c.n AS BIGINT) AS weight_den,
+           CAST(coalesce(m.pct, 0) * t.total AS DOUBLE)
+             / CAST(100 * c.n AS DOUBLE) AS weight
+         FROM c LEFT JOIN m USING (lang), t ORDER BY c.lang""",
+
+    // the unrolled reset recursion: cum − least(running-min(cum), 0),
+    // staged CTEs because windows can't nest
+    "q_cusum" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         c1 AS (SELECT event_type, hour, n, n - 3 AS diff,
+             sum(n - 3) OVER (PARTITION BY event_type ORDER BY hour
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM h),
+         c2 AS (SELECT *, min(cum) OVER (PARTITION BY event_type
+             ORDER BY hour ROWS UNBOUNDED PRECEDING) AS rmin
+           FROM c1)
+         SELECT event_type, hour, n, diff,
+           CAST(cum - least(rmin, 0) AS BIGINT) AS cusum,
+           cum - least(rmin, 0) > 10 AS drifted
+         FROM c2 ORDER BY event_type, hour""",
+
     "q_skew_report" ->
       """WITH ko AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem
            GROUP BY 1),
@@ -4582,6 +4681,45 @@ object SparkEntry {
                       / LEAST(5, x.n_exact) END AS recall_at_5
           FROM q LEFT JOIN hits h ON q.query_id = h.query_id
                LEFT JOIN exn x ON q.query_id = x.query_id
+          ORDER BY q.query_id""",
+
+    // q_ann_recall's exact/approx lists, keeping the approx rank;
+    // first_rank = min approx rank that is a true neighbor
+    "q_mrr" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+          b AS (SELECT vec_id, v, ${embBucketSql(6, 64)} AS bucket FROM e),
+          q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+                WHERE vec_id < 10),
+          ex AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  round(list_dot_product(q.qv, e.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                  e.vec_id ASC) AS rn
+              FROM e JOIN q ON e.vec_id <> q.query_id) WHERE rn <= 5),
+          ap AS (
+            SELECT query_id, neighbor_id, rn FROM (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  round(list_dot_product(q.qv, c.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                  c.vec_id ASC) AS rn
+              FROM b c JOIN q ON c.bucket = q.bucket
+                AND c.vec_id <> q.query_id) WHERE rn <= 5),
+          fh AS (SELECT ap.query_id, min(ap.rn) AS first_rank
+                 FROM ap JOIN ex ON ex.query_id = ap.query_id
+                   AND ex.neighbor_id = ap.neighbor_id
+                 GROUP BY ap.query_id)
+          SELECT q.query_id,
+            CAST(coalesce(fh.first_rank, 0) AS BIGINT) AS first_rank,
+            CASE WHEN fh.first_rank IS NULL THEN 0.0
+                 ELSE CAST(1.0 AS DOUBLE)
+                      / CAST(fh.first_rank AS DOUBLE) END AS rr
+          FROM q LEFT JOIN fh ON q.query_id = fh.query_id
           ORDER BY q.query_id""",
 
     "q_hard_negatives" ->

@@ -233,4 +233,47 @@ object Profile {
         expr(s"__start div ${budget}L").as("seq_id"),
         pmod(col("__start"), lit(budget)).as("seq_offset"))
   }
+
+  /** Exact equi-join cardinality WITHOUT materializing the join:
+    * |A ⋈ B| = Σ_key cntA(key)·cntB(key) over the two per-key count
+    * histograms — the planning primitive behind join reordering and
+    * shuffle sizing (and, with sketched histograms, the estimator every
+    * CBO uses; on exact counts it is not an estimate at all). Returns one
+    * row per shared key plus the per-key product, so both the total
+    * (sum(rows_out)) and the skew profile (max(rows_out)) fall out of one
+    * aggregate — at 100 TB you run this BEFORE the join to decide
+    * broadcast vs SMJ vs salting. The histograms are map-side-combinable
+    * groupBys; the histogram join carries one row per distinct key. */
+  def joinCardinality(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String): DataFrame = {
+    val ha = a.groupBy(col(aKey).as("key")).agg(count(lit(1)).as("n_a"))
+    val hb = b.groupBy(col(bKey).as("key")).agg(count(lit(1)).as("n_b"))
+    ha.join(hb, "key")
+      .select(col("key"), col("n_a"), col("n_b"),
+        (col("n_a") * col("n_b")).as("rows_out"))
+  }
+
+  /** Corpus-mixture reweighting: per-stratum sampling weight that turns
+    * the observed stratum shares into literal `targets` percentages —
+    * weight(s) = target_pct(s)·total / (100·n_s), the factor a weighted
+    * sampler must apply so stratum s contributes target_pct% of the
+    * output. Weights are emitted as an exact long ratio (num, den) plus
+    * the one-quotient double; the exactness matters because mixture
+    * configs are compared/diffed across runs. Strata absent from
+    * `targets` get weight 0 (excluded from the mix). One
+    * map-side-combinable groupBy + a broadcast 1-row total. */
+  def mixtureWeights(df: DataFrame, stratumCol: String,
+      targets: Map[String, Long]): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    val tgt = coalesce(element_at(typedlit(targets), col(stratumCol)),
+      lit(0L))
+    val num = tgt * col("__total").cast(org.apache.spark.sql.types.LongType)
+    val den = lit(100L) * col("n")
+    counts.crossJoin(broadcast(total))
+      .select(col(stratumCol), col("n"), tgt.as("target_pct"),
+        num.as("weight_num"), den.as("weight_den"),
+        (num.cast(org.apache.spark.sql.types.DoubleType) /
+          den.cast(org.apache.spark.sql.types.DoubleType)).as("weight"))
+  }
 }

@@ -53,4 +53,32 @@ object TimeSeries {
     joined.select(col(keyCol), col(dayCol),
       v.isNotNull.as("observed"), filled.as("value_filled"))
   }
+
+  /** One-sided CUSUM drift detector over an integer series, entirely in
+    * window algebra: the textbook recursion s_t = max(0, s_{t-1} + d_t)
+    * (d = value − target) unrolls exactly to
+    * s_t = cum_t − min(0, min_{j≤t} cum_j) — the running sum reflected
+    * at its running minimum — so no recursion, no UDF, no
+    * driver loop: two frames over one key-partitioned window, all in
+    * longs. Flags rows where the statistic exceeds `threshold`
+    * (sustained upward drift; transient spikes decay back through the
+    * reflected minimum). Input: one row per (key, tick); output adds
+    * (diff, cusum, drifted). The window partitions by the series key —
+    * per-key ticks bounded by the calendar, never by data volume. */
+  def cusum(series: DataFrame, keyCol: String, tickCol: String,
+      valueCol: String, target: Long, threshold: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(tickCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = (col("__cum") - least(col("__rmin"), lit(0L))).as("cusum")
+    series.select(col(keyCol), col(tickCol),
+        col(valueCol).cast(org.apache.spark.sql.types.LongType).as(valueCol),
+        (col(valueCol).cast(org.apache.spark.sql.types.LongType) -
+          lit(target)).as("diff"))
+      .withColumn("__cum", sum(col("diff")).over(w))
+      .withColumn("__rmin", min(col("__cum")).over(w))
+      .select(col(keyCol), col(tickCol), col(valueCol), col("diff"),
+        s,
+        (col("__cum") - least(col("__rmin"), lit(0L)) > threshold)
+          .as("drifted"))
+  }
 }

@@ -72,6 +72,31 @@ object Ann {
           .as(s"recall_at_$k"))
   }
 
+  /** Per-query reciprocal rank of an approximate top-k list against the
+    * exact relevant set: rr = 1/rank of the FIRST approx result that is a
+    * true neighbor, 0 when the list misses entirely. Complements
+    * recallAtK (recall counts hits anywhere; rr rewards putting one at
+    * the top — the metric behind MRR). Emitted per query, not averaged:
+    * the mean is one trivial aggregate away, and per-query rows keep the
+    * comparison engine-exact (1/rank is a single correctly-rounded
+    * division of small ints; a mean would sum doubles in partition
+    * order). `approx` must carry (query_id, rank, neighbor_id). */
+  def reciprocalRank(exact: DataFrame, approx: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val firstHit = approx.select(col("query_id"), col("rank"),
+        col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(min(col("rank")).as("first_rank"))
+    queries.select(col("query_id"))
+      .join(firstHit, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_rank"), lit(0L)).as("first_rank"),
+        when(col("first_rank").isNull, 0.0)
+          .otherwise(lit(1.0) / col("first_rank").cast(DoubleType))
+          .as("rr"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
     * a lexical and a vector rank list — the standard hybrid-retrieval
     * merge: score(d) = Σ 1/(kRrf + rank_list(d)), with a list the doc is

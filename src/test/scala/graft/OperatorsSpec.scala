@@ -296,6 +296,50 @@ class OperatorsSpec extends AnyFunSuite {
       ("b", "x", 2L, false, 1L, 6L, 1.0 / 6.0)))
   }
 
+  test("cusum: window unrolling equals the reset recursion") {
+    // values chosen to exercise reset (drop below zero), re-accumulation,
+    // and a threshold crossing; target=5, threshold=6
+    val vals = Seq(7L, 1L, 1L, 9L, 9L, 2L, 8L, 8L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("key", "tick", "v")
+    val got = graft.operators.TimeSeries.cusum(df, "key", "tick", "v",
+        target = 5L, threshold = 6L)
+      .orderBy("tick").collect()
+      .map(r => (r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    // direct fold of s_t = max(0, s_{t-1} + (v - 5))
+    val expected = vals.map(_ - 5L)
+      .scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+    assert(got.map(_._2) == expected)
+    assert(got.map(_._1) == vals.map(_ - 5L))
+    assert(got.map(_._3) == expected.map(_ > 6L))
+  }
+
+  test("joinCardinality: histogram product is the exact equi-join size") {
+    val a = Seq(1L, 1L, 2L, 3L).toDF("ka")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("kb")
+    val jc = graft.functions.Profile.joinCardinality(a, "ka", b, "kb")
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(jc == Seq((1L, 2L), (2L, 2L))) // key 3 and 4 unshared
+    val actual = a.join(b, col("ka") === col("kb")).count()
+    assert(jc.map(_._2).sum == actual)
+  }
+
+  test("mixtureWeights: exact ratios, absent stratum weighs zero") {
+    val df = (Seq.fill(6)("en") ++ Seq.fill(3)("de") ++ Seq.fill(1)("xx"))
+      .toDF("lang")
+    val got = graft.functions.Profile.mixtureWeights(df, "lang",
+        Map("en" -> 50L, "de" -> 50L))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    // total=10: en weight = 50*10/(100*6) = 5/6; de = 500/300; xx = 0
+    assert(got == Seq(
+      ("de", 3L, 50L, 500L, 300L, 500.0 / 300.0),
+      ("en", 6L, 50L, 500L, 600L, 500.0 / 600.0),
+      ("xx", 1L, 0L, 0L, 100L, 0.0)))
+  }
+
   test("histogram: buckets, clamped outliers, null skipped") {
     val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
       Some(99.0), Some(250.0), None).toDF("v")
