@@ -2227,6 +2227,77 @@ object SparkEntry {
       graft.graph.Triangles.perNode(edges).orderBy("node_id")
     }),
 
+    // local clustering coefficient on the q_triangles graph: triangle
+    // counts normalized per node, 2·tri/(deg·(deg−1)) — exact longs, one
+    // quotient; flags clique-like link farms vs hub-and-spoke pages
+    "q_clustering_coef" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val id = col("doc_id")
+      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
+        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
+        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      graft.graph.Triangles.clusteringCoefficient(edges).orderBy("node_id")
+    }),
+
+    // incremental view maintenance of an inner equi-join: old view plus
+    // the IVM delta (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) must equal the full
+    // recompute — the oracle IS the recompute, so the delta algebra is
+    // what's being checked. Aggregated per priority to compare compactly.
+    "q_incremental_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val oBase = o.filter(col("o_orderkey") % 5 =!= 0)
+      val oDelta = o.filter(col("o_orderkey") % 5 === 0)
+      val lBase = l.filter(col("l_linenumber") % 3 =!= 0)
+      val lDelta = l.filter(col("l_linenumber") % 3 === 0)
+      val oldView = oBase.join(lBase, col("o_orderkey") === col("l_orderkey"))
+      val delta = graft.operators.Relational.incrementalJoinDelta(
+        oBase, oDelta, lBase, lDelta, "o_orderkey", "l_orderkey")
+      oldView.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE)")
+            .as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // A/B lift with deterministic hash-parity arms: per-user conversion
+    // (any purchase), exact counts per arm, lift decided as one quotient
+    // of exact cross products — the experiment-analysis primitive
+    "q_ab_lift" -> ((s, dir) => {
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("arm",
+          when(pmod(graft.functions.Profile.hash32(col("user_id")),
+            lit(2L)) === 0L, "A").otherwise("B"))
+      val agg = per.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      val a = agg.filter(col("arm") === "A")
+        .select(col("n_users").as("n_a"), col("n_conv").as("conv_a"))
+      val b = agg.filter(col("arm") === "B")
+        .select(col("n_users").as("n_b"), col("n_conv").as("conv_b"))
+      a.crossJoin(b).select(col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"),
+        (col("conv_a").cast(DoubleType) / col("n_a").cast(DoubleType))
+          .as("rate_a"),
+        (col("conv_b").cast(DoubleType) / col("n_b").cast(DoubleType))
+          .as("rate_b"),
+        ((col("conv_b") * col("n_a")).cast(DoubleType) /
+          (col("conv_a") * col("n_b")).cast(DoubleType)).as("lift"))
+    }),
+
+    // sorted-neighborhood blocking (the third classic dedup blocking
+    // paradigm next to LSH bands and PPJoin prefixes): slide a 4-wide
+    // window down the prefix-sorted order inside 2-char blocks, then
+    // exact-verify candidates with the fingerprint Jaccard
+    "q_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"), n = 3,
+          windowSize = 4, blockChars = 2, keyChars = 12, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
     // calendar gap-fill + linear interpolation of each user's daily
     // purchase series — per-key spine (no global day x user cross join),
     // fill windows ride the same user_id hash partitioning
@@ -6128,6 +6199,112 @@ object SparkEntry {
          corners AS (SELECT unnest([u, v1, v2]) AS node_id FROM tris)
          SELECT node_id, count(*) AS n_tri FROM corners
          GROUP BY node_id ORDER BY node_id""",
+
+    // q_triangles' count CTEs + degree normalization
+    "q_clustering_coef" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         edges0 AS (
+           SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id + 2) % nn.n
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id * 7 + 3) % nn.n
+           FROM documents CROSS JOIN nn),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges0 WHERE src <> dst),
+         deg AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+           GROUP BY v),
+         ori AS (SELECT
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+               THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+               THEN u.b ELSE u.a END AS w
+           FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+         wedges AS (SELECT e1.u, e1.w AS v1, e2.w AS v2
+           FROM ori e1 JOIN ori e2 USING (u) WHERE e1.w <> e2.w),
+         tris AS (SELECT wg.u, wg.v1, wg.v2
+           FROM wedges wg JOIN ori c ON c.u = wg.v1 AND c.w = wg.v2),
+         corners AS (SELECT unnest([u, v1, v2]) AS node_id FROM tris),
+         tc AS (SELECT node_id, count(*) AS n_tri FROM corners
+           GROUP BY node_id)
+         SELECT deg.v AS node_id, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN deg.deg >= 2
+                THEN (CAST(2.0 AS DOUBLE)
+                      * CAST(coalesce(tc.n_tri, 0) AS DOUBLE))
+                     / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+                ELSE 0.0 END AS coef
+         FROM deg LEFT JOIN tc ON tc.node_id = deg.v
+         ORDER BY node_id""",
+
+    // the full recompute the IVM delta must reproduce
+    "q_incremental_join" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(22,2))) AS DOUBLE) AS sum_qty
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    // hash32 parity replayed in integer SQL (the split twin's hash),
+    // lift as one quotient of exact cross products
+    "q_ab_lift" ->
+      """WITH per AS (
+           SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted,
+             CASE WHEN (
+                 ((user_id % 4294967296) % 65536) * 2654435761
+                 + ((((user_id % 4294967296) // 65536) * 2654435761)
+                    % 65536) * 65536
+               ) % 4294967296 % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+           FROM events GROUP BY user_id),
+         ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv
+           FROM per GROUP BY arm),
+         a AS (SELECT n_users AS n_a, n_conv AS conv_a FROM ag
+           WHERE arm = 'A'),
+         b AS (SELECT n_users AS n_b, n_conv AS conv_b FROM ag
+           WHERE arm = 'B')
+         SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           CAST(conv_b * n_a AS DOUBLE) / CAST(conv_a * n_b AS DOUBLE)
+             AS lift
+         FROM a, b""",
+
+    // lead-window candidate pairs inside prefix blocks + the string-gram
+    // Jaccard of the ngram twin
+    "q_sorted_neighborhood" ->
+      """WITH slim AS (SELECT doc_id AS id, substr(text, 1, 12) AS skey,
+             substr(text, 1, 2) AS block
+           FROM documents),
+         nb AS (SELECT id AS id_x,
+             lead(id, 1) OVER w AS n1, lead(id, 2) OVER w AS n2,
+             lead(id, 3) OVER w AS n3
+           FROM slim WINDOW w AS (PARTITION BY block ORDER BY skey, id)),
+         prs AS (SELECT DISTINCT least(id_x, y) AS id_a,
+             greatest(id_x, y) AS id_b
+           FROM nb, unnest([n1, n2, n3]) AS t(y) WHERE y IS NOT NULL),
+         toks AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \n\t\r]+'),
+               x -> x <> '') AS tk
+           FROM documents),
+         grams AS (SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(tk) - 2, 0)),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gs
+           FROM toks),
+         j AS (SELECT p.id_a, p.id_b,
+             CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+               (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+               AS jaccard
+           FROM prs p JOIN grams a ON a.doc_id = p.id_a
+             JOIN grams b ON b.doc_id = p.id_b
+           WHERE len(a.gs) > 0 AND len(b.gs) > 0)
+         SELECT id_a, id_b, jaccard FROM j
+         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
 
     // identical window/interp expression tree (same casts, same division)
     "q_interpolate" ->

@@ -288,6 +288,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Sorted-neighborhood near-dup blocking (Hernández & Stolfo 1995):
+    * sort records by a lexicographic key (text prefix), slide a fixed
+    * window of `windowSize` down the sorted order, and emit only pairs
+    * that fall in the same window — the third classic blocking paradigm
+    * next to LSH banding and PPJoin prefix postings, and the cheapest one
+    * when near-dups share a PREFIX (templated titles, boilerplate heads).
+    * Candidates are then exact-verified with the same fingerprint Jaccard
+    * as ngramJaccardPairs, so the output is exact w.r.t. the blocking:
+    * it can only miss pairs whose sort keys land > windowSize apart.
+    *
+    * Scale shape: blocks partition by the first `blockChars` of the key,
+    * so the sliding window is a lead() over a BOUNDED block partition,
+    * never a global window; the window pass carries only (block, key, id)
+    * — gram arrays join back per candidate pair afterwards, so the
+    * window shuffle moves slim rows. */
+  def sortedNeighborhoodPairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, windowSize: Int = 4,
+      blockChars: Int = 2, keyChars: Int = 12,
+      threshold: Double = 0.5): DataFrame = {
+    require(windowSize >= 2, "windowSize must be at least 2")
+    val grams = docs.select(col(idCol).as("id"),
+        native.word_ngram_hashes(col(textCol), n).as("grams"))
+      .withColumn("n_grams", size(col("grams")).cast(LongType))
+    val slim = docs.select(col(idCol).as("id"),
+      substring(col(textCol), 1, keyChars).as("skey"),
+      substring(col(textCol), 1, blockChars).as("block"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("block").orderBy(col("skey"), col("id"))
+    val cand = slim
+      .select(col("id").as("id_x"),
+        array((1 until windowSize).map(i => lead(col("id"), i).over(w)): _*)
+          .as("nbrs"))
+      .select(col("id_x"), explode(col("nbrs")).as("id_y"))
+      .filter(col("id_y").isNotNull)
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+    val ga = grams.select(col("id").as("id_a"), col("grams").as("grams_a"),
+      col("n_grams").as("na"))
+    val gb = grams.select(col("id").as("id_b"), col("grams").as("grams_b"),
+      col("n_grams").as("nb"))
+    cand.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("shared",
+        native.sorted_intersect(col("grams_a"), col("grams_b"))
+          .cast(LongType))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("shared")).cast(DoubleType))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------- incremental (cross-corpus)
 
   /** Incremental exact dedup: rows of `incoming` whose text does not

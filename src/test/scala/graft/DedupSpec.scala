@@ -289,4 +289,26 @@ class DedupSpec extends AnyFunSuite {
     // both labels occur (40 singleton hashes won't all land one side)
     assert(got.map(_._3).distinct.toSet == Set("train", "eval"))
   }
+
+  test("sortedNeighborhoodPairs: window catches prefix-sorted dups, " +
+      "documents the out-of-window miss") {
+    import spark.implicits._
+    // three near-identical docs sharing a prefix sort adjacent; doc 40
+    // is a near-dup of 10 but starts differently -> lands in another
+    // block: the documented blocking miss
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "alpha beta gamma delta epsilon eta"),
+      (12L, "alpha beta gamma delta theta iota"),
+      (20L, "unrelated words entirely different content here"),
+      (40L, "zeta alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, n = 3, windowSize = 4,
+        blockChars = 2, keyChars = 12, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // 10-11 and 10-12/11-12 verified in-window; (10,40) missed by design
+    assert(got.contains((10L, 11L)))
+    assert(!got.contains((10L, 40L)))
+    assert(got.forall { case (a, b) => a < b })
+  }
 }

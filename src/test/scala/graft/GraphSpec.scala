@@ -196,4 +196,19 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c(0L) == 0L && c(1L) == 1L)
   }
+
+  test("clusteringCoefficient: clique scores 1, pendant scores 0") {
+    import spark.implicits._
+    // triangle {0,1,2} plus pendant 3 hanging off 0
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L))
+      .toDF("src", "dst")
+    val got = graft.graph.Triangles.clusteringCoefficient(edges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // node 0: deg 3, 1 triangle of 3 possible neighbor pairs -> 1/3
+    assert(got(0L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L) == ((1L, 0L, 0.0))) // deg 1: no pairs, defined as 0
+  }
 }

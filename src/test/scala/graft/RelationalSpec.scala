@@ -309,4 +309,26 @@ class RelationalSpec extends AnyFunSuite {
     assert((fkRow.getString(0), fkRow.getLong(1), fkRow.getLong(2),
       fkRow.getBoolean(3)) == ("fk_ok", 2L, 3L, false)) // orphan 3 + null
   }
+
+  test("incrementalJoinDelta: old view + delta equals the full recompute") {
+    // keys overlap across base/delta on both sides, incl. a key whose
+    // matches arrive ONLY via the cross term (delta x delta)
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("ka", "va")
+    val da = Seq((2L, "a3"), (9L, "a9")).toDF("ka", "va")
+    val b = Seq((1L, "b1"), (2L, "b2")).toDF("kb", "vb")
+    val db = Seq((1L, "b3"), (9L, "b9")).toDF("kb", "vb")
+    val oldView = a.join(b, col("ka") === col("kb"))
+    val maintained = oldView.unionByName(
+      graft.operators.Relational.incrementalJoinDelta(a, da, b, db,
+        "ka", "kb"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+      .toSeq.sorted
+    val full = a.unionByName(da).join(b.unionByName(db),
+        col("ka") === col("kb"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+      .toSeq.sorted
+    // key 1: a1 x {b1,b3}; key 2: {a2,a3} x b2; key 9 only via delta x delta
+    assert(maintained == full && full.size == 5)
+    assert(full.contains((9L, "a9", "b9")))
+  }
 }
