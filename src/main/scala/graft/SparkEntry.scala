@@ -2298,6 +2298,19 @@ object SparkEntry {
           windowSize = 4, blockChars = 2, keyChars = 12, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // per-doc keyword extraction: log-free TF-IDF ordering (tf desc,
+    // corpus df asc, term asc) — integer ranks, engine-independent
+    "q_keywords" -> ((s, dir) =>
+      graft.functions.Text.topTerms(t(s, dir, "documents"), k = 3)
+        .orderBy("doc_id", "rnk")),
+
+    // per-source dedup impact: share of each source's docs that are
+    // exact copies of earlier corpus content (keep-first policy) — which
+    // feeds pump duplicates; exact counts, one quotient
+    "q_dedup_report" -> ((s, dir) =>
+      Dedup.dedupReport(t(s, dir, "documents"), stratumCol = "source")
+        .orderBy("source")),
+
     // calendar gap-fill + linear interpolation of each user's daily
     // purchase series — per-key spine (no global day x user cross join),
     // fill windows ride the same user_id hash partitioning
@@ -6305,6 +6318,34 @@ object SparkEntry {
            WHERE len(a.gs) > 0 AND len(b.gs) > 0)
          SELECT id_a, id_b, jaccard FROM j
          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    "q_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '[ \n\t\r]+'),
+               x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         r AS (SELECT doc_id, term, tf, df,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf DESC, df ASC, term ASC) AS rnk
+           FROM tf JOIN dfq USING (term))
+         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+
+    // duplicate = text seen under a smaller doc_id anywhere; charged to
+    // the later doc's source
+    "q_dedup_report" ->
+      """WITH f AS (SELECT text, min(doc_id) AS keeper FROM documents
+           GROUP BY text)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.doc_id <> f.keeper THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dups,
+           CAST(sum(CASE WHEN d.doc_id <> f.keeper THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+         FROM documents d JOIN f ON d.text = f.text
+         GROUP BY d.source ORDER BY d.source""",
 
     // identical window/interp expression tree (same casts, same division)
     "q_interpolate" ->

@@ -341,6 +341,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-stratum dedup impact report: how many of each stratum's rows
+    * are exact duplicates of earlier content ANYWHERE in the corpus
+    * (keep-first-by-id policy, same as exactDedup) — the ops dashboard a
+    * curation run publishes per source/feed: which feeds are pumping
+    * copies. Returns (stratum, n_docs, n_dups, dup_rate); counts exact
+    * longs, rate one quotient. Cross-stratum duplicates are charged to
+    * the LATER doc's stratum, so the per-stratum dup counts sum to the
+    * corpus dup count. One md5 groupBy (16-byte shuffle keys) + a
+    * co-keyed join + one stratum groupBy. */
+  def dedupReport(docs: DataFrame, stratumCol: String = "source",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"), col(stratumCol),
+      md5(col(textCol)).as("h"))
+    val firsts = hashed.groupBy("h").agg(min(col("id")).as("keeper"))
+    hashed.join(firsts, "h")
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("id") =!= col("keeper"), 1L).otherwise(0L))
+          .as("n_dups"))
+      .withColumn("dup_rate",
+        col("n_dups").cast(DoubleType) / col("n_docs").cast(DoubleType))
+  }
+
   // ------------------------------------------- incremental (cross-corpus)
 
   /** Incremental exact dedup: rows of `incoming` whose text does not

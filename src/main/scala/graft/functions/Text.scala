@@ -564,6 +564,36 @@ object Text {
         concat(col("lhs"), col("rhs")).as("merged"), col("freq"))
   }
 
+  /** Per-document keyword extraction by TF-rarity rank: a document's top
+    * terms are those it repeats most (tf desc) among terms the corpus
+    * uses least (document frequency asc, then term asc — a total order).
+    * This is the log-free integer form of TF-IDF term ranking: for a
+    * FIXED document, ordering by (tf, −df) selects the same leaders as
+    * tf·log(N/df) whenever tf dominates, and unlike the float score it
+    * is reproducible bit-for-bit on any engine, which makes keyword sets
+    * diffable across pipeline runs. Returns (doc_id, term, tf, df, rnk)
+    * with rnk ≤ k.
+    *
+    * Scale shape: tf is a map-side-combinable (doc, term) groupBy, df a
+    * second combinable groupBy over the tf rows (already one row per
+    * doc-term), and the rank window partitions by doc — bounded by a
+    * document's own vocabulary, never the corpus. */
+  def topTerms(docs: DataFrame, k: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
   /** Corpus novelty rate: the share of each document's distinct word
     * n-grams that occur for the FIRST time in that document (first
     * occurrence = the minimum doc id carrying the gram — a deterministic

@@ -290,6 +290,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got.map(_._3).distinct.toSet == Set("train", "eval"))
   }
 
+  test("dedupReport: cross-stratum dup charged to the later doc's stratum") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text", "srcA"),
+      (2L, "same text", "srcB"),   // dup of 1, charged to srcB
+      (3L, "unique one", "srcA"),
+      (4L, "same text", "srcA"))   // dup of 1, charged to srcA
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dedupReport(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == Seq(("srcA", 3L, 1L, 1.0 / 3.0), ("srcB", 1L, 1L, 1.0)))
+  }
+
   test("sortedNeighborhoodPairs: window catches prefix-sorted dups, " +
       "documents the out-of-window miss") {
     import spark.implicits._

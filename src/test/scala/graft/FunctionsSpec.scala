@@ -370,6 +370,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(x("1 < 2 always") == "1 < 2 always")
   }
 
+  test("topTerms: tf dominates, rarity breaks tf ties, term breaks df ties") {
+    val docs = Seq(
+      (1L, "x x x common rare"),   // tf: x=3 wins; common vs rare tie at
+                                   // tf=1 -> rarer (df) first
+      (2L, "common common zz"),
+      (3L, "common zz"))
+      .toDF("doc_id", "text")
+    val got = graft.functions.Text.topTerms(docs, k = 2)
+      .orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSeq
+    // doc 1: x (tf 3), then rare (df 1) beats common (df 3)
+    // doc 2: common (tf 2), then zz
+    // doc 3: tf tie at 1 -> zz (df 2) beats common (df 3)
+    assert(got == Seq((1L, "x", 1L), (1L, "rare", 2L),
+      (2L, "common", 1L), (2L, "zz", 2L),
+      (3L, "zz", 1L), (3L, "common", 2L)))
+  }
+
   test("noveltyRate gram-hash path matches the kernel's tokenizer") {
     // multi-whitespace tokenization: tabs/newlines split like spaces
     val docs = Seq((1L, "a\tb\nc"), (2L, "a b c d")).toDF("doc_id", "text")
