@@ -185,4 +185,50 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "only id+payload source columns should be read")
   }
+
+  test("this session's additions stay shuffle-sane") {
+    // 1-row broadcast nested loops (totals, A/B arms) are fine;
+    // CartesianProduct never is
+    for (q <- Seq("q_decay", "q_novelty", "q_rank_ensemble",
+        "q_html_extract", "q_wilson", "q_kanon", "q_mrr", "q_join_size",
+        "q_mix_weights", "q_cusum", "q_clustering_coef",
+        "q_incremental_join", "q_ab_lift", "q_sorted_neighborhood",
+        "q_keywords", "q_dedup_report")) {
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a CartesianProduct")
+    }
+  }
+
+  test("new rank/sequence windows all declare a partition key") {
+    // every Window in these plans must carry a non-empty PARTITION BY —
+    // an unpartitioned window serializes the corpus through one task
+    for (q <- Seq("q_decay", "q_rank_ensemble", "q_cusum",
+        "q_sorted_neighborhood", "q_keywords")) {
+      val p = plan(q)
+      val specs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(specs.nonEmpty, s"$q should plan window functions")
+      specs.foreach { s =>
+        // spec args: partition cols..., order cols..., frame; an
+        // unpartitioned spec starts directly with the sort order
+        assert(!s.trim.startsWith("ASC") && !s.trim.startsWith("DESC") &&
+          s.split(",").length >= 3, s"$q window spec unpartitioned: $s")
+      }
+    }
+  }
+
+  test("html extraction is a pure narrow map over a pruned scan") {
+    val p = plan("q_html_extract")
+    assert(!p.contains("Exchange") || p.indexOf("Exchange") ==
+      p.lastIndexOf("Exchange"), // at most the final sort's exchange
+      "per-row extraction must not introduce extra shuffles")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "kernel input should prune to id+text")
+  }
+
+  test("IVM delta joins broadcast the delta side, never cartesian") {
+    val p = plan("q_incremental_join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
 }
