@@ -2311,6 +2311,46 @@ object SparkEntry {
       Dedup.dedupReport(t(s, dir, "documents"), stratumCol = "source")
         .orderBy("source")),
 
+    // temporal dimension lookup: each purchase joined to the SCD2
+    // history row valid AT purchase time (valid_from <= ts < valid_to) —
+    // equi-join on the key with the interval as residual, bounded per-key
+    "q_scd_lookup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hist = graft.operators.Scd.buildHistory(ev, "user_id", "ts",
+        "event_id", Seq("event_type", "value"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("fact_id"), col("user_id"),
+          col("ts").as("fact_ts"))
+      graft.operators.Scd.lookupAsOf(hist, facts, "user_id", "fact_ts")
+        .select(col("fact_id"), col("user_id"), col("fact_ts"),
+          col("change_id"), col("event_type").as("state_type"),
+          col("value").as("state_value"))
+        .orderBy("fact_id")
+    }),
+
+    // simhash threshold calibration: hamming distance next to the exact
+    // shingle Jaccard for every pigeonhole-complete candidate pair — the
+    // evidence for choosing a production radius on THIS corpus
+    "q_simhash_calibration" -> ((s, dir) =>
+      Dedup.simhashCalibration(t(s, dir, "documents"), maxHamming = 3,
+          shingle = 5)
+        .orderBy("id_a", "id_b")),
+
+    // deterministic negative sampling for link prediction: affine
+    // proposals anti-joined against the (undirected) edge set — same
+    // negatives on every run/partitioning/engine, unlike RNG sampling
+    "q_negative_edges" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // single bounded scalar, never data-sized
+      val id = col("doc_id")
+      val nodes = docs.select(id.as("node_id"))
+      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
+        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
+        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      graft.graph.Negatives.sample(nodes, edges, n, proposals = 3)
+        .orderBy("src", "dst")
+    }),
+
     // calendar gap-fill + linear interpolation of each user's daily
     // purchase series — per-key spine (no global day x user cross join),
     // fill windows ride the same user_id hash partitioning
@@ -6346,6 +6386,72 @@ object SparkEntry {
              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
          FROM documents d JOIN f ON d.text = f.text
          GROUP BY d.source ORDER BY d.source""",
+
+    // q_scd2's history CTE + the interval-containment probe
+    "q_scd_lookup" ->
+      """WITH hist AS (
+           SELECT user_id, event_type, value, ts AS valid_from,
+             event_id AS change_id,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+           FROM events),
+         f AS (SELECT event_id AS fact_id, user_id, ts AS fact_ts
+           FROM events WHERE event_type = 'purchase')
+         SELECT f.fact_id, f.user_id, f.fact_ts, h.change_id,
+           h.event_type AS state_type, h.value AS state_value
+         FROM f LEFT JOIN hist h ON h.user_id = f.user_id
+           AND h.valid_from <= f.fact_ts
+           AND (h.valid_to IS NULL OR f.fact_ts < h.valid_to)
+         ORDER BY fact_id""",
+
+    // the HUGEINT simhash bits + exact byte-shingle Jaccard per
+    // candidate pair (all pairs at hamming <= 3: pigeonhole-complete)
+    "q_simhash_calibration" ->
+      s"""$simhashBitsCte,
+         grams AS (
+           SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 4, 0)),
+               i -> substr(text, i, 5))) AS gs
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_filter(generate_series(1, 64),
+             i -> a.bits[i] <> b.bits[i])) AS BIGINT) AS hamming,
+           CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE) /
+             (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs)))
+             AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           JOIN grams ga ON ga.doc_id = a.doc_id
+           JOIN grams gb ON gb.doc_id = b.doc_id
+         WHERE len(list_filter(generate_series(1, 64),
+             i -> a.bits[i] <> b.bits[i])) <= 3
+           AND len(ga.gs) > 0 AND len(gb.gs) > 0
+         ORDER BY id_a, id_b""",
+
+    // affine proposals minus the undirected edge set
+    "q_negative_edges" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         edges0 AS (
+           SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id + 2) % nn.n
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id * 7 + 3) % nn.n
+           FROM documents CROSS JOIN nn),
+         und AS (SELECT src, dst FROM edges0
+           UNION SELECT dst AS src, src AS dst FROM edges0),
+         prop AS (
+           SELECT DISTINCT doc_id AS src,
+             (doc_id * (11 + 2 * v.c) + (5 + v.c)) % nn.n AS dst
+           FROM documents CROSS JOIN nn
+             CROSS JOIN (VALUES (0), (1), (2)) AS v(c)
+           WHERE doc_id <> (doc_id * (11 + 2 * v.c) + (5 + v.c)) % nn.n)
+         SELECT p.src, p.dst FROM prop p
+         WHERE NOT EXISTS (SELECT 1 FROM und u
+           WHERE u.src = p.src AND u.dst = p.dst)
+         ORDER BY src, dst""",
 
     // identical window/interp expression tree (same casts, same division)
     "q_interpolate" ->

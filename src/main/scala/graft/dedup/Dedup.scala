@@ -209,6 +209,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** SimHash threshold calibration: for every candidate pair within the
+    * pigeonhole-complete Hamming radius, report the 64-bit Hamming
+    * distance NEXT TO the exact byte-shingle Jaccard — the table that
+    * answers "what Hamming cutoff equals Jaccard ≥ t on MY corpus"
+    * before committing a production radius. Pure composition of the two
+    * verified primitives (simhashPairs candidates + the minhash verify
+    * branch's exact shingle intersect), so cost and plan shape are
+    * theirs. */
+  def simhashCalibration(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3, shingle: Int = 5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = simhashPairs(docs, textCol, idCol, maxHamming, maxBucketSize)
+    val sh = docs.select(col(idCol).as("id"),
+        native.char_shingle_hashes(col(textCol), shingle).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast(LongType))
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("n_sh").as("na"))
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("n_sh").as("nb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .withColumn("shared",
+        native.sorted_intersect(col("sh_a"), col("sh_b")).cast(LongType))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        (col("shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("shared")).cast(DoubleType))
+          .as("jaccard"))
+  }
+
   // ---------------------------------------------------- n-gram Jaccard
 
   /** Exact n-gram Jaccard pairs >= threshold via prefix-filtered inverted

@@ -55,4 +55,26 @@ object Scd {
           Window.partitionBy(keyCol).orderBy(col("valid_from"), col("change_id"))))
     closed.unionByName(rewindowed)
   }
+
+  /** Temporal dimension lookup: join each fact to the SCD2 history row
+    * that was valid AT FACT TIME — `valid_from <= fact_ts < valid_to`
+    * (open row: `valid_to IS NULL`) — the "what did this record look
+    * like when the shard was written" query that makes SCD2 history
+    * worth keeping. Each fact matches at most one version row by
+    * construction (intervals per key partition the timeline; zero-width
+    * intervals from same-ts changes can match nothing).
+    *
+    * Scale shape: an equi-join on the dimension key with the interval
+    * predicate as the join residual — per-key history is bounded by that
+    * key's change count, so the residual scan after the hash/SMJ match
+    * is per-key-small; no range explosion, no cartesian. */
+  def lookupAsOf(history: DataFrame, facts: DataFrame, keyCol: String,
+      factTsCol: String): DataFrame = {
+    val h = history.withColumnRenamed(keyCol, "__hk")
+    facts.join(h,
+      facts(keyCol) === h("__hk") &&
+        h("valid_from") <= facts(factTsCol) &&
+        (h("valid_to").isNull || facts(factTsCol) < h("valid_to")),
+      "left").drop("__hk")
+  }
 }

@@ -197,6 +197,23 @@ class GraphSpec extends AnyFunSuite {
     assert(c(0L) == 0L && c(1L) == 1L)
   }
 
+  test("negative sampling: proposals minus edges, no self-loops, both directions") {
+    import spark.implicits._
+    // n=4, 1 proposal per node: dst = (id*11 + 5) % 4 = (3id+1) % 4
+    // -> 0->1, 1->0, 2->3, 3->2
+    val nodes = (0L to 3L).toDF("node_id")
+    val edges = Seq((1L, 0L), (2L, 3L)).toDF("src", "dst")
+    val got = graft.graph.Negatives.sample(nodes, edges, 4L, proposals = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // 0->1 killed by reverse edge (1,0); 1->0 killed directly;
+    // 2->3 killed; 3->2 killed by reverse -> nothing survives
+    assert(got == Seq())
+    val got2 = graft.graph.Negatives.sample(nodes,
+        Seq((1L, 0L)).toDF("src", "dst"), 4L, proposals = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got2 == Seq((2L, 3L), (3L, 2L)))
+  }
+
   test("clusteringCoefficient: clique scores 1, pendant scores 0") {
     import spark.implicits._
     // triangle {0,1,2} plus pendant 3 hanging off 0

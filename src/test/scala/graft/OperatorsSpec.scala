@@ -69,6 +69,27 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "x", ts("2024-01-02 00:00:00"), None)))
   }
 
+  test("scd2: lookupAsOf resolves the version valid at fact time") {
+    val changes = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 100L, "a"),
+      (1L, ts("2024-01-05 00:00:00"), 101L, "b"),
+      (2L, ts("2024-01-02 00:00:00"), 102L, "x"))
+      .toDF("k", "ts", "id", "attr")
+    val h = Scd.buildHistory(changes, "k", "ts", "id", Seq("attr"))
+    val facts = Seq(
+      (10L, 1L, ts("2024-01-03 00:00:00")), // mid first interval -> a
+      (11L, 1L, ts("2024-01-05 00:00:00")), // ON boundary -> new row b
+      (12L, 1L, ts("2024-02-01 00:00:00")), // after last -> open row b
+      (13L, 2L, ts("2024-01-01 00:00:00")), // before key's first -> null
+      (14L, 9L, ts("2024-01-01 00:00:00"))) // unknown key -> null
+      .toDF("fid", "k", "fts")
+    val got = Scd.lookupAsOf(h, facts, "k", "fts")
+      .select("fid", "attr").orderBy("fid").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq((10L, Some("a")), (11L, Some("b")), (12L, Some("b")),
+      (13L, None), (14L, None)))
+  }
+
   test("scd2: applyChanges equals buildHistory over the full log") {
     val all = (1 to 20).map { i =>
       (i % 4L, ts(f"2024-01-${i}%02d 00:00:00"), i.toLong, s"v$i")
