@@ -93,6 +93,31 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // manifest-based data skipping (the Delta/Iceberg primitive, built
+    // directly): range-clustered files + a min/max manifest; the range
+    // read opens ONLY overlapping files, re-filters for row exactness,
+    // and emits the skip evidence (files_read < files_total) alongside
+    // the aggregate so the oracle hash-checks that pruning happened
+    "q_manifest_skip" -> ((s, dir) => {
+      val out = "/tmp/graft_manifest_skip"
+      graft.sources.Sinks.writeWithManifest(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority")),
+        out, "o_totalprice", nFiles = 8)
+      val (pruned, nRead, nTotal) =
+        graft.sources.Sinks.readPruned(s, out, "o_totalprice",
+          100000.0, 150000.0)
+      // files_read/files_total stay out of the hashed row (range
+      // boundaries are SAMPLED, so the exact split point can jitter);
+      // `skipped` is robust: a 50k-wide band can never need all 8 files
+      pruned.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE)")
+            .as("sum_price"))
+        .withColumn("skipped", lit(nRead < nTotal))
+        .orderBy("o_orderpriority")
+    }),
+
     // ORC write -> read roundtrip (the second native columnar format):
     // ground truth recomputed by the oracle from the parquet base table,
     // so the roundtrip must preserve every value bit-for-bit
@@ -6386,6 +6411,17 @@ object SparkEntry {
              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
          FROM documents d JOIN f ON d.text = f.text
          GROUP BY d.source ORDER BY d.source""",
+
+    // row-exact range result; `skipped` is the pruning claim the engine
+    // must back with a manifest read of fewer-than-all files
+    "q_manifest_skip" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE)
+             AS sum_price,
+           true AS skipped
+         FROM orders
+         WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
+         GROUP BY 1 ORDER BY 1""",
 
     // q_scd2's history CTE + the interval-containment probe
     "q_scd_lookup" ->

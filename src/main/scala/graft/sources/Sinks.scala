@@ -132,4 +132,55 @@ object Sinks {
     if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
     w.saveAsTable(table)
   }
+
+  /** Range-clustered write plus a file-level min/max manifest — the
+    * data-skipping layout every table format (Delta/Iceberg/Hudi) builds
+    * on, expressed directly: rows are range-partitioned on `rangeCol` so
+    * each output file owns a narrow value band, and a manifest records
+    * each file's (lo, hi). A range query then opens only overlapping
+    * files (`readPruned`) instead of listing-and-scanning the whole
+    * directory — at 100 TB, manifest pruning is the difference between
+    * touching 3 files and 30,000. The manifest is derived from the data
+    * itself after the write (one aggregate over file name), so it can
+    * never disagree with the files. */
+  def writeWithManifest(df: DataFrame, path: String, rangeCol: String,
+      nFiles: Int): Unit = {
+    df.repartitionByRange(nFiles, col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val s = df.sparkSession
+    s.read.parquet(path)
+      .select(org.apache.spark.sql.functions.input_file_name().as("file"),
+        col(rangeCol))
+      .groupBy("file")
+      .agg(org.apache.spark.sql.functions.min(col(rangeCol)).as("lo"),
+        org.apache.spark.sql.functions.max(col(rangeCol)).as("hi"))
+      .coalesce(1) // manifest is file-count-sized, tiny by construction
+      .write.mode(SaveMode.Overwrite).parquet(path + "_manifest")
+  }
+
+  /** Manifest-pruned range read over a `writeWithManifest` layout:
+    * consult the (tiny) manifest for files whose [lo, hi] overlaps
+    * [from, to], open ONLY those, and re-apply the predicate for
+    * row-level exactness. The collect is bounded by the file count —
+    * manifest-sized, never data-sized. Returns (dataframe, filesRead,
+    * filesTotal) so callers can assert the skip actually happened. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+      rangeCol: String, from: Any, to: Any):
+      (DataFrame, Int, Int) = {
+    val manifest = spark.read.parquet(path + "_manifest")
+    val total = manifest.count().toInt
+    val files = manifest
+      .filter(col("hi") >= org.apache.spark.sql.functions.lit(from) &&
+        col("lo") <= org.apache.spark.sql.functions.lit(to))
+      .select("file").collect().map(_.getString(0))
+    val df =
+      if (files.isEmpty)
+        spark.read.parquet(path).filter(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
+        .filter(col(rangeCol).between(
+          org.apache.spark.sql.functions.lit(from),
+          org.apache.spark.sql.functions.lit(to)))
+    (df, files.length, total)
+  }
 }

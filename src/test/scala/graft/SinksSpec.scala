@@ -158,6 +158,26 @@ class SinksSpec extends AnyFunSuite {
       got(1).getLong(3) == 1)
   }
 
+  test("manifest skip: range read opens fewer files, result stays exact") {
+    import spark.implicits._
+    val df = (1L to 800L).map(i => (i, i * 10L)).toDF("id", "v")
+    val out = "/tmp/graft_test_manifest"
+    Sinks.writeWithManifest(df, out, "v", nFiles = 8)
+    val (pruned, nRead, nTotal) = Sinks.readPruned(spark, out, "v",
+      1000L, 1500L)
+    assert(nTotal >= 2 && nRead < nTotal,
+      s"expected a real skip, got $nRead of $nTotal files")
+    val got = pruned.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = df.filter(col("v").between(1000L, 1500L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want && want.nonEmpty)
+    // empty overlap: no files opened, empty frame with the right schema
+    val (empty, n0, _) = Sinks.readPruned(spark, out, "v", -50L, -10L)
+    assert(n0 == 0 && empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "v"))
+  }
+
   test("hashSplit is deterministic, covers all rows, roughly respects pct") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("id")
