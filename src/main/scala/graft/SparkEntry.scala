@@ -2336,6 +2336,19 @@ object SparkEntry {
       Dedup.dedupReport(t(s, dir, "documents"), stratumCol = "source")
         .orderBy("source")),
 
+    // per-label mean embeddings (class prototypes) via the deterministic
+    // secondary-sort ordered fold (Ivf.train's discipline) — exploded to
+    // (label, pos, mval) FLOAT rows for the comparator, each component
+    // bit-exact against the twin's identical ordered fold
+    "q_mean_pool" -> ((s, dir) =>
+      graft.similarity.Pooling.meanByGroup(t(s, dir, "embeddings"),
+          "label", "embedding", "vec_id")
+        .select(col("group_id").cast(LongType).as("label"),
+          posexplode(col("mean_vec")).as(Seq("pos", "mval")))
+        .select(col("label"), (col("pos") + 1).cast(LongType).as("pos"),
+          col("mval"))
+        .orderBy("label", "pos")),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -6422,6 +6435,21 @@ object SparkEntry {
          FROM orders
          WHERE o_totalprice BETWEEN 100000.0 AND 150000.0
          GROUP BY 1 ORDER BY 1""",
+
+    // the identical ordered fold: per (label, dim), doubles summed in
+    // vec_id order, /n, cast FLOAT (the m1 pattern of the k-means twin)
+    "q_mean_pool" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         vals AS (SELECT label, t.i AS pos, e.v[t.i] AS val, e.vec_id
+           FROM e, unnest(generate_series(1, 64)) AS t(i)),
+         m AS (SELECT label, pos,
+             CAST(list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+               / count(*) AS FLOAT) AS mval
+           FROM vals GROUP BY 1, 2)
+         SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+           mval
+         FROM m ORDER BY label, pos""",
 
     // q_scd2's history CTE + the interval-containment probe
     "q_scd_lookup" ->

@@ -151,4 +151,22 @@ class AnnSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(tie == Seq(4L, 7L))
   }
+
+  test("meanByGroup: exact means, invariant to input row order") {
+    val rows = Seq(
+      (1L, 0, Array(1.0f, 2.0f)),
+      (2L, 0, Array(3.0f, 4.0f)),
+      (3L, 1, Array(10.0f, 20.0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = graft.similarity.Pooling
+      .meanByGroup(df, "label", "embedding", "vec_id")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(got == Map(0 -> Seq(2.0f, 3.0f), 1 -> Seq(10.0f, 20.0f)))
+    // reversed input order folds to the identical bits (secondary sort)
+    val rev = graft.similarity.Pooling
+      .meanByGroup(rows.reverse.toDF("vec_id", "label", "embedding"),
+        "label", "embedding", "vec_id")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(rev == got)
+  }
 }
