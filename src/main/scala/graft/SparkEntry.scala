@@ -2349,6 +2349,46 @@ object SparkEntry {
           col("mval"))
         .orderBy("label", "pos")),
 
+    // prototype (nearest-class-mean) classification accuracy: assign
+    // each embedding to the nearest label prototype and score per true
+    // label — the 1-NN-to-centroid eval that tells whether labels are
+    // linearly separable in embedding space. Exact counts, one quotient.
+    "q_prototype_accuracy" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val protos = graft.similarity.Pooling.meanByGroup(emb, "label",
+          "embedding", "vec_id")
+        .select(col("group_id").as("centroid_id"),
+          col("mean_vec").as("centroid"))
+      val assigned = graft.similarity.Ivf.assign(emb, protos)
+        .select(col("vec_id"), col("centroid_id").as("pred"))
+      emb.select(col("vec_id"), col("label")).join(assigned, "vec_id")
+        .groupBy(col("label").cast(LongType).as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred").cast(LongType) === col("label"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          col("n_correct").cast(DoubleType) / col("n").cast(DoubleType))
+        .orderBy("label")
+    }),
+
+    // per-label embedding drift between corpus halves: cosine between
+    // the two halves' prototypes (deterministic folds → deterministic
+    // cosine → the < gate is engine-independent)
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      def half(m: Int) = graft.similarity.Pooling.meanByGroup(
+        emb.filter(col("vec_id") % 2 === m), "label", "embedding", "vec_id")
+      val a = half(0).select(col("group_id").as("label"),
+        col("mean_vec").as("va"))
+      val b = half(1).select(col("group_id").as("label"),
+        col("mean_vec").as("vb"))
+      a.join(b, "label")
+        .select(col("label").cast(LongType).as("label"),
+          native.vec_cosine(col("va"), col("vb")).as("proto_cos"))
+        .withColumn("drifted", col("proto_cos") < 0.99)
+        .orderBy("label")
+    }),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -6450,6 +6490,60 @@ object SparkEntry {
          SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
            mval
          FROM m ORDER BY label, pos""",
+
+    // prototype fold + the a1-style argmax assignment + exact accuracy
+    "q_prototype_accuracy" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         vals AS (SELECT label, t.i AS pos, e.v[t.i] AS val, e.vec_id
+           FROM e, unnest(generate_series(1, 64)) AS t(i)),
+         m AS (SELECT label, pos,
+             CAST(list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+               / count(*) AS FLOAT) AS mval
+           FROM vals GROUP BY 1, 2),
+         p AS (SELECT label AS cid, list(CAST(mval AS DOUBLE) ORDER BY pos)
+             AS cv
+           FROM m GROUP BY label),
+         asg AS (SELECT vec_id, label, cid AS pred FROM (
+             SELECT e.vec_id, e.label, p.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.v, p.cv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(p.cv, p.cv)))) DESC,
+                 p.cid ASC) AS rn
+             FROM e CROSS JOIN p) WHERE rn = 1)
+         SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS accuracy
+         FROM asg GROUP BY 1 ORDER BY 1""",
+
+    // two half-corpus folds + one cosine per label
+    "q_embed_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         vals AS (SELECT e.vec_id % 2 AS half, label, t.i AS pos,
+             e.v[t.i] AS val, e.vec_id
+           FROM e, unnest(generate_series(1, 64)) AS t(i)),
+         m AS (SELECT half, label, pos,
+             CAST(list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+               / count(*) AS FLOAT) AS mval
+           FROM vals GROUP BY 1, 2, 3),
+         pa AS (SELECT label, list(CAST(mval AS DOUBLE) ORDER BY pos) AS va
+           FROM m WHERE half = 0 GROUP BY label),
+         pb AS (SELECT label, list(CAST(mval AS DOUBLE) ORDER BY pos) AS vb
+           FROM m WHERE half = 1 GROUP BY label)
+         SELECT CAST(label AS BIGINT) AS label,
+           list_dot_product(va, vb)
+             / (sqrt(list_dot_product(va, va))
+                * sqrt(list_dot_product(vb, vb))) AS proto_cos,
+           (list_dot_product(va, vb)
+             / (sqrt(list_dot_product(va, va))
+                * sqrt(list_dot_product(vb, vb)))) < CAST(0.99 AS DOUBLE)
+             AS drifted
+         FROM pa JOIN pb USING (label) ORDER BY label""",
 
     // q_scd2's history CTE + the interval-containment probe
     "q_scd_lookup" ->
