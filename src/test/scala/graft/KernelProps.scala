@@ -161,4 +161,39 @@ object KernelProps extends Properties("Kernels") {
       }
       sizeOk && boundsOk && heavyOk
     }
+
+  // --- HtmlKernel ------------------------------------------------------
+
+  private val plainGen: Gen[String] = Gen.choose(0, 40).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '\n', '\t'))).map(_.mkString))
+
+  property("HtmlKernel: markup-free text just whitespace-normalizes") =
+    forAll(plainGen) { s =>
+      val got = graft.functions.HtmlKernel
+        .extractText(UTF8String.fromString(s)).toString
+      got == s.split("[ \n\t\r]+").filter(_.nonEmpty).mkString(" ")
+    }
+
+  property("HtmlKernel: wrapping plain text in tags strips to the text") =
+    forAll(plainGen) { s =>
+      val html = s"<html><body><p class=x>$s</p></body></html>"
+      val got = graft.functions.HtmlKernel
+        .extractText(UTF8String.fromString(html)).toString
+      got == s.split("[ \n\t\r]+").filter(_.nonEmpty).mkString(" ")
+    }
+
+  // --- CUSUM unrolling -------------------------------------------------
+
+  property("cusum identity: cum - min(0, runmin(cum)) == reset recursion") =
+    forAll(Gen.listOf(Gen.choose(-20L, 20L))) { ds =>
+      // the window algebra TimeSeries.cusum relies on, checked in pure
+      // scala against the textbook fold
+      val cums = ds.scanLeft(0L)(_ + _).tail
+      val unrolled = cums.zipWithIndex.map { case (c, i) =>
+        c - math.min(0L, cums.take(i + 1).min)
+      }
+      val folded = ds.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+      unrolled == folded
+    }
 }
