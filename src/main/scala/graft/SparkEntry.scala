@@ -2389,6 +2389,44 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    // consecutive-pattern matching (MATCH_RECOGNIZE shape): count
+    // strictly adjacent view→click→purchase triples per user — two leads
+    // over the user-partitioned sequence, every occurrence (the funnel
+    // counts first occurrences; this counts all adjacent runs)
+    "q_event_pattern" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("t1"),
+          lead(col("event_type"), 2).over(w).as("t2"))
+        .filter(col("event_type") === "view" && col("t1") === "click" &&
+          col("t2") === "purchase")
+        .groupBy("user_id").agg(count(lit(1)).as("n_patterns"))
+        .orderBy("user_id")
+    }),
+
+    // winsorization report: exact interpolated p05/p95 per group plus
+    // integer counts of rows below/within/above — the clamp decision
+    // without ever summing clamped floats (decimal-rounding-free)
+    "q_winsorize" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val bounds = o.groupBy("o_orderpriority")
+        .agg(expr("percentile(o_totalprice, 0.05)").as("lo"),
+          expr("percentile(o_totalprice, 0.95)").as("hi"))
+      o.join(bounds, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+          sum(when(col("o_totalprice") < col("lo"), 1L).otherwise(0L))
+            .as("n_below"),
+          sum(when(col("o_totalprice") > col("hi"), 1L).otherwise(0L))
+            .as("n_above"),
+          sum(when(col("o_totalprice") >= col("lo") &&
+              col("o_totalprice") <= col("hi"), 1L).otherwise(0L))
+            .as("n_within"))
+        .orderBy("o_orderpriority")
+    }),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -6544,6 +6582,37 @@ object SparkEntry {
                 * sqrt(list_dot_product(vb, vb)))) < CAST(0.99 AS DOUBLE)
              AS drifted
          FROM pa JOIN pb USING (label) ORDER BY label""",
+
+    "q_event_pattern" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_patterns
+         FROM s WHERE event_type = 'view' AND t1 = 'click'
+           AND t2 = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
+
+    // quantile_cont is the same linear interpolation as Spark's
+    // percentile; counts stay integer so no clamped-sum rounding exists
+    "q_winsorize" ->
+      """WITH b AS (
+           SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+           FROM orders GROUP BY 1)
+         SELECT o.o_orderpriority, max(b.lo) AS lo, max(b.hi) AS hi,
+           CAST(sum(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_above,
+           CAST(sum(CASE WHEN o.o_totalprice >= b.lo
+               AND o.o_totalprice <= b.hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_within
+         FROM orders o JOIN b USING (o_orderpriority)
+         GROUP BY 1 ORDER BY 1""",
 
     // q_scd2's history CTE + the interval-containment probe
     "q_scd_lookup" ->

@@ -124,6 +124,27 @@ object ScaleStress {
       "triangles" -> (() => graft.graph.Triangles.perNode(edges))
     )
     graphPipelines.foreach { case (name, mk) => measure(name, mk) }
+
+    // round-5 late additions: the session's heaviest new operators at
+    // the same 10x corpus (50k docs / 50k-node graph)
+    val embPath = s"$srcDir/embeddings.parquet"
+    val emb = spark.read.parquet(embPath)
+    val latePipelines: Seq[(String, () => DataFrame)] = Seq(
+      "sorted_neighborhood" -> (() =>
+        Dedup.sortedNeighborhoodPairs(docs, windowSize = 4)),
+      "novelty_rate" -> (() =>
+        graft.functions.Text.noveltyRate(docs, n = 3)),
+      "simhash_calibration" -> (() =>
+        Dedup.simhashCalibration(docs, maxHamming = 3)),
+      "clustering_coef" -> (() =>
+        graft.graph.Triangles.clusteringCoefficient(edges)),
+      "keywords_top3" -> (() =>
+        graft.functions.Text.topTerms(docs, k = 3)),
+      "mean_pool" -> (() =>
+        graft.similarity.Pooling.meanByGroup(emb, "label", "embedding",
+          "vec_id"))
+    )
+    latePipelines.foreach { case (name, mk) => measure(name, mk) }
     spark.stop()
   }
 }
