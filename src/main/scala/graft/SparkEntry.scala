@@ -2427,6 +2427,17 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // language-ID confusion matrix: heuristic prediction vs the labeled
+    // lang, exact counts per (actual, predicted) cell — the eval that
+    // says where the n-gram heuristic misroutes documents
+    "q_lang_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          native.text_stats(col("text")).getField("lang_pred")
+            .as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -6582,6 +6593,13 @@ object SparkEntry {
                 * sqrt(list_dot_product(vb, vb)))) < CAST(0.99 AS DOUBLE)
              AS drifted
          FROM pa JOIN pb USING (label) ORDER BY label""",
+
+    // the q_text_quality heuristic CTEs + a 2-key count
+    "q_lang_confusion" -> (qualityCtes +
+      """
+         SELECT d.lang, q.lang_pred, CAST(count(*) AS BIGINT) AS n
+         FROM documents d JOIN q ON q.doc_id = d.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
 
     "q_event_pattern" ->
       """WITH s AS (
