@@ -2438,6 +2438,41 @@ object SparkEntry {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang", "lang_pred")),
 
+    // market-basket pair mining (frequent itemsets, size 2): parts
+    // co-ordered in the same order, support >= 2 — the
+    // co-occurrence self-join is keyed on orderkey so fan-out is bounded
+    // by the order's own line count, never corpus-wide
+    "q_basket_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = li.select(col("ok"), col("pk").as("part_a"))
+      val b = li.select(col("ok"), col("pk").as("part_b"))
+      a.join(b, "ok").filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+    }),
+
+    // seasonal-naive anomaly flags: hour-of-day baseline per event type
+    // (exact integer sums), each hourly count compared against 2x its
+    // seasonal mean via cross-multiplied longs — no float enters the gate
+    "q_seasonal_residual" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("hod", hour(col("hour")).cast(LongType))
+      val base = hourly.groupBy("event_type", "hod")
+        .agg(sum(col("n")).as("season_sum"), count(lit(1)).as("season_n"))
+      hourly.join(base, Seq("event_type", "hod"))
+        .select(col("event_type"), col("hour"), col("n"), col("hod"),
+          col("season_sum").cast(LongType).as("season_sum"),
+          col("season_n").cast(LongType).as("season_n"),
+          (col("n") * col("season_n") > lit(2L) * col("season_sum"))
+            .as("anomalous"))
+        .orderBy("event_type", "hour")
+    }),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -6600,6 +6635,30 @@ object SparkEntry {
          SELECT d.lang, q.lang_pred, CAST(count(*) AS BIGINT) AS n
          FROM documents d JOIN q ON q.doc_id = d.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    "q_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem)
+         SELECT a.pk AS part_a, b.pk AS part_b,
+           CAST(count(*) AS BIGINT) AS support
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY support DESC, part_a, part_b""",
+
+    // integer seasonal gate: n * season_n > 2 * season_sum
+    "q_seasonal_residual" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         h2 AS (SELECT *, CAST(extract(hour FROM hour) AS BIGINT) AS hod
+           FROM h),
+         b AS (SELECT event_type, hod, CAST(sum(n) AS BIGINT) AS season_sum,
+             CAST(count(*) AS BIGINT) AS season_n
+           FROM h2 GROUP BY 1, 2)
+         SELECT h2.event_type, h2.hour, h2.n, h2.hod, b.season_sum,
+           b.season_n, h2.n * b.season_n > 2 * b.season_sum AS anomalous
+         FROM h2 JOIN b USING (event_type, hod)
+         ORDER BY event_type, hour""",
 
     "q_event_pattern" ->
       """WITH s AS (
