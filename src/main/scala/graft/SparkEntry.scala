@@ -2473,6 +2473,55 @@ object SparkEntry {
         .orderBy("event_type", "hour")
     }),
 
+    // feature hashing (the Vowpal/Weinberger hashing trick): categorical
+    // (name=value) features land in a fixed 32-bucket space via the
+    // width-safe two-limb hash over an integer feature code, sign from
+    // the hash's low bit — fixed-dimension model input with no vocabulary
+    // pass. Exact ints end-to-end; twin replays the same hash.
+    "q_feature_hash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // integer feature codes: lang and source enumerations are encoded
+      // from their trailing digits/order so the hash input is a long on
+      // both engines (no string hashing needed)
+      val feats = d.select(col("doc_id"),
+          (lit(1000L) + when(col("lang") === "en", 0L)
+            .when(col("lang") === "de", 1L).when(col("lang") === "es", 2L)
+            .when(col("lang") === "fr", 3L).otherwise(4L)).as("code"))
+        .union(d.select(col("doc_id"),
+          (lit(2000L) +
+            regexp_extract(col("source"), "([0-9]+)$", 1).cast(LongType))
+            .as("code")))
+        .union(d.select(col("doc_id"),
+          (lit(3000L) + expr("n_chars div 100L")).as("code")))
+      val h = graft.functions.Profile.hash32(col("code"))
+      feats.select(col("doc_id"), col("code"),
+          pmod(h, lit(32L)).as("bucket"),
+          (lit(1L) - lit(2L) * pmod(h, lit(2L))).as("sign"))
+        .orderBy("doc_id", "code")
+    }),
+
+    // split-balance audit: does the hash split preserve each stratum's
+    // share within +-5 percentage points of the global train rate? The
+    // gate is cross-multiplied longs (|train_s*n - train*n_s|*100 <=
+    // 5*n*n_s), so no engine's float rounding decides a boundary.
+    "q_split_balance" -> ((s, dir) => {
+      val split = graft.functions.Profile.hashSplit(
+        t(s, dir, "documents"), "doc_id", trainPct = 80)
+      val per = split.groupBy("lang")
+        .agg(count(lit(1)).as("n_s"),
+          sum(when(col("split") === "train", 1L).otherwise(0L))
+            .as("train_s"))
+      val tot = per.agg(sum(col("n_s")).as("n"),
+        sum(col("train_s")).as("train"))
+      per.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_s"), col("train_s"),
+          col("n").cast(LongType).as("n"),
+          col("train").cast(LongType).as("train"),
+          (abs(col("train_s") * col("n") - col("train") * col("n_s")) *
+            lit(100L) <= lit(5L) * col("n") * col("n_s")).as("balanced"))
+        .orderBy("lang")
+    }),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -6635,6 +6684,42 @@ object SparkEntry {
          SELECT d.lang, q.lang_pred, CAST(count(*) AS BIGINT) AS n
          FROM documents d JOIN q ON q.doc_id = d.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // the split twin's two-limb hash over integer feature codes
+    "q_feature_hash" ->
+      (s"""WITH f AS (
+           SELECT doc_id, 1000 + (CASE lang WHEN 'en' THEN 0
+             WHEN 'de' THEN 1 WHEN 'es' THEN 2 WHEN 'fr' THEN 3
+             ELSE 4 END) AS code
+           FROM documents
+           UNION ALL
+           SELECT doc_id,
+             2000 + CAST(regexp_extract(source, '([0-9]+)$$', 1) AS BIGINT)
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 3000 + n_chars // 100 FROM documents)
+         SELECT doc_id, CAST(code AS BIGINT) AS code,
+           CAST(${hash32Sql("code")} % 32 AS BIGINT) AS bucket,
+           CAST(1 - 2 * (${hash32Sql("code")} % 2) AS BIGINT) AS sign
+         FROM f ORDER BY doc_id, code"""),
+
+    // cross-multiplied balance gate, same hash as the split twin
+    "q_split_balance" ->
+      (s"""WITH s AS (
+           SELECT lang,
+             CASE WHEN ${hash32Sql("doc_id")} % 100 < 80
+               THEN 'train' ELSE 'eval' END AS split
+           FROM documents),
+         per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS train_s
+           FROM s GROUP BY lang),
+         tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n,
+             CAST(sum(train_s) AS BIGINT) AS train FROM per)
+         SELECT per.lang, per.n_s, per.train_s, tot.n, tot.train,
+           abs(per.train_s * tot.n - tot.train * per.n_s) * 100
+             <= 5 * tot.n * per.n_s AS balanced
+         FROM per, tot ORDER BY per.lang"""),
 
     "q_basket_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
