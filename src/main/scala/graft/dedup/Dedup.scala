@@ -331,18 +331,29 @@ object Dedup {
     * so the sliding window is a lead() over a BOUNDED block partition,
     * never a global window; the window pass carries only (block, key, id)
     * — gram arrays join back per candidate pair afterwards, so the
-    * window shuffle moves slim rows. */
+    * window shuffle moves slim rows. A skewed corpus (every page starting
+    * with the same boilerplate head) can still concentrate one block:
+    * `maxBlockSize` drops such blocks outright — the same
+    * recall-for-survival trade as the LSH hot-bucket cap, and the same
+    * measurement obligation before relying on it (widen `blockChars`
+    * first; a wider prefix splits a hot block without losing its
+    * in-window pairs). The contract query runs uncapped so its exact
+    * twin stays two-sided. */
   def sortedNeighborhoodPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 3, windowSize: Int = 4,
       blockChars: Int = 2, keyChars: Int = 12,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBlockSize: Int = Int.MaxValue): DataFrame = {
     require(windowSize >= 2, "windowSize must be at least 2")
     val grams = docs.select(col(idCol).as("id"),
         native.word_ngram_hashes(col(textCol), n).as("grams"))
       .withColumn("n_grams", size(col("grams")).cast(LongType))
-    val slim = docs.select(col(idCol).as("id"),
+    val slim0 = docs.select(col(idCol).as("id"),
       substring(col(textCol), 1, keyChars).as("skey"),
       substring(col(textCol), 1, blockChars).as("block"))
+    val slim =
+      if (maxBlockSize == Int.MaxValue) slim0
+      else dropHotBuckets(slim0, Seq("block"), maxBlockSize)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("block").orderBy(col("skey"), col("id"))
     val cand = slim

@@ -324,5 +324,11 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((10L, 11L)))
     assert(!got.contains((10L, 40L)))
     assert(got.forall { case (a, b) => a < b })
+    // hot-block cap: capping at 2 drops the 3-doc "al" block entirely
+    // (recall-for-survival, same trade as the LSH bucket cap)
+    val capped = Dedup.sortedNeighborhoodPairs(docs, n = 3, windowSize = 4,
+        blockChars = 2, keyChars = 12, threshold = 0.4, maxBlockSize = 2)
+      .collect()
+    assert(capped.isEmpty)
   }
 }
