@@ -2522,6 +2522,36 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // token-budget data selection: best-scored documents until the
+    // running token total crosses the budget — the distributed prefix
+    // sum of q_pack walked in (n_chars desc, doc_id) quality order;
+    // every row reports its running total and keep/drop verdict
+    "q_budget_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", graft.functions.Text.tokenCount(col("text")))
+      graft.functions.Profile.budgetSelect(d, "doc_id", "n_tokens",
+          "n_chars", budget = 6000L)
+        .orderBy("doc_id")
+    }),
+
+    // semantic benchmark decontamination: corpus vectors within cosine
+    // 0.95 of ANY benchmark vector (vec_id < 10, broadcast) are flagged
+    // — the embedding-space complement of the n-gram decontaminator
+    "q_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("bench_id"),
+          col("embedding").as("bench_vec"))
+      emb.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(bench))
+        .select(col("vec_id"),
+          native.vec_cosine(col("embedding"), col("bench_vec")).as("cos"))
+        .groupBy("vec_id")
+        .agg(max(col("cos")).as("max_cos"))
+        .withColumn("contaminated", col("max_cos") >= 0.95)
+        .orderBy("vec_id")
+    }),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -6720,6 +6750,36 @@ object SparkEntry {
            abs(per.train_s * tot.n - tot.train * per.n_s) * 100
              <= 5 * tot.n * per.n_s AS balanced
          FROM per, tot ORDER BY per.lang"""),
+
+    // one global cumsum window in the same total order; kept gate on longs
+    "q_budget_select" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+             CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+               AS n_tokens
+           FROM documents)
+         SELECT doc_id, score, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) <= 6000 AS kept
+         FROM d ORDER BY doc_id""",
+
+    // exact max-cosine against the broadcast benchmark set; max over
+    // doubles is order-independent
+    "q_semantic_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         b AS (SELECT vec_id AS bench_id, v AS bv FROM e
+           WHERE vec_id < 10),
+         s AS (SELECT e.vec_id,
+             max(list_dot_product(e.v, b.bv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(b.bv, b.bv)))) AS max_cos
+           FROM e CROSS JOIN b WHERE e.vec_id >= 10
+           GROUP BY e.vec_id)
+         SELECT vec_id, max_cos, max_cos >= CAST(0.95 AS DOUBLE)
+           AS contaminated
+         FROM s ORDER BY vec_id""",
 
     "q_basket_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

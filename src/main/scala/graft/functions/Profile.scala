@@ -234,6 +234,49 @@ object Profile {
         pmod(col("__start"), lit(budget)).as("seq_offset"))
   }
 
+  /** Token-budget corpus selection: walk the corpus in quality order
+    * (score desc, id asc — total order) and keep documents while the
+    * running token total stays within `budget` — the data-selection step
+    * that turns "rank everything by quality" into "the best B tokens".
+    * Returns every row with (score, n_tokens, running_tokens, kept) so
+    * the cut line is auditable, not just applied.
+    *
+    * The running total is the SAME distributed prefix sum as
+    * packSequences: range-partition on the order key, sort within
+    * partitions, collect one subtotal per partition (partition-count
+    * sized), broadcast the prefix offsets back — the only window
+    * partitions by partition id. No global window, no data-sized
+    * collect; at 100 TB the selection is two passes over a slim
+    * (id, score, tokens) projection. */
+  def budgetSelect(df: DataFrame, idCol: String, tokensCol: String,
+      scoreCol: String, budget: Long): DataFrame = {
+    require(budget >= 0)
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.select(col(idCol),
+        col(tokensCol).cast(LongType).as("__tok"),
+        col(scoreCol).cast(LongType).as("__score"))
+      .repartitionByRange(parts, col("__score").desc, col(idCol))
+      .sortWithinPartitions(col("__score").desc, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subtotals = sorted.groupBy(col("__pid"))
+      .agg(sum(col("__tok")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = subtotals.map { case (pid, t) =>
+      val o = (pid, acc); acc += t; o
+    }.toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__score").desc, col(idCol))
+    val running = coalesce(element_at(typedlit(offsets), col("__pid")),
+      lit(0L)) + sum(col("__tok")).over(w)
+    sorted.withColumn("running_tokens", running)
+      .select(col(idCol), col("__score").as("score"),
+        col("__tok").as("n_tokens"), col("running_tokens"),
+        (col("running_tokens") <= budget).as("kept"))
+  }
+
   /** Exact equi-join cardinality WITHOUT materializing the join:
     * |A ⋈ B| = Σ_key cntA(key)·cntB(key) over the two per-key count
     * histograms — the planning primitive behind join reordering and
