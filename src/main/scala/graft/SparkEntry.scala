@@ -2552,6 +2552,57 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // vocabulary coverage curve: share of all token OCCURRENCES covered
+    // by the top-k most frequent types, for k in {10, 50, 100} — the
+    // tokenizer-design metric behind vocab-size choices. Rank window over
+    // the type table (vocabulary-bounded, not corpus-bounded); integer
+    // sums, one quotient per row.
+    "q_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      val counts = t(s, dir, "documents")
+        .select(explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("tok").asc)
+      val ranked = counts.withColumn("rnk", row_number().over(w))
+      val total = counts.agg(sum(col("n")).as("total"))
+      val ks = Seq(10, 50, 100).toDF("k")
+      ks.crossJoin(broadcast(total))
+        .join(ranked, col("rnk") <= col("k"))
+        .groupBy(col("k").cast(LongType).as("k"))
+        .agg(max(col("total")).cast(LongType).as("total_tokens"),
+          sum(col("n")).as("covered"))
+        .select(col("k"), col("total_tokens"),
+          col("covered").cast(LongType).as("covered"),
+          (col("covered").cast(DoubleType) /
+            col("total_tokens").cast(DoubleType)).as("coverage"))
+        .orderBy("k")
+    }),
+
+    // truncation-loss report at context lengths {64, 128, 256} tokens:
+    // docs over the limit, tokens lost to truncation, loss share — the
+    // packing/context-length design input. All integers, one quotient.
+    "q_truncation_report" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select(graft.functions.Text.tokenCount(col("text")).as("n_tok"))
+      val ls = Seq(64, 128, 256).toDF("context_len")
+      ls.crossJoin(d)
+        .groupBy(col("context_len").cast(LongType).as("context_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_tok") > col("context_len"), 1L).otherwise(0L))
+            .as("n_truncated"),
+          sum(col("n_tok")).as("tokens_total"),
+          sum(greatest(col("n_tok") - col("context_len"), lit(0L)))
+            .as("tokens_lost"))
+        .select(col("context_len"), col("n_docs"), col("n_truncated"),
+          col("tokens_total").cast(LongType).as("tokens_total"),
+          col("tokens_lost").cast(LongType).as("tokens_lost"),
+          (col("tokens_lost").cast(DoubleType) /
+            col("tokens_total").cast(DoubleType)).as("loss_share"))
+        .orderBy("context_len")
+    }),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -6780,6 +6831,38 @@ object SparkEntry {
          SELECT vec_id, max_cos, max_cos >= CAST(0.95 AS DOUBLE)
            AS contaminated
          FROM s ORDER BY vec_id""",
+
+    "q_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+             regexp_split_to_array(text, '[ \n\t\r]+'), x -> x <> ''))
+             AS tok
+           FROM documents),
+         c AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+         r AS (SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rnk
+           FROM c),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         ks AS (SELECT * FROM (VALUES (10), (50), (100)) AS v(k))
+         SELECT CAST(ks.k AS BIGINT) AS k, t.total AS total_tokens,
+           CAST(sum(r.n) AS BIGINT) AS covered,
+           CAST(sum(r.n) AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
+         FROM ks CROSS JOIN t JOIN r ON r.rnk <= ks.k
+         GROUP BY 1, 2 ORDER BY k""",
+
+    "q_truncation_report" ->
+      """WITH d AS (SELECT CAST(length(regexp_extract_all(text, '\S+'))
+             AS BIGINT) AS n_tok
+           FROM documents),
+         ls AS (SELECT * FROM (VALUES (64), (128), (256)) AS v(l))
+         SELECT CAST(l AS BIGINT) AS context_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tok > l THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+           CAST(sum(greatest(n_tok - l, 0)) AS BIGINT) AS tokens_lost,
+           CAST(sum(greatest(n_tok - l, 0)) AS DOUBLE)
+             / CAST(sum(n_tok) AS DOUBLE) AS loss_share
+         FROM ls CROSS JOIN d GROUP BY 1 ORDER BY 1""",
 
     "q_basket_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
