@@ -2603,6 +2603,54 @@ object SparkEntry {
         .orderBy("context_len")
     }),
 
+    // Cohen's kappa between the language heuristic and the labels:
+    // chance-corrected agreement from exact confusion counts — po and pe
+    // numerators stay integers (pe = Σ row_marginal·col_marginal), the
+    // kappa quotient is the only float
+    "q_kappa" -> ((s, dir) => {
+      val cm = t(s, dir, "documents")
+        .select(col("lang"),
+          native.text_stats(col("text")).getField("lang_pred").as("pred"))
+        .groupBy("lang", "pred").agg(count(lit(1)).as("cnt"))
+      val n = cm.agg(sum(col("cnt")).as("n"))
+      val agree = cm.filter(col("lang") === col("pred"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).as("agree"))
+      val rowM = cm.groupBy("lang").agg(sum(col("cnt")).as("row_n"))
+      val colM = cm.groupBy("pred").agg(sum(col("cnt")).as("col_n"))
+      val pe = rowM.join(colM, col("lang") === col("pred"))
+        .agg(coalesce(sum(col("row_n") * col("col_n")), lit(0L))
+          .as("pe_num"))
+      n.crossJoin(agree).crossJoin(pe)
+        .select(col("n").cast(LongType).as("n"),
+          col("agree").cast(LongType).as("agree"),
+          col("pe_num").cast(LongType).as("pe_num"))
+        .withColumn("kappa",
+          (col("agree").cast(DoubleType) * col("n").cast(DoubleType) -
+            col("pe_num").cast(DoubleType)) /
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType) -
+              col("pe_num").cast(DoubleType)))
+    }),
+
+    // link reciprocity: share of directed edges whose reverse edge also
+    // exists (mutual-link density — the link-farm smell test); one
+    // self-semi-join on the swapped pair, exact counts
+    "q_reciprocity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val id = col("doc_id")
+      val edges = docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst"))
+        .union(docs.select(id.as("src"), ((id * 13 + 5) % n).as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val mutual = edges.join(
+        edges.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      edges.agg(count(lit(1)).as("n_edges")).crossJoin(
+          mutual.agg(count(lit(1)).as("n_mutual")))
+        .withColumn("reciprocity",
+          col("n_mutual").cast(DoubleType) / col("n_edges").cast(DoubleType))
+    }),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -6831,6 +6879,44 @@ object SparkEntry {
          SELECT vec_id, max_cos, max_cos >= CAST(0.95 AS DOUBLE)
            AS contaminated
          FROM s ORDER BY vec_id""",
+
+    // confusion counts from the quality CTEs; kappa =
+    // (agree·n − pe_num) / (n² − pe_num) with integer numerators
+    "q_kappa" -> (qualityCtes +
+      """,
+         cm AS (SELECT d.lang, q.lang_pred AS pred, count(*) AS cnt
+           FROM documents d JOIN q ON q.doc_id = d.doc_id GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cm),
+         ag AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS agree
+           FROM cm WHERE lang = pred),
+         rm AS (SELECT lang, sum(cnt) AS row_n FROM cm GROUP BY 1),
+         colm AS (SELECT pred, sum(cnt) AS col_n FROM cm GROUP BY 1),
+         pe AS (SELECT CAST(coalesce(sum(rm.row_n * colm.col_n), 0)
+             AS BIGINT) AS pe_num
+           FROM rm JOIN colm ON rm.lang = colm.pred)
+         SELECT t.n, ag.agree, pe.pe_num,
+           (CAST(ag.agree AS DOUBLE) * CAST(t.n AS DOUBLE)
+             - CAST(pe.pe_num AS DOUBLE))
+           / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+             - CAST(pe.pe_num AS DOUBLE)) AS kappa
+         FROM t, ag, pe"""),
+
+    "q_reciprocity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT DISTINCT src, dst FROM (
+           SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id * 13 + 5) % nn.n
+           FROM documents CROSS JOIN nn) WHERE src <> dst),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual FROM e
+           WHERE EXISTS (SELECT 1 FROM e r
+             WHERE r.src = e.dst AND r.dst = e.src)),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         SELECT t.n_edges, m.n_mutual,
+           CAST(m.n_mutual AS DOUBLE) / CAST(t.n_edges AS DOUBLE)
+             AS reciprocity
+         FROM t, m""",
 
     "q_vocab_coverage" ->
       """WITH toks AS (SELECT unnest(list_filter(
