@@ -2651,6 +2651,44 @@ object SparkEntry {
           col("n_mutual").cast(DoubleType) / col("n_edges").cast(DoubleType))
     }),
 
+    // re-aggregation cascade: daily totals computed FROM the hourly
+    // pre-aggregates (sum of sums, sum of counts), never re-reading raw
+    // events — the multi-granularity rollup a cube serves from; the
+    // oracle computes daily directly from raw, so the cascade's
+    // re-aggregability is what's hash-checked
+    "q_reagg_cascade" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(22, 2))).as("sum_v"))
+      hourly
+        .groupBy(col("event_type"), date_trunc("day", col("hour")).as("day"))
+        .agg(sum(col("n")).cast(LongType).as("n"),
+          expr("CAST(CAST(sum(sum_v) AS DECIMAL(22,2)) AS DOUBLE)")
+            .as("sum_value"))
+        .orderBy("event_type", "day")
+    }),
+
+    // last-touch attribution: each purchase credited to the most recent
+    // preceding click's item (carried forward per user with an
+    // ignore-nulls window) — purchases with no prior click stay
+    // unattributed; exact counts per item
+    "q_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ev = t(s, dir, "events")
+        .withColumn("click_item",
+          when(col("event_type") === "click",
+            get_json_object(col("props"), "$.k").cast(LongType)))
+        .withColumn("attributed",
+          last(col("click_item"), ignoreNulls = true).over(w))
+      ev.filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("attributed"), lit(-1L)).as("item"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("item")
+    }),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -6917,6 +6955,33 @@ object SparkEntry {
            CAST(m.n_mutual AS DOUBLE) / CAST(t.n_edges AS DOUBLE)
              AS reciprocity
          FROM t, m""",
+
+    // the direct daily aggregate the hourly cascade must reproduce
+    "q_reagg_cascade" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(22,2))) AS DECIMAL(22,2))
+             AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    "q_attribution" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'click'
+               THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS click_item
+           FROM events),
+         c AS (
+           SELECT *,
+             last_value(click_item IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS attributed
+           FROM ev)
+         SELECT coalesce(attributed, -1) AS item,
+           CAST(count(*) AS BIGINT) AS n_purchases
+         FROM c WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY item""",
 
     "q_vocab_coverage" ->
       """WITH toks AS (SELECT unnest(list_filter(
