@@ -193,7 +193,13 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
         "q_html_extract", "q_wilson", "q_kanon", "q_mrr", "q_join_size",
         "q_mix_weights", "q_cusum", "q_clustering_coef",
         "q_incremental_join", "q_ab_lift", "q_sorted_neighborhood",
-        "q_keywords", "q_dedup_report")) {
+        "q_keywords", "q_dedup_report", "q_scd_lookup",
+        "q_simhash_calibration", "q_negative_edges", "q_mean_pool",
+        "q_prototype_accuracy", "q_embed_drift", "q_event_pattern",
+        "q_winsorize", "q_lang_confusion", "q_basket_pairs",
+        "q_seasonal_residual", "q_feature_hash", "q_split_balance",
+        "q_budget_select", "q_kappa", "q_reciprocity",
+        "q_reagg_cascade", "q_attribution")) {
       assert(!plan(q).contains("CartesianProduct"),
         s"$q plans a CartesianProduct")
     }
