@@ -2689,6 +2689,85 @@ object SparkEntry {
         .orderBy("item")
     }),
 
+    // PII incidence report (the measure step before redaction): emails /
+    // URLs / long digit runs injected on deterministic doc subsets, then
+    // counted per source with the redactor's own patterns — exact counts,
+    // one share quotient
+    "q_pii_rate" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact a"), col("doc_id").cast(StringType),
+            lit("@mail-example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" see https://ex.org/d/"),
+            col("doc_id").cast(StringType))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" ref 4049100"), col("doc_id").cast(StringType)))
+          .otherwise(lit("")))
+      val hasEmail = regexp_count(injected,
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")) > 0
+      val hasUrl = regexp_count(injected, lit("https?://[^ \\t\\n]+")) > 0
+      val hasNum = regexp_count(injected, lit("[0-9]{6,}")) > 0
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(hasEmail, 1L).otherwise(0L)).as("n_email"),
+          sum(when(hasUrl, 1L).otherwise(0L)).as("n_url"),
+          sum(when(hasNum, 1L).otherwise(0L)).as("n_longnum"),
+          sum(when(hasEmail || hasUrl || hasNum, 1L).otherwise(0L))
+            .as("n_any"))
+        .withColumn("pii_share",
+          col("n_any").cast(DoubleType) / col("n_docs").cast(DoubleType))
+        .orderBy("source")
+    }),
+
+    // two-proportion z-test on the A/B arms (pooled variance): exact
+    // counts in, one fixed double expression tree out — the significance
+    // gate |z| > 1.96 decided on a bit-deterministic statistic
+    "q_ab_significance" -> ((s, dir) => {
+      // "converted" = heavy purchaser (>= 15 purchases): every user in
+      // this corpus purchases at least once, so the any-purchase rate is
+      // 1.0 in both arms and the pooled z denominator degenerates to 0
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 15L, 1L).otherwise(0L).as("converted"))
+        .withColumn("arm",
+          when(pmod(graft.functions.Profile.hash32(col("user_id")),
+            lit(2L)) === 0L, "A").otherwise("B"))
+      val agg = per.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      val a = agg.filter(col("arm") === "A")
+        .select(col("n_users").as("n_a"), col("n_conv").as("conv_a"))
+      val b = agg.filter(col("arm") === "B")
+        .select(col("n_users").as("n_b"), col("n_conv").as("conv_b"))
+      val na = col("n_a").cast(DoubleType); val nb = col("n_b").cast(DoubleType)
+      val pa = col("conv_a").cast(DoubleType) / na
+      val pb = col("conv_b").cast(DoubleType) / nb
+      val pp = (col("conv_a") + col("conv_b")).cast(DoubleType) /
+        (col("n_a") + col("n_b")).cast(DoubleType)
+      val z = (pb - pa) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / na + lit(1.0) / nb))
+      a.crossJoin(b).select(col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"), z.as("z"), (abs(z) > 1.96).as("significant"))
+    }),
+
+    // inactivity report: each user's last event vs the corpus frontier;
+    // inactive = idle 7+ days at the frontier (timestamp arithmetic
+    // only), idle_days exact calendar-day diff
+    "q_inactive_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val lastPer = ev.groupBy("user_id").agg(max(col("ts")).as("last_ts"))
+      val frontier = ev.agg(max(col("ts")).as("gmax"))
+      lastPer.crossJoin(broadcast(frontier))
+        .select(col("user_id"), col("last_ts"),
+          datediff(to_date(col("gmax")), to_date(col("last_ts")))
+            .cast(LongType).as("idle_days"),
+          (col("last_ts") <= col("gmax") - expr("INTERVAL 7 DAYS"))
+            .as("inactive"))
+        .orderBy("user_id")
+    }),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -6982,6 +7061,83 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_purchases
          FROM c WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY item""",
+
+    // same injection, the redact twin's patterns, exact counts
+    "q_pii_rate" ->
+      """WITH inj AS (
+           SELECT source,
+             text ||
+             (CASE WHEN doc_id % 3 = 0 THEN ' contact a'
+                || CAST(doc_id AS VARCHAR) || '@mail-example.com'
+               ELSE '' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN ' see https://ex.org/d/'
+                || CAST(doc_id AS VARCHAR) ELSE '' END) ||
+             (CASE WHEN doc_id % 7 = 0 THEN ' ref 4049100'
+                || CAST(doc_id AS VARCHAR) ELSE '' END) AS t
+           FROM documents),
+         f AS (
+           SELECT source,
+             CASE WHEN regexp_matches(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+               THEN 1 ELSE 0 END AS e,
+             CASE WHEN regexp_matches(t, 'https?://[^ \t\n]+')
+               THEN 1 ELSE 0 END AS u,
+             CASE WHEN regexp_matches(t, '[0-9]{6,}')
+               THEN 1 ELSE 0 END AS d
+           FROM inj)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e) AS BIGINT) AS n_email,
+           CAST(sum(u) AS BIGINT) AS n_url,
+           CAST(sum(d) AS BIGINT) AS n_longnum,
+           CAST(sum(CASE WHEN e + u + d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_any,
+           CAST(sum(CASE WHEN e + u + d > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS pii_share
+         FROM f GROUP BY source ORDER BY source""",
+
+    // identical pooled-z tree; every float literal CAST to DOUBLE
+    "q_ab_significance" ->
+      """WITH per AS (
+           SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase'
+               THEN 1 ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS converted,
+             CASE WHEN (
+                 ((user_id % 4294967296) % 65536) * 2654435761
+                 + ((((user_id % 4294967296) // 65536) * 2654435761)
+                    % 65536) * 65536
+               ) % 4294967296 % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+           FROM events GROUP BY user_id),
+         ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv
+           FROM per GROUP BY arm),
+         a AS (SELECT n_users AS n_a, n_conv AS conv_a FROM ag
+           WHERE arm = 'A'),
+         b AS (SELECT n_users AS n_b, n_conv AS conv_b FROM ag
+           WHERE arm = 'B'),
+         z AS (SELECT a.n_a, a.conv_a, b.n_b, b.conv_b,
+             (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+               - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                 * (CAST(1.0 AS DOUBLE)
+                    - CAST(conv_a + conv_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE))
+                 * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS z
+           FROM a, b)
+         SELECT n_a, conv_a, n_b, conv_b, z,
+           abs(z) > CAST(1.96 AS DOUBLE) AS significant
+         FROM z""",
+
+    "q_inactive_users" ->
+      """WITH lp AS (SELECT user_id, max(ts) AS last_ts FROM events
+           GROUP BY 1),
+         g AS (SELECT max(ts) AS gmax FROM events)
+         SELECT lp.user_id, lp.last_ts,
+           CAST(date_diff('day', CAST(lp.last_ts AS DATE),
+             CAST(g.gmax AS DATE)) AS BIGINT) AS idle_days,
+           lp.last_ts <= g.gmax - INTERVAL 7 DAY AS inactive
+         FROM lp, g ORDER BY lp.user_id""",
 
     "q_vocab_coverage" ->
       """WITH toks AS (SELECT unnest(list_filter(
