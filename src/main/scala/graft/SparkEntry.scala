@@ -2768,6 +2768,39 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // one-row dataset card: corpus size, token totals, language count,
+    // exact-dup rate, mean length, short-doc share — the summary a data
+    // release ships; every number an exact aggregate, quotients last
+    "q_dataset_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tok", graft.functions.Text.tokenCount(col("text")))
+      val dups = d.select(col("doc_id"), md5(col("text")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") - 1), lit(0L)).as("n_dups"))
+      d.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast(LongType).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).cast(LongType).as("n_chars"),
+          sum(when(col("n_tok") < 20, 1L).otherwise(0L)).as("n_short"))
+        .crossJoin(dups)
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_sources"), col("n_chars"), col("n_short"),
+          col("n_dups").cast(LongType).as("n_dups"),
+          (col("n_chars").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("mean_chars"),
+          (col("n_dups").cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("dup_rate"))
+    }),
+
+    // proximity search: 'table' within 5 positions of 'join' — the IR
+    // operator between term lookup and exact phrase; posting-list join
+    // keyed on doc, band residual
+    "q_proximity_search" -> ((s, dir) =>
+      graft.functions.Text.proximitySearch(t(s, dir, "documents"),
+          "table", "join", window = 5)
+        .orderBy("doc_id", "pos_a", "pos_b")),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -7061,6 +7094,43 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_purchases
          FROM c WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY item""",
+
+    "q_dataset_card" ->
+      """WITH d AS (SELECT *, CAST(length(regexp_extract_all(text, '\S+'))
+             AS BIGINT) AS n_tok
+           FROM documents),
+         du AS (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS n_dups
+           FROM (SELECT count(*) AS c FROM documents GROUP BY text)),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN n_tok < 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short
+           FROM d)
+         SELECT a.n_docs, a.n_tokens, a.n_langs, a.n_sources, a.n_chars,
+           a.n_short, du.n_dups,
+           CAST(a.n_chars AS DOUBLE) / CAST(a.n_docs AS DOUBLE)
+             AS mean_chars,
+           CAST(du.n_dups AS DOUBLE) / CAST(a.n_docs AS DOUBLE) AS dup_rate
+         FROM a, du""",
+
+    // the phrase twin's position convention (filtered token list)
+    "q_proximity_search" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \n\t\r]+'),
+               x -> x <> '') AS t
+           FROM documents),
+         p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS term
+           FROM toks, unnest(generate_series(1, len(t))) AS g(i)),
+         a AS (SELECT doc_id, pos AS pos_a FROM p WHERE term = 'table'),
+         b AS (SELECT doc_id, pos AS pos_b FROM p WHERE term = 'join')
+         SELECT a.doc_id, a.pos_a, b.pos_b
+         FROM a JOIN b USING (doc_id)
+         WHERE abs(a.pos_a - b.pos_b) <= 5
+         ORDER BY doc_id, pos_a, pos_b""",
 
     // same injection, the redact twin's patterns, exact counts
     "q_pii_rate" ->

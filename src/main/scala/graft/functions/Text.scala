@@ -502,6 +502,31 @@ object Text {
       col("p0").cast(org.apache.spark.sql.types.LongType).as("pos"))
   }
 
+  /** Proximity search: documents where `termA` and `termB` occur within
+    * `window` token positions of each other (either order) — the IR
+    * operator between single-term lookup and exact phrase match. Returns
+    * one row per qualifying (doc, posA, posB) co-occurrence. Same
+    * posting-list shape as phraseSearch: the join is keyed on doc with
+    * the position band as residual, and the posting lists were filtered
+    * to the two terms BEFORE the join, so the pair fan-out is bounded by
+    * each doc's own term frequencies, never corpus-wide. */
+  def proximitySearch(docs: DataFrame, termA: String, termB: String,
+      window: Int, textCol: String = "text"): DataFrame = {
+    require(window >= 1)
+    val posts = docs.select(col("doc_id"),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "term")))
+      .filter(col("term").isin(termA, termB))
+    val a = posts.filter(col("term") === termA)
+      .select(col("doc_id"), col("pos").as("pos_a"))
+    val b = posts.filter(col("term") === termB)
+      .select(col("doc_id"), col("pos").as("pos_b"))
+    a.join(b, "doc_id")
+      .filter(abs(col("pos_a") - col("pos_b")) <= window)
+      .select(col("doc_id"),
+        col("pos_a").cast(org.apache.spark.sql.types.LongType).as("pos_a"),
+        col("pos_b").cast(org.apache.spark.sql.types.LongType).as("pos_b"))
+  }
+
   /** BPE merge TRAINING (Sennrich et al. 2016) — the learn side of the
     * tokenizer story (`q_vocab` counts, `tokenizeSubwords` applies): k
     * rounds of count-adjacent-pairs → merge the most frequent pair
