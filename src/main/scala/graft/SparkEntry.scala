@@ -2801,6 +2801,21 @@ object SparkEntry {
           "table", "join", window = 5)
         .orderBy("doc_id", "pos_a", "pos_b")),
 
+    // bounded-round k-core peeling on the part co-purchase graph
+    // (median degree ~115): 3 peels at k=90 strip the sparse periphery
+    // and its cascade; the dense co-purchase core survives. Fixed rounds keep the computation recursion-free so
+    // the twin unrolls it exactly.
+    "q_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = li.select(col("ok"), col("pk").as("src"))
+        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
+        .filter(col("src") < col("dst"))
+        .select("src", "dst").distinct()
+      graft.graph.Cores.peel(edges, k = 90, rounds = 3).orderBy("node_id")
+    }),
+
     // temporal dimension lookup: each purchase joined to the SCD2
     // history row valid AT purchase time (valid_from <= ts < valid_to) —
     // equi-join on the key with the interval as residual, bounded per-key
@@ -7094,6 +7109,32 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_purchases
          FROM c WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY item""",
+
+    // the 3 peels unrolled as chained CTEs, then the final degree filter
+    "q_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e0 AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         d1 AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+         k1 AS (SELECT v FROM d1 WHERE deg >= 90),
+         e1 AS (SELECT e0.a, e0.b FROM e0
+           JOIN k1 x ON x.v = e0.a JOIN k1 y ON y.v = e0.b),
+         d2 AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1) GROUP BY v),
+         k2 AS (SELECT v FROM d2 WHERE deg >= 90),
+         e2 AS (SELECT e1.a, e1.b FROM e1
+           JOIN k2 x ON x.v = e1.a JOIN k2 y ON y.v = e1.b),
+         d3 AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2) GROUP BY v),
+         k3 AS (SELECT v FROM d3 WHERE deg >= 90),
+         e3 AS (SELECT e2.a, e2.b FROM e2
+           JOIN k3 x ON x.v = e2.a JOIN k3 y ON y.v = e2.b),
+         df AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3) GROUP BY v)
+         SELECT v AS node_id, CAST(deg AS BIGINT) AS deg FROM df
+         WHERE deg >= 90 ORDER BY node_id""",
 
     "q_dataset_card" ->
       """WITH d AS (SELECT *, CAST(length(regexp_extract_all(text, '\S+'))

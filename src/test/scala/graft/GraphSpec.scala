@@ -214,6 +214,21 @@ class GraphSpec extends AnyFunSuite {
     assert(got2 == Seq((2L, 3L), (3L, 2L)))
   }
 
+  test("k-core peel: clique survives, pendant chain peels round by round") {
+    import spark.implicits._
+    // 4-clique {0,1,2,3} plus chain 3-4-5: k=2 peels 5 (deg 1), then 4
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = graft.graph.Cores.peel(edges, k = 2, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // one round only: 5 peels but 4 (deg 2 before the peel) still shows
+    // until the NEXT round sees its post-peel degree 1
+    val one = graft.graph.Cores.peel(edges, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == Set(0L, 1L, 2L, 3L)) // 4's surviving degree is 1 -> cut
+  }
+
   test("clusteringCoefficient: clique scores 1, pendant scores 0") {
     import spark.implicits._
     // triangle {0,1,2} plus pendant 3 hanging off 0
