@@ -2801,6 +2801,33 @@ object SparkEntry {
           "table", "join", window = 5)
         .orderBy("doc_id", "pos_a", "pos_b")),
 
+    // TPC-H Q1 in full (the named 22/22): all 8 aggregate columns, the
+    // price/discount/tax products kept in exact DECIMAL arithmetic until
+    // the final double cast — order-independent, engine-exact
+    "q_tpch_q1" -> ((s, dir) => {
+      val one = lit(1).cast(DecimalType(12, 2))
+      val price = dec2(col("l_extendedprice"))
+      val disc = dec2(col("l_discount"))
+      val tax = dec2(col("l_tax"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(price * (one - disc)).cast(DoubleType).as("sum_disc_price"),
+          sum(price * (one - disc) * (one + tax)).cast(DoubleType)
+            .as("sum_charge"),
+          (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
+            .as("avg_qty"),
+          (sum(dec2(col("l_extendedprice"))).cast(DoubleType) /
+            count(lit(1))).as("avg_price"),
+          (sum(dec2(col("l_discount"))).cast(DoubleType) / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // bounded-round k-core peeling on the part co-purchase graph
     // (median degree ~115): 3 peels at k=90 strip the sparse periphery
     // and its cascade; the dense co-purchase core survives. Fixed rounds keep the computation recursion-free so
@@ -7109,6 +7136,31 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_purchases
          FROM c WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY item""",
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2))
+                - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2))
+                - CAST(l_discount AS DECIMAL(12,2)))
+             * (CAST(1 AS DECIMAL(12,2))
+                + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the 3 peels unrolled as chained CTEs, then the final degree filter
     "q_kcore" ->
