@@ -2839,7 +2839,7 @@ object SparkEntry {
       val edges = li.select(col("ok"), col("pk").as("src"))
         .join(li.select(col("ok"), col("pk").as("dst")), "ok")
         .filter(col("src") < col("dst"))
-        .select("src", "dst").distinct()
+        .select("src", "dst") // peel canonicalizes + dedups internally
       graft.graph.Cores.peel(edges, k = 90, rounds = 3).orderBy("node_id")
     }),
 
