@@ -229,6 +229,37 @@ class GraphSpec extends AnyFunSuite {
     assert(one == Set(0L, 1L, 2L, 3L)) // 4's surviving degree is 1 -> cut
   }
 
+  test("k-core peel: enough rounds reach the classic k-core fixpoint") {
+    import spark.implicits._
+    // three deterministic pseudo-random graphs; reference = iterate a
+    // scala fixpoint peel until stable
+    for (seed <- Seq(7L, 13L, 29L)) {
+      val n = 24L
+      val raw = (0L until n).flatMap { i =>
+        Seq((i, (i * seed + 1) % n), (i, (i * 3 + seed) % n))
+      }.filter { case (a, b) => a != b }
+      def canon(e: Seq[(Long, Long)]) =
+        e.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      var ref = canon(raw)
+      var stable = false
+      while (!stable) {
+        val deg = ref.flatMap { case (a, b) => Seq(a, b) }
+          .groupBy(identity).map { case (v, xs) => v -> xs.size }
+        val keep = deg.filter(_._2 >= 3).keySet
+        val next = ref.filter { case (a, b) => keep(a) && keep(b) }
+        stable = next == ref
+        ref = next
+      }
+      val want = ref.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+        .filter(_._2 >= 3)
+      val got = graft.graph.Cores.peel(raw.toDF("src", "dst"), k = 3,
+          rounds = 24) // rounds >= |V| always reaches the fixpoint
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed")
+    }
+  }
+
   test("clusteringCoefficient: clique scores 1, pendant scores 0") {
     import spark.implicits._
     // triangle {0,1,2} plus pendant 3 hanging off 0
