@@ -2828,6 +2828,37 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // unified per-node graph feature table (the crawl-curation feature
+    // frame a downstream classifier consumes): directed in/out degree,
+    // undirected degree, triangle count, clustering coefficient — one
+    // row per document node, absent signals filled with exact zeros
+    "q_node_features" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val id = col("doc_id")
+      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
+        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
+        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val outDeg = edges.groupBy(col("src").as("node_id"))
+        .agg(count(lit(1)).as("out_deg"))
+      val inDeg = edges.groupBy(col("dst").as("node_id"))
+        .agg(count(lit(1)).as("in_deg"))
+      val cc = graft.graph.Triangles.clusteringCoefficient(edges)
+      docs.select(id.as("node_id"))
+        .join(outDeg, Seq("node_id"), "left")
+        .join(inDeg, Seq("node_id"), "left")
+        .join(cc, Seq("node_id"), "left")
+        .select(col("node_id"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("deg"), lit(0L)).as("und_deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          coalesce(col("coef"), lit(0.0)).as("coef"))
+        .orderBy("node_id")
+    }),
+
     // bounded-round k-core peeling on the part co-purchase graph
     // (median degree ~115): 3 peels at k=90 strip the sparse periphery
     // and its cascade; the dense co-purchase core survives. Fixed rounds keep the computation recursion-free so
@@ -7136,6 +7167,60 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_purchases
          FROM c WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY item""",
+
+    // the clustering-coef twin's CTEs + directed in/out counts, zeros
+    // for absent signals
+    "q_node_features" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         edges0 AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+             FROM documents CROSS JOIN nn
+             UNION ALL
+             SELECT doc_id, (doc_id + 2) % nn.n
+             FROM documents CROSS JOIN nn
+             UNION ALL
+             SELECT doc_id, (doc_id * 7 + 3) % nn.n
+             FROM documents CROSS JOIN nn)
+           WHERE src <> dst),
+         od AS (SELECT src AS v, count(*) AS out_deg FROM edges0
+           GROUP BY 1),
+         idg AS (SELECT dst AS v, count(*) AS in_deg FROM edges0
+           GROUP BY 1),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges0),
+         deg AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+           GROUP BY v),
+         ori AS (SELECT
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+               THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+               THEN u.b ELSE u.a END AS w
+           FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+         wedges AS (SELECT e1.u, e1.w AS v1, e2.w AS v2
+           FROM ori e1 JOIN ori e2 USING (u) WHERE e1.w <> e2.w),
+         tris AS (SELECT wg.u, wg.v1, wg.v2
+           FROM wedges wg JOIN ori c ON c.u = wg.v1 AND c.w = wg.v2),
+         corners AS (SELECT unnest([u, v1, v2]) AS node_id FROM tris),
+         tc AS (SELECT node_id, count(*) AS n_tri FROM corners
+           GROUP BY node_id)
+         SELECT d.doc_id AS node_id,
+           CAST(coalesce(od.out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(idg.in_deg, 0) AS BIGINT) AS in_deg,
+           CAST(coalesce(deg.deg, 0) AS BIGINT) AS und_deg,
+           CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_tri,
+           CASE WHEN coalesce(deg.deg, 0) >= 2
+                THEN (CAST(2.0 AS DOUBLE)
+                      * CAST(coalesce(tc.n_tri, 0) AS DOUBLE))
+                     / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+                ELSE 0.0 END AS coef
+         FROM documents d
+           LEFT JOIN od ON od.v = d.doc_id
+           LEFT JOIN idg ON idg.v = d.doc_id
+           LEFT JOIN deg ON deg.v = d.doc_id
+           LEFT JOIN tc ON tc.node_id = d.doc_id
+         ORDER BY node_id""",
 
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
