@@ -2859,6 +2859,48 @@ object SparkEntry {
         .orderBy("node_id")
     }),
 
+    // degree distribution of the link graph: how many nodes have each
+    // undirected degree — the power-law tail check next to skew_report;
+    // two bounded aggregates
+    "q_degree_dist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val id = col("doc_id")
+      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
+        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg")
+    }),
+
+    // Gini concentration of per-source token contribution: how unequal
+    // the corpus mix is (0 = uniform, →1 = one feed dominates). The
+    // classic sorted-rank formula with integer numerators —
+    // G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — rank window over the
+    // BOUNDED source-totals table, one double quotient at the end
+    "q_gini" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(graft.functions.Text.tokenCount(col("text")))
+          .as("tokens"))
+      val w = Window.orderBy(col("tokens").asc, col("source").asc)
+      val ranked = per.withColumn("i", row_number().over(w).cast(LongType))
+      ranked.agg(count(lit(1)).as("n_sources"),
+          sum(col("tokens")).cast(LongType).as("total_tokens"),
+          sum(col("i") * col("tokens")).cast(LongType).as("weighted"))
+        .select(col("n_sources"), col("total_tokens"),
+          ((lit(2.0) * col("weighted").cast(DoubleType) -
+            (col("n_sources") + 1).cast(DoubleType) *
+              col("total_tokens").cast(DoubleType)) /
+            (col("n_sources").cast(DoubleType) *
+              col("total_tokens").cast(DoubleType))).as("gini"))
+    }),
+
     // bounded-round k-core peeling on the part co-purchase graph
     // (median degree ~115): 3 peels at k=90 strip the sparse periphery
     // and its cascade; the dense co-purchase core survives. Fixed rounds keep the computation recursion-free so
@@ -7167,6 +7209,44 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_purchases
          FROM c WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY item""",
+
+    "q_degree_dist" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         edges0 AS (
+           SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id * 7 + 3) % nn.n
+           FROM documents CROSS JOIN nn),
+         und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           FROM edges0 WHERE src <> dst),
+         deg AS (SELECT v, count(*) AS deg FROM (
+             SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+           GROUP BY v)
+         SELECT CAST(deg AS BIGINT) AS deg,
+           CAST(count(*) AS BIGINT) AS n_nodes
+         FROM deg GROUP BY 1 ORDER BY deg""",
+
+    // (2·Σ i·x − (n+1)·Σx) / (n·Σx), ranks ascending by (tokens, source)
+    "q_gini" ->
+      """WITH per AS (SELECT source,
+             CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS tokens
+           FROM documents GROUP BY 1),
+         r AS (SELECT tokens,
+             CAST(row_number() OVER (ORDER BY tokens ASC, source ASC)
+               AS BIGINT) AS i
+           FROM per),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(sum(tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(i * tokens) AS BIGINT) AS weighted
+           FROM r)
+         SELECT n_sources, total_tokens,
+           (CAST(2.0 AS DOUBLE) * CAST(weighted AS DOUBLE)
+             - CAST(n_sources + 1 AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+           / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+             AS gini
+         FROM a""",
 
     // the clustering-coef twin's CTEs + directed in/out counts, zeros
     // for absent signals
