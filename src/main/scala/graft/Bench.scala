@@ -67,9 +67,19 @@ object Bench {
     // guarantees an intact parsable line in either capture.
     val shortLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(shortLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(fullLine)
     println(shortLine)
+    // also persist the complete per-query map to a repo file: the driver's
+    // log tail keeps only ~2 KB, which truncates the per-query line at
+    // ~45 of 240+ entries — BENCH_LOCAL.json lets round-over-round
+    // comparison diff EVERY query
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

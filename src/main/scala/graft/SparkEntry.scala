@@ -68,7 +68,8 @@ object SparkEntry {
     // parquet table (write->read is lossless); q_csv_interchange's oracle
     // is DuckDB's read_csv over the same files (a foreign parser reads our
     // RFC 4180 bytes to identical values).
-    "q_csv_roundtrip" -> ((s, dir) => csvRoundtrip(s, dir)),
+    "q_csv_roundtrip" -> ((s, dir) =>
+      csvRoundtrip(s, dir, "/tmp/graft_csv_roundtrip", ',')),
 
     // schema evolution on read: two parquet batches with different
     // column sets land in one dataset directory (the standard additive
@@ -99,7 +100,10 @@ object SparkEntry {
     // and emits the skip evidence (files_read < files_total) alongside
     // the aggregate so the oracle hash-checks that pruning happened
     "q_manifest_skip" -> ((s, dir) => {
-      val out = "/tmp/graft_manifest_skip"
+      // per-invocation temp dir: a fixed /tmp constant would let two
+      // concurrent sweeps race on the overwrite-then-read of the layout
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_manifest_skip").toString
       graft.sources.Sinks.writeWithManifest(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"),
           col("o_orderpriority")),
@@ -227,7 +231,10 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
-    "q_csv_interchange" -> ((s, dir) => csvRoundtrip(s, dir)),
+    // distinct writer config from q_csv_roundtrip: pipe-delimited, with
+    // the pipe embedded in the data to force delimiter-quoting
+    "q_csv_interchange" -> ((s, dir) =>
+      csvRoundtrip(s, dir, "/tmp/graft_csv_interchange", '|')),
 
     // ---------------- L2 Projection + arithmetic expressions
     // (ref: src/plan/logical/projection.rs, binary ops +,-,*,/)
@@ -549,13 +556,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("both_null_or_equal")),
 
-    // exact percentiles (absent in reference — no median/percentiles §2.5)
+    // exact percentiles (absent in reference — no median/percentiles
+    // §2.5) via distributed rank selection: Spark's exact `percentile`
+    // aggregate buffers the WHOLE group in one ObjectHashAggregate state
+    // (OOM once a group outgrows an executor); exactPercentiles keeps
+    // memory flat with range-bucketed spillable sorts + prefix offsets
     "q_percentile" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
-          expr("percentile(o_totalprice, 0.9)").as("p90"),
-          count(lit(1)).as("n"))
+      graft.operators.Analytics.exactPercentiles(
+          t(s, dir, "orders"), Seq("o_orderpriority"), "o_totalprice",
+          Seq(("p50", 0.5), ("p90", 0.9)), countCol = Some("n"))
         .orderBy("o_orderpriority")),
 
     // aggregate FILTER clauses (per-aggregate predicates — absent in
@@ -573,17 +582,23 @@ object SparkEntry {
     // the contract emits the exact median plus an in-query within_bound
     // boolean (approx between exact p45 and p55 — the SketchSpec bound),
     // and the DuckDB twin computes the exact side and expects `true`.
-    "q_approx_percentile" -> ((s, dir) =>
-      t(s, dir, "orders").groupBy(col("o_orderpriority"))
-        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("p50_approx"),
-          expr("percentile(o_totalprice, 0.45)").as("p45_exact"),
-          expr("percentile(o_totalprice, 0.5)").as("p50_exact"),
-          expr("percentile(o_totalprice, 0.55)").as("p55_exact"),
-          count(lit(1)).as("n"))
+    "q_approx_percentile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val approx = o.groupBy(col("o_orderpriority"))
+        .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)")
+          .as("p50_approx"))
+      // the exact comparison band comes from the flat-memory rank
+      // selection, not the O(group)-state exact percentile aggregate
+      val exact = graft.operators.Analytics.exactPercentiles(
+        o, Seq("o_orderpriority"), "o_totalprice",
+        Seq(("p45_exact", 0.45), ("p50_exact", 0.5), ("p55_exact", 0.55)),
+        countCol = Some("n"))
+      approx.join(exact, "o_orderpriority")
         .select(col("o_orderpriority"), col("p50_exact"), col("n"),
           (col("p50_approx") >= col("p45_exact") &&
             col("p50_approx") <= col("p55_exact")).as("within_bound"))
-        .orderBy("o_orderpriority")),
+        .orderBy("o_orderpriority")
+    }),
 
     // sketch aggregates: HLL approximate distinct. Same oracle shape:
     // emit the exact count plus within_bound = |approx-exact| <= 3*rsd*exact
@@ -2411,9 +2426,10 @@ object SparkEntry {
     // without ever summing clamped floats (decimal-rounding-free)
     "q_winsorize" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val bounds = o.groupBy("o_orderpriority")
-        .agg(expr("percentile(o_totalprice, 0.05)").as("lo"),
-          expr("percentile(o_totalprice, 0.95)").as("hi"))
+      // flat-memory rank selection for the clip bounds (see q_percentile)
+      val bounds = graft.operators.Analytics.exactPercentiles(
+        o, Seq("o_orderpriority"), "o_totalprice",
+        Seq(("lo", 0.05), ("hi", 0.95)))
       o.join(bounds, "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
@@ -2554,17 +2570,28 @@ object SparkEntry {
 
     // vocabulary coverage curve: share of all token OCCURRENCES covered
     // by the top-k most frequent types, for k in {10, 50, 100} — the
-    // tokenizer-design metric behind vocab-size choices. Rank window over
-    // the type table (vocabulary-bounded, not corpus-bounded); integer
-    // sums, one quotient per row.
+    // tokenizer-design metric behind vocab-size choices. Only ranks
+    // ≤ max(k)=100 are ever consumed, so the type table is top-k'd with
+    // orderBy+limit (plans as TakeOrderedAndProject: per-partition top-k,
+    // merged — NO global sort, no single-partition window even when the
+    // distinct-type table of a web corpus is billions of rows); ranks are
+    // then assigned by a 100×100 broadcast self-join count instead of an
+    // unpartitioned row_number window. Integer sums, one quotient per row.
     "q_vocab_coverage" -> ((s, dir) => {
       import s.implicits._
       val counts = t(s, dir, "documents")
         .select(explode(split(col("text"), "\\s+")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(col("n").desc, col("tok").asc)
-      val ranked = counts.withColumn("rnk", row_number().over(w))
+      val top = counts.orderBy(col("n").desc, col("tok").asc).limit(100)
+      // rnk = 1 + number of types strictly before (freq desc, tok asc) —
+      // bounded 100×100 comparisons on the already-top-k'd table
+      val ranked = top.as("a").join(broadcast(top.as("b")),
+          col("b.n") > col("a.n") ||
+            (col("b.n") === col("a.n") && col("b.tok") < col("a.tok")),
+          "left")
+        .groupBy(col("a.tok").as("tok"), col("a.n").as("n"))
+        .agg((count(col("b.tok")) + 1).as("rnk"))
       val total = counts.agg(sum(col("n")).as("total"))
       val ks = Seq(10, 50, 100).toDF("k")
       ks.crossJoin(broadcast(total))
@@ -2881,15 +2908,17 @@ object SparkEntry {
     // Gini concentration of per-source token contribution: how unequal
     // the corpus mix is (0 = uniform, →1 = one feed dominates). The
     // classic sorted-rank formula with integer numerators —
-    // G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) — rank window over the
-    // BOUNDED source-totals table, one double quotient at the end
+    // G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx). Ranks come from the
+    // distributed globalRowNumber (range-buckets + prefix offsets) — a
+    // web corpus has millions of source domains, so an unpartitioned
+    // rank window here would funnel the totals table through one task
     "q_gini" -> ((s, dir) => {
       val per = t(s, dir, "documents")
         .groupBy("source")
         .agg(sum(graft.functions.Text.tokenCount(col("text")))
           .as("tokens"))
-      val w = Window.orderBy(col("tokens").asc, col("source").asc)
-      val ranked = per.withColumn("i", row_number().over(w).cast(LongType))
+      val ranked = graft.operators.Analytics.globalRowNumber(per,
+        Seq(col("tokens").asc, col("source").asc), "i")
       ranked.agg(count(lit(1)).as("n_sources"),
           sum(col("tokens")).cast(LongType).as("total_tokens"),
           sum(col("i") * col("tokens")).cast(LongType).as("weighted"))
@@ -3496,19 +3525,25 @@ object SparkEntry {
   // ===================================================================
 
   /** CSV write->read roundtrip of nation plus a delimiter/quote-laden
-    * derived column; shared by q_csv_roundtrip and q_csv_interchange. */
-  private def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = "/tmp/graft_csv_roundtrip"
+    * derived column. q_csv_roundtrip and q_csv_interchange deliberately
+    * use DIFFERENT writer configs (default comma vs pipe delimiter, with
+    * the active delimiter embedded in the data so quoting is forced) so
+    * the two contract rows cover two distinct writer paths — a regression
+    * in either config surfaces as its own failure, not a duplicate. */
+  private def csvRoundtrip(s: SparkSession, dir: String, out: String,
+      delimiter: Char): DataFrame = {
     val tricky = t(s, dir, "nation").select(
       col("n_nationkey"), col("n_name"), col("n_regionkey"),
-      concat(lit("a,\"b\" "), col("n_name"), lit(";c")).as("tricky"))
-    graft.sources.Sinks.writeCsv(tricky, out)
+      concat(lit("a,\"b\" " + delimiter), col("n_name"), lit(";c"))
+        .as("tricky"))
+    graft.sources.Sinks.writeCsv(tricky, out, delimiter = delimiter)
     Context.forSfDir(s, dir)
-      .readCsv(out, graft.engine.CsvOptions(schema = Some(StructType(Seq(
-        StructField("n_nationkey", IntegerType),
-        StructField("n_name", StringType),
-        StructField("n_regionkey", IntegerType),
-        StructField("tricky", StringType))))))
+      .readCsv(out, graft.engine.CsvOptions(delimiter = delimiter,
+        schema = Some(StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType),
+          StructField("tricky", StringType))))))
       .orderBy("n_nationkey")
   }
 
@@ -4065,13 +4100,14 @@ object SparkEntry {
 
     "q_csv_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey,
-           'a,"b" ' || n_name || ';c' AS tricky
+           'a,"b" ,' || n_name || ';c' AS tricky
          FROM nation ORDER BY n_nationkey""",
 
-    // a foreign parser over the engine-written bytes must see the same values
+    // a foreign parser over the engine-written bytes must see the same
+    // values — here over the PIPE-delimited writer config
     "q_csv_interchange" ->
-      """SELECT * FROM read_csv('/tmp/graft_csv_roundtrip/*.csv',
-           header=true, quote='"', escape='"',
+      """SELECT * FROM read_csv('/tmp/graft_csv_interchange/*.csv',
+           header=true, delim='|', quote='"', escape='"',
            columns={'n_nationkey':'INTEGER','n_name':'VARCHAR',
                     'n_regionkey':'INTEGER','tricky':'VARCHAR'})
          ORDER BY n_nationkey""",

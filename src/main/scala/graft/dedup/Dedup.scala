@@ -325,7 +325,12 @@ object Dedup {
     * when near-dups share a PREFIX (templated titles, boilerplate heads).
     * Candidates are then exact-verified with the same fingerprint Jaccard
     * as ngramJaccardPairs, so the output is exact w.r.t. the blocking:
-    * it can only miss pairs whose sort keys land > windowSize apart.
+    * it misses pairs whose sort keys land > windowSize apart AND — because
+    * the lead() window runs per `blockChars`-prefix block, not over the
+    * global sort order — pairs that are within windowSize globally but
+    * straddle a block-prefix boundary (exercised in DedupSpec). Callers
+    * needing boundary recall should widen blockChars so near-dups share
+    * the full prefix, not rely on a global-window guarantee.
     *
     * Scale shape: blocks partition by the first `blockChars` of the key,
     * so the sliding window is a lead() over a BOUNDED block partition,

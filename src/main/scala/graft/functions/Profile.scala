@@ -44,11 +44,17 @@ object Profile {
     * percentile runs over per-key counts (|keys| rows), never raw data. */
   def skewReport(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.map { c =>
-      df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      val perKey = df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+      // count-distribution quantiles via the flat-memory rank selection:
+      // |keys| can be billions (user ids), so the exact `percentile`
+      // aggregate's whole-column buffer is exactly the OOM this report
+      // exists to warn about
+      val pcts = graft.operators.Analytics.exactPercentiles(
+        perKey, Nil, "n", Seq(("p50_n", 0.5), ("p99_n", 0.99)))
+      perKey
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"),
-          max(col("n")).as("max_n"),
-          expr("percentile(n, 0.5)").as("p50_n"),
-          expr("percentile(n, 0.99)").as("p99_n"))
+          max(col("n")).as("max_n"))
+        .crossJoin(broadcast(pcts))
         .select(lit(c).as("key_col"), col("n_keys"),
           col("total").cast(LongType).as("total"), col("max_n"),
           col("p50_n"), col("p99_n"),

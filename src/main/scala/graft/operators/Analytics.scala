@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -17,6 +18,138 @@ import org.apache.spark.sql.types._
   * driver-side collection; stage fan-out (funnel) is an explode bounded
   * by the literal step count. */
 object Analytics {
+
+  /** Global `row_number` over `sortCols` WITHOUT the single-partition
+    * funnel an unpartitioned window plans: range-partition on the sort
+    * key (parallel, boundary-sampled), rank locally within each range
+    * bucket, then add per-bucket prefix offsets computed by a tiny
+    * broadcast self-join over a bucket-count table that is ≤ `parts`
+    * rows BY CONSTRUCTION — no window in the plan touches more than one
+    * range bucket. Exact: range partitioning guarantees bucket p's rows all sort
+    * before bucket p+1's, so local-rank + offset IS the global rank
+    * (ties in the full sort key may order arbitrarily, as with any
+    * row_number). The per-bucket sort spills via ExternalSorter, so
+    * memory stays flat at any scale — this is the primitive behind
+    * `exactPercentiles` and the Gini/Lorenz rank queries. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+      rnCol: String = "rn", parts: Int = 32): DataFrame = {
+    val bucketed = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    // bucket counts: ≤ parts rows by construction. Prefix offsets via a
+    // tiny broadcast self-join (≤ parts² comparisons) — a window here,
+    // even one keyed by a constant, constant-folds to an unpartitioned
+    // window and plans the very Exchange SinglePartition this primitive
+    // exists to kill.
+    val counts = bucketed.groupBy(col("__gr_pid"))
+      .agg(count(lit(1)).as("__gr_c"))
+    val offs = counts.as("ga")
+      .join(broadcast(counts.as("gb")),
+        col("gb.__gr_pid") < col("ga.__gr_pid"), "left")
+      .groupBy(col("ga.__gr_pid").as("__gr_pid"))
+      .agg(coalesce(sum(col("gb.__gr_c")), lit(0L)).as("__gr_off"))
+    val wLoc = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
+    bucketed.withColumn("__gr_lrn", row_number().over(wLoc))
+      .join(broadcast(offs), "__gr_pid")
+      .withColumn(rnCol,
+        (col("__gr_off") + col("__gr_lrn").cast(LongType)).cast(LongType))
+      .drop("__gr_pid", "__gr_lrn", "__gr_off")
+  }
+
+  /** Exact interpolated percentiles per group by distributed rank
+    * selection — the scale-safe replacement for Spark's exact
+    * `percentile` aggregate, whose ObjectHashAggregate buffer holds the
+    * WHOLE group (an O(group) state that OOMs an executor once one group
+    * outgrows its heap). Here nothing ever buffers a group: rows are
+    * range-partitioned on (group, value), ranked per bucket with
+    * spillable sorts, offset by a (group × parts)-row count table, and
+    * only the ≤ 2·|qs| boundary rows per group survive to the final
+    * aggregate. Interpolation replicates Spark's Percentile.getPercentile
+    * formula — position p = q·(n−1), result = (⌈p⌉−p)·v⌊p⌋ + (p−⌊p⌋)·v⌈p⌉
+    * (which DuckDB's quantile_cont matches bit-for-bit) — so twins stay
+    * hash-exact. Nulls in `valueCol` are excluded (percentile
+    * semantics); a group with only nulls is absent from the output.
+    *
+    * Returns one row per group: groupCols ++ one double column per
+    * (name, q) in `qs`, plus the non-null count as `countCol` if set.
+    * `groupCols` may be empty (whole-table percentiles): the offset
+    * window then runs over a ≤ `parts`-row table keyed by a constant —
+    * bounded by construction, never data-sized. */
+  def exactPercentiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[(String, Double)],
+      countCol: Option[String] = None, parts: Int = 32): DataFrame = {
+    require(qs.nonEmpty, "exactPercentiles needs at least one quantile")
+    val g = groupCols.map(col)
+    val d = df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).as("__v"): _*)
+    val bucketed = d.repartitionByRange(parts, g :+ col("__v"): _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = bucketed.groupBy((groupCols :+ "__pid").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    // prefix offsets + group totals over the counts table. Grouped: a
+    // window PARTITIONED BY GROUP (≤ parts rows per partition) — the
+    // partitioned-window shape the plan gate accepts. Ungrouped: the
+    // counts table is ≤ parts rows total, so offsets come from a tiny
+    // broadcast self-join — a constant-key window would constant-fold
+    // to an unpartitioned window and plan Exchange SinglePartition.
+    val offs =
+      if (g.nonEmpty) {
+        val wOff = Window.partitionBy(g: _*).orderBy(col("__pid"))
+        counts
+          .withColumn("__off", coalesce(sum(col("__c")).over(
+            wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("__n",
+            sum(col("__c")).over(Window.partitionBy(g: _*)))
+          .drop("__c")
+      } else {
+        val totals = counts.agg(sum(col("__c")).as("__n"))
+        counts.as("pa")
+          .join(broadcast(counts.as("pb")),
+            col("pb.__pid") < col("pa.__pid"), "left")
+          .groupBy(col("pa.__pid").as("__pid"))
+          .agg(coalesce(sum(col("pb.__c")), lit(0L)).as("__off"))
+          .crossJoin(broadcast(totals))
+      }
+    val wLoc = Window.partitionBy((g :+ col("__pid")): _*).orderBy(col("__v"))
+    val ranked = bucketed
+      .withColumn("__lrn", row_number().over(wLoc))
+      .join(offs, groupCols :+ "__pid")
+      .withColumn("__rn", col("__off") + col("__lrn").cast(LongType))
+    // keep only the ⌊p⌋/⌈p⌉ boundary rows for any requested quantile
+    // (0-based position p = q·(n−1); __rn is 1-based)
+    def posOf(q: Double): Column =
+      (col("__n") - 1L).cast(DoubleType) * lit(q)
+    val isBoundary = qs.map { case (_, q) =>
+      val p = posOf(q)
+      (col("__rn") - 1L) === floor(p).cast(LongType) ||
+        (col("__rn") - 1L) === ceil(p).cast(LongType)
+    }.reduce(_ || _)
+    val marked = ranked.filter(isBoundary)
+      .select(
+        g ++ Seq(col("__n")) ++ qs.flatMap { case (name, q) =>
+          val p = posOf(q)
+          Seq(
+            when((col("__rn") - 1L) === floor(p).cast(LongType), col("__v"))
+              .as(s"__lo_$name"),
+            when((col("__rn") - 1L) === ceil(p).cast(LongType), col("__v"))
+              .as(s"__hi_$name"))
+        }: _*)
+    val agged =
+      (if (g.nonEmpty) marked.groupBy(g: _*) else marked.groupBy())
+        .agg(max(col("__n")).as("__n"),
+          qs.flatMap { case (name, _) => Seq(
+            max(col(s"__lo_$name")).as(s"__lo_$name"),
+            max(col(s"__hi_$name")).as(s"__hi_$name")) }: _*)
+    agged.select(
+      g ++ qs.map { case (name, q) =>
+        val p = posOf(q)
+        val lo = floor(p)
+        val hi = ceil(p)
+        when(hi === lo, col(s"__lo_$name"))
+          .otherwise((hi - p) * col(s"__lo_$name") +
+            (p - lo) * col(s"__hi_$name"))
+          .as(name)
+      } ++ countCol.map(c => col("__n").as(c)).toSeq: _*)
+  }
 
   /** Ordered-funnel conversion over `steps` (e.g. view → click →
     * purchase): a user reaches stage k when the FIRST occurrence of each
@@ -94,14 +227,19 @@ object Analytics {
     * boundaries (a single broadcast row — never a data-sized global
     * sort/ntile window), then a narrow per-row fold counts boundaries
     * strictly below the value. Rows equal to a boundary go to the lower
-    * bucket (count of boundaries < x). */
+    * bucket (count of boundaries < x). Boundaries come from
+    * `exactPercentiles` (distributed rank selection), so no task ever
+    * buffers the column. */
   def equiDepthHistogram(df: DataFrame, valueCol: String,
       buckets: Int): DataFrame = {
     require(buckets > 1, s"equi-depth needs buckets > 1, got $buckets")
     val probs = (1 until buckets).map(_.toDouble / buckets)
-    val bounds = df.filter(col(valueCol).isNotNull)
-      .agg(expr(s"percentile($valueCol, array(${probs.mkString(",")}))")
-        .as("bs"))
+    // boundary quantiles via the flat-memory rank selection (the exact
+    // `percentile` aggregate would buffer the whole column in one task's
+    // aggregation state); the single-row result broadcasts as before
+    val qs = probs.zipWithIndex.map { case (p, i) => (s"__b$i", p) }
+    val bounds = exactPercentiles(df, Nil, valueCol, qs)
+      .select(array(qs.map(q => col(q._1)): _*).as("bs"))
     df.filter(col(valueCol).isNotNull)
       .crossJoin(broadcast(bounds))
       .select(aggregate(col("bs"), lit(0L),
@@ -135,19 +273,21 @@ object Analytics {
   /** Robust per-group outlier gate by median absolute deviation: returns
     * (group, med, mad, n, n_outliers) where an outlier is
     * dev > k·mad (multiply-only predicate; k = 4.4478 ≈ 3·1.4826 makes
-    * it the robust analog of |z| > 3). Three grouped aggregate passes
-    * (median, MAD, counts) — Spark's exact `percentile` is the same
-    * linear interpolation as DuckDB's quantile_cont, so the whole chain
-    * is engine-exact. Robust where the z-score gate is not: a heavy tail
-    * inflates a stddev but barely moves the MAD. */
+    * it the robust analog of |z| > 3). Three grouped passes (median,
+    * MAD, counts), each median from `exactPercentiles` — the flat-memory
+    * rank selection whose interpolation matches DuckDB's quantile_cont
+    * bit-for-bit, so the whole chain is engine-exact without any
+    * O(group) aggregation state. Robust where the z-score gate is not:
+    * a heavy tail inflates a stddev but barely moves the MAD. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 4.4478): DataFrame = {
-    val med = df.groupBy(groupCol)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val med = exactPercentiles(df, Seq(groupCol), valueCol,
+      Seq(("med", 0.5)))
     val dev = df.join(med, Seq(groupCol))
       .withColumn("dev", abs(col(valueCol) - col("med")))
-    val mads = dev.groupBy(groupCol)
-      .agg(max(col("med")).as("med2"), expr("percentile(dev, 0.5)").as("mad"))
+    val mads = exactPercentiles(dev, Seq(groupCol), "dev",
+        Seq(("mad", 0.5)))
+      .join(med, Seq(groupCol)).withColumnRenamed("med", "med2")
     dev.join(mads, Seq(groupCol))
       .groupBy(groupCol)
       .agg(max(col("med2")).as("med"), max(col("mad")).as("mad"),

@@ -309,7 +309,16 @@ object Relational {
     * the base is bucketed/pre-partitioned on the join key. */
   def incrementalJoinDelta(a: DataFrame, da: DataFrame,
       b: DataFrame, db: DataFrame, aKey: String, bKey: String): DataFrame = {
-    def j(l: DataFrame, r: DataFrame) = l.join(r, col(aKey) === col(bKey))
+    // same-named keys (the common case) take a USING join so the output
+    // carries ONE key column and the three delta terms union cleanly;
+    // distinct names join on frame-qualified refs so the helper resolves
+    // even when either key name also exists on the other side
+    def j(l: DataFrame, r: DataFrame) =
+      if (aKey == bKey) l.join(r, Seq(aKey))
+      else {
+        val (la, ra) = (l.alias("ivm_l"), r.alias("ivm_r"))
+        la.join(ra, la.col(aKey) === ra.col(bKey))
+      }
     j(da, b).unionByName(j(a, db)).unionByName(j(da, db))
   }
 }

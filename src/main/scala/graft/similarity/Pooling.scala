@@ -24,7 +24,13 @@ object Pooling {
       idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    // deterministic width: max vector length across the input (a first()
+    // would take dim from an arbitrary row, so ragged inputs would make
+    // the output width depend on scan order). One cheap narrow agg pass.
+    val dimRow = df.agg(max(size(col(vecCol)))).head()
+    if (dimRow.isNullAt(0))
+      return spark.emptyDataset[(Int, Array[Float])].toDF("group_id", "mean_vec")
+    val dim = dimRow.getInt(0)
     df.select(col(groupCol).cast(IntegerType).as("g"),
         col(idCol).cast(LongType).as("vid"), col(vecCol).as("vec"))
       .repartition(col("g"))

@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import scala.collection.mutable
+
+/** sf1-equivalent spot-run of the most expensive CONTRACT queries
+  * (VERDICT r5 item 7): derives a 10x stress copy of EVERY driver table
+  * in /tmp — big tables (lineitem, orders, events, documents,
+  * embeddings) replicated with shifted primary keys so join fan-in per
+  * dimension key grows 10x (the realistic densification), dimension
+  * tables copied as-is — then runs the named `SparkEntry.queries`
+  * against the stress dir exactly as the driver would.
+  *
+  * Per query this asserts/reports what SCALE.md promises at 100 TB:
+  *   - rows > 0 (the query still computes),
+  *   - worst-stage task skew max/median (gate: <= 4x among stages with
+  *     >= 2 s total task time),
+  *   - ZERO unbounded Exchange SinglePartition shapes (PlanAudit gate).
+  * Exits nonzero if any gate fails. Correctness oracles stay at the
+  * driver scale factors — this tool measures shape, not values (the
+  * O(n²) exact twins are deliberately out of scope here).
+  *
+  * Usage: runMain graft.tools.ContractStress [factor] [q1 q2 ...]
+  */
+object ContractStress {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_split_leakage_safe", "q_winsorize", "q_tpch_q18",
+        "q_stats_agg", "q_triangles", "q_tpch_q2", "q_percentile",
+        "q_dedup_minhash", "q_sessionize", "q_bm25")
+    val srcDir = "/root/testdata/sf0.1"
+    val outDir = "/tmp/graft_contractstress"
+    val spark = graft.engine.Context.session("local[32]", 32)
+    spark.sparkContext.setLogLevel("WARN")
+
+    val marker = new java.io.File(s"$outDir/.factor_$factor")
+    if (!marker.exists()) {
+      new java.io.File(outDir).mkdirs()
+      val reps = spark.range(factor).select(col("id").as("rep"))
+      // key-shifted replication: rep r shifts each table's primary key by
+      // r*(max+1); FK columns into replicated tables shift by the SAME
+      // offset so referential joins stay consistent, FKs into dimension
+      // tables stay put so per-dimension fan-in densifies 10x
+      def shifted(table: String, keyCols: Seq[String],
+          textMarker: Option[String]): Unit = {
+        val df = spark.read.parquet(s"$srcDir/$table.parquet")
+        val offsets = keyCols.map { k =>
+          k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
+        }
+        var out = df.crossJoin(broadcast(reps))
+        for ((k, off) <- offsets)
+          out = out.withColumn(k, col(k) + col("rep") * off)
+        for (m <- textMarker)
+          out = out.withColumn(m,
+            when(col("rep") === 0, col(m))
+              .otherwise(concat(col(m), lit(" rep"), col("rep"))))
+        out.drop("rep").repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      }
+      shifted("orders", Seq("o_orderkey"), None)
+      shifted("lineitem", Seq("l_orderkey"), None)
+      shifted("events", Seq("event_id"), None)
+      shifted("documents", Seq("doc_id"), Some("text"))
+      shifted("embeddings", Seq("vec_id"), None)
+      for (t <- Seq("region", "nation", "customer", "supplier", "part"))
+        spark.read.parquet(s"$srcDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      marker.createNewFile()
+      println(s"[stress] built ${factor}x table set at $outDir")
+    }
+
+    val byStage = new mutable.HashMap[Int, mutable.ArrayBuffer[Long]]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null) byStage.synchronized {
+          byStage.getOrElseUpdate(e.stageId, mutable.ArrayBuffer.empty)
+            .append(e.taskInfo.duration)
+        }
+    })
+
+    var failures = List.empty[String]
+    println(f"${"query"}%-22s ${"wall_s"}%8s ${"rows"}%9s ${"tasks"}%7s ${"worst-stage max/med (ms, tasks)"}")
+    for (n <- names) {
+      byStage.synchronized(byStage.clear())
+      val df = graft.SparkEntry.queries(n)(spark, outDir)
+      val phys = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val sp = PlanAudit.singlePartitionViolations(phys)
+      if (sp.nonEmpty) failures ::= s"$n: ${sp.mkString("; ")}"
+      val t0 = System.nanoTime()
+      val rows = df.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      if (rows == 0) failures ::= s"$n: zero rows at ${factor}x"
+      val stages = byStage.synchronized(byStage.map { case (k, v) =>
+        (k, v.toSeq.sorted) }.toMap)
+      val nTasks = stages.valuesIterator.map(_.size).sum
+      val heavy = stages.filter(_._2.sum >= 2000)
+      val worst = heavy.values.map { ds =>
+        val med = math.max(1L, ds(ds.size / 2))
+        (ds.last.toDouble / med, ds.last, med, ds.size)
+      }.toSeq.sortBy(-_._1).headOption
+      for ((r, _, _, _) <- worst if r > 4.0)
+        failures ::= f"$n: worst-stage skew $r%.2fx exceeds the 4x gate"
+      val w = worst.map { case (r, mx, md, nt) =>
+        f"$r%6.2fx  (max $mx%6d / med $md%5d over $nt%4d tasks)"
+      }.getOrElse("no stage >= 2s")
+      println(f"$n%-22s $wall%8.2f $rows%9d $nTasks%7d  $w")
+    }
+    spark.stop()
+    if (failures.nonEmpty) {
+      failures.foreach(f => System.err.println(s"[contractstress] FAIL $f"))
+      sys.exit(1)
+    }
+  }
+}

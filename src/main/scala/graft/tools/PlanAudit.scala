@@ -1,11 +1,57 @@
 package graft.tools
 
 import graft.engine.Context
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
+  SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+  ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 /** Prints plan-quality signals — scan pushdown, join strategy, exchange
   * count — for the named queries (args), or writes the full inventory to
   * PLANS.md when invoked with `--all`. Run with SPARK_GRAFT_SF_DIR. */
 object PlanAudit {
+
+  /** The scale-killer detector: `Exchange SinglePartition` anywhere in the
+    * physical plan EXCEPT the bounded shapes — the final pass of an
+    * ungrouped aggregate (partial-agg upstream means one row per input
+    * partition crosses the wire) and limit gathers (output bounded by the
+    * limit itself). Everything else — a global `row_number` window, an
+    * unpartitioned sort feeding more work, a coalesce(1) — funnels the
+    * whole dataset through ONE task and is exactly the class of plan that
+    * dies first at 100 TB. Returns one message per violation, naming the
+    * consumer node. Subquery plans are walked too. */
+  def singlePartitionViolations(plan: SparkPlan): Seq[String] = {
+    def boundedConsumer(parent: SparkPlan): Boolean = parent match {
+      case a: HashAggregateExec       => a.groupingExpressions.isEmpty
+      case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
+      case a: SortAggregateExec       => a.groupingExpressions.isEmpty
+      case _: GlobalLimitExec | _: CollectLimitExec |
+           _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    val bad = scala.collection.mutable.ListBuffer.empty[String]
+    def walk(p: SparkPlan): Unit = {
+      p.children.foreach {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition && !boundedConsumer(p) =>
+          bad += s"Exchange SinglePartition feeding ${p.nodeName}"
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(plan)
+    // a root-level single-partition exchange has no consumer in this plan
+    plan match {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        bad += "Exchange SinglePartition at plan root"
+      case _ => ()
+    }
+    bad.toSeq.distinct
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Context.session("local[8]", 8)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,6 +69,7 @@ object PlanAudit {
     // every inverted-list/partition directory is a full scan at 100 TB.
     val mustPrune = Set("q_ann_ivf_pruned", "q_partitioned_scan")
     val pruneFailures = scala.collection.mutable.ListBuffer.empty[String]
+    val spFailures = scala.collection.mutable.ListBuffer.empty[String]
 
     def audit(n: String): (String, Seq[String]) = {
       val df = graft.SparkEntry.queries(n)(spark, dir)
@@ -64,6 +111,18 @@ object PlanAudit {
           pruneFailures += s"$n: pruned read $m of $t files — nothing skipped"
         }
       }
+      // single-partition gate: every query in the surface must be free of
+      // unbounded Exchange SinglePartition shapes (the global-window class).
+      // NB: AQE's inputPlan predates EnsureRequirements (no exchanges yet);
+      // executedPlan carries the exchange-inserted initial plan.
+      {
+        val phys = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        singlePartitionViolations(phys).foreach(v => spFailures += s"$n: $v")
+      }
       val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
         "BroadcastNestedLoopJoin", "CartesianProduct").filter(plan.contains)
       val exch = "Exchange".r.findAllIn(plan).length
@@ -98,8 +157,9 @@ object PlanAudit {
       }
     }
     spark.stop()
-    if (pruneFailures.nonEmpty) {
+    if (pruneFailures.nonEmpty || spFailures.nonEmpty) {
       pruneFailures.foreach(f => System.err.println(s"[planaudit] FAIL $f"))
+      spFailures.foreach(f => System.err.println(s"[planaudit] FAIL $f"))
       sys.exit(1)
     }
   }

@@ -169,4 +169,20 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
     assert(rev == got)
   }
+
+  test("meanByGroup: empty input yields empty frame; ragged dims take max") {
+    val empty = Seq.empty[(Long, Int, Array[Float])]
+      .toDF("vec_id", "label", "embedding")
+    assert(graft.similarity.Pooling
+      .meanByGroup(empty, "label", "embedding", "vec_id").count() == 0)
+    // ragged vectors: output width is the MAX length (deterministic),
+    // not whichever row an arbitrary first() happened to return
+    val ragged = Seq(
+      (1L, 0, Array(2.0f)),
+      (2L, 0, Array(4.0f, 8.0f))).toDF("vec_id", "label", "embedding")
+    val m = graft.similarity.Pooling
+      .meanByGroup(ragged, "label", "embedding", "vec_id")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(m(0) == Seq(3.0f, 4.0f)) // dim0: (2+4)/2; dim1: 8/2 over n=2
+  }
 }

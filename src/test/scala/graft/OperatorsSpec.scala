@@ -370,4 +370,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 0.0, 3L), (1L, 10.0, 1L), (2L, 20.0, 1L),
       (9L, 90.0, 2L)))
   }
+
+  test("exactPercentiles matches Spark's percentile aggregate bit-for-bit") {
+    val r = new scala.util.Random(11)
+    val rows = (1 to 500).map(i =>
+      (s"g${i % 3}", math.rint(r.nextDouble() * 10000) / 100.0))
+    val df = rows.toDF("g", "v").repartition(7) // arbitrary layout
+    val qs = Seq(("p05", 0.05), ("p50", 0.5), ("p93", 0.93))
+    val got = graft.operators.Analytics
+      .exactPercentiles(df, Seq("g"), "v", qs, countCol = Some("n"))
+      .collect().map(row => row.getString(0) ->
+        ((row.getDouble(1), row.getDouble(2), row.getDouble(3)),
+          row.getLong(4))).toMap
+    val want = df.groupBy("g")
+      .agg(expr("percentile(v, 0.05)").as("p05"),
+        expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.93)").as("p93"), count(lit(1)).as("n"))
+      .collect().map(row => row.getString(0) ->
+        ((row.getDouble(1), row.getDouble(2), row.getDouble(3)),
+          row.getLong(4))).toMap
+    assert(got == want) // exact double equality — same interpolation bits
+    // ungrouped path (self-join offsets) agrees too
+    val gotU = graft.operators.Analytics
+      .exactPercentiles(df, Nil, "v", Seq(("p50", 0.5)))
+      .collect().head.getDouble(0)
+    val wantU = df.agg(expr("percentile(v, 0.5)")).collect().head.getDouble(0)
+    assert(gotU == wantU)
+    // nulls excluded; single-row group is its own every-percentile
+    val withNulls = Seq(("a", Some(5.0)), ("a", None), ("b", None))
+      .toDF("g", "v")
+    val n = graft.operators.Analytics
+      .exactPercentiles(withNulls, Seq("g"), "v", Seq(("p50", 0.5)))
+      .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(n == Map("a" -> 5.0)) // all-null group b absent
+  }
+
+  test("globalRowNumber assigns the exact global rank, no SinglePartition exchange") {
+    val r = new scala.util.Random(5)
+    val rows = (1 to 300).map(i => (i.toLong, r.nextInt(1000)))
+    val df = rows.toDF("id", "v").repartition(5)
+    val got = graft.operators.Analytics
+      .globalRowNumber(df, Seq(col("v").asc, col("id").asc), "rn")
+      .collect().map(row => (row.getLong(0), row.getInt(1), row.getLong(2)))
+    val want = rows.sortBy { case (id, v) => (v, id) }
+      .zipWithIndex.map { case ((id, v), i) => (id, v, i + 1L) }.toSet
+    assert(got.toSet == want)
+    val plan = graft.operators.Analytics
+      .globalRowNumber(df, Seq(col("v").asc, col("id").asc), "rn")
+      .queryExecution.executedPlan
+    val phys = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(graft.tools.PlanAudit.singlePartitionViolations(phys).isEmpty)
+  }
 }

@@ -7,6 +7,7 @@ package graft
   * column pruning happened, partial aggregation exists, the dim join
   * broadcasts, top-k fuses. */
 class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
   lazy val spark = SparkFixture.spark
   private val dir = SparkFixture.sfDir
 
@@ -236,5 +237,50 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
     val p = plan("q_incremental_join")
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  private def physPlan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      // inputPlan predates EnsureRequirements — executedPlan has exchanges
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  test("SinglePartition detector flags a deliberately-injected global window") {
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.engine.Tables.load(spark, dir, "lineitem")
+    val bad = li.withColumn("rn",
+      row_number().over(Window.orderBy(col("l_orderkey"))))
+    val v = graft.tools.PlanAudit.singlePartitionViolations(physPlan(bad))
+    assert(v.nonEmpty, "global row_number window must be flagged")
+    // the funnel surfaces as the exchange feeding the window's local Sort
+    assert(v.exists(m => m.contains("Sort") || m.contains("Window")),
+      v.mkString("; "))
+    // coalesce(1) feeding further work is the same funnel
+    val rep = li.repartition(1).groupBy("l_returnflag").count()
+    // (repartition(1) is RoundRobin(1), not SinglePartition — but a global
+    // sort buffered into one partition is) — orderBy into a window:
+    val bad2 = li.orderBy("l_orderkey").withColumn("rn",
+      row_number().over(Window.orderBy(col("l_orderkey"))))
+    assert(graft.tools.PlanAudit
+      .singlePartitionViolations(physPlan(bad2)).nonEmpty)
+    assert(rep.count() >= 0) // keep rep referenced; not part of the gate
+  }
+
+  test("SinglePartition detector allows bounded shapes: ungrouped agg, top-k, and the fixed q_vocab_coverage") {
+    val li = graft.engine.Tables.load(spark, dir, "lineitem")
+    val agg = li.agg(sum(col("l_quantity")))
+    assert(graft.tools.PlanAudit
+      .singlePartitionViolations(physPlan(agg)).isEmpty,
+      "ungrouped final aggregate over partial-agg rows is bounded")
+    val topk = li.orderBy(col("l_extendedprice").desc).limit(10)
+    assert(graft.tools.PlanAudit
+      .singlePartitionViolations(physPlan(topk)).isEmpty,
+      "TakeOrderedAndProject top-k is bounded")
+    val vc = SparkEntry.queries("q_vocab_coverage")(spark, dir)
+    assert(graft.tools.PlanAudit
+      .singlePartitionViolations(physPlan(vc)).isEmpty,
+      "q_vocab_coverage must stay free of unbounded single-partition exchanges")
   }
 }

@@ -331,4 +331,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(maintained == full && full.size == 5)
     assert(full.contains((9L, "a9", "b9")))
   }
+
+  test("incrementalJoinDelta resolves same-named join keys (qualified refs)") {
+    val a = Seq((1L, "a1")).toDF("k", "va")
+    val da = Seq((2L, "a2")).toDF("k", "va")
+    val b = Seq((1L, "b1"), (2L, "b2")).toDF("k", "vb")
+    val db = Seq((1L, "b3")).toDF("k", "vb")
+    // both sides key column is literally "k" — unqualified col("k")===col("k")
+    // would throw AnalysisException (ambiguous); the helper must qualify
+    val delta = graft.operators.Relational.incrementalJoinDelta(
+      a, da, b, db, "k", "k")
+    assert(delta.count() == 2) // da⋈b: (2,a2,b2); a⋈db: (1,a1,b3); daxdb: none
+  }
 }
