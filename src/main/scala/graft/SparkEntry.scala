@@ -694,6 +694,34 @@ object SparkEntry {
       Streams.sessionize(ev).toDF().orderBy("user_id", "session_start_ms")
     }),
 
+    // streaming exact dedup (dropDuplicatesWithinWatermark) driven as a
+    // REAL stream: the events table feeds a file-source stream, the
+    // watermarked dedup state keeps one row per (user_id, event_type),
+    // and the memory sink materializes the survivors. All files land in
+    // the first micro-batch (no trigger cap), so no state is evicted
+    // mid-run and the surviving key set is exactly the batch distinct —
+    // which row per key survives is engine-arbitrary, so the hashed
+    // output aggregates to per-type distinct-user counts. Multi-batch
+    // eviction behavior is covered behaviorally in StreamingSpec.
+    "q_stream_dedup" -> ((s, dir) => {
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_sdedup").toString
+      t(s, dir, "events").select(col("ts"), col("user_id"),
+          col("event_type"))
+        .write.mode("overwrite").parquet(feed)
+      val src = s.readStream.schema(s.read.parquet(feed).schema)
+        .parquet(feed)
+      val streamed = graft.streaming.Streams.streamingDedup(
+        src, Seq("user_id", "event_type"), watermark = "1 hour")
+      val name = "sdedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.Streams.runToMemory(streamed, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy("event_type")
+    }),
+
     // semi join (EXISTS) — absent in reference (JoinType has 2 variants,
     // ref: src/plan/logical/join.rs:14-17)
     "q_join_semi" -> ((s, dir) => {
@@ -2928,6 +2956,95 @@ object SparkEntry {
               col("total_tokens").cast(DoubleType)) /
             (col("n_sources").cast(DoubleType) *
               col("total_tokens").cast(DoubleType))).as("gini"))
+    }),
+
+    // curriculum ordering: rank docs within each source by length-proxy
+    // quality (token count desc), then interleave sources by taking every
+    // source's rank-1 doc first, then every rank-2, ... — the deterministic
+    // round-robin curriculum a mixture-trained run consumes. The global
+    // interleave position comes from globalRowNumber (range buckets +
+    // prefix offsets), NOT an unpartitioned window — a real corpus has
+    // billions of (rank, source) rows. All-integer ordering keys.
+    "q_curriculum" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        graft.functions.Text.tokenCount(col("text")).as("n_tok"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_tok").desc, col("doc_id").asc)
+      val r = d.withColumn("rnk", row_number().over(w).cast(LongType))
+      graft.operators.Analytics.globalRowNumber(r,
+          Seq(col("rnk").asc, col("source").asc), "pos")
+        .filter(col("pos") <= 50)
+        .select(col("pos"), col("doc_id"), col("source"), col("rnk"),
+          col("n_tok"))
+        .orderBy("pos")
+    }),
+
+    // domain-mixture reweighting: per-source sampling weight that moves
+    // the corpus token mix to a UNIFORM target (the static DoReMi-style
+    // reweight a mixture sampler consumes). weight = total/(S·tokens) —
+    // one multiply + one divide per row in a fixed tree so the oracle
+    // replays the exact double bits; repeat_factor is the integer
+    // ceil(weight) via cross-multiplied longs (no float in the decision)
+    "q_mixture_weights" -> ((s, dir) => {
+      val per = t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(graft.functions.Text.tokenCount(col("text")))
+          .cast(LongType).as("tokens"))
+      val totals = per.agg(sum(col("tokens")).cast(LongType).as("total"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(totals))
+        .select(col("source"), col("tokens"),
+          (col("tokens").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("actual_share"),
+          (col("total").cast(DoubleType) /
+            (col("n_sources").cast(DoubleType) *
+              col("tokens").cast(DoubleType))).as("weight"),
+          expr("(total + n_sources * tokens - 1) div (n_sources * tokens)")
+            .cast(LongType).as("repeat_factor"))
+        .orderBy("source")
+    }),
+
+    // per-source exact-dedup rate: the corpus-governance report that says
+    // WHICH feeds are copy-heavy (survivor = global min doc_id per text,
+    // so a dup group spanning sources charges every non-surviving source).
+    // Two grouped counts + one small left join; one division per source
+    "q_dedup_rate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val perAll = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val perKept = graft.dedup.Dedup.exactKept(d)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      perAll.join(perKept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          ((col("n_docs") - coalesce(col("n_kept"), lit(0L)))
+            .cast(DoubleType) / col("n_docs").cast(DoubleType))
+            .as("dup_rate"))
+        .orderBy("source")
+    }),
+
+    // pairwise vocabulary containment |A∩B|/|A| between sources — the
+    // cross-feed redundancy signal behind mixture design (two feeds with
+    // near-total vocabulary containment are near-substitutes). Postings
+    // join on the distinct (source, token) table: each token contributes
+    // at most |sources|² pair rows, so the join is vocabulary-bounded ×
+    // a small constant, never corpus-sized; sources are feeds (bounded
+    // cardinality), not an unbounded key
+    "q_vocab_overlap" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      val sizes = toks.groupBy("source").agg(count(lit(1)).as("n_types_a"))
+      toks.select(col("source").as("src_a"), col("tok"))
+        .join(toks.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+        .join(sizes.withColumnRenamed("source", "src_a"), Seq("src_a"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          col("n_types_a"),
+          (col("n_shared").cast(DoubleType) /
+            col("n_types_a").cast(DoubleType)).as("containment"))
+        .orderBy("src_a", "src_b")
     }),
 
     // bounded-round k-core peeling on the part co-purchase graph
@@ -7262,6 +7379,82 @@ object SparkEntry {
          SELECT CAST(deg AS BIGINT) AS deg,
            CAST(count(*) AS BIGINT) AS n_nodes
          FROM deg GROUP BY 1 ORDER BY deg""",
+
+    // per-source rank by (n_tok DESC, doc_id), interleaved by (rnk, source)
+    "q_curriculum" ->
+      """WITH d AS (SELECT doc_id, source,
+             CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+               AS n_tok
+           FROM documents),
+         r AS (SELECT doc_id, source, n_tok,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rnk
+           FROM d),
+         g AS (SELECT doc_id, source, n_tok, rnk,
+             CAST(row_number() OVER (ORDER BY rnk, source) AS BIGINT)
+               AS pos
+           FROM r)
+         SELECT pos, doc_id, source, rnk, n_tok FROM g
+         WHERE pos <= 50 ORDER BY pos""",
+
+    // weight = total/(S·tokens) with the identical double tree; the
+    // integer ceil uses // on positive BIGINTs (Spark `div` twin)
+    "q_mixture_weights" ->
+      """WITH per AS (SELECT source,
+             CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS tokens
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_sources FROM per)
+         SELECT source, tokens,
+           CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS actual_share,
+           CAST(total AS DOUBLE) /
+             (CAST(n_sources AS DOUBLE) * CAST(tokens AS DOUBLE)) AS weight,
+           CAST((total + n_sources * tokens - 1) // (n_sources * tokens)
+             AS BIGINT) AS repeat_factor
+         FROM per, t ORDER BY source""",
+
+    // the watermarked streaming dedup's surviving key set equals batch
+    // distinct when everything lands in one micro-batch (see query doc)
+    "q_stream_dedup" ->
+      """SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // survivor = global min doc_id per text (the q_dedup_exact policy)
+    "q_dedup_rate" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+           GROUP BY text),
+         pa AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         pk AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+           FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+           GROUP BY 1)
+         SELECT pa.source, pa.n_docs,
+           CAST(COALESCE(pk.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(pa.n_docs - COALESCE(pk.n_kept, 0) AS DOUBLE) /
+             CAST(pa.n_docs AS DOUBLE) AS dup_rate
+         FROM pa LEFT JOIN pk ON pa.source = pk.source
+         ORDER BY pa.source""",
+
+    // |A∩B|/|A| over distinct whitespace-token vocabularies per source
+    "q_vocab_overlap" ->
+      """WITH tk AS (SELECT DISTINCT source, tok FROM (
+             SELECT source, unnest(list_filter(
+               regexp_split_to_array(text, '[ \n\t\r]+'), x -> x <> ''))
+               AS tok
+             FROM documents)),
+         sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types_a
+           FROM tk GROUP BY 1),
+         pr AS (SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM tk a JOIN tk b ON a.tok = b.tok AND a.source <> b.source
+           GROUP BY 1, 2)
+         SELECT pr.src_a, pr.src_b, pr.n_shared, sz.n_types_a,
+           CAST(pr.n_shared AS DOUBLE) / CAST(sz.n_types_a AS DOUBLE)
+             AS containment
+         FROM pr JOIN sz ON pr.src_a = sz.source
+         ORDER BY pr.src_a, pr.src_b""",
 
     // (2·Σ i·x − (n+1)·Σx) / (n·Σx), ranks ascending by (tokens, source)
     "q_gini" ->

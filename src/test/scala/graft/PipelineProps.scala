@@ -74,6 +74,37 @@ object PipelineProps extends Properties("Pipeline") {
       got.toSeq == want
     }
 
+  property("exactPercentiles: rank selection == Spark percentile, any layout") =
+    forAll(
+      Gen.listOf(for {
+        g <- Gen.oneOf("x", "y", "z")
+        v <- Gen.oneOf(Gen.choose(-1000, 1000).map(_ / 7.0),
+          Gen.choose(0, 50).map(_.toDouble)) // ties likely
+      } yield (g, v)).suchThat(_.nonEmpty),
+      Gen.choose(1, 6), Gen.choose(0, 100)) { (rows, parts, qPct) =>
+      val q = qPct / 100.0
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = graft.operators.Analytics
+        .exactPercentiles(df, Seq("g"), "v", Seq(("p", q)))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = df.groupBy("g").agg(expr(s"percentile(v, $q)").as("p"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      got == want // exact double equality, same interpolation bits
+    }
+
+  property("globalRowNumber: rank values are exactly 1..n in sort order") =
+    forAll(Gen.listOf(Gen.choose(-500, 500)).suchThat(_.nonEmpty),
+        Gen.choose(1, 5)) { (vs, parts) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("id", "v").repartition(parts)
+      val got = graft.operators.Analytics
+        .globalRowNumber(df, Seq(col("v").asc, col("id").asc), "rn")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val want = rows.sortBy { case (id, v) => (v, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      got == want
+    }
+
   property("exactNewOnly: kept + removed partition incoming; removed ⊆ reference texts") =
     forAll(docsGen, docsGen) { (inc, ref) =>
       val incDf = inc.toDF("doc_id", "source", "text")

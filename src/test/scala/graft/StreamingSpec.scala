@@ -134,6 +134,34 @@ class StreamingSpec extends AnyFunSuite {
       closed.head.session_end_ms == ts(0).getTime)
   }
 
+  test("streamingDedup: dups within the watermark horizon drop; evicted keys re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    def tm(min: Int): Timestamp = new Timestamp(ts(0).getTime + min * 60000L)
+    val mem = MemoryStream[Streams.Event]
+    val deduped = Streams.streamingDedup(mem.toDS().toDF(),
+      Seq("user_id", "event_type"), watermark = "10 minutes")
+    val query = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_evict_out").start()
+    // batch 1: an in-batch duplicate — one survivor
+    mem.addData(Streams.Event(1L, tm(0), 7L, "click", 1.0),
+      Streams.Event(2L, tm(1), 7L, "click", 2.0))
+    query.processAllAvailable()
+    assert(spark.table("sdedup_evict_out").count() == 1)
+    // batch 2: same key within the horizon — still deduped by state
+    mem.addData(Streams.Event(3L, tm(2), 7L, "click", 3.0))
+    query.processAllAvailable()
+    assert(spark.table("sdedup_evict_out").count() == 1)
+    // batch 3: event time jumps 2 h — watermark passes key 7's state,
+    // which is the ONLY way unbounded streams keep bounded dedup state
+    mem.addData(Streams.Event(4L, tm(120), 8L, "view", 4.0))
+    query.processAllAvailable()
+    // batch 4: the evicted key re-emits (correct within-watermark contract)
+    mem.addData(Streams.Event(5L, tm(121), 7L, "click", 5.0))
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.table("sdedup_evict_out").count() == 3)
+  }
+
   test("transformWithState: running user totals accumulate across batches (RocksDB state)") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
