@@ -122,6 +122,66 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // small-file compaction: a deliberately fragmented write (64 tiny
+    // files) is compacted+clustered in one pass; the hashed row proves
+    // the rewrite is lossless (exact DECIMAL aggregate over the
+    // compacted copy) and that files actually merged (`compacted`
+    // boolean, robust: 15k rows can never need 64 target-size files)
+    "q_compact" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_compact").toString
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .repartition(64).write.mode("overwrite").parquet(s"$root/frag")
+      val (nb, na) = graft.sources.Sinks.compact(s, s"$root/frag",
+        s"$root/compacted", targetFileBytes = 64L * 1024 * 1024,
+        clusterCol = Some("o_orderkey"))
+      s.read.parquet(s"$root/compacted")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE)")
+            .as("sum_price"))
+        .withColumn("compacted", lit(na < nb))
+        .orderBy("o_orderpriority")
+    }),
+
+    // PERMISSIVE bad-record handling: a text feed where every 5th row
+    // carries an unparsable numeric field is read with an explicit
+    // corrupt-record column — the quarantine-not-crash path a 100 TB
+    // crawl ingest requires. Counts and key sums split by corruptness;
+    // the oracle recomputes both sides from the clean base table
+    "q_csv_badrecords" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_badcsv").toString
+      t(s, dir, "nation")
+        .select(concat_ws(",", col("n_nationkey"), col("n_name"),
+          when(col("n_nationkey") % 5 === 0, lit("not_an_int"))
+            .otherwise(col("n_regionkey").cast(StringType))).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read
+        .schema(StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType),
+          StructField("_corrupt_record", StringType))))
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        // the aggregate must REFERENCE the fragile column: CSV corruption
+        // is only detected for columns the (pruned) parse actually reads,
+        // so a projection that dropped n_regionkey would never see the
+        // malformed field and _corrupt_record would stay null everywhere
+        .select(col("_corrupt_record").isNotNull.as("is_corrupt"),
+          col("n_nationkey"), col("n_regionkey"))
+        .groupBy("is_corrupt")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey")).cast(LongType).as("key_sum"),
+          sum(col("n_regionkey")).cast(LongType).as("region_sum"))
+        .orderBy("is_corrupt")
+    }),
+
     // ORC write -> read roundtrip (the second native columnar format):
     // ground truth recomputed by the oracle from the parquet base table,
     // so the roundtrip must preserve every value bit-for-bit
@@ -4208,6 +4268,25 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
          FROM supplier ORDER BY s_suppkey""",
+
+    // lossless compaction: aggregate over the compacted copy equals the
+    // base table; `compacted` is structurally true (see query comment)
+    "q_compact" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE)
+             AS sum_price,
+           true AS compacted
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // every 5th nation row was written unparsable; both sides recomputed
+    // (region_sum is NULL for the corrupt group — the field failed parse)
+    "q_csv_badrecords" ->
+      """SELECT (n_nationkey % 5 = 0) AS is_corrupt,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_regionkey END)
+             AS BIGINT) AS region_sum
+         FROM nation GROUP BY 1 ORDER BY is_corrupt""",
 
     // BIGINT cast matches the explicit LongType read schema on the
     // engine side (JSON numbers surface as long)

@@ -76,6 +76,38 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** Small-file compaction — the table-maintenance primitive every
+    * long-lived 100 TB dataset needs: streaming ingest and per-batch
+    * writes accumulate thousands of KB-scale files whose open/footer
+    * overhead eventually dominates scan time. Rewrites `srcPath` into
+    * ceil(totalBytes / targetFileBytes) files; with `clusterCol` the
+    * rewrite range-partitions + sorts on it, so each output file covers
+    * a tight, disjoint key range and parquet min/max stats skip files
+    * for key predicates (compaction and clustering in one pass — the
+    * OPTIMIZE ... ZORDER shape, one dimension). Returns
+    * (filesBefore, filesAfter). The rewrite is a fresh dataset at
+    * `dstPath` — swapping it in atomically is the caller's
+    * metastore/manifest concern, not the file writer's. */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+      dstPath: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterCol: Option[String] = None): (Int, Int) = {
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def parts(p: String) =
+      hfs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(_.getPath.getName.startsWith("part-"))
+    val before = parts(srcPath)
+    val totalBytes = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(srcPath)
+    val out = clusterCol match {
+      case Some(c) => df.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+      case None    => df.repartition(n)
+    }
+    out.write.mode(SaveMode.Overwrite).parquet(dstPath)
+    (before.length, parts(dstPath).length)
+  }
+
   /** CSV sink writing RFC 4180 interchange form: embedded quotes are
     * DOUBLED (escape = quote), not backslash-escaped as Spark's default
     * has it — so any standard CSV reader parses our output byte-for-byte

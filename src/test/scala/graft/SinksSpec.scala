@@ -25,6 +25,28 @@ class SinksSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters"))
   }
 
+  test("compact: merges small files losslessly; clusterCol yields disjoint file ranges") {
+    import spark.implicits._
+    val df = (0L until 10000L).map(i => (i, s"row$i")).toDF("id", "payload")
+    val root = tmp()
+    df.repartition(40).write.parquet(s"$root/frag")
+    val (before, after) = Sinks.compact(spark, s"$root/frag",
+      s"$root/out", targetFileBytes = 256L * 1024, clusterCol = Some("id"))
+    assert(before == 40 && after < before && after >= 1)
+    val back = spark.read.parquet(s"$root/out")
+    assert(back.count() == 10000)
+    assert(back.agg(sum(col("id"))).head().getLong(0) == (0L until 10000L).sum)
+    // clustering: per-file id ranges must not overlap (file-skipping works)
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .orderBy("lo").as[(String, Long, Long)].collect()
+    assert(ranges.length == after)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 < lo2)
+      case _ => ()
+    }
+  }
+
   test("writeTrainingShards: deterministic hive shards, hash-ordered within") {
     import spark.implicits._
     val df = (0L until 200L).map(i => (i, s"doc$i")).toDF("id", "payload")
