@@ -627,6 +627,31 @@ object SparkEntry {
           Seq(("p50", 0.5), ("p90", 0.9)), countCol = Some("n"))
         .orderBy("o_orderpriority")),
 
+    // 5%-trimmed mean per priority — the robust location estimate next
+    // to q_winsorize's clamp; rank-selected middle via rankedByGroup
+    // (flat memory), DECIMAL-exact sum, one double division
+    "q_trimmed_mean" -> ((s, dir) =>
+      graft.operators.Analytics.trimmedMean(
+          t(s, dir, "orders"), Seq("o_orderpriority"), "o_totalprice",
+          trim = 0.05)
+        .orderBy("o_orderpriority")),
+
+    // decile summary table (score-calibration report): bucket by exact
+    // rank — decile = (rn−1)·10 div n from the flat-memory rank spine,
+    // NOT ntile over an unpartitioned window. Counts are rank-determined
+    // and boundary ties are value-equal, so min/max/sum hash exactly
+    "q_deciles" -> ((s, dir) => {
+      val r = graft.operators.Analytics.rankedByGroup(
+        t(s, dir, "orders"), Nil, "o_totalprice")
+      r.select(expr("((__rn - 1) * 10) div __n").as("decile"), col("__v"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_rows"), min(col("__v")).as("lo"),
+          max(col("__v")).as("hi"),
+          expr("CAST(sum(CAST(__v AS DECIMAL(22,2))) AS DOUBLE)")
+            .as("sum_price"))
+        .orderBy("decile")
+    }),
+
     // aggregate FILTER clauses (per-aggregate predicates — absent in
     // reference; distinct from count_if: any aggregate takes a filter)
     "q_agg_filter" -> ((s, dir) =>
@@ -4545,6 +4570,34 @@ object SparkEntry {
            quantile_cont(o_totalprice, 0.9) AS p90,
            count(*) AS n
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // rank window replay; ties at the cut are value-equal so the kept
+    // multiset (and the DECIMAL sum) is deterministic
+    "q_trimmed_mean" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY o_orderpriority)
+               AS BIGINT) AS n
+           FROM orders),
+         f AS (SELECT * FROM r
+           WHERE rn > floor(CAST(n AS DOUBLE) * CAST(0.05 AS DOUBLE))
+             AND rn <= n - floor(CAST(n AS DOUBLE) * CAST(0.05 AS DOUBLE)))
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_used,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(22,2))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS mean
+         FROM f GROUP BY 1 ORDER BY 1""",
+
+    "q_deciles" ->
+      """WITH r AS (SELECT o_totalprice AS v,
+             CAST(row_number() OVER (ORDER BY o_totalprice) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM orders)
+         SELECT CAST(((rn - 1) * 10) // n AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_rows, min(v) AS lo, max(v) AS hi,
+           CAST(sum(CAST(v AS DECIMAL(22,2))) AS DOUBLE) AS sum_price
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     // Sketch twins: the engine-specific estimate never enters the hash —
     // the twin recomputes the exact side and expects within_bound = true

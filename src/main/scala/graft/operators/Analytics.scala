@@ -55,6 +55,77 @@ object Analytics {
       .drop("__gr_pid", "__gr_lrn", "__gr_off")
   }
 
+  /** Per-group exact rank table without any O(group) aggregation state:
+    * returns groupCols ++ (`__v` = non-null value, `__rn` = 1-based rank
+    * of `__v` within the group ascending, `__n` = group size). Rows are
+    * range-partitioned on (group, value) and ranked per bucket with
+    * spillable sorts; bucket ranks become global ranks by adding prefix
+    * offsets from a (group × parts)-row count table. Grouped: the offset
+    * window is PARTITIONED BY GROUP (≤ parts rows per partition).
+    * Ungrouped: the counts table is ≤ parts rows total, so offsets come
+    * from a tiny broadcast self-join — a constant-key window would
+    * constant-fold to an unpartitioned window and plan the Exchange
+    * SinglePartition this exists to avoid. Ties take arbitrary rank
+    * order among equal values (like any row_number), so any consumer
+    * that selects by rank sees a deterministic VALUE multiset. The
+    * shared spine of exactPercentiles and trimmedMean. */
+  def rankedByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, parts: Int = 32): DataFrame = {
+    val g = groupCols.map(col)
+    val d = df.filter(col(valueCol).isNotNull)
+      .select(g :+ col(valueCol).as("__v"): _*)
+    val bucketed = d.repartitionByRange(parts, g :+ col("__v"): _*)
+      .withColumn("__pid", spark_partition_id())
+    val counts = bucketed.groupBy((groupCols :+ "__pid").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val offs =
+      if (g.nonEmpty) {
+        val wOff = Window.partitionBy(g: _*).orderBy(col("__pid"))
+        counts
+          .withColumn("__off", coalesce(sum(col("__c")).over(
+            wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("__n",
+            sum(col("__c")).over(Window.partitionBy(g: _*)))
+          .drop("__c")
+      } else {
+        val totals = counts.agg(sum(col("__c")).as("__n"))
+        counts.as("pa")
+          .join(broadcast(counts.as("pb")),
+            col("pb.__pid") < col("pa.__pid"), "left")
+          .groupBy(col("pa.__pid").as("__pid"))
+          .agg(coalesce(sum(col("pb.__c")), lit(0L)).as("__off"))
+          .crossJoin(broadcast(totals))
+      }
+    val wLoc = Window.partitionBy((g :+ col("__pid")): _*).orderBy(col("__v"))
+    bucketed
+      .withColumn("__lrn", row_number().over(wLoc))
+      .join(offs, groupCols :+ "__pid")
+      .withColumn("__rn", col("__off") + col("__lrn").cast(LongType))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** Trimmed mean per group: the mean of the values whose rank lies in
+    * (⌊n·trim⌋, n − ⌊n·trim⌋] — the robust location estimate that
+    * tolerates outliers without winsorize's clamp. Built on
+    * rankedByGroup (flat memory at any group size); the sum accumulates
+    * in DECIMAL (order-independent, exact for fixed-point inputs) and
+    * the mean is ONE double division, so an oracle replays the bits.
+    * Returns groupCols ++ (n_used, mean). */
+  def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      trim: Double = 0.05, parts: Int = 32): DataFrame = {
+    require(trim >= 0 && trim < 0.5, s"trim must be in [0, 0.5), got $trim")
+    val g = groupCols.map(col)
+    val cut = floor(col("__n").cast(DoubleType) * lit(trim)).cast(LongType)
+    val mid = rankedByGroup(df, groupCols, valueCol, parts)
+      .filter(col("__rn") > cut && col("__rn") <= col("__n") - cut)
+    (if (g.nonEmpty) mid.groupBy(g: _*) else mid.groupBy())
+      .agg(count(lit(1)).as("n_used"),
+        sum(col("__v").cast(DecimalType(22, 2))).as("__s"))
+      .select(g ++ Seq(col("n_used"),
+        (col("__s").cast(DoubleType) / col("n_used").cast(DoubleType))
+          .as("mean")): _*)
+  }
+
   /** Exact interpolated percentiles per group by distributed rank
     * selection — the scale-safe replacement for Spark's exact
     * `percentile` aggregate, whose ObjectHashAggregate buffer holds the
@@ -79,41 +150,7 @@ object Analytics {
       countCol: Option[String] = None, parts: Int = 32): DataFrame = {
     require(qs.nonEmpty, "exactPercentiles needs at least one quantile")
     val g = groupCols.map(col)
-    val d = df.filter(col(valueCol).isNotNull)
-      .select(g :+ col(valueCol).as("__v"): _*)
-    val bucketed = d.repartitionByRange(parts, g :+ col("__v"): _*)
-      .withColumn("__pid", spark_partition_id())
-    val counts = bucketed.groupBy((groupCols :+ "__pid").map(col): _*)
-      .agg(count(lit(1)).as("__c"))
-    // prefix offsets + group totals over the counts table. Grouped: a
-    // window PARTITIONED BY GROUP (≤ parts rows per partition) — the
-    // partitioned-window shape the plan gate accepts. Ungrouped: the
-    // counts table is ≤ parts rows total, so offsets come from a tiny
-    // broadcast self-join — a constant-key window would constant-fold
-    // to an unpartitioned window and plan Exchange SinglePartition.
-    val offs =
-      if (g.nonEmpty) {
-        val wOff = Window.partitionBy(g: _*).orderBy(col("__pid"))
-        counts
-          .withColumn("__off", coalesce(sum(col("__c")).over(
-            wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("__n",
-            sum(col("__c")).over(Window.partitionBy(g: _*)))
-          .drop("__c")
-      } else {
-        val totals = counts.agg(sum(col("__c")).as("__n"))
-        counts.as("pa")
-          .join(broadcast(counts.as("pb")),
-            col("pb.__pid") < col("pa.__pid"), "left")
-          .groupBy(col("pa.__pid").as("__pid"))
-          .agg(coalesce(sum(col("pb.__c")), lit(0L)).as("__off"))
-          .crossJoin(broadcast(totals))
-      }
-    val wLoc = Window.partitionBy((g :+ col("__pid")): _*).orderBy(col("__v"))
-    val ranked = bucketed
-      .withColumn("__lrn", row_number().over(wLoc))
-      .join(offs, groupCols :+ "__pid")
-      .withColumn("__rn", col("__off") + col("__lrn").cast(LongType))
+    val ranked = rankedByGroup(df, groupCols, valueCol, parts)
     // keep only the ⌊p⌋/⌈p⌉ boundary rows for any requested quantile
     // (0-based position p = q·(n−1); __rn is 1-based)
     def posOf(q: Double): Column =

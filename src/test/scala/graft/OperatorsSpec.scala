@@ -405,6 +405,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == Map("a" -> 5.0)) // all-null group b absent
   }
 
+  test("trimmedMean drops exactly the floor(n*trim) tail ranks per side") {
+    // group x: values 1..10, trim 0.1 → drop rank 1 and rank 10 → mean of 2..9
+    val rows = (1 to 10).map(v => ("x", v * 1.0)) ++ Seq(("y", 5.0))
+    val df = rows.toDF("g", "v").repartition(3)
+    val got = graft.operators.Analytics
+      .trimmedMean(df, Seq("g"), "v", trim = 0.1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("x") == ((8L, (2 to 9).sum / 8.0)))
+    assert(got("y") == ((1L, 5.0))) // n=1: floor(0.1)=0, nothing trimmed
+    // ungrouped path
+    val u = graft.operators.Analytics
+      .trimmedMean(rows.toDF("g", "v"), Nil, "v", trim = 0.2)
+      .collect().head
+    // 11 values, cut=floor(2.2)=2: drop 2 per side, keep ranks 3..9
+    val sorted = rows.map(_._2).sorted.slice(2, 9)
+    assert(u.getLong(0) == 7L && u.getDouble(1) == sorted.sum / 7.0)
+  }
+
   test("globalRowNumber assigns the exact global rank, no SinglePartition exchange") {
     val r = new scala.util.Random(5)
     val rows = (1 to 300).map(i => (i.toLong, r.nextInt(1000)))
