@@ -2719,6 +2719,39 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // packing-efficiency report at context lengths {512, 2048}: padding
+    // waste of naive one-doc-per-sequence (pad each doc to ceil(n/L)·L)
+    // vs concat-and-chunk packing (ceil(total/L) sequences) — the design
+    // table that justifies sequence packing. Integer ceilings via `div`,
+    // one double quotient per emitted fraction
+    "q_packing_efficiency" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select(graft.functions.Text.tokenCount(col("text")).as("n_tok"))
+      val ls = Seq(512L, 2048L).toDF("context_len")
+      ls.crossJoin(d)
+        .groupBy("context_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast(LongType).as("total_tokens"),
+          sum(expr("(n_tok + context_len - 1) div context_len"))
+            .cast(LongType).as("naive_seqs"))
+        .withColumn("packed_seqs",
+          expr("(total_tokens + context_len - 1) div context_len")
+            .cast(LongType))
+        .select(col("context_len"), col("n_docs"), col("total_tokens"),
+          col("naive_seqs"),
+          ((col("naive_seqs") * col("context_len") - col("total_tokens"))
+            .cast(DoubleType) /
+            (col("naive_seqs") * col("context_len")).cast(DoubleType))
+            .as("naive_pad_frac"),
+          col("packed_seqs"),
+          ((col("packed_seqs") * col("context_len") - col("total_tokens"))
+            .cast(DoubleType) /
+            (col("packed_seqs") * col("context_len")).cast(DoubleType))
+            .as("packed_pad_frac"))
+        .orderBy("context_len")
+    }),
+
     // truncation-loss report at context lengths {64, 128, 256} tokens:
     // docs over the limit, tokens lost to truncation, loss share — the
     // packing/context-length design input. All integers, one quotient.
@@ -7844,6 +7877,29 @@ object SparkEntry {
            CAST(sum(r.n) AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
          FROM ks CROSS JOIN t JOIN r ON r.rnk <= ks.k
          GROUP BY 1, 2 ORDER BY k""",
+
+    // integer ceilings via //, fractions as single double quotients
+    "q_packing_efficiency" ->
+      """WITH d AS (SELECT CAST(length(regexp_extract_all(text, '\S+'))
+             AS BIGINT) AS n_tok FROM documents),
+         ls AS (SELECT CAST(l AS BIGINT) AS context_len
+           FROM (VALUES (512), (2048)) v(l)),
+         a AS (SELECT context_len, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(sum((n_tok + context_len - 1) // context_len) AS BIGINT)
+               AS naive_seqs
+           FROM ls CROSS JOIN d GROUP BY 1),
+         b AS (SELECT *,
+             CAST((total_tokens + context_len - 1) // context_len
+               AS BIGINT) AS packed_seqs
+           FROM a)
+         SELECT context_len, n_docs, total_tokens, naive_seqs,
+           CAST(naive_seqs * context_len - total_tokens AS DOUBLE) /
+             CAST(naive_seqs * context_len AS DOUBLE) AS naive_pad_frac,
+           packed_seqs,
+           CAST(packed_seqs * context_len - total_tokens AS DOUBLE) /
+             CAST(packed_seqs * context_len AS DOUBLE) AS packed_pad_frac
+         FROM b ORDER BY context_len""",
 
     "q_truncation_report" ->
       """WITH d AS (SELECT CAST(length(regexp_extract_all(text, '\S+'))
