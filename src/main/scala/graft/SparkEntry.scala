@@ -2174,6 +2174,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // attribute-FILTERED vector search (the vector-DB "metadata filter"
+    // mode): the label predicate lands in the parquet scan BEFORE any
+    // scoring, so the broadcast-queries × corpus pass only touches the
+    // matching slice — pre-filtering, not post-filter-and-refill
+    "q_ann_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(emb.filter(col("label") === 1),
+          Ann.selfQueries(emb, 5), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed approximate top-k (scale path); the oracle recomputes
     // the buckets from the same plane literals, so the approximate result
     // is hash-checked end-to-end
@@ -5671,6 +5682,29 @@ object SparkEntry {
                                           CAST(e.embedding AS DOUBLE[])))), 6)
                AS cosine
            FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             neighbor_id, cosine
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // pre-filtered corpus slice, otherwise the q_ann_topk shape
+    "q_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+             CAST(embedding AS DOUBLE[]) AS query_vec
+           FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(q.query_vec, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.query_vec, q.query_vec))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))), 6)
+               AS cosine
+           FROM embeddings e, q
+           WHERE e.label = 1 AND e.vec_id <> q.query_id),
          ranked AS (
            SELECT query_id,
              CAST(row_number() OVER (PARTITION BY query_id

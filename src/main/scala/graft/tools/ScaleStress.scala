@@ -145,6 +145,26 @@ object ScaleStress {
           "vec_id"))
     )
     latePipelines.foreach { case (name, mk) => measure(name, mk) }
+
+    // round-6 additions: the rank-selection spine and the
+    // vocabulary-postings join at the same 10x corpus
+    val r6Pipelines: Seq[(String, () => DataFrame)] = Seq(
+      "trimmed_mean" -> (() => graft.operators.Analytics
+        .trimmedMean(docs, Seq("lang"), "n_chars", trim = 0.05)),
+      "rank_spine" -> (() => graft.operators.Analytics
+        .rankedByGroup(docs, Nil, "n_chars")),
+      "vocab_overlap" -> (() => {
+        val toks = docs.select(col("source"),
+            explode(split(col("text"), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "").distinct()
+        toks.select(col("source").as("src_a"), col("tok"))
+          .join(toks.select(col("source").as("src_b"), col("tok")),
+            Seq("tok"))
+          .filter(col("src_a") =!= col("src_b"))
+          .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      })
+    )
+    r6Pipelines.foreach { case (name, mk) => measure(name, mk) }
     spark.stop()
   }
 }

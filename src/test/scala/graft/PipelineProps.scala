@@ -105,6 +105,29 @@ object PipelineProps extends Properties("Pipeline") {
       got == want
     }
 
+  property("trimmedMean: equals the in-driver trim of the sorted values") =
+    forAll(
+      Gen.listOf(for {
+        g <- Gen.oneOf("a", "b")
+        c <- Gen.choose(0, 10000) // 2-decimal values → DECIMAL(22,2) exact
+      } yield (g, c / 100.0)).suchThat(_.nonEmpty),
+      Gen.oneOf(0.0, 0.05, 0.1, 0.25), Gen.choose(1, 5)) {
+      (rows, trim, parts) =>
+      val df = rows.toDF("g", "v").repartition(parts)
+      val got = graft.operators.Analytics
+        .trimmedMean(df, Seq("g"), "v", trim)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      val want = rows.groupBy(_._1).map { case (g, vs0) =>
+        val vs = vs0.map(_._2).sorted
+        val cut = math.floor(vs.size * trim).toInt
+        val mid = vs.slice(cut, vs.size - cut)
+        val sum = mid.map(v => BigDecimal(v).setScale(2)).sum
+        g -> ((mid.size.toLong, sum.toDouble / mid.size))
+      }
+      got == want
+    }
+
   property("exactNewOnly: kept + removed partition incoming; removed ⊆ reference texts") =
     forAll(docsGen, docsGen) { (inc, ref) =>
       val incDf = inc.toDF("doc_id", "source", "text")
