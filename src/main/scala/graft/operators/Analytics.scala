@@ -149,6 +149,10 @@ object Analytics {
       valueCol: String, qs: Seq[(String, Double)],
       countCol: Option[String] = None, parts: Int = 32): DataFrame = {
     require(qs.nonEmpty, "exactPercentiles needs at least one quantile")
+    // out-of-range q would find no ⌈p⌉ boundary row and degrade to
+    // silent NULLs; Spark's percentile aggregate errors here, so do we
+    qs.foreach { case (name, q) =>
+      require(q >= 0.0 && q <= 1.0, s"quantile $name=$q outside [0, 1]") }
     val g = groupCols.map(col)
     val ranked = rankedByGroup(df, groupCols, valueCol, parts)
     // keep only the ⌊p⌋/⌈p⌉ boundary rows for any requested quantile

@@ -91,11 +91,15 @@ object Sinks {
   def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
       dstPath: String, targetFileBytes: Long = 128L * 1024 * 1024,
       clusterCol: Option[String] = None): (Int, Int) = {
-    val hfs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def parts(p: String) =
-      hfs.listStatus(new org.apache.hadoop.fs.Path(p))
+    // resolve each path's OWN filesystem — FileSystem.get(conf) returns
+    // fs.defaultFS, which is the wrong store for an s3a:// table on an
+    // HDFS-default cluster (or vice versa)
+    def parts(p: String) = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(path)
         .filter(_.getPath.getName.startsWith("part-"))
+    }
     val before = parts(srcPath)
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)

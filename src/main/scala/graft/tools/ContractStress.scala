@@ -39,19 +39,27 @@ object ContractStress {
     val marker = new java.io.File(s"$outDir/.factor_$factor")
     if (!marker.exists()) {
       new java.io.File(outDir).mkdirs()
+      // a marker from a DIFFERENT factor means the tables on disk are the
+      // wrong scale — clear them so a later run at that factor can't
+      // silently reuse this run's data as its own evidence
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(".factor_")).foreach(_.delete())
       val reps = spark.range(factor).select(col("id").as("rep"))
-      // key-shifted replication: rep r shifts each table's primary key by
-      // r*(max+1); FK columns into replicated tables shift by the SAME
-      // offset so referential joins stay consistent, FKs into dimension
-      // tables stay put so per-dimension fan-in densifies 10x
-      def shifted(table: String, keyCols: Seq[String],
+      def keyOffset(table: String, key: String): Long =
+        spark.read.parquet(s"$srcDir/$table.parquet")
+          .agg(max(col(key))).head().getLong(0) + 1L
+      // key-shifted replication: rep r shifts a key column by r*offset.
+      // The FK side must shift by the PARENT's offset (l_orderkey shifts
+      // by the orders offset), not its own max — the two maxima are equal
+      // on full TPC-H data but nothing guarantees it on filtered or
+      // regenerated testdata, and a mismatch silently breaks every
+      // referential join in the replicas. FKs into dimension tables stay
+      // put so per-dimension fan-in densifies 10x.
+      def shifted(table: String, keyCols: Seq[(String, Long)],
           textMarker: Option[String]): Unit = {
         val df = spark.read.parquet(s"$srcDir/$table.parquet")
-        val offsets = keyCols.map { k =>
-          k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
-        }
         var out = df.crossJoin(broadcast(reps))
-        for ((k, off) <- offsets)
+        for ((k, off) <- keyCols)
           out = out.withColumn(k, col(k) + col("rep") * off)
         for (m <- textMarker)
           out = out.withColumn(m,
@@ -60,11 +68,15 @@ object ContractStress {
         out.drop("rep").repartition(32)
           .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
       }
-      shifted("orders", Seq("o_orderkey"), None)
-      shifted("lineitem", Seq("l_orderkey"), None)
-      shifted("events", Seq("event_id"), None)
-      shifted("documents", Seq("doc_id"), Some("text"))
-      shifted("embeddings", Seq("vec_id"), None)
+      val orderOff = keyOffset("orders", "o_orderkey")
+      shifted("orders", Seq("o_orderkey" -> orderOff), None)
+      shifted("lineitem", Seq("l_orderkey" -> orderOff), None)
+      shifted("events", Seq("event_id" -> keyOffset("events", "event_id")),
+        None)
+      shifted("documents", Seq("doc_id" -> keyOffset("documents", "doc_id")),
+        Some("text"))
+      shifted("embeddings", Seq("vec_id" -> keyOffset("embeddings", "vec_id")),
+        None)
       for (t <- Seq("region", "nation", "customer", "supplier", "part"))
         spark.read.parquet(s"$srcDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -81,17 +93,29 @@ object ContractStress {
         }
     })
 
+    // task-end events arrive on the ASYNC listener bus — count() returns
+    // at job end, not event-drain end. Poll until the captured task count
+    // stops moving so the snapshot has every task (including the slowest,
+    // which is the one the skew gate exists to see) and late events can't
+    // bleed into the next query's cleared map.
+    def drainTaskEvents(): Unit = {
+      var prev = -1
+      var cur = byStage.synchronized(byStage.valuesIterator.map(_.size).sum)
+      var rounds = 0
+      while (cur != prev && rounds < 50) {
+        Thread.sleep(100)
+        prev = cur
+        cur = byStage.synchronized(byStage.valuesIterator.map(_.size).sum)
+        rounds += 1
+      }
+    }
+
     var failures = List.empty[String]
     println(f"${"query"}%-22s ${"wall_s"}%8s ${"rows"}%9s ${"tasks"}%7s ${"worst-stage max/med (ms, tasks)"}")
     for (n <- names) {
       byStage.synchronized(byStage.clear())
       val df = graft.SparkEntry.queries(n)(spark, outDir)
-      val phys = df.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-        case p => p
-      }
-      val sp = PlanAudit.singlePartitionViolations(phys)
+      val sp = PlanAudit.singlePartitionViolations(PlanAudit.physicalPlan(df))
       if (sp.nonEmpty) failures ::= s"$n: ${sp.mkString("; ")}"
       val t0 = System.nanoTime()
       val rows = df.count()
@@ -100,6 +124,7 @@ object ContractStress {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       if (rows == 0) failures ::= s"$n: zero rows at ${factor}x"
+      drainTaskEvents()
       val stages = byStage.synchronized(byStage.map { case (k, v) =>
         (k, v.toSeq.sorted) }.toMap)
       val nTasks = stages.valuesIterator.map(_.size).sum

@@ -3,7 +3,7 @@ package graft.tools
 import graft.engine.Context
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec,
-  SparkPlan, TakeOrderedAndProjectExec}
+  InputAdapter, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
   ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -12,6 +12,18 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
   * count — for the named queries (args), or writes the full inventory to
   * PLANS.md when invoked with `--all`. Run with SPARK_GRAFT_SF_DIR. */
 object PlanAudit {
+
+  /** The physical plan WITH exchanges: under AQE the executedPlan wrapper
+    * must be unwrapped to its current plan — `inputPlan` predates
+    * EnsureRequirements and has no Exchange nodes at all, which silently
+    * blinds any exchange-shape check. One helper so every audit/test/
+    * stress call site unwraps identically. */
+  def physicalPlan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
 
   /** The scale-killer detector: `Exchange SinglePartition` anywhere in the
     * physical plan EXCEPT the bounded shapes — the final pass of an
@@ -32,17 +44,27 @@ object PlanAudit {
       case _ => false
     }
     val bad = scala.collection.mutable.ListBuffer.empty[String]
-    def walk(p: SparkPlan): Unit = {
+    // codegen wrappers (WholeStageCodegen/InputAdapter) sit between the
+    // real consumer and the exchange on non-AQE plans — they are
+    // transparent for consumer identification, otherwise every legal
+    // ungrouped final aggregate under codegen would false-flag as
+    // "feeding InputAdapter"
+    def walk(p: SparkPlan, consumer: SparkPlan): Unit = {
+      val effConsumer = p match {
+        case _: InputAdapter | _: WholeStageCodegenExec => consumer
+        case _ => p
+      }
       p.children.foreach {
         case e: ShuffleExchangeExec
-            if e.outputPartitioning == SinglePartition && !boundedConsumer(p) =>
-          bad += s"Exchange SinglePartition feeding ${p.nodeName}"
+            if e.outputPartitioning == SinglePartition &&
+              !boundedConsumer(effConsumer) =>
+          bad += s"Exchange SinglePartition feeding ${effConsumer.nodeName}"
         case _ => ()
       }
-      p.children.foreach(walk)
-      p.subqueries.foreach(walk)
+      p.children.foreach(walk(_, effConsumer))
+      p.subqueries.foreach(walk(_, effConsumer))
     }
-    walk(plan)
+    walk(plan, plan)
     // a root-level single-partition exchange has no consumer in this plan
     plan match {
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
@@ -112,17 +134,9 @@ object PlanAudit {
         }
       }
       // single-partition gate: every query in the surface must be free of
-      // unbounded Exchange SinglePartition shapes (the global-window class).
-      // NB: AQE's inputPlan predates EnsureRequirements (no exchanges yet);
-      // executedPlan carries the exchange-inserted initial plan.
-      {
-        val phys = df.queryExecution.executedPlan match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.executedPlan
-          case p => p
-        }
-        singlePartitionViolations(phys).foreach(v => spFailures += s"$n: $v")
-      }
+      // unbounded Exchange SinglePartition shapes (the global-window class)
+      singlePartitionViolations(physicalPlan(df))
+        .foreach(v => spFailures += s"$n: $v")
       val joins = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
         "BroadcastNestedLoopJoin", "CartesianProduct").filter(plan.contains)
       val exch = "Exchange".r.findAllIn(plan).length

@@ -86,6 +86,19 @@ object ScaleStress {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // task-end events arrive on the async listener bus after the job
+      // returns — poll until the captured count stops moving so the
+      // slowest task can't be missed and late events can't bleed into
+      // the next pipeline's cleared map
+      var prevN = -1
+      var curN = byStage.synchronized(byStage.valuesIterator.map(_.size).sum)
+      var drainRounds = 0
+      while (curN != prevN && drainRounds < 50) {
+        Thread.sleep(100)
+        prevN = curN
+        curN = byStage.synchronized(byStage.valuesIterator.map(_.size).sum)
+        drainRounds += 1
+      }
       val stages = byStage.synchronized(byStage.map { case (k, v) =>
         (k, v.toSeq.sorted) }.toMap)
       val nTasks = stages.valuesIterator.map(_.size).sum

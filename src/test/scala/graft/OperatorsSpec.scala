@@ -434,14 +434,8 @@ class OperatorsSpec extends AnyFunSuite {
     val want = rows.sortBy { case (id, v) => (v, id) }
       .zipWithIndex.map { case ((id, v), i) => (id, v, i + 1L) }.toSet
     assert(got.toSet == want)
-    val plan = graft.operators.Analytics
-      .globalRowNumber(df, Seq(col("v").asc, col("id").asc), "rn")
-      .queryExecution.executedPlan
-    val phys = plan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
+    val phys = graft.tools.PlanAudit.physicalPlan(graft.operators.Analytics
+      .globalRowNumber(df, Seq(col("v").asc, col("id").asc), "rn"))
     assert(graft.tools.PlanAudit.singlePartitionViolations(phys).isEmpty)
   }
 }

@@ -240,12 +240,7 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   private def physPlan(df: org.apache.spark.sql.DataFrame) =
-    df.queryExecution.executedPlan match {
-      // inputPlan predates EnsureRequirements — executedPlan has exchanges
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
+    graft.tools.PlanAudit.physicalPlan(df)
 
   test("SinglePartition detector flags a deliberately-injected global window") {
     import org.apache.spark.sql.expressions.Window
