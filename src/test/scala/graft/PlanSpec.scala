@@ -263,6 +263,25 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rep.count() >= 0) // keep rep referenced; not part of the gate
   }
 
+  test("SinglePartition detector: codegen wrappers are transparent on non-AQE plans") {
+    // AQE-off session: exchanges sit under WholeStageCodegen/InputAdapter,
+    // so consumer identification must skip the wrappers — an ungrouped
+    // final aggregate is still bounded, a global window still flags
+    val ns = spark.newSession()
+    ns.conf.set("spark.sql.adaptive.enabled", "false")
+    val li = ns.read.parquet(s"$dir/lineitem.parquet")
+    val agg = li.agg(sum(col("l_quantity")))
+    assert(graft.tools.PlanAudit.singlePartitionViolations(
+      graft.tools.PlanAudit.physicalPlan(agg)).isEmpty,
+      "codegen-wrapped ungrouped final agg must not false-flag")
+    import org.apache.spark.sql.expressions.Window
+    val bad = li.withColumn("rn",
+      row_number().over(Window.orderBy(col("l_orderkey"))))
+    assert(graft.tools.PlanAudit.singlePartitionViolations(
+      graft.tools.PlanAudit.physicalPlan(bad)).nonEmpty,
+      "global window must flag with AQE off too")
+  }
+
   test("SinglePartition detector allows bounded shapes: ungrouped agg, top-k, and the fixed q_vocab_coverage") {
     val li = graft.engine.Tables.load(spark, dir, "lineitem")
     val agg = li.agg(sum(col("l_quantity")))
