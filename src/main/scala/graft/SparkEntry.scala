@@ -2230,17 +2230,32 @@ object SparkEntry {
           min(col("n_bytes")).as("min_bytes"), max(col("n_bytes")).as("max_bytes"))
         .orderBy("mime")),
 
-    // multimodal: stubbed decode + featurize via mapPartitions; the stub
-    // is deterministic in the payload bytes, so the oracle recomputes even
-    // the fake features (feature vector serialized to CSV for the compare)
-    "q_media_features" -> ((s, dir) =>
-      Multimodal.decodeFeatures(
-          Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+    // multimodal: REAL codec round trip — deterministic pixels encoded to
+    // genuine PNG bytes (javax.imageio), decoded BACK from those bytes with
+    // ImageIO.read in mapPartitions, per-channel sums from the decoded
+    // pixels. The oracle replays the closed-form pixel generator (no codec),
+    // so a hash match proves the PNG encode→decode path is lossless.
+    "q_media_decode" -> ((s, dir) =>
+      Multimodal.decodeImageFeatures(
+          Multimodal.syntheticImages(t(s, dir, "documents")))
         .toDF()
-        .select(col("media_id"), col("mime"), col("n_bytes"),
-          col("byte_entropy"),
-          array_join(col("features").cast(ArrayType(StringType)), ",")
-            .as("features_csv"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")),
+
+    // multimodal: pixel features from the real decode — mean channel
+    // intensity (one IEEE division of exact ints) + 8-bin integer-Rec.601
+    // luminance histogram, all derived from ImageIO-decoded pixels
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.decodeImageFeatures(
+          Multimodal.syntheticImages(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"),
+          (col("sum_r").cast(DoubleType) / lit(96.0)).as("mean_r"),
+          (col("sum_g").cast(DoubleType) / lit(96.0)).as("mean_g"),
+          (col("sum_b").cast(DoubleType) / lit(96.0)).as("mean_b"),
+          col("lum_b0"), col("lum_b1"), col("lum_b2"), col("lum_b3"),
+          col("lum_b4"), col("lum_b5"), col("lum_b6"), col("lum_b7"))
         .orderBy("media_id")),
 
     // multimodal: frame sampling plumbing (oracle: generate_series twin)
@@ -6397,39 +6412,49 @@ object SparkEntry {
          FROM runs ORDER BY doc_id""",
 
     // the STUB decode is deterministic in the payload bytes, so even the
-    // fake-feature path is hash-checked: per-slot byte means as FLOAT
-    // (the float cast absorbs double-sum order), entropy at 6dp (absorbs
-    // libm log last-ULP differences), features as shortest-roundtrip
-    // float strings on both engines
+    // real-decode twin: the oracle replays the closed-form pixel generator
+    // v(id, idx) = (id*131 + idx*7) % 256 over a 12×8 RGB raster — no codec
+    // on the oracle side, so a hash match certifies Spark's actual PNG
+    // encode→ImageIO.read→pixels path reproduced every pixel exactly
+    "q_media_decode" ->
+      """WITH px AS (
+           SELECT doc_id AS media_id, t.i AS idx,
+             (doc_id * 131 + t.i * 7) % 256 AS v
+           FROM documents, unnest(generate_series(0, 287)) AS t(i))
+         SELECT media_id,
+           CAST(12 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(sum(CASE WHEN idx % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN idx % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN idx % 3 = 2 THEN v END) AS BIGINT) AS sum_b
+         FROM px GROUP BY media_id ORDER BY media_id""",
+
+    // pixel-feature twin: channel means as ONE IEEE division of exact
+    // integer sums (CAST both sides to DOUBLE — bare literals are DECIMAL
+    // in DuckDB); luminance = integer Rec.601 with // division, bin = //32
     "q_media_features" ->
-      """WITH m AS (
+      """WITH pxj AS (
            SELECT doc_id AS media_id,
-             ['image/png','audio/wav','video/mp4']
-               [CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
-             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-             text
-           FROM documents),
-         bytes AS (
-           SELECT media_id, i, ord(substr(text, i, 1)) AS b
-           FROM m, unnest(generate_series(1, CAST(n_bytes AS INTEGER))) AS t(i)),
-         ent AS (
-           SELECT media_id, round(-sum(p * log2(p)), 6) AS byte_entropy
-           FROM (
-             SELECT media_id, CAST(count(*) AS DOUBLE) /
-               (SELECT n_bytes FROM m mm WHERE mm.media_id = bytes.media_id) AS p
-             FROM bytes GROUP BY media_id, b)
-           GROUP BY media_id),
-         feat AS (
-           SELECT media_id, (i - 1) % 16 AS slot,
-             CAST(sum(CAST(b AS DOUBLE)) / count(*) / 255.0 AS FLOAT) AS f
-           FROM bytes GROUP BY media_id, (i - 1) % 16),
-         fcsv AS (
-           SELECT media_id,
-             string_agg(CAST(f AS VARCHAR), ',' ORDER BY slot) AS features_csv
-           FROM feat GROUP BY media_id)
-         SELECT m.media_id, m.mime, m.n_bytes, e.byte_entropy, fc.features_csv
-         FROM m JOIN ent e USING (media_id) JOIN fcsv fc USING (media_id)
-         ORDER BY m.media_id""",
+             (doc_id * 131 + (t.j * 3 + 0) * 7) % 256 AS r,
+             (doc_id * 131 + (t.j * 3 + 1) * 7) % 256 AS g,
+             (doc_id * 131 + (t.j * 3 + 2) * 7) % 256 AS b
+           FROM documents, unnest(generate_series(0, 95)) AS t(j)),
+         lums AS (
+           SELECT media_id, r, g, b,
+             ((299 * r + 587 * g + 114 * b) // 1000) // 32 AS bin
+           FROM pxj)
+         SELECT media_id,
+           CAST(sum(r) AS DOUBLE) / CAST(96 AS DOUBLE) AS mean_r,
+           CAST(sum(g) AS DOUBLE) / CAST(96 AS DOUBLE) AS mean_g,
+           CAST(sum(b) AS DOUBLE) / CAST(96 AS DOUBLE) AS mean_b,
+           CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b0,
+           CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b1,
+           CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b2,
+           CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b3,
+           CAST(sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b4,
+           CAST(sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b5,
+           CAST(sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b6,
+           CAST(sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS lum_b7
+         FROM lums GROUP BY media_id ORDER BY media_id""",
 
     "q_media_meta" ->
       """SELECT CASE CAST(doc_id % 3 AS INTEGER)

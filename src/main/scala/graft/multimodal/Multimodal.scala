@@ -11,26 +11,26 @@ import org.apache.spark.sql.types._
   * payloads as byte arrays while pruning/predicates work on the typed
   * metadata columns (payload column is never read unless selected).
   *
-  * The decode step is a clearly marked STUB (this container has no
-  * image/audio codecs): `decodeFeatures` derives a deterministic fake
-  * feature vector from the payload bytes. Everything around it — schema,
-  * partition-wise batching, the Dataset[MediaRow] → Dataset[MediaFeatures]
-  * signature — is the real Spark plumbing and is what the tests cover.
+  * The image decode path is REAL: [[syntheticImages]] encodes deterministic
+  * pixels into genuine PNG payloads with `javax.imageio` (JDK-native — no
+  * container codecs needed), and [[decodeImageFeatures]] decodes those PNG
+  * bytes back to pixels with `ImageIO.read` inside `mapPartitions` and
+  * derives features (per-channel intensity sums, an 8-bin luminance
+  * histogram) from the DECODED pixels. Because the pixel generator is a
+  * closed-form integer formula, an external oracle can recompute the same
+  * features without any codec — a hash match therefore proves the PNG
+  * encode→decode round trip is lossless and the decoder is exercised for
+  * real. Audio/video payloads stay opaque binary (byte-level ops only).
   *
-  * Scale notes: decode runs via `mapPartitions`, i.e. one iterator per
-  * input split with no shuffle; at 100 TB the parallelism is the file-split
-  * count and the expensive decode would be the same per-partition loop
-  * calling into a codec. Feature extraction output is columnar-friendly
-  * (fixed-size float array).
+  * Scale notes: encode/decode run via `mapPartitions`, i.e. one iterator
+  * per input split with no shuffle; at 100 TB the parallelism is the
+  * file-split count and the codec loop amortizes its init per partition.
+  * Feature extraction output is columnar-friendly (fixed-width integers).
   */
 object Multimodal {
 
   /** Typed media row: opaque payload + typed metadata. */
   case class MediaRow(media_id: Long, mime: String, n_bytes: Long, payload: Array[Byte])
-
-  /** Decoded/derived features per media item. */
-  case class MediaFeatures(media_id: Long, mime: String, n_bytes: Long,
-      byte_entropy: Double, features: Array[Float])
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -49,52 +49,100 @@ object Multimodal {
       octet_length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes"),
       col("text").cast(BinaryType).as("payload"))
 
-  /** STUB decoder: a real deployment calls a codec here (libjpeg/ffmpeg …).
-    * This fake is deterministic in the payload bytes so tests are stable:
-    * features(i) = mean of bytes congruent to i mod dim, normalized. */
-  def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
-    val sums = new Array[Double](dim)
-    val counts = new Array[Int](dim)
-    var i = 0
-    while (i < payload.length) {
-      val b = payload(i) & 0xff
-      sums(i % dim) += b; counts(i % dim) += 1
-      i += 1
-    }
-    val out = new Array[Float](dim)
-    var j = 0
-    while (j < dim) {
-      out(j) = if (counts(j) == 0) 0f else (sums(j) / counts(j) / 255.0).toFloat
-      j += 1
-    }
-    out
-  }
+  /** One synthetic image row: real PNG bytes + the dims they encode. */
+  case class ImageRow(media_id: Long, width: Int, height: Int,
+      payload: Array[Byte])
 
-  private def entropy(payload: Array[Byte]): Double = {
-    if (payload.isEmpty) return 0.0
-    val freq = new Array[Long](256)
-    payload.foreach(b => freq(b & 0xff) += 1)
-    val n = payload.length.toDouble
-    var h = 0.0
-    freq.foreach { f =>
-      if (f > 0) { val p = f / n; h -= p * math.log(p) / math.log(2) }
-    }
-    h
-  }
+  /** Pixel-derived features from a REAL `ImageIO` decode. All integer-exact:
+    * channel sums are exact BIGINTs, the luminance histogram uses integer
+    * Rec.601 weights with integer division, so any engine that replays the
+    * pixel formula reproduces every column bit-for-bit. */
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long,
+      lum_b0: Long, lum_b1: Long, lum_b2: Long, lum_b3: Long,
+      lum_b4: Long, lum_b5: Long, lum_b6: Long, lum_b7: Long)
 
-  /** Decode + featurize, partition-wise (the batch shape a real codec
-    * integration needs: amortize codec init per partition, stream rows). */
-  def decodeFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
-    val spark = media.sparkSession
+  /** The deterministic pixel generator shared (by formula) with the oracle:
+    * channel value of flat index `idx` = (y·w + x)·3 + c, c∈{0:R,1:G,2:B},
+    * is (media_id·131 + idx·7) mod 256. Small multipliers keep every
+    * intermediate well inside 64-bit for any realistic id. */
+  @inline private[multimodal] def pixelValue(mediaId: Long, idx: Long): Int =
+    (((mediaId * 131L + idx * 7L) % 256L) + 256L).toInt % 256
+
+  /** Build a table of REAL PNG images, one per document id: deterministic
+    * pixels (see [[pixelValue]]) encoded with `javax.imageio.ImageIO` into
+    * genuine PNG byte streams. Runs per-partition (codec init amortized,
+    * no shuffle); payload sizes are codec-dependent, so only the decoded
+    * pixels — never the byte length — participate in oracle checks. */
+  def syntheticImages(docs: DataFrame, width: Int = 12,
+      height: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
-      // per-partition init would go here (codec handles, model weights, …)
-      rows.map { r =>
-        val payload = if (r.payload == null) Array.emptyByteArray else r.payload
-        MediaFeatures(r.media_id, r.mime, r.n_bytes,
-          math.rint(entropy(payload) * 1e6) / 1e6, stubDecode(payload, dim))
+    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per image
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val base = (y.toLong * width + x) * 3L
+            val r = pixelValue(id, base)
+            val g = pixelValue(id, base + 1)
+            val b = pixelValue(id, base + 2)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream(256)
+        javax.imageio.ImageIO.write(img, "png", baos)
+        ImageRow(id, width, height, baos.toByteArray)
       }
-    }
+    }.toDF()
+  }
+
+  /** REAL image decode + featurize, partition-wise: `ImageIO.read` parses
+    * the PNG payload back to pixels (the JDK's PNGImageReader — an actual
+    * codec, not a byte heuristic), then derives per-channel intensity sums
+    * and an 8-bin luminance histogram (integer Rec.601: lum =
+    * (299·r + 587·g + 114·b) div 1000, bin = lum div 32). The dims come
+    * from the DECODED image, not the metadata, so a corrupt payload fails
+    * loudly instead of fabricating features. */
+  def decodeImageFeatures(images: DataFrame): Dataset[ImageFeatures] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"media_id=$id: payload is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val hist = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sr += r; sg += g; sb += b
+              hist(((299 * r + 587 * g + 114 * b) / 1000) / 32) += 1
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(id, w, h, sr, sg, sb,
+            hist(0), hist(1), hist(2), hist(3),
+            hist(4), hist(5), hist(6), hist(7))
+        }
+      }
   }
 
   /** Per-media perceptual hash row. */

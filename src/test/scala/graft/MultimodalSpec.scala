@@ -20,15 +20,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(media.filter("mime = 'image/png'").count() > 0)
   }
 
-  test("stub decode is deterministic and batch-shaped") {
-    val f1 = Multimodal.decodeFeatures(media, dim = 8).collect().sortBy(_.media_id)
-    val f2 = Multimodal.decodeFeatures(media, dim = 8).collect().sortBy(_.media_id)
-    assert(f1.length == 500)
-    assert(f1.head.features.length == 8)
-    assert(f1.zip(f2).forall { case (a, b) =>
-      a.byte_entropy == b.byte_entropy && a.features.sameElements(b.features) })
-    assert(f1.forall(f => f.byte_entropy >= 0 && f.byte_entropy <= 8))
-    assert(f1.forall(f => f.features.forall(v => v >= 0f && v <= 1f)))
+  test("real PNG decode: known image decodes to known pixel features") {
+    import spark.implicits._
+    // one known id through the full encode→decode pipeline; expectation
+    // computed straight from the pixel formula, independent of any codec
+    val docs = Seq((7L, "x")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeImageFeatures(
+      Multimodal.syntheticImages(docs, width = 12, height = 8)).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.width == 12 && f.height == 8)
+    var er = 0L; var eg = 0L; var eb = 0L
+    val ehist = new Array[Long](8)
+    for (j <- 0 until 96) {
+      val r = ((7L * 131 + (j * 3 + 0) * 7) % 256).toInt
+      val g = ((7L * 131 + (j * 3 + 1) * 7) % 256).toInt
+      val b = ((7L * 131 + (j * 3 + 2) * 7) % 256).toInt
+      er += r; eg += g; eb += b
+      ehist(((299 * r + 587 * g + 114 * b) / 1000) / 32) += 1
+    }
+    assert(f.sum_r == er && f.sum_g == eg && f.sum_b == eb)
+    assert(Seq(f.lum_b0, f.lum_b1, f.lum_b2, f.lum_b3,
+      f.lum_b4, f.lum_b5, f.lum_b6, f.lum_b7) == ehist.toSeq)
+    assert(ehist.sum == 96)
+  }
+
+  test("ImageIO round trip is lossless: handcrafted 2x1 PNG decodes exactly") {
+    // bypass syntheticImages: encode a tiny image by hand, decode through
+    // decodeImageFeatures, check the exact channel sums (255-red + pure
+    // green pixel → sum_r=255, sum_g=255, sum_b=0)
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val df = Seq((1L, baos.toByteArray)).toDF("media_id", "payload")
+    val f = Multimodal.decodeImageFeatures(df).collect().head
+    assert(f.width == 2 && f.height == 1)
+    assert(f.sum_r == 255L && f.sum_g == 255L && f.sum_b == 0L)
+    // red pixel: lum = 299*255/1000 = 76 → bin 2; green: 587*255/1000=149 → bin 4
+    assert(f.lum_b2 == 1L && f.lum_b4 == 1L)
+    assert(f.lum_b0 + f.lum_b1 + f.lum_b3 + f.lum_b5 + f.lum_b6 + f.lum_b7 == 0L)
+  }
+
+  test("synthetic images are real decodable PNGs with the PNG signature") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val rows = Multimodal.syntheticImages(docs).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      // PNG magic: 89 50 4E 47 0D 0A 1A 0A
+      assert((payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+        payload(2) == 'N' && payload(3) == 'G')
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      assert(img != null && img.getWidth == 12 && img.getHeight == 8)
+    }
+    // determinism: same id twice → byte-identical features after decode
+    val a = Multimodal.decodeImageFeatures(
+      Multimodal.syntheticImages(docs)).collect().sortBy(_.media_id)
+    val b = Multimodal.decodeImageFeatures(
+      Multimodal.syntheticImages(docs)).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
   }
 
   test("frame sampling yields one row per sampled frame with offsets") {
