@@ -42,26 +42,47 @@ object Profile {
     * handling is worth its cost. One grouped count per column (each a
     * different key space — unavoidable), each map-side combined; the
     * percentile runs over per-key counts (|keys| rows), never raw data. */
-  def skewReport(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.map { c =>
-      val perKey = df.groupBy(col(c)).agg(count(lit(1)).as("n"))
-      // count-distribution quantiles via the flat-memory rank selection:
-      // |keys| can be billions (user ids), so the exact `percentile`
-      // aggregate's whole-column buffer is exactly the OOM this report
-      // exists to warn about
-      val pcts = graft.operators.Analytics.exactPercentiles(
-        perKey, Nil, "n", Seq(("p50_n", 0.5), ("p99_n", 0.99)))
-      perKey
-        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"),
-          max(col("n")).as("max_n"))
-        .crossJoin(broadcast(pcts))
-        .select(lit(c).as("key_col"), col("n_keys"),
-          col("total").cast(LongType).as("total"), col("max_n"),
-          col("p50_n"), col("p99_n"),
-          (col("max_n").cast(DoubleType) / col("total").cast(DoubleType))
-            .as("top_share"),
-          (col("max_n").cast(DoubleType) / col("p50_n")).as("skew_factor"))
-    }.reduce(_ unionByName _)
+  def skewReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "skewReport needs at least one column")
+    // ONE (key_col, n) frame for every candidate column (each perKey is
+    // its own key space so each needs its own grouped count — unavoidable
+    // — but they union into one spine), collapsed to a COUNT-OF-COUNTS
+    // histogram: per-key counts repeat massively, so the distinct
+    // (key_col, n) table is tiny even when |keys| is billions (user ids —
+    // exactly why the exact `percentile` aggregate's whole-column buffer
+    // is the OOM this report exists to warn about). Quantiles AND the
+    // summary stats all come from the bounded histogram: n_keys = Σm,
+    // total = Σ n·m, max_n = max n. Persist pins the one shared tiny
+    // frame; everything upstream runs once.
+    val perAll = cols.map { c =>
+        df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+          .select(lit(c).as("key_col"), col("n"))
+      }.reduce(_ unionByName _)
+    val hist = perAll.groupBy(col("key_col"), col("n"))
+      .agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pcts = graft.operators.Analytics.percentilesFromHistogram(
+      hist, Seq("key_col"), "n", "m", Seq(("p50_n", 0.5), ("p99_n", 0.99)))
+    val stats = hist.groupBy(col("key_col"))
+      .agg(sum(col("m")).cast(LongType).as("n_keys"),
+        sum(col("n") * col("m")).as("total"),
+        max(col("n")).as("max_n"))
+    // seed one literal row per requested column so an EMPTY input still
+    // reports every column (n_keys=0, null quantiles) instead of the
+    // column silently vanishing from the report
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seed = cols.toDF("key_col")
+    seed.join(stats, Seq("key_col"), "left")
+      .join(broadcast(pcts), Seq("key_col"), "left")
+      .select(col("key_col"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        coalesce(col("total").cast(LongType), lit(0L)).as("total"),
+        col("max_n"), col("p50_n"), col("p99_n"),
+        (col("max_n").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("top_share"),
+        (col("max_n").cast(DoubleType) / col("p50_n")).as("skew_factor"))
+  }
 
   /** Distribution drift between two dataset slices, per stratum: exact
     * counts and an INTEGER-EXACT drift flag — |p_a − p_b| > 10% decided

@@ -19,10 +19,49 @@ import org.apache.spark.sql.types._
   * by the literal step count. */
 object Analytics {
 
+  /** Range-partition on `sortCols`, sort within partitions, and append
+    * (`pidCol` = partition id, `lrnCol` = 1-based local rank) in ONE
+    * NARROW pass. A window `partitionBy(pid)` here would re-shuffle the
+    * whole dataset to hash-partition it by pid — even though the range
+    * shuffle already co-located every pid — because Catalyst cannot see
+    * that `spark_partition_id()` is clustered by construction. The
+    * per-partition rank is a running counter over the already-sorted
+    * iterator (resetting whenever the first `nReset` columns change), so
+    * the ONLY data-sized movement is the one range exchange. Returning a
+    * LogicalRDD also pins the sampled range boundaries: every consumer
+    * branch reads the SAME shuffle (stage-skipped on reuse), so
+    * correctness never leans on exchange-reuse canonicalization.
+    * Callers must pre-project/pre-filter — nothing pushes through the
+    * RDD boundary. */
+  private def withLocalRank(df: DataFrame, sortCols: Seq[Column],
+      nReset: Int, parts: Int, pidCol: String, lrnCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val bucketed = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = bucketed.schema
+      .add(pidCol, IntegerType, nullable = false)
+      .add(lrnCol, LongType, nullable = false)
+    val rdd = bucketed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var lrn = 0L
+      var prev: Seq[Any] = null
+      it.map { r =>
+        if (nReset > 0) {
+          val key: Seq[Any] = (0 until nReset).map(r.get)
+          if (prev == null || key != prev) lrn = 0L
+          prev = key
+        }
+        lrn += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pid :+ lrn)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Global `row_number` over `sortCols` WITHOUT the single-partition
     * funnel an unpartitioned window plans: range-partition on the sort
     * key (parallel, boundary-sampled), rank locally within each range
-    * bucket, then add per-bucket prefix offsets computed by a tiny
+    * bucket in one narrow pass ([[withLocalRank]] — no second data-sized
+    * shuffle), then add per-bucket prefix offsets computed by a tiny
     * broadcast self-join over a bucket-count table that is ≤ `parts`
     * rows BY CONSTRUCTION — no window in the plan touches more than one
     * range bucket. Exact: range partitioning guarantees bucket p's rows all sort
@@ -33,51 +72,53 @@ object Analytics {
     * `exactPercentiles` and the Gini/Lorenz rank queries. */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
       rnCol: String = "rn", parts: Int = 32): DataFrame = {
-    val bucketed = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("__gr_pid", spark_partition_id())
-    // bucket counts: ≤ parts rows by construction. Prefix offsets via a
-    // tiny broadcast self-join (≤ parts² comparisons) — a window here,
-    // even one keyed by a constant, constant-folds to an unpartitioned
-    // window and plans the very Exchange SinglePartition this primitive
-    // exists to kill.
-    val counts = bucketed.groupBy(col("__gr_pid"))
-      .agg(count(lit(1)).as("__gr_c"))
+    val ranked = withLocalRank(df, sortCols, nReset = 0, parts,
+      "__gr_pid", "__gr_lrn")
+    // bucket counts: ≤ parts rows by construction (max local rank = the
+    // bucket size). Prefix offsets via a tiny broadcast self-join
+    // (≤ parts² comparisons) — a window here, even one keyed by a
+    // constant, constant-folds to an unpartitioned window and plans the
+    // very Exchange SinglePartition this primitive exists to kill.
+    val counts = ranked.groupBy(col("__gr_pid"))
+      .agg(max(col("__gr_lrn")).as("__gr_c"))
     val offs = counts.as("ga")
       .join(broadcast(counts.as("gb")),
         col("gb.__gr_pid") < col("ga.__gr_pid"), "left")
       .groupBy(col("ga.__gr_pid").as("__gr_pid"))
       .agg(coalesce(sum(col("gb.__gr_c")), lit(0L)).as("__gr_off"))
-    val wLoc = Window.partitionBy(col("__gr_pid")).orderBy(sortCols: _*)
-    bucketed.withColumn("__gr_lrn", row_number().over(wLoc))
-      .join(broadcast(offs), "__gr_pid")
-      .withColumn(rnCol,
-        (col("__gr_off") + col("__gr_lrn").cast(LongType)).cast(LongType))
+    ranked.join(broadcast(offs), "__gr_pid")
+      .withColumn(rnCol, (col("__gr_off") + col("__gr_lrn")).cast(LongType))
       .drop("__gr_pid", "__gr_lrn", "__gr_off")
   }
 
   /** Per-group exact rank table without any O(group) aggregation state:
     * returns groupCols ++ (`__v` = non-null value, `__rn` = 1-based rank
     * of `__v` within the group ascending, `__n` = group size). Rows are
-    * range-partitioned on (group, value) and ranked per bucket with
-    * spillable sorts; bucket ranks become global ranks by adding prefix
-    * offsets from a (group × parts)-row count table. Grouped: the offset
-    * window is PARTITIONED BY GROUP (≤ parts rows per partition).
-    * Ungrouped: the counts table is ≤ parts rows total, so offsets come
-    * from a tiny broadcast self-join — a constant-key window would
-    * constant-fold to an unpartitioned window and plan the Exchange
-    * SinglePartition this exists to avoid. Ties take arbitrary rank
-    * order among equal values (like any row_number), so any consumer
-    * that selects by rank sees a deterministic VALUE multiset. The
-    * shared spine of exactPercentiles and trimmedMean. */
+    * range-partitioned on (group, value), sorted and ranked per bucket in
+    * one narrow pass ([[withLocalRank]] — the ONLY data-sized shuffle is
+    * that range exchange; a window partitioned by (group, pid) would
+    * re-shuffle everything a second time); bucket ranks become global
+    * ranks by adding prefix offsets from a (group × parts)-row count
+    * table. Grouped: the offset window is PARTITIONED BY GROUP (≤ parts
+    * rows per partition). Ungrouped: the counts table is ≤ parts rows
+    * total, so offsets come from a tiny broadcast self-join — a
+    * constant-key window would constant-fold to an unpartitioned window
+    * and plan the Exchange SinglePartition this exists to avoid. Ties
+    * take arbitrary rank order among equal values (like any row_number),
+    * so any consumer that selects by rank sees a deterministic VALUE
+    * multiset. The shared spine of exactPercentiles and trimmedMean. */
   def rankedByGroup(df: DataFrame, groupCols: Seq[String],
       valueCol: String, parts: Int = 32): DataFrame = {
     val g = groupCols.map(col)
     val d = df.filter(col(valueCol).isNotNull)
       .select(g :+ col(valueCol).as("__v"): _*)
-    val bucketed = d.repartitionByRange(parts, g :+ col("__v"): _*)
-      .withColumn("__pid", spark_partition_id())
-    val counts = bucketed.groupBy((groupCols :+ "__pid").map(col): _*)
-      .agg(count(lit(1)).as("__c"))
+    val ranked = withLocalRank(d, g :+ col("__v"), nReset = g.length,
+      parts, "__pid", "__lrn")
+    // per-(group, bucket) sizes: the max local rank of the run — ≤
+    // group × parts rows, computed from the shared ranked frame (the
+    // range shuffle is stage-skipped on this second traversal)
+    val counts = ranked.groupBy((groupCols :+ "__pid").map(col): _*)
+      .agg(max(col("__lrn")).as("__c"))
     val offs =
       if (g.nonEmpty) {
         val wOff = Window.partitionBy(g: _*).orderBy(col("__pid"))
@@ -96,11 +137,9 @@ object Analytics {
           .agg(coalesce(sum(col("pb.__c")), lit(0L)).as("__off"))
           .crossJoin(broadcast(totals))
       }
-    val wLoc = Window.partitionBy((g :+ col("__pid")): _*).orderBy(col("__v"))
-    bucketed
-      .withColumn("__lrn", row_number().over(wLoc))
+    ranked
       .join(offs, groupCols :+ "__pid")
-      .withColumn("__rn", col("__off") + col("__lrn").cast(LongType))
+      .withColumn("__rn", col("__off") + col("__lrn"))
       .drop("__pid", "__lrn", "__off")
   }
 
@@ -180,6 +219,58 @@ object Analytics {
           qs.flatMap { case (name, _) => Seq(
             max(col(s"__lo_$name")).as(s"__lo_$name"),
             max(col(s"__hi_$name")).as(s"__hi_$name")) }: _*)
+    agged.select(
+      g ++ qs.map { case (name, q) =>
+        val p = posOf(q)
+        val lo = floor(p)
+        val hi = ceil(p)
+        when(hi === lo, col(s"__lo_$name"))
+          .otherwise((hi - p) * col(s"__lo_$name") +
+            (p - lo) * col(s"__hi_$name"))
+          .as(name)
+      } ++ countCol.map(c => col("__n").as(c)).toSeq: _*)
+  }
+
+  /** Exact interpolated percentiles from a (group, value, frequency)
+    * HISTOGRAM — the right spine when the value column is discrete and
+    * heavy-repeat (per-key counts, ratings, integer scores): the
+    * histogram is |distinct values| rows per group, orders of magnitude
+    * below |rows|, so the cumulative window and the boundary selection
+    * run over a bounded table and the only data-sized work was building
+    * the histogram (one map-side-combinable groupBy upstream). Same
+    * interpolation as [[exactPercentiles]] (p = q·(n−1), boundary values
+    * at ⌊p⌋/⌈p⌉, DuckDB quantile_cont-exact): v⌊p⌋ is the first
+    * histogram value whose running count exceeds ⌊p⌋ — selected by a
+    * conditional MIN, no per-row rank ever materializes. `groupCols`
+    * must be non-empty (an ungrouped cumulative window would
+    * constant-fold to the Exchange SinglePartition this library bans;
+    * ungrouped callers use [[exactPercentiles]]). */
+  def percentilesFromHistogram(hist: DataFrame, groupCols: Seq[String],
+      valueCol: String, freqCol: String, qs: Seq[(String, Double)],
+      countCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty,
+      "histogram percentiles need group columns (ungrouped → exactPercentiles)")
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach { case (name, q) =>
+      require(q >= 0.0 && q <= 1.0, s"quantile $name=$q outside [0, 1]") }
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+    val cum = hist
+      .withColumn("__cum", sum(col(freqCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", sum(col(freqCol)).over(Window.partitionBy(g: _*)))
+    def posOf(q: Double): Column =
+      (col("__n") - 1L).cast(DoubleType) * lit(q)
+    val agged = cum.groupBy(g: _*).agg(
+      max(col("__n")).as("__n"),
+      qs.flatMap { case (name, q) =>
+        val p = posOf(q)
+        Seq(
+          min(when(col("__cum").cast(DoubleType) > floor(p), col(valueCol)))
+            .as(s"__lo_$name"),
+          min(when(col("__cum").cast(DoubleType) > ceil(p), col(valueCol)))
+            .as(s"__hi_$name"))
+      }: _*)
     agged.select(
       g ++ qs.map { case (name, q) =>
         val p = posOf(q)
@@ -324,14 +415,18 @@ object Analytics {
       k: Double = 4.4478): DataFrame = {
     val med = exactPercentiles(df, Seq(groupCol), valueCol,
       Seq(("med", 0.5)))
+    // persist: the deviation frame feeds BOTH the MAD spine and the final
+    // count/outlier aggregate — without it each branch re-runs the join
+    // and the median spine beneath it. It already carries `med`, so the
+    // final aggregate needs no second join against the median table.
     val dev = df.join(med, Seq(groupCol))
       .withColumn("dev", abs(col(valueCol) - col("med")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mads = exactPercentiles(dev, Seq(groupCol), "dev",
-        Seq(("mad", 0.5)))
-      .join(med, Seq(groupCol)).withColumnRenamed("med", "med2")
+      Seq(("mad", 0.5)))
     dev.join(mads, Seq(groupCol))
       .groupBy(groupCol)
-      .agg(max(col("med2")).as("med"), max(col("mad")).as("mad"),
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
         count(lit(1)).as("n"),
         sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
