@@ -75,10 +75,20 @@ object Bench {
     // also persist the complete per-query map to a repo file: the driver's
     // log tail keeps only ~2 KB, which truncates the per-query line at
     // ~45 of 240+ entries — BENCH_LOCAL.json lets round-over-round
-    // comparison diff EVERY query
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
-    catch { case e: Throwable =>
+    // comparison diff EVERY query. Anchored to the REPO ROOT (env
+    // override, else derived from the compiled-classes location:
+    // <repo>/target/scala-2.13/classes), never the JVM cwd — a bench
+    // launched from a tool dir must not silently strand the evidence.
+    try {
+      val repoRoot = sys.env.get("SPARK_GRAFT_REPO_DIR").getOrElse {
+        val classes = java.nio.file.Paths.get(
+          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        // classes dir = <repo>/target/scala-2.13/classes
+        classes.getParent.getParent.getParent.toString
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json"), fullLine + "\n")
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     spark.stop()
   }

@@ -67,7 +67,12 @@ object SparkEntry {
     // schema. q_csv_roundtrip's oracle is GROUND TRUTH recomputed from the
     // parquet table (write->read is lossless); q_csv_interchange's oracle
     // is DuckDB's read_csv over the same files (a foreign parser reads our
-    // RFC 4180 bytes to identical values).
+    // RFC 4180 bytes to identical values). The output dirs are FIXED paths
+    // by oracle mandate — the DuckDB twin's read_csv references them as
+    // string literals, so per-invocation temp dirs (the q_manifest_skip
+    // pattern) are not available here; two CONCURRENT sweeps could
+    // interleave overwrite-then-read on these two dirs (accepted: the
+    // driver runs sweeps serially).
     "q_csv_roundtrip" -> ((s, dir) =>
       csvRoundtrip(s, dir, "/tmp/graft_csv_roundtrip", ',')),
 

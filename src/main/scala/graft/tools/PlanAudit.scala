@@ -35,6 +35,9 @@ object PlanAudit {
     * dies first at 100 TB. Returns one message per violation, naming the
     * consumer node. Subquery plans are walked too. */
   def singlePartitionViolations(plan: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
+      AQEShuffleReadExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     def boundedConsumer(parent: SparkPlan): Boolean = parent match {
       case a: HashAggregateExec       => a.groupingExpressions.isEmpty
       case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty
@@ -43,34 +46,46 @@ object PlanAudit {
            _: TakeOrderedAndProjectExec => true
       case _ => false
     }
+    // a single-partition shuffle in any of its guises: the bare exchange,
+    // an AQE query stage wrapping one (the stage is a LEAF — matching
+    // only ShuffleExchangeExec would blind the gate on any plan that
+    // already executed under AQE), or a reused exchange reference
+    def isSpShuffle(p: SparkPlan): Boolean = p match {
+      case e: ShuffleExchangeExec  => e.outputPartitioning == SinglePartition
+      case q: ShuffleQueryStageExec => q.outputPartitioning == SinglePartition
+      case r: ReusedExchangeExec   => r.outputPartitioning == SinglePartition
+      case _ => false
+    }
     val bad = scala.collection.mutable.ListBuffer.empty[String]
-    // codegen wrappers (WholeStageCodegen/InputAdapter) sit between the
-    // real consumer and the exchange on non-AQE plans — they are
-    // transparent for consumer identification, otherwise every legal
-    // ungrouped final aggregate under codegen would false-flag as
-    // "feeding InputAdapter"
+    // codegen wrappers (WholeStageCodegen/InputAdapter) and AQE wrappers
+    // (query stages, AQEShuffleRead, nested adaptive roots) sit between
+    // the real consumer and the exchange — all transparent for consumer
+    // identification, otherwise every legal ungrouped final aggregate
+    // under codegen/AQE would false-flag as "feeding InputAdapter"
     def walk(p: SparkPlan, consumer: SparkPlan): Unit = {
       val effConsumer = p match {
-        case _: InputAdapter | _: WholeStageCodegenExec => consumer
+        case _: InputAdapter | _: WholeStageCodegenExec |
+             _: QueryStageExec | _: AQEShuffleReadExec |
+             _: AdaptiveSparkPlanExec => consumer
         case _ => p
       }
-      p.children.foreach {
-        case e: ShuffleExchangeExec
-            if e.outputPartitioning == SinglePartition &&
-              !boundedConsumer(effConsumer) =>
-          bad += s"Exchange SinglePartition feeding ${effConsumer.nodeName}"
-        case _ => ()
+      // query stages and nested adaptive plans hide their subtree from
+      // `children` — recurse into the materialized plan explicitly
+      val kids: Seq[SparkPlan] = p match {
+        case q: QueryStageExec        => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
       }
-      p.children.foreach(walk(_, effConsumer))
+      kids.foreach { c =>
+        if (isSpShuffle(c) && !boundedConsumer(effConsumer))
+          bad += s"Exchange SinglePartition feeding ${effConsumer.nodeName}"
+      }
+      kids.foreach(walk(_, effConsumer))
       p.subqueries.foreach(walk(_, effConsumer))
     }
     walk(plan, plan)
     // a root-level single-partition exchange has no consumer in this plan
-    plan match {
-      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
-        bad += "Exchange SinglePartition at plan root"
-      case _ => ()
-    }
+    if (isSpShuffle(plan)) bad += "Exchange SinglePartition at plan root"
     bad.toSeq.distinct
   }
 

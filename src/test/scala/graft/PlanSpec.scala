@@ -282,6 +282,25 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
       "global window must flag with AQE off too")
   }
 
+  test("SinglePartition detector sees through AQE query stages after execution") {
+    // once a DataFrame has EXECUTED under AQE, exchanges are wrapped in
+    // leaf ShuffleQueryStageExec nodes — the detector must unwrap them or
+    // an already-run plan audits clean no matter what it contains
+    import org.apache.spark.sql.expressions.Window
+    val li = graft.engine.Tables.load(spark, dir, "lineitem")
+    val bad = li.withColumn("rn",
+      row_number().over(Window.orderBy(col("l_orderkey"))))
+    bad.write.format("noop").mode("overwrite").save() // materialize stages
+    val v = graft.tools.PlanAudit.singlePartitionViolations(physPlan(bad))
+    assert(v.nonEmpty, "executed global window must still be flagged")
+    // bounded shapes stay clean after execution too
+    val agg = li.agg(sum(col("l_quantity")))
+    agg.write.format("noop").mode("overwrite").save()
+    assert(graft.tools.PlanAudit
+      .singlePartitionViolations(physPlan(agg)).isEmpty,
+      "executed ungrouped final agg must not false-flag through AQE wrappers")
+  }
+
   test("SinglePartition detector allows bounded shapes: ungrouped agg, top-k, and the fixed q_vocab_coverage") {
     val li = graft.engine.Tables.load(spark, dir, "lineitem")
     val agg = li.agg(sum(col("l_quantity")))
