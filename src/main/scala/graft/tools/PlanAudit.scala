@@ -100,6 +100,16 @@ object PlanAudit {
         "q_projection", "q_window_rank", "q_dedup_minhash", "q_ann_topk",
         "q_asof", "q_events_hourly")
 
+    // Per-query cost annotations that must survive PLANS.md regeneration.
+    val costNotes = Map(
+      "q_from_json" -> ("cost note (r7, JsonCost tool): isolated timings at " +
+        "sf0.1/local[32] — from_json(schema).k 0.29 s ≈ get_json_object 0.30 s; " +
+        "FAILFAST, full-struct-out and 2-field struct reuse all within noise; " +
+        "contract query (with orderBy) 0.85 s. The 5.09 s in BENCH_r06 was " +
+        "sweep-context interference, not the parse: JsonToStructs IS " +
+        "CodegenFallback (interpreted Jackson parse) but costs ~3 µs/row and " +
+        "is embarrassingly parallel — no scale hazard."))
+
     // Queries whose reason to exist is file skipping: the audit FAILS
     // (nonzero exit) if their scans report `pruned read: m of n` with
     // m == n, or no pruning evidence at all — a "pruned" probe that opens
@@ -173,6 +183,7 @@ object PlanAudit {
         }
         sb ++= s"## $n\n$line\n"
         detail.foreach(d => sb ++= s"- `${d.take(200)}`\n")
+        costNotes.get(n).foreach(note => sb ++= s"- $note\n")
         sb ++= "\n"
       }
       java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"),
