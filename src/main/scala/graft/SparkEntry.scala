@@ -3171,6 +3171,52 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // SQL-front-door variants of two round-6 governance reports (VERDICT
+    // r6 #8): the same semantics routed through Context.sql so the §2.6
+    // entry point (catalog validation + Spark SQL grammar) stays exercised
+    // as the surface grows. Chosen because both are cleanly SQL-expressible
+    // without windows; the rank-selection queries (q_trimmed_mean et al.)
+    // are deliberately NOT given SQL twins — their natural SQL form is a
+    // per-group window whose O(rows-per-group) buffer is exactly what the
+    // rankedByGroup spine exists to avoid at 100 TB.
+    "q_sql_mixture_weights" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(regexp_count(text, '\\S+')) AS BIGINT) AS tokens
+          FROM documents GROUP BY source),
+        t AS (
+          SELECT CAST(sum(tokens) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_sources
+          FROM per)
+        SELECT source, tokens,
+               CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS actual_share,
+               CAST(total AS DOUBLE) /
+                 (CAST(n_sources AS DOUBLE) * CAST(tokens AS DOUBLE)) AS weight,
+               CAST((total + n_sources * tokens - 1) div (n_sources * tokens)
+                 AS BIGINT) AS repeat_factor
+        FROM per CROSS JOIN t ORDER BY source""")
+    }),
+
+    "q_sql_dedup_rate" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+          GROUP BY text),
+        pa AS (SELECT source, count(*) AS n_docs FROM documents
+          GROUP BY source),
+        pk AS (SELECT d.source, count(*) AS n_kept
+          FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+          GROUP BY d.source)
+        SELECT pa.source, pa.n_docs,
+               CAST(coalesce(pk.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(pa.n_docs - coalesce(pk.n_kept, 0) AS DOUBLE) /
+                 CAST(pa.n_docs AS DOUBLE) AS dup_rate
+        FROM pa LEFT JOIN pk ON pa.source = pk.source
+        ORDER BY pa.source""")
+    }),
+
     // pairwise vocabulary containment |A∩B|/|A| between sources — the
     // cross-feed redundancy signal behind mixture design (two feeds with
     // near-total vocabulary containment are near-substitutes). Postings
@@ -3764,6 +3810,64 @@ object SparkEntry {
     "q_equidepth" -> ((s, dir) =>
       graft.operators.Analytics.equiDepthHistogram(
         t(s, dir, "orders"), "o_totalprice", buckets = 10)),
+
+    // quantile normalization of a heavy-repeat discrete feature
+    // (l_quantity: ~50 distinct values): map each value to its empirical
+    // CDF — the rank-free feature transform that makes skewed columns
+    // uniform before binning/modeling. Scale shape: the data-sized work
+    // is ONE map-side-combinable histogram groupBy; the cumulative sum
+    // runs over the |distinct|-row histogram via a broadcast self-join
+    // (|V|² comparisons, |V|≈50 — a window keyed by a constant would
+    // constant-fold to the banned Exchange SinglePartition). Contract:
+    // for near-unique continuous columns use q_equidepth /
+    // exactPercentiles instead — there the histogram IS the data.
+    "q_quantile_normalize" -> ((s, dir) => {
+      val h = t(s, dir, "lineitem")
+        .groupBy(col("l_quantity")).agg(count(lit(1)).as("n"))
+      val c = h.as("a")
+        .join(broadcast(h.as("b")),
+          col("b.l_quantity") <= col("a.l_quantity"))
+        .groupBy(col("a.l_quantity").as("l_quantity"))
+        .agg(max(col("a.n")).as("n"), sum(col("b.n")).as("cum"))
+      val tot = h.agg(sum(col("n")).as("total"))
+      c.crossJoin(broadcast(tot))
+        .select(col("l_quantity"), col("n"), col("cum"),
+          (col("cum").cast(DoubleType) / col("total").cast(DoubleType))
+            .as("cdf"),
+          ((col("cum") - col("n")).cast(DoubleType) /
+            col("total").cast(DoubleType)).as("cdf_lower"))
+        .orderBy("l_quantity")
+    }),
+
+    // deterministic importance (length-weighted) downsampling: keep doc
+    // iff hash-uniform u(doc_id) < tokens/max_tokens — longer documents
+    // survive proportionally more often, the standard length-weighted
+    // token-budget sampler. All decisions are BIGINT compares on a
+    // Knuth-multiplicative hash (u = doc_id·2654435761 mod 2^20), so any
+    // engine replays the exact kept set — no RNG, no order dependence.
+    // Scale shape: pure narrow map over the scan + one small grouped
+    // aggregate; the max-weight is a 1-row broadcast. Reports per-source
+    // governance: docs/tokens kept and the retained token share.
+    "q_importance_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          graft.functions.Text.tokenCount(col("text")).as("w"))
+      val mx = d.agg(max(col("w")).as("maxw"))
+      d.crossJoin(broadcast(mx))
+        .withColumn("kept",
+          (col("doc_id") * lit(2654435761L)) % lit(1048576L) * col("maxw")
+            < col("w") * lit(1048576L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("w")).cast(LongType).as("tokens_total"),
+          sum(when(col("kept"), col("w")).otherwise(0L)).cast(LongType)
+            .as("tokens_kept"))
+        .withColumn("kept_token_share",
+          col("tokens_kept").cast(DoubleType) /
+            col("tokens_total").cast(DoubleType))
+        .orderBy("source")
+    }),
 
     // TrustRank (personalized PageRank): teleport mass restricted to the
     // doc_id < 2 seed set on the same affine link graph as q_pagerank —
@@ -7194,6 +7298,37 @@ object SparkEntry {
          SELECT bucket, count(*) AS n FROM bk
          GROUP BY bucket ORDER BY bucket""",
 
+    // same histogram + cumulative self-join + exact long→double quotients
+    "q_quantile_normalize" ->
+      """WITH h AS (SELECT l_quantity, CAST(count(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT a.l_quantity, max(a.n) AS n,
+             CAST(sum(b.n) AS BIGINT) AS cum
+           FROM h a JOIN h b ON b.l_quantity <= a.l_quantity GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+         SELECT l_quantity, n, cum,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cdf,
+           CAST(cum - n AS DOUBLE) / CAST(total AS DOUBLE) AS cdf_lower
+         FROM c, t ORDER BY l_quantity""",
+
+    // identical BIGINT hash-threshold keep rule, identical token counts
+    "q_importance_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+             CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS w
+           FROM documents),
+         m AS (SELECT max(w) AS maxw FROM d),
+         k AS (SELECT source, w,
+             ((doc_id * 2654435761) % 1048576) * maxw < w * 1048576 AS kept
+           FROM d, m)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(w) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN kept THEN w ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST(sum(CASE WHEN kept THEN w ELSE 0 END) AS DOUBLE) /
+             CAST(sum(w) AS DOUBLE) AS kept_token_share
+         FROM k GROUP BY source ORDER BY source""",
+
     // identical clamp+floor bucket expression over the same [0, 500000)
     // range in 20 bins
     "q_histogram" ->
@@ -7652,6 +7787,37 @@ object SparkEntry {
 
     // survivor = global min doc_id per text (the q_dedup_exact policy)
     "q_dedup_rate" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+           GROUP BY text),
+         pa AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         pk AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+           FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+           GROUP BY 1)
+         SELECT pa.source, pa.n_docs,
+           CAST(COALESCE(pk.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(pa.n_docs - COALESCE(pk.n_kept, 0) AS DOUBLE) /
+             CAST(pa.n_docs AS DOUBLE) AS dup_rate
+         FROM pa LEFT JOIN pk ON pa.source = pk.source
+         ORDER BY pa.source""",
+
+    // SQL-front-door variants: same twins as their DataFrame originals
+    "q_sql_mixture_weights" ->
+      """WITH per AS (SELECT source,
+             CAST(sum(length(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS tokens
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_sources FROM per)
+         SELECT source, tokens,
+           CAST(tokens AS DOUBLE) / CAST(total AS DOUBLE) AS actual_share,
+           CAST(total AS DOUBLE) /
+             (CAST(n_sources AS DOUBLE) * CAST(tokens AS DOUBLE)) AS weight,
+           CAST((total + n_sources * tokens - 1) // (n_sources * tokens)
+             AS BIGINT) AS repeat_factor
+         FROM per, t ORDER BY source""",
+
+    "q_sql_dedup_rate" ->
       """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
            GROUP BY text),
          pa AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs

@@ -41,7 +41,13 @@ object Analytics {
     val schema = bucketed.schema
       .add(pidCol, IntegerType, nullable = false)
       .add(lrnCol, LongType, nullable = false)
-    val rdd = bucketed.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val debug = sys.env.get("GRAFT_DEBUG_BUCKETS").contains("1")
+    val rdd = bucketed.rdd.mapPartitionsWithIndex { (pid, it0) =>
+      val it = if (!debug) it0 else {
+        val buf = it0.toArray
+        System.err.println(s"[withLocalRank] pid=$pid rows=${buf.length}")
+        buf.iterator
+      }
       var lrn = 0L
       var prev: Seq[Any] = null
       it.map { r =>
@@ -419,12 +425,24 @@ object Analytics {
     // count/outlier aggregate — without it each branch re-runs the join
     // and the median spine beneath it. It already carries `med`, so the
     // final aggregate needs no second join against the median table.
-    val dev = df.join(med, Seq(groupCol))
+    //
+    // The stats joins MUST carry explicit broadcast hints: the stats
+    // tables are one row per group, but their lineage roots in a
+    // LogicalRDD (unknown size → no static broadcast), and the persist
+    // puts the first join inside a cached subtree where AQE is not free
+    // to convert a planned SortMergeJoin either. Without the hint that
+    // SMJ hash-partitions the ENTIRE data side by the group key — with a
+    // handful of groups that is a handful of executor-crushing tasks
+    // (measured at 10x: 5 tasks × 300,760 rows, 27 idle). Broadcasting is
+    // the deliberate contract: madOutliers targets bounded categorical
+    // group columns (priority, source, category), so the stats table is
+    // |groups| rows — driver-trivial.
+    val dev = df.join(broadcast(med), Seq(groupCol))
       .withColumn("dev", abs(col(valueCol) - col("med")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mads = exactPercentiles(dev, Seq(groupCol), "dev",
       Seq(("mad", 0.5)))
-    dev.join(mads, Seq(groupCol))
+    dev.join(broadcast(mads), Seq(groupCol))
       .groupBy(groupCol)
       .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
         count(lit(1)).as("n"),

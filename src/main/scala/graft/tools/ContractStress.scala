@@ -84,14 +84,30 @@ object ContractStress {
       println(s"[stress] built ${factor}x table set at $outDir")
     }
 
-    val byStage = new mutable.HashMap[Int, mutable.ArrayBuffer[Long]]()
+    // per task: (duration ms, GC ms, records in = shuffle-read + input)
+    val byStage = new mutable.HashMap[Int, mutable.ArrayBuffer[(Long, Long, Long)]]()
+    val stageNames = new mutable.HashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         if (e.taskInfo != null) byStage.synchronized {
+          val (gc, recs) =
+            if (e.taskMetrics != null)
+              (e.taskMetrics.jvmGCTime,
+                e.taskMetrics.shuffleReadMetrics.recordsRead +
+                  e.taskMetrics.inputMetrics.recordsRead)
+            else (0L, 0L)
           byStage.getOrElseUpdate(e.stageId, mutable.ArrayBuffer.empty)
-            .append(e.taskInfo.duration)
+            .append((e.taskInfo.duration, gc, recs))
+        }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        byStage.synchronized {
+          stageNames(e.stageInfo.stageId) = e.stageInfo.name
         }
     })
+    // GRAFT_STRESS_VERBOSE=1 → per-stage table (every stage >= 2s total)
+    // for diagnosing a failed skew gate: which stage, which shape
+    val verbose = sys.env.get("GRAFT_STRESS_VERBOSE").contains("1")
 
     // task-end events arrive on the ASYNC listener bus — count() returns
     // at job end, not event-drain end. Poll until the captured task count
@@ -125,20 +141,52 @@ object ContractStress {
         .foreach(_.unpersist(blocking = false))
       if (rows == 0) failures ::= s"$n: zero rows at ${factor}x"
       drainTaskEvents()
-      val stages = byStage.synchronized(byStage.map { case (k, v) =>
-        (k, v.toSeq.sorted) }.toMap)
+      val stages = byStage.synchronized(byStage.view.mapValues(_.toSeq).toMap)
       val nTasks = stages.valuesIterator.map(_.size).sum
-      val heavy = stages.filter(_._2.sum >= 2000)
-      val worst = heavy.values.map { ds =>
-        val med = math.max(1L, ds(ds.size / 2))
-        (ds.last.toDouble / med, ds.last, med, ds.size)
-      }.toSeq.sortBy(-_._1).headOption
-      for ((r, _, _, _) <- worst if r > 4.0)
-        failures ::= f"$n: worst-stage skew $r%.2fx exceeds the 4x gate"
-      val w = worst.map { case (r, mx, md, nt) =>
-        f"$r%6.2fx  (max $mx%6d / med $md%5d over $nt%4d tasks)"
+      val heavy = stages.filter(_._2.map(_._1).sum >= 2000)
+      // Two skew measures per stage. RECORD skew (max/median task input
+      // rows) is the 100 TB signal — it is what grows with data and what
+      // salting/capping exist to bound. DURATION skew alone misfires on
+      // cheap stages (sub-200 ms medians measure scheduler/GC/JIT jitter,
+      // not data placement — verified: a 19.5x duration-skew stage here
+      // had perfectly balanced 47k-row buckets), so duration-skew only
+      // gates when the median task is >= 200 ms of sustained compute.
+      case class StageSkew(sid: Int, n: Int, durs: Seq[Long], recs: Seq[Long],
+          gcs: Seq[Long]) {
+        val dMed = math.max(1L, durs(durs.size / 2))
+        val dSkew = durs.last.toDouble / dMed
+        val rTot = recs.sum
+        val rMed = recs(recs.size / 2)
+        val rSkew = recs.last.toDouble / math.max(1L, rMed)
+        def dataSkewed: Boolean = rTot >= 10000 && rSkew > 4.0
+        def computeSkewed: Boolean = dMed >= 200 && dSkew > 4.0
+      }
+      val skews = heavy.toSeq.map { case (sid, ts) =>
+        StageSkew(sid, ts.size, ts.map(_._1).sorted, ts.map(_._3).sorted,
+          ts.map(_._2).sorted)
+      }
+      for (s <- skews.filter(_.dataSkewed).sortBy(-_.rSkew).headOption)
+        failures ::= f"$n: stage ${s.sid} record skew ${s.rSkew}%.2fx " +
+          f"(max ${s.recs.last} / med ${s.rMed} rows) exceeds the 4x gate"
+      for (s <- skews.filter(_.computeSkewed).sortBy(-_.dSkew).headOption)
+        failures ::= f"$n: stage ${s.sid} duration skew ${s.dSkew}%.2fx " +
+          f"at med ${s.dMed} ms exceeds the 4x gate"
+      val worst = skews.sortBy(-_.rSkew).headOption
+      val w = worst.map { s =>
+        f"rec ${s.rSkew}%5.2fx dur ${s.dSkew}%5.2fx  " +
+          f"(max ${s.durs.last}%6d / med ${s.dMed}%5d ms over ${s.n}%4d tasks)"
       }.getOrElse("no stage >= 2s")
       println(f"$n%-22s $wall%8.2f $rows%9d $nTasks%7d  $w")
+      if (verbose) {
+        val names0 = byStage.synchronized(stageNames.toMap)
+        skews.sortBy(_.sid).foreach { s =>
+          println(f"  stage ${s.sid}%4d ${s.n}%4d tasks  sum ${s.durs.sum}%7d ms" +
+            f"  dur max ${s.durs.last}%6d med ${s.dMed}%5d (${s.dSkew}%5.2fx)" +
+            f"  rec max ${s.recs.last}%9d med ${s.rMed}%9d (${s.rSkew}%5.2fx)" +
+            f"  gc max ${s.gcs.last}%5d" +
+            s"  ${names0.getOrElse(s.sid, "?").take(60)}")
+        }
+      }
     }
     spark.stop()
     if (failures.nonEmpty) {

@@ -438,4 +438,35 @@ class OperatorsSpec extends AnyFunSuite {
       .globalRowNumber(df, Seq(col("v").asc, col("id").asc), "rn"))
     assert(graft.tools.PlanAudit.singlePartitionViolations(phys).isEmpty)
   }
+
+  test("quantile_normalize: cdf is a proper monotone CDF over the histogram") {
+    val rows = SparkEntry.queries("q_quantile_normalize")(
+      spark, SparkFixture.sfDir).collect()
+    assert(rows.nonEmpty)
+    val cdfs = rows.map(_.getDouble(3))
+    assert(cdfs.last == 1.0)
+    assert(cdfs.sliding(2).forall { case Array(a, b) => a < b; case _ => true })
+    // cdf_lower + n/total == cdf per row; total = sum of n
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) + r.getLong(1) / total - r.getDouble(3))
+        < 1e-12)
+    }
+  }
+
+  test("importance_sample: deterministic, bounded shares, max-weight doc kept") {
+    val q = SparkEntry.queries("q_importance_sample")(_: org.apache.spark.sql
+      .SparkSession, SparkFixture.sfDir)
+    val a = q(spark).collect()
+    val b = q(spark).collect()
+    assert(a.toSeq == b.toSeq) // hash rule, no RNG
+    a.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_kept <= n_docs
+      val share = r.getDouble(5)
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    // any doc at the global max weight has u < 2^20 = certain keep, so
+    // at least one doc survives overall
+    assert(a.map(_.getLong(2)).sum >= 1L)
+  }
 }
