@@ -115,6 +115,7 @@ object Analytics {
     * multiset. The shared spine of exactPercentiles and trimmedMean. */
   def rankedByGroup(df: DataFrame, groupCols: Seq[String],
       valueCol: String, parts: Int = 32): DataFrame = {
+    val spark = df.sparkSession
     val g = groupCols.map(col)
     val d = df.filter(col(valueCol).isNotNull)
       .select(g :+ col(valueCol).as("__v"): _*)
@@ -143,10 +144,52 @@ object Analytics {
           .agg(coalesce(sum(col("pb.__c")), lit(0L)).as("__off"))
           .crossJoin(broadcast(totals))
       }
-    ranked
-      .join(offs, groupCols :+ "__pid")
-      .withColumn("__rn", col("__off") + col("__lrn"))
-      .drop("__pid", "__lrn", "__off")
+    // Attach the offsets by pid-aligned zipPartitions, NOT a join: a
+    // join on (group, __pid) re-shuffles the ENTIRE ranked frame a
+    // second time unless the planner broadcasts the offsets side — and
+    // it reliably does not when the lineage roots in a LogicalRDD
+    // (unknown size) or the consumer sits inside a cached subtree where
+    // AQE cannot rewrite (measured: the med-spine instance inside
+    // madOutliers' persisted frame compiled as a SortMergeJoin). Here
+    // only the ≤ (group × parts)-row offsets table moves — shuffled to
+    // place each bucket's offsets AT its range bucket — and the ranked
+    // rows never leave their partitions, making the scaladoc's "one
+    // data-sized shuffle" true unconditionally, at any group count.
+    val ng = groupCols.length
+    val rankedRdd = ranked.rdd
+    // RangePartitioner may materialize FEWER partitions than requested
+    // (its boundaries come from a sample — tiny or low-cardinality
+    // inputs collapse buckets), so the offsets partitioner must match
+    // the ACTUAL bucket count; the recorded __pid values are < it by
+    // construction.
+    val nParts = rankedRdd.getNumPartitions
+    val offsRdd = offs
+      .select((groupCols.map(col) :+ col("__pid") :+ col("__off") :+
+        col("__n")): _*)
+      .rdd.map { r =>
+        (r.getInt(ng), (Seq.tabulate(ng)(r.get), r.getLong(ng + 1),
+          r.getLong(ng + 2)))
+      }
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nParts
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+    val outSchema = d.schema
+      .add("__n", LongType, nullable = false)
+      .add("__rn", LongType, nullable = false)
+    val zipped = rankedRdd.zipPartitions(offsRdd,
+        preservesPartitioning = true) { (it, offIt) =>
+      val byKey = offIt.map { case (_, (key, off, n)) => (key, (off, n)) }
+        .toMap
+      it.map { r =>
+        val key: Seq[Any] = Seq.tabulate(ng)(r.get)
+        val (off, n) = byKey(key)
+        // ranked row = (group..., __v, __pid, __lrn)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.dropRight(2) :+ n :+ (off + r.getLong(ng + 2)))
+      }
+    }
+    spark.createDataFrame(zipped, outSchema)
   }
 
   /** Trimmed mean per group: the mean of the values whose rank lies in
