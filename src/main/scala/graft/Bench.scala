@@ -81,13 +81,23 @@ object Bench {
     // launched from a tool dir must not silently strand the evidence.
     try {
       val repoRoot = sys.env.get("SPARK_GRAFT_REPO_DIR").getOrElse {
-        val classes = java.nio.file.Paths.get(
+        // The code source is <repo>/target/scala-2.13/classes for a plain
+        // classpath run, but sbt's FORKED runMain repackages classes into
+        // <repo>/target/bg-jobs/sbt_*/job-*/target/*/*.jar — a fixed
+        // number of getParent hops silently lands inside that transient
+        // dir and the artifact evaporates with it. Walk UP until the
+        // directory actually holding build.sbt (the repo root marker);
+        // fall back to the JVM cwd if the walk never finds one.
+        val start = java.nio.file.Paths.get(
           Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-        // classes dir = <repo>/target/scala-2.13/classes
-        classes.getParent.getParent.getParent.toString
+        Iterator.iterate(start)(_.getParent).takeWhile(_ != null)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+          .map(_.toString)
+          .getOrElse(System.getProperty("user.dir"))
       }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json"), fullLine + "\n")
+      val out = java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json")
+      java.nio.file.Files.writeString(out, fullLine + "\n")
+      System.err.println(s"[bench] wrote $out")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     spark.stop()

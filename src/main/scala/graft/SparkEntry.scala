@@ -2263,6 +2263,18 @@ object SparkEntry {
           col("lum_b4"), col("lum_b5"), col("lum_b6"), col("lum_b7"))
         .orderBy("media_id")),
 
+    // multimodal: REAL WAV round trip — deterministic 16-bit PCM encoded
+    // to genuine RIFF/WAVE with javax.sound.sampled, decoded back by the
+    // JDK's WaveFileReader, features from the DECODED samples (exact
+    // integer aggregates + one IEEE-exact rms). The oracle recomputes from
+    // the closed-form sample formula, so a hash match proves the audio
+    // codec path is lossless and actually exercised.
+    "q_media_audio" -> ((s, dir) =>
+      Multimodal.decodeAudioFeatures(
+          Multimodal.syntheticAudio(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("media_id")),
+
     // multimodal: frame sampling plumbing (oracle: generate_series twin)
     "q_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -6525,6 +6537,26 @@ object SparkEntry {
     // v(id, idx) = (id*131 + idx*7) % 256 over a 12×8 RGB raster — no codec
     // on the oracle side, so a hash match certifies Spark's actual PNG
     // encode→ImageIO.read→pixels path reproduced every pixel exactly
+    // audio twin: sample i and its predecessor both come straight from the
+    // closed-form generator (no lag window needed); all aggregates are
+    // BIGINT, rms = one DOUBLE division + correctly-rounded sqrt
+    "q_media_audio" ->
+      """WITH sm AS (
+           SELECT doc_id AS media_id, t.i AS i,
+             ((doc_id * 37 + t.i * 2654435761) % 65536) - 32768 AS s,
+             CASE WHEN t.i > 0 THEN
+               ((doc_id * 37 + (t.i - 1) * 2654435761) % 65536) - 32768
+             END AS sp
+           FROM documents, unnest(generate_series(0, 255)) AS t(i))
+         SELECT media_id, CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+           CAST(sum(CASE WHEN i > 0 AND ((s < 0) <> (sp < 0)) THEN 1
+             ELSE 0 END) AS BIGINT) AS zero_crossings,
+           sqrt(CAST(sum(s * s) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS rms
+         FROM sm GROUP BY media_id ORDER BY media_id""",
+
     "q_media_decode" ->
       """WITH px AS (
            SELECT doc_id AS media_id, t.i AS idx,

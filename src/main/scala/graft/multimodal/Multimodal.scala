@@ -11,16 +11,19 @@ import org.apache.spark.sql.types._
   * payloads as byte arrays while pruning/predicates work on the typed
   * metadata columns (payload column is never read unless selected).
   *
-  * The image decode path is REAL: [[syntheticImages]] encodes deterministic
-  * pixels into genuine PNG payloads with `javax.imageio` (JDK-native — no
-  * container codecs needed), and [[decodeImageFeatures]] decodes those PNG
-  * bytes back to pixels with `ImageIO.read` inside `mapPartitions` and
-  * derives features (per-channel intensity sums, an 8-bin luminance
-  * histogram) from the DECODED pixels. Because the pixel generator is a
-  * closed-form integer formula, an external oracle can recompute the same
-  * features without any codec — a hash match therefore proves the PNG
-  * encode→decode round trip is lossless and the decoder is exercised for
-  * real. Audio/video payloads stay opaque binary (byte-level ops only).
+  * The image AND audio decode paths are REAL: [[syntheticImages]] encodes
+  * deterministic pixels into genuine PNG payloads with `javax.imageio`
+  * and [[decodeImageFeatures]] decodes them back with `ImageIO.read`
+  * (per-channel intensity sums, 8-bin luminance histogram from the
+  * DECODED pixels); [[syntheticAudio]] encodes deterministic 16-bit PCM
+  * into genuine RIFF/WAVE streams with `javax.sound.sampled` and
+  * [[decodeAudioFeatures]] parses them back with the JDK's WaveFileReader
+  * (abs/square sums, peak, zero crossings, rms from the DECODED samples).
+  * Both JDK-native — no container codecs needed. Because each generator
+  * is a closed-form integer formula, an external oracle recomputes the
+  * same features without any codec — a hash match therefore proves each
+  * encode→decode round trip is lossless and the codec is exercised for
+  * real. Video payloads stay opaque binary (byte-level frame sampling).
   *
   * Scale notes: encode/decode run via `mapPartitions`, i.e. one iterator
   * per input split with no shuffle; at 100 TB the parallelism is the
@@ -141,6 +144,96 @@ object Multimodal {
           ImageFeatures(id, w, h, sr, sg, sb,
             hist(0), hist(1), hist(2), hist(3),
             hist(4), hist(5), hist(6), hist(7))
+        }
+      }
+  }
+
+  /** One synthetic audio row: real WAV bytes + the samples they encode. */
+  case class AudioRow(media_id: Long, n_samples: Int, payload: Array[Byte])
+
+  /** Signal-derived features from a REAL `javax.sound.sampled` decode.
+    * All integer-exact except `rms`, which is one IEEE division of exact
+    * longs followed by a correctly-rounded sqrt — bit-identical in any
+    * engine that replays the sample formula. */
+  case class AudioFeatures(media_id: Long, n_samples: Long, sum_abs: Long,
+      sum_sq: Long, peak_abs: Long, zero_crossings: Long, rms: Double)
+
+  /** The deterministic 16-bit PCM sample generator shared (by formula)
+    * with the oracle: sample i of media `id` is
+    * ((id·37 + i·2654435761) mod 65536) − 32768. Inputs are nonnegative,
+    * so both engines' `%` agree; every intermediate fits a long. */
+  @inline private[multimodal] def sampleValue(mediaId: Long, i: Long): Int =
+    (((mediaId * 37L + i * 2654435761L) % 65536L)).toInt - 32768
+
+  /** Build a table of REAL WAV clips, one per document id: deterministic
+    * 16-bit mono PCM (see [[sampleValue]]) encoded with
+    * `javax.sound.sampled.AudioSystem` into genuine RIFF/WAVE byte streams
+    * (JDK-native — no container codecs needed). Same proof shape as the
+    * PNG path: the generator is closed-form, so an external oracle
+    * recomputes the features without a codec, and a hash match proves the
+    * WAV encode→decode round trip is lossless. */
+  def syntheticAudio(docs: DataFrame, nSamples: Int = 256): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val pcm = new Array[Byte](nSamples * 2) // 16-bit mono little-endian
+        var i = 0
+        while (i < nSamples) {
+          val s = sampleValue(id, i)
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, true, false) // rate, bits, mono, signed, little-endian
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val baos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        AudioRow(id, nSamples, baos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** REAL WAV decode + featurize, partition-wise:
+    * `AudioSystem.getAudioInputStream` parses the RIFF/fmt chunks (the
+    * JDK's WaveFileReader — an actual parser, not a byte heuristic),
+    * samples are rebuilt from the decoded PCM honoring the DECODED
+    * format's endianness/width, and the features are exact integer
+    * aggregates (abs/square sums, peak, sign-change count) plus one
+    * IEEE-exact rms. The sample count comes from the decoder, not the
+    * metadata, so a corrupt payload fails loudly. */
+  def decodeAudioFeatures(audio: DataFrame): Dataset[AudioFeatures] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media_id=$id: expected 16-bit mono PCM, got $fmt")
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var sumAbs = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+          var prevNeg = false
+          var i = 0
+          while (i < n) {
+            val lo = if (fmt.isBigEndian) bytes(2 * i + 1) else bytes(2 * i)
+            val hi = if (fmt.isBigEndian) bytes(2 * i) else bytes(2 * i + 1)
+            val s = ((hi << 8) | (lo & 0xff)).toShort.toInt
+            val a = math.abs(s).toLong
+            sumAbs += a; sumSq += a * a; if (a > peak) peak = a
+            val neg = s < 0
+            if (i > 0 && neg != prevNeg) zc += 1
+            prevNeg = neg
+            i += 1
+          }
+          AudioFeatures(id, n.toLong, sumAbs, sumSq, peak, zc,
+            math.sqrt(sumSq.toDouble / n.toDouble))
         }
       }
   }

@@ -64,6 +64,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.lum_b0 + f.lum_b1 + f.lum_b3 + f.lum_b5 + f.lum_b6 + f.lum_b7 == 0L)
   }
 
+  test("real WAV decode: known clip decodes to formula-exact signal features") {
+    import spark.implicits._
+    val docs = Seq((7L, "x")).toDF("doc_id", "text")
+    val f = Multimodal.decodeAudioFeatures(
+      Multimodal.syntheticAudio(docs, nSamples = 256)).collect().head
+    assert(f.n_samples == 256L)
+    // expectation straight from the sample formula, independent of codec
+    var sumAbs = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+    var prevNeg = false
+    for (i <- 0 until 256) {
+      val s = (((7L * 37 + i.toLong * 2654435761L) % 65536L)).toInt - 32768
+      val a = math.abs(s).toLong
+      sumAbs += a; sumSq += a * a; if (a > peak) peak = a
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+    }
+    assert(f.sum_abs == sumAbs && f.sum_sq == sumSq)
+    assert(f.peak_abs == peak && f.zero_crossings == zc)
+    assert(f.rms == math.sqrt(sumSq.toDouble / 256.0))
+  }
+
+  test("synthetic audio payloads are genuine RIFF/WAVE files") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val rows = Multimodal.syntheticAudio(docs).collect()
+    rows.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(new String(p.take(4), "US-ASCII") == "RIFF")
+      assert(new String(p.slice(8, 12), "US-ASCII") == "WAVE")
+      // and the JDK parser accepts it as 16-bit mono PCM
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      assert(ais.getFormat.getSampleSizeInBits == 16)
+      assert(ais.getFormat.getChannels == 1)
+      assert(ais.getFrameLength == 256L)
+    }
+  }
+
   test("synthetic images are real decodable PNGs with the PNG signature") {
     import spark.implicits._
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
