@@ -88,11 +88,16 @@ object Bench {
         // dir and the artifact evaporates with it. Walk UP until the
         // directory actually holding build.sbt (the repo root marker);
         // fall back to the JVM cwd if the walk never finds one.
-        val start = java.nio.file.Paths.get(
-          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-        Iterator.iterate(start)(_.getParent).takeWhile(_ != null)
-          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
-          .map(_.toString)
+        // getCodeSource may be null (boot/layered classloaders) — that
+        // must fall into the user.dir fallback, not NPE into the outer
+        // catch and silently strand the artifact
+        Option(Bench.getClass.getProtectionDomain.getCodeSource)
+          .flatMap { cs =>
+            val start = java.nio.file.Paths.get(cs.getLocation.toURI)
+            Iterator.iterate(start)(_.getParent).takeWhile(_ != null)
+              .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+              .map(_.toString)
+          }
           .getOrElse(System.getProperty("user.dir"))
       }
       val out = java.nio.file.Paths.get(repoRoot, "BENCH_LOCAL.json")

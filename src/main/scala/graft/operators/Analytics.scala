@@ -19,6 +19,35 @@ import org.apache.spark.sql.types._
   * by the literal step count. */
 object Analytics {
 
+  /** Sentinel for NaN group keys: boxed-Double equality (and Scala `==`)
+    * says NaN != NaN, but Catalyst's grouping/sort semantics put all NaNs
+    * in ONE group — a NaN group column would otherwise reset the local
+    * rank on every row and miss its offsets-map entry. A CASE object:
+    * the key rides the offsets shuffle, so it must serialize and
+    * readResolve back to the singleton for post-deserialize equality. */
+  private case object NaNKey
+
+  /** Canonicalize one group-key element for JVM equality so it matches
+    * Catalyst's comparison semantics on the SAME rows: binary columns
+    * compare by CONTENT (Array[Byte] on an RDD row compares by
+    * reference), all NaNs are one key, and -0.0 == 0.0 (Spark normalizes
+    * float keys in sort/group — SPARK-26021 — so a -0.0 row and a 0.0 row
+    * sort as equal and must rank as one group here too). */
+  private def canon(v: Any): Any = v match {
+    case b: Array[Byte] =>
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case d: java.lang.Double =>
+      if (d.isNaN) NaNKey
+      else if (d.doubleValue() == 0.0) java.lang.Double.valueOf(0.0) else d
+    case f: java.lang.Float =>
+      if (f.isNaN) NaNKey
+      else if (f.floatValue() == 0.0f) java.lang.Float.valueOf(0.0f) else f
+    case x => x
+  }
+
+  private def canonKey(r: org.apache.spark.sql.Row, n: Int): Seq[Any] =
+    Seq.tabulate(n)(i => canon(r.get(i)))
+
   /** Range-partition on `sortCols`, sort within partitions, and append
     * (`pidCol` = partition id, `lrnCol` = 1-based local rank) in ONE
     * NARROW pass. A window `partitionBy(pid)` here would re-shuffle the
@@ -52,7 +81,7 @@ object Analytics {
       var prev: Seq[Any] = null
       it.map { r =>
         if (nReset > 0) {
-          val key: Seq[Any] = (0 until nReset).map(r.get)
+          val key = canonKey(r, nReset)
           if (prev == null || key != prev) lrn = 0L
           prev = key
         }
@@ -155,6 +184,15 @@ object Analytics {
     // place each bucket's offsets AT its range bucket — and the ranked
     // rows never leave their partitions, making the scaladoc's "one
     // data-sized shuffle" true unconditionally, at any group count.
+    //
+    // Task memory: the zip materializes one map entry per DISTINCT group
+    // present in its range bucket (~|groups|/parts on average, strictly
+    // ≤ the bucket's row count) — unlike the spillable-join alternative
+    // this is heap-resident, so at extreme group cardinality `parts`
+    // must scale with |groups| (e.g. ≤ ~10^6 distinct groups per bucket
+    // keeps the map at tens of MB). That is the deliberate trade: the
+    // join attach re-shuffles the whole data-sized frame every call; the
+    // map holds only the bucket's group directory.
     val ng = groupCols.length
     val rankedRdd = ranked.rdd
     // RangePartitioner may materialize FEWER partitions than requested
@@ -167,7 +205,7 @@ object Analytics {
       .select((groupCols.map(col) :+ col("__pid") :+ col("__off") :+
         col("__n")): _*)
       .rdd.map { r =>
-        (r.getInt(ng), (Seq.tabulate(ng)(r.get), r.getLong(ng + 1),
+        (r.getInt(ng), (canonKey(r, ng), r.getLong(ng + 1),
           r.getLong(ng + 2)))
       }
       .partitionBy(new org.apache.spark.Partitioner {
@@ -179,14 +217,25 @@ object Analytics {
       .add("__rn", LongType, nullable = false)
     val zipped = rankedRdd.zipPartitions(offsRdd,
         preservesPartitioning = true) { (it, offIt) =>
-      val byKey = offIt.map { case (_, (key, off, n)) => (key, (off, n)) }
-        .toMap
+      val byKey = new java.util.HashMap[Seq[Any], (Long, Long)]()
+      offIt.foreach { case (_, (key, off, n)) => byKey.put(key, (off, n)) }
+      // groups are contiguous in the ranked partition (sorted by group),
+      // so one lookup per group suffices, not one per row
+      var curKey: Seq[Any] = null
+      var curOff = 0L
+      var curN = 0L
       it.map { r =>
-        val key: Seq[Any] = Seq.tabulate(ng)(r.get)
-        val (off, n) = byKey(key)
+        val key = canonKey(r, ng)
+        if (curKey == null || key != curKey) {
+          val e = byKey.get(key)
+          if (e == null) throw new IllegalStateException(
+            s"rankedByGroup invariant broken: range bucket holds group " +
+              s"$key but its offsets row landed elsewhere")
+          curKey = key; curOff = e._1; curN = e._2
+        }
         // ranked row = (group..., __v, __pid, __lrn)
         org.apache.spark.sql.Row.fromSeq(
-          r.toSeq.dropRight(2) :+ n :+ (off + r.getLong(ng + 2)))
+          r.toSeq.dropRight(2) :+ curN :+ (curOff + r.getLong(ng + 2)))
       }
     }
     spark.createDataFrame(zipped, outSchema)

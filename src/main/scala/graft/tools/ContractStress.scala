@@ -89,15 +89,16 @@ object ContractStress {
     val stageNames = new mutable.HashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        if (e.taskInfo != null) byStage.synchronized {
-          val (gc, recs) =
-            if (e.taskMetrics != null)
-              (e.taskMetrics.jvmGCTime,
-                e.taskMetrics.shuffleReadMetrics.recordsRead +
-                  e.taskMetrics.inputMetrics.recordsRead)
-            else (0L, 0L)
+        // only SUCCESSFUL attempts: a failed/killed attempt carries null
+        // metrics and would register as a 0-record task, deflating the
+        // record median and turning a balanced stage into a spurious
+        // "47000x record skew" gate failure under retry churn
+        if (e.taskInfo != null && e.taskInfo.successful &&
+            e.taskMetrics != null) byStage.synchronized {
           byStage.getOrElseUpdate(e.stageId, mutable.ArrayBuffer.empty)
-            .append((e.taskInfo.duration, gc, recs))
+            .append((e.taskInfo.duration, e.taskMetrics.jvmGCTime,
+              e.taskMetrics.shuffleReadMetrics.recordsRead +
+                e.taskMetrics.inputMetrics.recordsRead))
         }
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
@@ -150,7 +151,12 @@ object ContractStress {
       // cheap stages (sub-200 ms medians measure scheduler/GC/JIT jitter,
       // not data placement — verified: a 19.5x duration-skew stage here
       // had perfectly balanced 47k-row buckets), so duration-skew only
-      // gates when the median task is >= 200 ms of sustained compute.
+      // gates when the median task is >= 200 ms of sustained compute —
+      // PLUS an absolute straggler rule: a single task >= 5 s that is
+      // >= 20x its stage median is a genuine value-dependent straggler
+      // (pathological row, hot computation) even when the median is fast
+      // and the record counts are balanced; jitter/GC pauses do not
+      // produce 5-second 20x outliers on these workloads.
       case class StageSkew(sid: Int, n: Int, durs: Seq[Long], recs: Seq[Long],
           gcs: Seq[Long]) {
         val dMed = math.max(1L, durs(durs.size / 2))
@@ -159,7 +165,8 @@ object ContractStress {
         val rMed = recs(recs.size / 2)
         val rSkew = recs.last.toDouble / math.max(1L, rMed)
         def dataSkewed: Boolean = rTot >= 10000 && rSkew > 4.0
-        def computeSkewed: Boolean = dMed >= 200 && dSkew > 4.0
+        def computeSkewed: Boolean = (dMed >= 200 && dSkew > 4.0) ||
+          (durs.last >= 5000 && dSkew > 20.0)
       }
       val skews = heavy.toSeq.map { case (sid, ts) =>
         StageSkew(sid, ts.size, ts.map(_._1).sorted, ts.map(_._3).sorted,

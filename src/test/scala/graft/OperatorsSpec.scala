@@ -405,6 +405,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == Map("a" -> 5.0)) // all-null group b absent
   }
 
+  test("rankedByGroup handles binary and NaN group keys like Catalyst") {
+    // Array[Byte] group keys: JVM reference equality would reset the local
+    // rank every row and miss the offsets-map entry; the canonical-key
+    // path must rank by CONTENT, matching Catalyst's binary comparison
+    val bin = Seq(
+      (Array[Byte](1, 2), 30.0), (Array[Byte](1, 2), 10.0),
+      (Array[Byte](1, 2), 20.0), (Array[Byte](9), 5.0))
+      .toDF("g", "v").repartition(5)
+    val gotB = graft.operators.Analytics
+      .exactPercentiles(bin, Seq("g"), "v", Seq(("p50", 0.5)))
+      .collect().map(r => (r.getAs[Array[Byte]](0).toSeq, r.getDouble(1)))
+      .toMap
+    assert(gotB == Map(Seq[Byte](1, 2) -> 20.0, Seq[Byte](9) -> 5.0))
+    // NaN group keys: all NaNs are ONE group (Catalyst grouping semantics);
+    // boxed NaN != NaN would split them and break the offsets lookup
+    val nan = Seq((Double.NaN, 4.0), (Double.NaN, 2.0), (1.0, 7.0))
+      .toDF("g", "v").repartition(3)
+    val asSeq = graft.operators.Analytics
+      .exactPercentiles(nan, Seq("g"), "v", Seq(("p50", 0.5)))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    assert(asSeq.length == 2)
+    assert(asSeq.exists { case (g, p) => g == 1.0 && p == 7.0 })
+    assert(asSeq.exists { case (g, p) => g.isNaN && p == 3.0 })
+  }
+
   test("trimmedMean drops exactly the floor(n*trim) tail ranks per side") {
     // group x: values 1..10, trim 0.1 → drop rank 1 and rank 10 → mean of 2..9
     val rows = (1 to 10).map(v => ("x", v * 1.0)) ++ Seq(("y", 5.0))
