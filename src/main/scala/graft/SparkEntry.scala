@@ -2256,11 +2256,28 @@ object SparkEntry {
           Multimodal.syntheticImages(t(s, dir, "documents")))
         .toDF()
         .select(col("media_id"),
-          (col("sum_r").cast(DoubleType) / lit(96.0)).as("mean_r"),
-          (col("sum_g").cast(DoubleType) / lit(96.0)).as("mean_g"),
-          (col("sum_b").cast(DoubleType) / lit(96.0)).as("mean_b"),
+          // divide by the DECODED raster size, not a copy of the 12x8
+          // generator constant — dims changing at one site can't silently
+          // skew the means (value identical: width*height = 96 today)
+          (col("sum_r").cast(DoubleType) /
+            (col("width") * col("height")).cast(DoubleType)).as("mean_r"),
+          (col("sum_g").cast(DoubleType) /
+            (col("width") * col("height")).cast(DoubleType)).as("mean_g"),
+          (col("sum_b").cast(DoubleType) /
+            (col("width") * col("height")).cast(DoubleType)).as("mean_b"),
           col("lum_b0"), col("lum_b1"), col("lum_b2"), col("lum_b3"),
           col("lum_b4"), col("lum_b5"), col("lum_b6"), col("lum_b7"))
+        .orderBy("media_id")),
+
+    // multimodal: REAL resize — ImageIO-decode the PNG, then an integer
+    // 2x2 box-filter downsample (12x8 → 6x4; out pixel = truncating mean
+    // of its block) with exact channel sums of the RESIZED raster. The
+    // twin replays the pixel generator plus the same block mean, so a
+    // hash match proves the decode+resize arithmetic end-to-end.
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.resizeImageFeatures(
+          Multimodal.syntheticImages(t(s, dir, "documents")), factor = 2)
+        .toDF()
         .orderBy("media_id")),
 
     // multimodal: REAL WAV round trip — deterministic 16-bit PCM encoded
@@ -3867,8 +3884,13 @@ object SparkEntry {
       val mx = d.agg(max(col("w")).as("maxw"))
       d.crossJoin(broadcast(mx))
         .withColumn("kept",
-          (col("doc_id") * lit(2654435761L)) % lit(1048576L) * col("maxw")
-            < col("w") * lit(1048576L))
+          // reduce doc_id mod 2^20 BEFORE the Knuth multiply: congruent
+          // mod 2^20 (so the kept set is identical), but every
+          // intermediate stays < 2^52 — the raw product overflows signed
+          // 64-bit at doc_id ≥ ~3.5e9, well inside a 100 TB corpus
+          // (ANSI mode would throw; the twin's BIGINT errors out of range)
+          (col("doc_id") % lit(1048576L)) * lit(2654435761L) % lit(1048576L)
+            * col("maxw") < col("w") * lit(1048576L))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -6532,6 +6554,36 @@ object SparkEntry {
          SELECT doc_id, min(doc_id) OVER (PARTITION BY run_id) AS component
          FROM runs ORDER BY doc_id""",
 
+    // resize twin: replay the pixel generator over the OUTPUT raster
+    // (6x4), each output pixel = truncating mean (// 4) of its 2x2 source
+    // block per channel — the same integer arithmetic as the box filter
+    // over the ImageIO-decoded pixels, so a hash match certifies the
+    // decode+resize path end-to-end with no codec on the oracle side
+    "q_media_resize" ->
+      """WITH o AS (
+           SELECT doc_id AS media_id, t.j % 6 AS xo, t.j // 6 AS yo
+           FROM documents, unnest(generate_series(0, 23)) AS t(j)),
+         px AS (
+           SELECT media_id, xo, yo,
+             (media_id * 131 +
+               (((2*yo + dy.d) * 12 + (2*xo + dx.e)) * 3 + 0) * 7) % 256 AS r,
+             (media_id * 131 +
+               (((2*yo + dy.d) * 12 + (2*xo + dx.e)) * 3 + 1) * 7) % 256 AS g,
+             (media_id * 131 +
+               (((2*yo + dy.d) * 12 + (2*xo + dx.e)) * 3 + 2) * 7) % 256 AS b
+           FROM o, unnest(generate_series(0, 1)) AS dy(d),
+             unnest(generate_series(0, 1)) AS dx(e)),
+         blk AS (
+           SELECT media_id, xo, yo, sum(r) // 4 AS r4, sum(g) // 4 AS g4,
+             sum(b) // 4 AS b4
+           FROM px GROUP BY media_id, xo, yo)
+         SELECT media_id, CAST(6 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
+           CAST(sum(r4) AS BIGINT) AS sum_r,
+           CAST(sum(g4) AS BIGINT) AS sum_g,
+           CAST(sum(b4) AS BIGINT) AS sum_b
+         FROM blk GROUP BY media_id ORDER BY media_id""",
+
     // the STUB decode is deterministic in the payload bytes, so even the
     // real-decode twin: the oracle replays the closed-form pixel generator
     // v(id, idx) = (id*131 + idx*7) % 256 over a 12×8 RGB raster — no codec
@@ -7350,7 +7402,8 @@ object SparkEntry {
            FROM documents),
          m AS (SELECT max(w) AS maxw FROM d),
          k AS (SELECT source, w,
-             ((doc_id * 2654435761) % 1048576) * maxw < w * 1048576 AS kept
+             (((doc_id % 1048576) * 2654435761) % 1048576) * maxw
+               < w * 1048576 AS kept
            FROM d, m)
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

@@ -238,6 +238,64 @@ object Multimodal {
       }
   }
 
+  /** Features of a box-filter-downsampled image. */
+  case class ResizedFeatures(media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image resize, partition-wise: decode the PNG payload with
+    * `ImageIO.read`, then downsample by `factor` with an integer BOX
+    * filter — output pixel (X,Y) is the truncating mean (`div factor²`)
+    * of its factor×factor source block, per channel — and return exact
+    * per-channel sums of the RESIZED raster. The box filter is written
+    * out (not `getScaledInstance`) so the arithmetic is deterministic
+    * across JDKs and an oracle can replay it bit-for-bit from the pixel
+    * formula. Trailing rows/cols that don't fill a block are dropped
+    * (out dims = floor(in/factor)), standard box-downsample semantics.
+    * Same scale shape as [[decodeImageFeatures]]: mapPartitions, codec
+    * init amortized per partition, no shuffle. */
+  def resizeImageFeatures(images: DataFrame,
+      factor: Int = 2): Dataset[ResizedFeatures] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"media_id=$id: payload is not a decodable image")
+          val ow = img.getWidth / factor
+          val oh = img.getHeight / factor
+          val block = factor.toLong * factor
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var yo = 0
+          while (yo < oh) {
+            var xo = 0
+            while (xo < ow) {
+              var br = 0L; var bg = 0L; var bb = 0L
+              var dy = 0
+              while (dy < factor) {
+                var dx = 0
+                while (dx < factor) {
+                  val rgb = img.getRGB(xo * factor + dx, yo * factor + dy)
+                  br += (rgb >> 16) & 0xff
+                  bg += (rgb >> 8) & 0xff
+                  bb += rgb & 0xff
+                  dx += 1
+                }
+                dy += 1
+              }
+              sr += br / block; sg += bg / block; sb += bb / block
+              xo += 1
+            }
+            yo += 1
+          }
+          ResizedFeatures(id, ow, oh, sr, sg, sb)
+        }
+      }
+  }
+
   /** Per-media perceptual hash row. */
   case class MediaHash(media_id: Long, phash: Long)
 

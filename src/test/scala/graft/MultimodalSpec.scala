@@ -45,6 +45,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ehist.sum == 96)
   }
 
+  test("real resize: 2x2 box filter matches the formula block means") {
+    import spark.implicits._
+    val docs = Seq((7L, "x")).toDF("doc_id", "text")
+    val feats = Multimodal.resizeImageFeatures(
+      Multimodal.syntheticImages(docs, width = 12, height = 8),
+      factor = 2).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.width == 6 && f.height == 4)
+    // expectation straight from the pixel formula: each output pixel is
+    // the truncating mean of its 2x2 source block, summed per channel
+    def pv(x: Int, y: Int, c: Int): Long =
+      (7L * 131 + ((y.toLong * 12 + x) * 3 + c) * 7) % 256
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (yo <- 0 until 4; xo <- 0 until 6) {
+      def blk(c: Int): Long =
+        (pv(2 * xo, 2 * yo, c) + pv(2 * xo + 1, 2 * yo, c) +
+          pv(2 * xo, 2 * yo + 1, c) + pv(2 * xo + 1, 2 * yo + 1, c)) / 4
+      er += blk(0); eg += blk(1); eb += blk(2)
+    }
+    assert(f.sum_r == er && f.sum_g == eg && f.sum_b == eb)
+    // factor 1 resize is the identity: sums equal the decode sums
+    val id1 = Multimodal.resizeImageFeatures(
+      Multimodal.syntheticImages(docs), factor = 1).collect().head
+    val dec = Multimodal.decodeImageFeatures(
+      Multimodal.syntheticImages(docs)).collect().head
+    assert(id1.width == 12 && id1.height == 8)
+    assert((id1.sum_r, id1.sum_g, id1.sum_b) ==
+      ((dec.sum_r, dec.sum_g, dec.sum_b)))
+  }
+
   test("ImageIO round trip is lossless: handcrafted 2x1 PNG decodes exactly") {
     // bypass syntheticImages: encode a tiny image by hand, decode through
     // decodeImageFeatures, check the exact channel sums (255-red + pure
