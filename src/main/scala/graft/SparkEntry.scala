@@ -812,6 +812,33 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // REAL stream-stream join: click and view FILE-SOURCE streams, BOTH
+    // watermarked, joined on user within [ts, ts+10min] — the
+    // state-evictable shape (watermark on each side + time-bounded
+    // condition) that runs with bounded memory on unbounded input. Inner
+    // matches emit eagerly, so a finite stream converges to exactly the
+    // batch join; the twin replays it as ordinary SQL.
+    "q_stream_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_sjoin").toString
+      ev.filter(col("event_type") === "click").write.mode("overwrite")
+        .parquet(s"$feed/clicks")
+      ev.filter(col("event_type") === "view").write.mode("overwrite")
+        .parquet(s"$feed/views")
+      def src(p: String) = s.readStream
+        .schema(s.read.parquet(p).schema).parquet(p)
+      val joined = graft.streaming.Streams.intervalJoin(
+        src(s"$feed/clicks"), src(s"$feed/views"), "10 minutes")
+      val name = "sjoin_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.Streams.runToMemory(joined, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // semi join (EXISTS) — absent in reference (JoinType has 2 variants,
     // ref: src/plan/logical/join.rs:14-17)
     "q_join_semi" -> ((s, dir) => {
@@ -7869,6 +7896,18 @@ object SparkEntry {
       """SELECT event_type,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // the streaming inner interval join on a finite stream equals the
+    // batch join — the twin is that batch join, aggregated
+    "q_stream_join" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS n_users
+         FROM events c JOIN events v
+           ON c.user_id = v.user_id
+          AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+          AND CAST(v.ts AS TIMESTAMP)
+              <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+         WHERE c.event_type = 'click' AND v.event_type = 'view'""",
 
     // survivor = global min doc_id per text (the q_dedup_exact policy)
     "q_dedup_rate" ->

@@ -41,6 +41,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == batch.toSeq)
   }
 
+  test("intervalJoin: stream-stream join equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    // clicks at :00 and :10 for user 1; views for user 1 at :05 (inside
+    // both 10-min windows), :25 (outside), user 2 at :06 (wrong user)
+    val clicks = Seq((1L, ts(0), 1L, "click", 1.0, "{}"),
+      (2L, ts(10), 1L, "click", 1.0, "{}"))
+    val views = Seq((3L, ts(5), 1L, "view", 1.0, "{}"),
+      (4L, ts(25), 1L, "view", 1.0, "{}"),
+      (5L, ts(6), 2L, "view", 1.0, "{}"))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val memC = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val memV = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    memC.addData(clicks: _*); memV.addData(views: _*)
+    val joined = Streams.intervalJoin(
+      memC.toDF.toDF(cols: _*), memV.toDF.toDF(cols: _*), "10 minutes")
+    assert(joined.isStreaming)
+    val got = Streams.runToMemory(joined, "sjoin_out", OutputMode.Append())
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    // click 1 (:00) matches view :05; click 2 (:10) has no view in
+    // [:10,:20]; view :25 and user-2 view never match
+    assert(got == Set((1L, 3L)))
+    val batch = Streams.intervalJoin(clicks.toDF(cols: _*),
+        views.toDF(cols: _*), "10 minutes")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got == batch)
+  }
+
   test("sliding windows emit overlapping buckets; streaming equals batch") {
     val batch = Streams.slidingCounts(
         eventRows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
