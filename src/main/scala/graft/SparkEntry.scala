@@ -819,8 +819,12 @@ object SparkEntry {
     // matches emit eagerly, so a finite stream converges to exactly the
     // batch join; the twin replays it as ordinary SQL.
     "q_stream_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
-        col("user_id"), col("event_type"))
+      // every 4th user: the stream-stream machinery (dual watermarked
+      // state stores, time-bounded eviction) is what's under contract;
+      // state volume is not — the un-filtered shape is q_interval_join
+      val ev = t(s, dir, "events").filter(col("user_id") % 4 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
       val feed = java.nio.file.Files
         .createTempDirectory("graft_sjoin").toString
       ev.filter(col("event_type") === "click").write.mode("overwrite")
@@ -7907,7 +7911,8 @@ object SparkEntry {
           AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
           AND CAST(v.ts AS TIMESTAMP)
               <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
-         WHERE c.event_type = 'click' AND v.event_type = 'view'""",
+         WHERE c.event_type = 'click' AND v.event_type = 'view'
+           AND c.user_id % 4 = 0 AND v.user_id % 4 = 0""",
 
     // survivor = global min doc_id per text (the q_dedup_exact policy)
     "q_dedup_rate" ->
