@@ -3105,6 +3105,13 @@ object SparkEntry {
         .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
+      // deliberately NOT persisted although three branches (out/in
+      // degree, the cc wedge pipeline) traverse it: measured at sf0.1,
+      // caching the distinct is 2.5x SLOWER (5.1 s vs 1.9 s steady) —
+      // the lineage is one pruned bigint scan plus narrow hash ops, so
+      // recompute beats the cache's build + InMemoryTableScan cost and
+      // the codegen fusion it breaks. Revisit only if the edge builder
+      // ever becomes wider than a single-column scan.
       val outDeg = edges.groupBy(col("src").as("node_id"))
         .agg(count(lit(1)).as("out_deg"))
       val inDeg = edges.groupBy(col("dst").as("node_id"))
