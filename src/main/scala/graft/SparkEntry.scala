@@ -827,12 +827,18 @@ object SparkEntry {
           col("event_type"))
       val feed = java.nio.file.Files
         .createTempDirectory("graft_sjoin").toString
-      ev.filter(col("event_type") === "click").write.mode("overwrite")
-        .parquet(s"$feed/clicks")
-      ev.filter(col("event_type") === "view").write.mode("overwrite")
-        .parquet(s"$feed/views")
-      def src(p: String) = s.readStream
-        .schema(s.read.parquet(p).schema).parquet(p)
+      ev.filter(col("event_type") === "click").coalesce(4)
+        .write.mode("overwrite").parquet(s"$feed/clicks")
+      ev.filter(col("event_type") === "view").coalesce(4)
+        .write.mode("overwrite").parquet(s"$feed/views")
+      // state width = the stream session's shuffle partitions (one state
+      // store per partition per batch). A session CLONE right-sizes it to
+      // the bounded feed without touching the shared session — at
+      // production volume this same knob is what you RAISE.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      def src(p: String) = ss.readStream
+        .schema(ss.read.parquet(p).schema).parquet(p)
       val joined = graft.streaming.Streams.intervalJoin(
         src(s"$feed/clicks"), src(s"$feed/views"), "10 minutes")
       val name = "sjoin_" +
@@ -1778,6 +1784,15 @@ object SparkEntry {
         .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
         .orderBy("doc_id")
     }),
+
+    // supervised term selection: chi-squared presence/class association,
+    // top-3 class-indicative terms per source — the feature-selection
+    // counterpart to unsupervised tfidf/PMI; all counts exact longs, one
+    // fixed-order double expression both engines replay bit-for-bit
+    "q_chi2_terms" -> ((s, dir) =>
+      graft.functions.Text.chiSquaredTerms(t(s, dir, "documents"),
+          classCol = "source", topk = 3, minDf = 5)
+        .orderBy("source", "rn")),
 
     // correlated LATERAL subquery (top-n per group via join-side subquery)
     "q_lateral" -> ((s, dir) => {
@@ -6951,6 +6966,45 @@ object SparkEntry {
              ORDER BY tfidf DESC, term ASC) AS rn
            FROM scored) r
          WHERE rn = 1 ORDER BY doc_id""",
+
+    // chi2 = n·(AD−BC)²/((A+B)(C+D)(A+C)(B+D)) with the SAME
+    // left-associated cast/multiply/divide chain as the Spark column —
+    // the four-way denominator product would overflow BIGINT, hence the
+    // stepwise double divisions on both sides
+    "q_chi2_terms" ->
+      """WITH words AS (
+           SELECT DISTINCT source AS cls, doc_id,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           FROM documents),
+         tc AS (SELECT term, cls, count(*) AS a FROM words
+                WHERE term <> '' GROUP BY term, cls),
+         tt AS (SELECT term, sum(a) AS t_all FROM tc GROUP BY term),
+         ct AS (SELECT source AS cls, count(*) AS c_all FROM documents
+                GROUP BY source),
+         nd AS (SELECT count(*) AS n FROM documents),
+         cells AS (
+           SELECT ct.cls, tt.term, coalesce(tc.a, 0) AS a, t_all, c_all, n,
+             t_all - coalesce(tc.a, 0) AS b,
+             c_all - coalesce(tc.a, 0) AS c,
+             n - t_all - c_all + coalesce(tc.a, 0) AS d,
+             coalesce(tc.a, 0) * (n - t_all - c_all + coalesce(tc.a, 0))
+               - (t_all - coalesce(tc.a, 0)) * (c_all - coalesce(tc.a, 0))
+               AS adbc
+           FROM tt CROSS JOIN ct
+             LEFT JOIN tc ON tc.term = tt.term AND tc.cls = ct.cls
+             CROSS JOIN nd
+           WHERE t_all >= 5 AND t_all < n),
+         scored AS (
+           SELECT cls, term, a,
+             CAST(n AS DOUBLE) * CAST(adbc AS DOUBLE) * CAST(adbc AS DOUBLE)
+               / CAST(a + b AS DOUBLE) / CAST(c + d AS DOUBLE)
+               / CAST(a + c AS DOUBLE) / CAST(b + d AS DOUBLE) AS chi2
+           FROM cells)
+         SELECT cls AS source, term, CAST(a AS BIGINT) AS n_docs, chi2,
+           CAST(rn AS BIGINT) AS rn
+         FROM (SELECT *, row_number() OVER (PARTITION BY cls
+                 ORDER BY chi2 DESC, term ASC) AS rn FROM scored) r
+         WHERE rn <= 3 ORDER BY source, rn""",
 
     "q_lateral" ->
       """SELECT n_name, t.c_name, t.c_acctbal

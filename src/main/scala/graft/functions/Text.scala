@@ -148,6 +148,66 @@ object Text {
           (col("n_docs").cast("double") / col("doc_freq"))).as("tfidf"))
   }
 
+  /** Supervised feature selection: chi-squared association between term
+    * PRESENCE and a document class — the classic signal for picking
+    * class-indicative vocabulary (quality-classifier features, domain
+    * lexicons) that unsupervised tf-idf/PMI cannot give. Per (term,
+    * class) contingency over document presence counts (A = class docs
+    * containing the term, B/C/D the complements),
+    * chi2 = n·(AD−BC)² / ((A+B)(C+D)(A+C)(B+D)), computed as one fixed
+    * left-associated double expression over exact longs (the four-way
+    * denominator product would overflow i64, so it divides stepwise) —
+    * bit-identical in any engine replaying the same counts. Terms
+    * appearing in every document or fewer than `minDf` are dropped
+    * (degenerate contingency / unstable ranks).
+    *
+    * Scale shape: presence dedup + two grouped counts + a broadcast of
+    * the |classes|-row and 1-row totals; the only data-sized movements
+    * are the word explode and its distinct. Top-k per class via a window
+    * PARTITIONED BY CLASS — bounded partitions, never a global window. */
+  def chiSquaredTerms(docs: DataFrame, classCol: String = "source",
+      textCol: String = "text", topk: Int = 3, minDf: Long = 5): DataFrame = {
+    val words = docs
+      .select(col(classCol).as("cls"), col("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .select("cls", "doc_id", "term").distinct()
+    val tc = words.groupBy("term", "cls").agg(count(lit(1)).as("a"))
+    val termTot = tc.groupBy("term").agg(sum(col("a")).as("t_all"))
+    val clsTot = docs.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("c_all"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    // densify over vocab × classes (a LEFT join against the occurring
+    // pairs, zero-filled): a term NEVER seen in class c with high
+    // presence elsewhere is a strong negative feature — A=0 cells carry
+    // exactly that signal and must score, not vanish. The dense frame is
+    // |vocab|·|classes| rows — vocab-sized, orders below the corpus.
+    val cells = termTot.filter(col("t_all") >= minDf)
+      .crossJoin(broadcast(clsTot))
+      .join(tc, Seq("term", "cls"), "left")
+      .withColumn("a", coalesce(col("a"), lit(0L)))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("t_all") < col("n"))
+      .withColumn("b", col("t_all") - col("a"))
+      .withColumn("c", col("c_all") - col("a"))
+      .withColumn("d",
+        col("n") - col("t_all") - col("c_all") + col("a"))
+      .withColumn("adbc", col("a") * col("d") - col("b") * col("c"))
+    val chi2 = col("n").cast("double") *
+      col("adbc").cast("double") * col("adbc").cast("double") /
+      (col("a") + col("b")).cast("double") /
+      (col("c") + col("d")).cast("double") /
+      (col("a") + col("c")).cast("double") /
+      (col("b") + col("d")).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cls").orderBy(col("chi2").desc, col("term").asc)
+    cells.withColumn("chi2", chi2)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topk)
+      .select(col("cls").as(classCol), col("term"), col("a").as("n_docs"),
+        col("chi2"), col("rn"))
+  }
+
   /** Overlapping fixed-size character chunking — the RAG / context-window
     * preparation step: each document becomes (chunk_idx, start_char,
     * chunk_text) rows with `size` characters per chunk and `overlap`

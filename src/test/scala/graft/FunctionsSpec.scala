@@ -17,6 +17,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fp("") == 0L)
   }
 
+  test("chiSquaredTerms: contingency math exact on a hand-built corpus") {
+    val docs = Seq(
+      (1L, "x", "aa bb"), (2L, "x", "aa bb"), (3L, "x", "aa cc"),
+      (4L, "y", "bb"), (5L, "y", "bb cc"), (6L, "y", "cc dd"))
+      .toDF("doc_id", "source", "text")
+    val got = Text.chiSquaredTerms(docs, topk = 2, minDf = 1)
+      .orderBy("source", "rn")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    // replicate the fixed-order double chain for each expected cell
+    def chi2(n: Long, a: Long, b: Long, c: Long, d: Long): Double = {
+      val adbc = a * d - b * c
+      n.toDouble * adbc.toDouble * adbc.toDouble /
+        (a + b).toDouble / (c + d).toDouble /
+        (a + c).toDouble / (b + d).toDouble
+    }
+    // "aa" only in x-docs (A=3,B=0,C=0,D=3): maximally indicative of x,
+    // and its ABSENCE (A=0 dense cell) equally indicative of y; "dd"
+    // (one y-doc) is the runner-up BOTH ways — present for y, absent for
+    // x; "bb" (balanced 2/2) scores exactly 0 and never ranks
+    assert(got.toSeq == Seq(
+      ("x", "aa", 3L, chi2(6, 3, 0, 0, 3), 1L),
+      ("x", "dd", 0L, chi2(6, 0, 1, 3, 2), 2L),
+      ("y", "aa", 0L, chi2(6, 0, 3, 3, 0), 1L),
+      ("y", "dd", 1L, chi2(6, 1, 0, 2, 3), 2L)))
+    assert(chi2(6, 3, 0, 0, 3) == 6.0)
+    assert(chi2(6, 0, 3, 3, 0) == 6.0) // absence is symmetric evidence
+    assert(chi2(6, 2, 2, 1, 1) == 0.0) // the balanced "bb" cell
+  }
+
   test("simhash: identical docs equal; near docs within small hamming distance") {
     val sh = (s: String) => HashKernels.simhash64(UTF8String.fromString(s))
     val base = "the quick brown fox jumps over the lazy dog again and again"
