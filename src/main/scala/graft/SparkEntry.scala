@@ -1794,6 +1794,13 @@ object SparkEntry {
           classCol = "source", topk = 3, minDf = 5)
         .orderBy("source", "rn")),
 
+    // per-source token-distribution Shannon entropy — the diversity
+    // metric mixture design reads next to raw counts; order-pinned fold
+    // so the float sum replays bit-for-bit (see Text.tokenEntropy)
+    "q_entropy" -> ((s, dir) =>
+      graft.functions.Text.tokenEntropy(t(s, dir, "documents"))
+        .orderBy("source")),
+
     // correlated LATERAL subquery (top-n per group via join-side subquery)
     "q_lateral" -> ((s, dir) => {
       val ctx = Context.forSfDir(s, dir)
@@ -6966,6 +6973,30 @@ object SparkEntry {
              ORDER BY tfidf DESC, term ASC) AS rn
            FROM scored) r
          WHERE rn = 1 ORDER BY doc_id""",
+
+    // entropy twin: Σ c·ln(c) as ONE left fold over terms in ascending
+    // order (list_reduce over an ORDER BY list) — the exact fold order
+    // of the Spark side's sorted mapPartitions accumulator, so the
+    // order-dependent double sum is bit-identical
+    "q_entropy" ->
+      """WITH words AS (
+           SELECT source AS cls,
+             unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+           FROM documents),
+         tc AS (SELECT cls, term, count(*) AS c FROM words
+                WHERE term <> '' GROUP BY cls, term),
+         agg AS (
+           SELECT cls,
+             list_reduce(
+               list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                    ORDER BY term),
+               (a, b) -> a + b) AS clnc,
+             sum(c) AS n, count(*) AS t
+           FROM tc GROUP BY cls)
+         SELECT cls AS source, CAST(t AS BIGINT) AS n_types,
+           CAST(n AS BIGINT) AS n_tokens,
+           ln(CAST(n AS DOUBLE)) - clnc / CAST(n AS DOUBLE) AS entropy
+         FROM agg ORDER BY source""",
 
     // chi2 = n·(AD−BC)²/((A+B)(C+D)(A+C)(B+D)) with the SAME
     // left-associated cast/multiply/divide chain as the Spark column —

@@ -208,6 +208,51 @@ object Text {
         col("chi2"), col("rn"))
   }
 
+  /** Shannon entropy of the token distribution per class — the diversity
+    * measure mixture design reads next to raw token counts (a low-entropy
+    * source is repetitive boilerplate even when it is large). H = ln(N) −
+    * (Σ c·ln c)/N over the per-class term counts; the float sum is the
+    * classic order-dependence trap, so Σ c·ln(c) accumulates in ONE
+    * left fold over terms in ascending binary order (repartition by
+    * class + sortWithinPartitions — the same order-pinned fold as
+    * Pooling.meanByGroup) and the oracle replays it with
+    * `list_reduce(list(x ORDER BY term), +)`. ln on identical doubles is
+    * engine-identical here (established by the PMI twin).
+    *
+    * Scale shape: the data-sized work is the word explode + one grouped
+    * count (map-side combinable); the fold runs over the per-class VOCAB
+    * (≪ corpus) with O(classes-per-partition) state. */
+  def tokenEntropy(docs: DataFrame, classCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tc = docs.select(col(classCol).as("cls"),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("cls", "term").agg(count(lit(1)).as("c"))
+    tc.repartition(col("cls"))
+      .sortWithinPartitions(col("cls"), col("term"))
+      .as[(String, String, Long)]
+      .mapPartitions { it =>
+        // per-class (Σ c·ln c, token count, type count); LinkedHashMap
+        // holds ≤ classes-per-partition entries — bounded, never
+        // vocab-sized
+        val acc = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Array[Double], Array[Long])]
+        it.foreach { case (cls, _, c) =>
+          val (s, nt) = acc.getOrElseUpdate(cls,
+            (new Array[Double](1), new Array[Long](2)))
+          s(0) += c.toDouble * math.log(c.toDouble)
+          nt(0) += c; nt(1) += 1
+        }
+        acc.iterator.map { case (cls, (s, nt)) =>
+          (cls, nt(1), nt(0),
+            math.log(nt(0).toDouble) - s(0) / nt(0).toDouble)
+        }
+      }
+      .toDF(classCol, "n_types", "n_tokens", "entropy")
+  }
+
   /** Overlapping fixed-size character chunking — the RAG / context-window
     * preparation step: each document becomes (chunk_idx, start_char,
     * chunk_text) rows with `size` characters per chunk and `overlap`

@@ -48,6 +48,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(chi2(6, 2, 2, 1, 1) == 0.0) // the balanced "bb" cell
   }
 
+  test("tokenEntropy: order-pinned fold matches the closed form") {
+    val docs = Seq((1L, "x", "a a b"), (2L, "y", "c"))
+      .toDF("doc_id", "source", "text")
+    val got = Text.tokenEntropy(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // x: counts a=2, b=1 -> H = ln 3 - (2 ln 2 + 1 ln 1)/3, folded in
+    // term-ascending order; y: one token -> exactly 0
+    val hx = math.log(3.0) -
+      (2.0 * math.log(2.0) + 1.0 * math.log(1.0)) / 3.0
+    assert(got.toSeq == Seq(("x", 2L, 3L, hx), ("y", 1L, 1L, 0.0)))
+  }
+
   test("simhash: identical docs equal; near docs within small hamming distance") {
     val sh = (s: String) => HashKernels.simhash64(UTF8String.fromString(s))
     val base = "the quick brown fox jumps over the lazy dog again and again"
