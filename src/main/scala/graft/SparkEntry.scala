@@ -1929,6 +1929,17 @@ object SparkEntry {
       Dedup.maskRepeatedSpans(t(s, dir, "documents"), k = 8, minDocs = 2)
         .orderBy("doc_id")),
 
+    // winnowing fingerprints (MOSS, SIGMOD 2003): window-min of the
+    // positional gram hashes keeps ~2/(w+1) of grams yet guarantees any
+    // shared run of >= w+k-1 tokens yields an identical selected
+    // fingerprint in both documents. The oracle replays the gram FNV in
+    // HUGEINT, maps to signed BIGINT (array_min compares signed longs),
+    // and window-mins with the same truncated-window rule.
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(t(s, dir, "documents"), k = 4, window = 8,
+          minShared = 3)
+        .orderBy("id_a", "id_b")),
+
     // cross-document boilerplate removal (C4-style): tokens occurring in
     // >= 100 distinct docs are corpus boilerplate, removed from every doc
     // (order preserved). The boilerplate set is tiny by construction →
@@ -3288,6 +3299,23 @@ object SparkEntry {
         FROM per CROSS JOIN t ORDER BY source""")
     }),
 
+    // §2.6 front door for the DP release: the same discrete-Laplace bit
+    // arithmetic in SQL text, exercising the extension-registered
+    // rolling_fingerprint function through the catalog-validated door
+    "q_sql_dp_release" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        WITH c AS (SELECT source, count(*) AS n FROM documents
+          GROUP BY source),
+        u AS (SELECT source, n,
+          rolling_fingerprint(source) & 4294967295 AS u FROM c)
+        SELECT source,
+          CAST(n + (1L - 2L * (u % 2)) *
+            CAST(bit_count(((u div 2) ^ ((u div 2) + 1)) div 2) AS BIGINT)
+            AS BIGINT) AS released
+        FROM u ORDER BY source""")
+    }),
+
     "q_sql_dedup_rate" -> ((s, dir) => {
       val ctx = Context.forSfDir(s, dir)
       ctx.sql("""
@@ -3641,6 +3669,16 @@ object SparkEntry {
           t(s, dir, "documents"), Seq("lang", "source"), k = 10)
         .orderBy("lang", "source")),
 
+    // differentially-private count release (discrete Laplace / two-sided
+    // geometric at eps = ln 2) — the release counterpart to q_kanon's
+    // audit; the noise draw is derandomized from the group-key
+    // fingerprint (integer bit arithmetic only), so both engines replay
+    // the released counts bit-for-bit
+    "q_dp_release" -> ((s, dir) =>
+      graft.operators.Expectations.dpNoisedCounts(
+          t(s, dir, "documents"), "source")
+        .orderBy("source")),
+
     // per-query reciprocal rank of the LSH list vs the exact top-5 (the
     // metric behind MRR) — 1/first-hit-rank, one exact division per row
     "q_mrr" -> ((s, dir) => {
@@ -3731,6 +3769,15 @@ object SparkEntry {
       graft.functions.Text.bpeTrainMerges(t(s, dir, "documents"), k = 6)
         .orderBy("merge_rank")),
 
+    // BPE ENCODE: per-doc token counts under the 6-merge tokenizer the
+    // corpus itself trains — the train→encode loop that budgets corpora
+    // in "our tokens", not whitespace tokens. Application is a k-deep
+    // chain of builtin replace() on the spaced word form (narrow,
+    // codegen'd); merges are k bounded driver rows.
+    "q_bpe_encode" -> ((s, dir) =>
+      graft.functions.Text.bpeEncode(t(s, dir, "documents"), k = 6)
+        .orderBy("doc_id")),
+
     // Count-Min Sketch built purely relationally (grouped count = the
     // d×w counter matrix, map-side combined; estimates = broadcast join +
     // min over the d rows). w=64 over 150+ users forces real collisions,
@@ -3765,6 +3812,15 @@ object SparkEntry {
     // hashed-bag-of-words linear classifier (fastText-shaped quality
     // model APPLY): narrow per-row fold over the token array — runs at
     // parquet-scan speed, no shuffle/explode/UDF
+    // batch perceptron training for a language/quality filter: integer
+    // features (bias, tokens, chars, digits), label ±1 on lang='en',
+    // 3 batch rounds w += Σ_miscl y·x — the weight trajectory is pure
+    // 64-bit integer arithmetic, replayed exactly by the unrolled twin
+    "q_perceptron_train" -> ((s, dir) =>
+      graft.functions.Text.perceptronTrain(t(s, dir, "documents"),
+          iters = 3)
+        .orderBy("iter")),
+
     "q_classify" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -3776,6 +3832,23 @@ object SparkEntry {
     // same ring+skip+affine synthetic graph as q_triangles; level-
     // synchronous frontier expansion, every step an equi-join on a node
     // id — the twin replays it as a recursive CTE with min-over-paths
+    // deterministic label-propagation communities (3 synchronous rounds,
+    // smallest-label ties) on the same ring+skip+affine graph as
+    // q_triangles/q_bfs, reported as (label, member count); the twin
+    // unrolls the rounds with a row_number argmax per node
+    "q_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // single bounded scalar, never data-sized
+      val id = col("doc_id")
+      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
+        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
+        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      val nodes = docs.select(id.as("id"))
+      graft.graph.LabelProp.run(nodes, edges, iters = 3)
+        .groupBy("label").agg(count(lit(1)).as("n_members"))
+        .orderBy("label")
+    }),
+
     "q_bfs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val n = docs.count() // single bounded scalar, never data-sized
@@ -3803,6 +3876,29 @@ object SparkEntry {
       val vec = Ann.bruteForceTopK(emb, q0, k = 50)
         .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
       Ann.rrfFuse(lex, vec, kRrf = 60, topk = 20)
+    }),
+
+    // MMR diversity re-rank (Carbonell & Goldstein 1998) of the exact
+    // top-30 for query 0: candidates and their 30x30 sim matrix are
+    // bounded upstream top-k products (the distributed part); the greedy
+    // selection runs over <= 30 driver rows. All cosines rounded to 6
+    // decimals BEFORE selection so both engines pick from identical
+    // values; the twin unrolls the 10 greedy rounds as chained CTEs.
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val top = Ann.bruteForceTopK(emb, q0, k = 30)
+        .select(col("neighbor_id").as("id"), col("cosine").as("rel"))
+      val cvec = emb.join(top.select("id"),
+          emb("vec_id") === top("id")).select(col("id"), col("embedding"))
+      val sims = cvec.as("a")
+        .crossJoin(broadcast(cvec.as("b")))
+        .filter(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          round(native.vec_cosine(col("a.embedding"), col("b.embedding")), 6)
+            .as("sim"))
+      Ann.mmrRerank(top, sims, k = 10).orderBy("rank")
     }),
 
     // cluster-blocked k-NN graph (NN-Descent / HNSW seeding): exact top-3
@@ -4041,6 +4137,190 @@ object SparkEntry {
       s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS freq FROM m$r")
       .mkString("\n         UNION ALL ")
     head + rounds + "\n         " + finals + "\n         ORDER BY merge_rank"
+  }
+
+  /** BPE ENCODE replay: the same training chain as [[bpeTwin]], then the
+    * k merges applied in rank order to every word's spaced form with the
+    * identical non-overlapping replace(), summed to per-doc symbol
+    * counts. Wordless docs re-attach as zeros via the LEFT JOIN. */
+  private def bpeEncodeTwin(k: Int): String = {
+    val head =
+      """WITH words AS (
+           SELECT w, count(*) AS freq FROM (
+             SELECT unnest(regexp_split_to_array(text, '[ \n\t\r]+')) AS w
+             FROM documents) WHERE w <> '' GROUP BY w),
+         v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, freq
+                FROM words)"""
+    val rounds = (1 to k).map { r =>
+      s""",
+         t$r AS (SELECT string_split(trim(s), ' ') AS t, freq FROM v${r - 1}),
+         p$r AS (SELECT t[i] AS l, t[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM t$r, unnest(generate_series(1, len(t) - 1)) AS g(i)
+           GROUP BY 1, 2),
+         m$r AS MATERIALIZED (SELECT l, r, cnt FROM p$r
+           ORDER BY cnt DESC, l, r LIMIT 1),
+         v$r AS (SELECT replace(s,
+             ' ' || (SELECT l FROM m$r) || ' ' || (SELECT r FROM m$r) || ' ',
+             ' ' || (SELECT l FROM m$r) || (SELECT r FROM m$r) || ' ') AS s, freq
+           FROM v${r - 1})"""
+    }.mkString
+    val encode =
+      """,
+         dw AS (SELECT doc_id,
+             unnest(regexp_split_to_array(text, '[ \n\t\r]+')) AS w
+           FROM documents),
+         e0 AS MATERIALIZED (SELECT doc_id,
+             ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s
+           FROM dw WHERE w <> '')""" +
+      (1 to k).map { r =>
+        s""",
+         e$r AS (SELECT doc_id, replace(s,
+             ' ' || (SELECT l FROM m$r) || ' ' || (SELECT r FROM m$r) || ' ',
+             ' ' || (SELECT l FROM m$r) || (SELECT r FROM m$r) || ' ') AS s
+           FROM e${r - 1})"""
+      }.mkString +
+      s""",
+         perdoc AS (SELECT doc_id,
+             CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT)
+               AS bpe_tokens,
+             count(*) AS n_words
+           FROM e$k GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(p.bpe_tokens, 0) AS bpe_tokens,
+           COALESCE(p.n_words, 0) AS n_words
+         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id"""
+    head + rounds + encode
+  }
+
+  /** Perceptron replay: k unrolled batch rounds. All-integer margins and
+    * update sums (cast back to BIGINT — DuckDB widens sum to HUGEINT), so
+    * the weight trajectory is exact in both engines. */
+  private def perceptronTwin(k: Int): String = {
+    val head =
+      """WITH feats AS MATERIALIZED (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             CAST(1 AS BIGINT) AS x0,
+             CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS x1,
+             CAST(length(text) AS BIGINT) AS x2,
+             CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS x3
+           FROM documents),
+         w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+                CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS d)"""
+    val rounds = (1 to k).map { r =>
+      val m = s"y * ((SELECT a FROM w${r - 1}) * x0 + " +
+        s"(SELECT b FROM w${r - 1}) * x1 + " +
+        s"(SELECT c FROM w${r - 1}) * x2 + " +
+        s"(SELECT d FROM w${r - 1}) * x3)"
+      s""",
+         g$r AS MATERIALIZED (SELECT
+             CAST(COALESCE(sum(CASE WHEN $m <= 0 THEN y * x0 ELSE 0 END), 0)
+               AS BIGINT) AS da,
+             CAST(COALESCE(sum(CASE WHEN $m <= 0 THEN y * x1 ELSE 0 END), 0)
+               AS BIGINT) AS db,
+             CAST(COALESCE(sum(CASE WHEN $m <= 0 THEN y * x2 ELSE 0 END), 0)
+               AS BIGINT) AS dc,
+             CAST(COALESCE(sum(CASE WHEN $m <= 0 THEN y * x3 ELSE 0 END), 0)
+               AS BIGINT) AS dd,
+             CAST(COALESCE(sum(CASE WHEN $m <= 0 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS errs
+           FROM feats),
+         w$r AS (SELECT
+             (SELECT a FROM w${r - 1}) + (SELECT da FROM g$r) AS a,
+             (SELECT b FROM w${r - 1}) + (SELECT db FROM g$r) AS b,
+             (SELECT c FROM w${r - 1}) + (SELECT dc FROM g$r) AS c,
+             (SELECT d FROM w${r - 1}) + (SELECT dd FROM g$r) AS d)"""
+    }.mkString
+    val finals = (1 to k).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS iter, a AS w_bias, b AS w_tokens,
+           c AS w_chars, d AS w_digits,
+           (SELECT errs FROM g$r) AS errors FROM w$r""")
+      .mkString("\n         UNION ALL ")
+    head + rounds + "\n         " + finals + "\n         ORDER BY iter"
+  }
+
+  /** Label-prop replay: k unrolled synchronous rounds on the symmetrized
+    * ring+skip+affine graph — per round a per-(node,label) count and a
+    * row_number argmax (count DESC, label ASC = the smallest-label tie),
+    * isolated/no-pick nodes keeping their previous label. */
+  private def labelPropTwin(k: Int): String = {
+    val head =
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         ed AS (
+           SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id + 2) % nn.n
+           FROM documents CROSS JOIN nn
+           UNION ALL
+           SELECT doc_id, (doc_id * 7 + 3) % nn.n
+           FROM documents CROSS JOIN nn),
+         sym AS MATERIALIZED (SELECT src, dst FROM ed
+           UNION ALL SELECT dst, src FROM ed),
+         l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents)"""
+    val rounds = (1 to k).map { r =>
+      s""",
+         c$r AS (SELECT s.dst AS id, l.lab, count(*) AS c
+           FROM sym s JOIN l${r - 1} l ON l.id = s.src GROUP BY 1, 2),
+         p$r AS (SELECT id, lab FROM (
+             SELECT id, lab, row_number() OVER (PARTITION BY id
+               ORDER BY c DESC, lab ASC) AS rn FROM c$r) WHERE rn = 1),
+         l$r AS MATERIALIZED (SELECT l.id, COALESCE(p.lab, l.lab) AS lab
+           FROM l${r - 1} l LEFT JOIN p$r p ON l.id = p.id)"""
+    }.mkString
+    head + rounds +
+      s"""
+         SELECT lab AS label, count(*) AS n_members
+         FROM l$k GROUP BY lab ORDER BY label"""
+  }
+
+  /** MMR replay: exact top-`n` for query 0 with the q_ann_topk cosine
+    * formulation, the n×n rounded sim matrix, then the `k` greedy rounds
+    * unrolled as chained CTEs (same unrolling device as [[bpeTwin]]).
+    * Rel and sims are rounded to 6 decimals BEFORE selection on both
+    * engines, and 0.7/0.3 are cast to DOUBLE (bare literals are DECIMAL
+    * in DuckDB). */
+  private def mmrTwin(k: Int, n: Int): String = {
+    val head =
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id AS id,
+             round(list_dot_product((SELECT qv FROM q),
+                 CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product((SELECT qv FROM q),
+                       (SELECT qv FROM q)))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                         CAST(e.embedding AS DOUBLE[])))), 6) AS rel
+           FROM embeddings e WHERE e.vec_id <> 0),
+         cand AS MATERIALIZED (SELECT id, rel FROM scored
+           ORDER BY rel DESC, id ASC LIMIT $n),
+         cv AS (SELECT c.id, CAST(e.embedding AS DOUBLE[]) AS v
+           FROM cand c JOIN embeddings e ON e.vec_id = c.id),
+         simm AS (SELECT a.id AS id_a, b.id AS id_b,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+           FROM cv a JOIN cv b ON a.id < b.id),
+         sym AS MATERIALIZED (SELECT id_a, id_b, sim FROM simm
+           UNION ALL SELECT id_b, id_a, sim FROM simm),
+         s1 AS (SELECT id, rel FROM cand ORDER BY rel DESC, id LIMIT 1),
+         p1 AS MATERIALIZED (SELECT id FROM s1)"""
+    val rounds = (2 to k).map { r =>
+      s""",
+         s$r AS MATERIALIZED (SELECT c.id, c.rel FROM cand c
+           WHERE c.id NOT IN (SELECT id FROM p${r - 1})
+           ORDER BY CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
+             (SELECT max(sim) FROM sym m WHERE m.id_a = c.id
+              AND m.id_b IN (SELECT id FROM p${r - 1})) DESC, c.id
+           LIMIT 1),
+         p$r AS MATERIALIZED (SELECT id FROM p${r - 1}
+           UNION ALL SELECT id FROM s$r)"""
+    }.mkString
+    val finals = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, id AS doc_id, rel AS relevance FROM s$r")
+      .mkString("\n         UNION ALL ")
+    head + rounds + "\n         " + finals + "\n         ORDER BY rank"
   }
 
   /** The width-safe two-limb Knuth hash (Profile.hash32) over an SQL
@@ -5477,6 +5757,8 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "q_bpe_train" -> bpeTwin(6),
+    "q_bpe_encode" -> bpeEncodeTwin(6),
+    "q_perceptron_train" -> perceptronTwin(3),
 
     // decayed sum replayed with BIGINT shifts; the engine's
     // otherwise(0) sum can never be NULL, so the twin coalesces
@@ -5619,6 +5901,48 @@ object SparkEntry {
          FROM a, z ORDER BY item""",
 
     // class sizes and the risk share in exact longs; one quotient per row
+    // same released counts through the SQL front door
+    "q_sql_dp_release" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+           GROUP BY source),
+         h AS (SELECT source, n,
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(generate_series(1, length(source)),
+                   i -> CAST(ord(substr(source, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
+                 % CAST('18446744073709551616' AS HUGEINT)) AS hu
+           FROM c),
+         u AS (SELECT source, n, CAST(hu % 4294967296 AS BIGINT) AS u
+           FROM h),
+         z AS (SELECT source, n, u % 2 AS sign, u // 2 AS y FROM u)
+         SELECT source,
+           CAST(n + (1 - 2 * sign) * bit_count(xor(y, y + 1) // 2)
+             AS BIGINT) AS released
+         FROM z ORDER BY source""",
+
+    // replay the derandomized discrete-Laplace draw: FNV-1a of the key
+    // in HUGEINT, low 32 bits, sign = bit 0, magnitude = trailing ones
+    // of u>>1 via the (y XOR y+1)>>1 mask popcount — all integer, exact
+    "q_dp_release" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+           GROUP BY source),
+         h AS (SELECT source, n,
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(generate_series(1, length(source)),
+                   i -> CAST(ord(substr(source, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
+                 % CAST('18446744073709551616' AS HUGEINT)) AS hu
+           FROM c),
+         u AS (SELECT source, n, CAST(hu % 4294967296 AS BIGINT) AS u
+           FROM h),
+         z AS (SELECT source, n, u % 2 AS sign, u // 2 AS y FROM u)
+         SELECT source,
+           CAST(n + (1 - 2 * sign) * bit_count(xor(y, y + 1) // 2)
+             AS BIGINT) AS released
+         FROM z ORDER BY source""",
+
     "q_kanon" ->
       """WITH c AS (SELECT lang, source, count(*) AS n FROM documents
            GROUP BY 1, 2),
@@ -5887,6 +6211,9 @@ object SparkEntry {
          SELECT vec_id,
            string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos) AS codes_csv
          FROM c GROUP BY vec_id ORDER BY vec_id""",
+
+    // 10 unrolled greedy MMR rounds over the exact top-30 (see mmrTwin)
+    "q_mmr_rerank" -> mmrTwin(k = 10, n = 30),
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
@@ -6332,6 +6659,48 @@ object SparkEntry {
            s // 2048 AS seq_id,
            s % 2048 AS seq_offset
          FROM c ORDER BY doc_id""",
+
+    // replay winnowing: positional 4-gram FNV in HUGEINT mapped to
+    // signed BIGINT (Spark's array_min compares signed longs), rolling
+    // window-min with the same truncated-window rule for short docs,
+    // the hot-bucket cap, then the shared-fingerprint pair count
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i AS gpos,
+                 array_to_string(toks[i:i+3], ' ') AS gram
+               FROM t, unnest(generate_series(1,
+                 greatest(0, length(toks) - 3))) AS s(i)),
+         fh AS (SELECT doc_id, gpos,
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(generate_series(1, length(gram)),
+                   i -> CAST(ord(substr(gram, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
+                 % CAST('18446744073709551616' AS HUGEINT)) AS hu
+           FROM g),
+         sh AS (SELECT doc_id, gpos,
+             CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+               THEN hu - CAST('18446744073709551616' AS HUGEINT)
+               ELSE hu END AS BIGINT) AS hv
+           FROM fh),
+         m AS (SELECT doc_id, count(*) AS gc FROM sh GROUP BY doc_id),
+         win AS (SELECT sh.doc_id,
+             min(hv) OVER (PARTITION BY sh.doc_id ORDER BY gpos
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+             gpos, m.gc AS gc
+           FROM sh JOIN m USING (doc_id)),
+         sel AS (SELECT DISTINCT doc_id, fp FROM win
+           WHERE gpos <= greatest(gc - 7, 1)),
+         capped AS (SELECT doc_id, fp FROM sel
+           WHERE fp IN (SELECT fp FROM sel GROUP BY fp
+             HAVING count(*) <= 2000))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared
+         FROM capped a JOIN capped b
+           ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY id_a, id_b""",
 
     // replay the kernel in DuckDB: explode to (line, position), keep each
     // line's first position, reassemble in order
@@ -7254,6 +7623,9 @@ object SparkEntry {
 
     // recursive-CTE replay of the level-synchronous BFS: every path of
     // <= 4 hops enumerated, min(hop) per node = the BFS first-visit level
+    // 3 unrolled synchronous label-prop rounds (see labelPropTwin)
+    "q_label_prop" -> labelPropTwin(3),
+
     "q_bfs" ->
       """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
          edges AS (

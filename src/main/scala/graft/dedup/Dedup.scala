@@ -772,6 +772,50 @@ object Dedup {
           .as("cleaned"))
   }
 
+  /** Winnowing fingerprint near-duplicates (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm). Each document is reduced to the
+    * set of window-minimum k-token-gram hashes: slide a window of
+    * `window` consecutive positional gram hashes and keep the minimum of
+    * each window. The selection guarantees that any shared run of at
+    * least `window + k - 1` tokens contributes at least one IDENTICAL
+    * selected fingerprint to both documents, while keeping only
+    * ~2/(window+1) of all grams — a density/recall dial the full n-gram
+    * join ([[ngramJaccardPairs]]) doesn't have. Pairs sharing >=
+    * `minShared` selected fingerprints are reported.
+    *
+    * Scale shape: the per-document selection is a narrow row-local array
+    * expression over the one-pass native gram-hash kernel
+    * ([[graft.functions.native.span_gram_hashes]]) — no shuffle until the
+    * slim (fingerprint, id) explode. Candidates then come from the
+    * standard bucketed self-join on the fingerprint with the hot-bucket
+    * cap; shuffle volume is the *selected* fingerprints (~2/(window+1) of
+    * the gram stream), which is what makes winnowing the cheap
+    * fingerprinting path at 100 TB. */
+  def winnowPairs(docs: DataFrame, k: Int = 4, window: Int = 8,
+      minShared: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text", maxBucketSize: Int = 2000): DataFrame = {
+    require(k >= 1 && window >= 1, "k and window must be positive")
+    val g = docs
+      .select(col(idCol), native.span_gram_hashes(col(textCol), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+    // Windows are indexed 0..max(m-window, 0): full windows when m >=
+    // window, one truncated window over all m grams otherwise (so short
+    // documents still fingerprint). array_min compares signed longs —
+    // the DuckDB twin maps its HUGEINT hashes to signed BIGINT before
+    // its window-min for the identical ordering.
+    val selected = g.select(col(idCol),
+      explode(array_distinct(transform(
+        sequence(lit(0), greatest(size(col("hs")) - window, lit(0))),
+        i => array_min(slice(col("hs"), i + 1,
+          least(lit(window), size(col("hs")))))))).as("fp"))
+    val capped = dropHotBuckets(selected, Seq("fp"), maxBucketSize)
+    val l = capped.select(col("fp"), col(idCol).as("id_a"))
+    val r = capped.select(col("fp"), col(idCol).as("id_b"))
+    l.join(r, "fp").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** SemDeDup-style semantic near-duplicates (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding corpus, then compare
     * pairs ONLY within a cluster — exact cosine inside, zero comparisons

@@ -708,6 +708,97 @@ object Text {
     * second combinable groupBy over the tf rows (already one row per
     * doc-term), and the rank window partitions by doc — bounded by a
     * document's own vocabulary, never the corpus. */
+  /** Batch perceptron trainer for a quality/language filter (the
+    * trainABLE counterpart to [[linearScore]]'s fixed weights): features
+    * are INTEGER text statistics (bias, \S+ token count, char count,
+    * digit count), the label is ±1 on `labelCol == positive`, and each
+    * round applies the batch update w += Σ_{misclassified} y·x with
+    * misclassification decided by y·(w·x) <= 0. Every quantity is a
+    * 64-bit integer — no float enters any decision — so runs,
+    * partitionings, and engines produce identical weight trajectories
+    * (the oracle unrolls the same rounds in SQL).
+    *
+    * Scale shape: one aggregate pass over the corpus per round (map-side
+    * combined sums; the driver holds d+1 scalars, collected one row per
+    * round — the same bounded pattern as [[bpeTrainMerges]]). Feature
+    * magnitudes must keep |w·x| < 2^63: with raw counts that holds to
+    * ~1e9 docs per round; beyond that, scale features down or switch the
+    * update to per-partition-averaged deltas. Returns one row per round:
+    * (iter, weights AFTER the round's update, misclassified count BEFORE
+    * it). */
+  def perceptronTrain(docs: DataFrame, iters: Int = 3,
+      textCol: String = "text", labelCol: String = "lang",
+      positive: String = "en"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = docs.select(
+        when(col(labelCol) === positive, 1L).otherwise(-1L).as("y"),
+        lit(1L).as("x0"),
+        tokenCount(col(textCol)).as("x1"),
+        charCount(col(textCol)).as("x2"),
+        regexp_count(col(textCol), lit("[0-9]")).cast(LongType).as("x3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    feats.count() // materialize once; the loop re-reads it `iters` times
+    var w = Array(0L, 0L, 0L, 0L)
+    val rows = scala.collection.mutable.Buffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    for (it <- 1 to iters) {
+      val margin = col("y") *
+        (lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+         lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))
+      def delta(x: String) =
+        coalesce(sum(when(margin <= 0, col("y") * col(x)).otherwise(0L)), lit(0L))
+      val r = feats.agg(delta("x0").as("d0"), delta("x1").as("d1"),
+          delta("x2").as("d2"), delta("x3").as("d3"),
+          coalesce(sum(when(margin <= 0, 1L).otherwise(0L)), lit(0L))
+            .as("errs"))
+        .collect()(0) // ONE bounded row per round
+      w = Array(w(0) + r.getLong(0), w(1) + r.getLong(1),
+        w(2) + r.getLong(2), w(3) + r.getLong(3))
+      rows += ((it.toLong, w(0), w(1), w(2), w(3), r.getLong(4)))
+    }
+    feats.unpersist(blocking = false)
+    rows.toSeq
+      .toDF("iter", "w_bias", "w_tokens", "w_chars", "w_digits", "errors")
+  }
+
+  /** Encode documents with a corpus-trained BPE tokenizer: train `k`
+    * merges ([[bpeTrainMerges]]), then apply them IN RANK ORDER to every
+    * word and count the resulting symbols — the train→encode loop a
+    * data pipeline runs to budget corpora in "tokens under OUR
+    * tokenizer" rather than whitespace tokens.
+    *
+    * Scale shape: the merge list is k driver rows (the same bounded
+    * collect the trainer already does); application is a fold of k
+    * builtin `replace` calls over the spaced word string — a narrow,
+    * whole-stage-codegen'd per-row expression chain, no shuffle until
+    * the final per-doc sum. The non-overlapping left-to-right `replace`
+    * is exactly the trainer's merge semantics, so counts are consistent
+    * with the learned vocab (and engine-portable — the oracle replays
+    * the same chain). */
+  def bpeEncode(docs: DataFrame, textCol: String = "text", k: Int = 6,
+      idCol: String = "doc_id"): DataFrame = {
+    val merges = bpeTrainMerges(docs, textCol, k)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))) // k rows — bounded
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val spaced0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
+    val encoded = merges.foldLeft(spaced0) { case (s, (l, r)) =>
+      call_function("replace", s, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    val perDoc = words
+      .select(col(idCol),
+        size(split(trim(encoded), " ")).cast(LongType).as("n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("bpe_tokens"), count(lit(1)).as("n_words"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"))
+  }
+
   def topTerms(docs: DataFrame, k: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

@@ -105,4 +105,36 @@ object Expectations {
         (col("__risky").cast(DoubleType) / col("__total").cast(DoubleType))
           .as("risk_share"))): _*)
   }
+
+  /** Differentially-private count release: per-group counts perturbed
+    * with TWO-SIDED GEOMETRIC noise (the discrete Laplace mechanism,
+    * Ghosh/Roughgarden/Sundararajan 2009) at alpha = 1/2, i.e.
+    * epsilon = ln 2 per unit of sensitivity — P(|noise| = t) ∝ 2^-t.
+    *
+    * The noise draw is DERANDOMIZED from the group key: u = low 32 bits
+    * of the FNV-1a fingerprint of the key, sign = bit 0, magnitude =
+    * count of trailing one-bits of u >> 1 (exactly geometric(1/2)).
+    * Every step is integer bit arithmetic — reproducible across runs,
+    * partitionings, and engines (the DuckDB twin replays it in HUGEINT).
+    * A production release would draw the noise from a real CSPRNG per
+    * release; the seeded draw here is the testable stand-in, the same
+    * trade every sampler in this repo makes (Profile.hash32).
+    *
+    * Scale shape: one hash-aggregate pass (map-side combine + one
+    * shuffle on the group key); the noise attach is a narrow per-row
+    * expression on the aggregated (tiny) result. */
+  def dpNoisedCounts(df: DataFrame, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      // low 32 bits of the key fingerprint: identical signed/unsigned
+      .withColumn("__u",
+        graft.functions.native.rolling_fingerprint(col(groupCol))
+          .bitwiseAND(lit(0xFFFFFFFFL)))
+      // sign from bit 0; magnitude = trailing ones of u>>1 via the
+      // classic mask (y XOR (y+1)) >> 1 = 2^t - 1, popcounted
+      .withColumn("__noise", expr(
+        "(1L - 2L * (__u % 2)) * " +
+          "cast(bit_count(((__u div 2) ^ ((__u div 2) + 1)) div 2) as bigint)"))
+      .select(col(groupCol),
+        (col("n") + col("__noise")).cast(LongType).as("released"))
 }

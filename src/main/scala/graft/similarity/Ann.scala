@@ -118,6 +118,57 @@ object Ann {
           6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id").asc).limit(topk)
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick k results maximizing
+    * `lambdaRel * rel(c) - lambdaDiv * max_{s in selected} sim(c, s)` —
+    * the standard redundancy-removal pass over a retrieval result list.
+    *
+    * Inputs are BOUNDED BY CONSTRUCTION: `candidates(id, rel)` is an
+    * upstream top-N list (the distributed part — brute-force or ANN
+    * top-k over the corpus) and `sims(id_a, id_b, sim)` its N² pairwise
+    * similarity matrix (a tiny broadcast self-join of N rows). The
+    * greedy selection itself is inherently sequential and runs on ≤ N
+    * driver rows — the same bounded-collect class as Ivf's k centroids,
+    * not a data-sized collect. Ties break on the lower id; `lambdaDiv`
+    * is an explicit constant (NOT computed as `1 - lambdaRel`, whose
+    * float value engines would have to agree on). */
+  def mmrRerank(candidates: DataFrame, sims: DataFrame, k: Int,
+      lambdaRel: Double = 0.7, lambdaDiv: Double = 0.3): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cand = candidates.select(col("id"), col("rel"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val simMap = sims.select(col("id_a"), col("id_b"), col("sim"))
+      .collect()
+      .flatMap { r =>
+        val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b) -> s, (b, a) -> s)
+      }.toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashMap(cand: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      var bestId = -1L
+      var bestScore = Double.NegativeInfinity
+      remaining.foreach { case (id, rel) =>
+        val score =
+          if (selected.isEmpty) rel
+          else {
+            val maxSim = selected.iterator
+              .map(s => simMap.getOrElse((id, s._1), 0.0)).max
+            lambdaRel * rel - lambdaDiv * maxSim
+          }
+        if (score > bestScore || (score == bestScore && id < bestId)) {
+          bestScore = score; bestId = id
+        }
+      }
+      selected += ((bestId, remaining(bestId)))
+      remaining.remove(bestId)
+    }
+    selected.zipWithIndex
+      .map { case ((id, rel), i) => (i + 1L, id, rel) }.toSeq
+      .toDF("rank", "doc_id", "relevance")
+  }
+
   /** Hard-negative mining for contrastive training: for each query, the
     * top-k most-similar corpus vectors with a DIFFERENT label — the
     * near-misses that teach an embedding model the most. Same scale shape

@@ -152,6 +152,26 @@ class AnnSpec extends AnyFunSuite {
     assert(tie == Seq(4L, 7L))
   }
 
+  test("mmrRerank: penalizes redundancy, keeps relevance order otherwise") {
+    // id 2 is nearly identical to id 1 (sim 1.0): with lambda 0.7/0.3 its
+    // marginal score 0.7*0.9-0.3*1.0 = 0.33 loses to the diverse id 3's
+    // 0.7*0.5 = 0.35 despite higher raw relevance
+    val cands = Seq((1L, 0.99), (2L, 0.9), (3L, 0.5)).toDF("id", "rel")
+    val sims = Seq((1L, 2L, 1.0), (1L, 3L, 0.0), (2L, 3L, 0.0))
+      .toDF("id_a", "id_b", "sim")
+    val got = Ann.mmrRerank(cands, sims, k = 3).orderBy("rank")
+      .select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("mmrRerank: k beyond candidate count selects all; ties break on lower id") {
+    val cands = Seq((7L, 0.8), (4L, 0.8)).toDF("id", "rel")
+    val sims = Seq((4L, 7L, 0.2)).toDF("id_a", "id_b", "sim")
+    val got = Ann.mmrRerank(cands, sims, k = 10).orderBy("rank")
+      .select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L), (2L, 7L))) // equal rel -> lower id first
+  }
+
   test("meanByGroup: exact means, invariant to input row order") {
     val rows = Seq(
       (1L, 0, Array(1.0f, 2.0f)),

@@ -38,6 +38,46 @@ class DedupSpec extends AnyFunSuite {
     assert(est.length == 1 && est(0) == 1.0)
   }
 
+  test("winnowing: shared run >= window+k-1 tokens guarantees a shared fingerprint") {
+    // docs 0/1 identical and 0/2 share long runs → pairs with shared
+    // fingerprints; 3/4 unrelated → no pair. minShared=1 to test the
+    // selection guarantee itself, not the pair threshold.
+    val pairs = Dedup.winnowPairs(corpus, k = 3, window = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L))) // shares "the quick brown fox jumps over the lazy" (8 >= 4+3-1)
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("winnowing: identical docs share every selected fingerprint") {
+    val shared = Dedup.winnowPairs(corpus, k = 3, window = 4, minShared = 1)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("shared").as[Long].collect()
+    // doc 0 has 14 tokens → 12 grams → 9 windows; selected distinct
+    // mins of doc 0 == those of its exact dup 1, and there are >= 2
+    assert(shared.length == 1 && shared(0) >= 2)
+  }
+
+  test("winnowing: docs shorter than the window still fingerprint (truncated window)") {
+    val tiny = Seq((0L, "alpha beta gamma"), (1L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    // 3 tokens, k=3 → one gram, m=1 < window=4 → one truncated window
+    val pairs = Dedup.winnowPairs(tiny, k = 3, window = 4, minShared = 1)
+      .select("id_a", "id_b", "shared").as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((0L, 1L, 1L)))
+  }
+
+  test("winnowing: hot-bucket cap suppresses degenerate fingerprints") {
+    // 5 copies of one text: every selected fp sits in a 5-doc bucket;
+    // cap 4 drops them all → no pairs
+    val many = (0L to 4L).map(i => (i, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(many, k = 3, window = 4, minShared = 1,
+      maxBucketSize = 4).count() == 0)
+    assert(Dedup.winnowPairs(many, k = 3, window = 4, minShared = 1,
+      maxBucketSize = 5).count() == 10) // all C(5,2) pairs
+  }
+
   test("simhash pairs find near dups within hamming budget") {
     val pairs = Dedup.simhashPairs(corpus, maxHamming = 16)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()

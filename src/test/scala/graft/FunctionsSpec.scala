@@ -392,6 +392,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert((r1.getString(1), r1.getString(2)) == (("a", "a")))
   }
 
+  test("bpeEncode: symbol counts under the trained merges, zeros for wordless docs") {
+    // same corpus as the trainer test; with k=2 the merges are
+    // (l,o) then (lo,w): "low" -> [low] (1), "lower" -> [low,e,r] (3),
+    // "aaa" -> [a,a,a] (3)
+    val docs = Seq(
+      (0L, "low low low lower lower aaa"),
+      (1L, "low"),
+      (2L, " ")).toDF("doc_id", "text")
+    val got = Text.bpeEncode(docs, k = 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 0: 3*1 + 2*3 + 3 = 12 symbols over 6 words
+    assert(got == Seq((0L, 12L, 6L), (1L, 1L, 1L), (2L, 0L, 0L)))
+  }
+
   test("HtmlKernel: elements, tags, entities, whitespace — staged order") {
     def x(s: String): String =
       graft.functions.HtmlKernel.extractText(

@@ -260,6 +260,34 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("labelProp: two cliques joined by one bridge resolve to two communities") {
+    // cliques {0,1,2} and {10,11,12}, bridge 2-10; after 2 rounds each
+    // clique converges to its minimum label (ties -> smallest label)
+    val nodes = Seq(0L, 1L, 2L, 10L, 11L, 12L).toDF("id")
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L)).toDF("src", "dst")
+    val got = graft.graph.LabelProp.run(nodes, edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-simulated synchronous rounds (every tie -> smallest label):
+    // r1: 0->1 1->0 2->0 10->2 11->10 12->10
+    // r2: 0->0 1->0 2->0 10->10 11->2 12->2
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 2L, 12L -> 2L))
+    // isolated node keeps its own id
+    val iso = graft.graph.LabelProp.run(
+      (nodes.union(Seq(99L).toDF("id"))), edges, iters = 2)
+      .filter(col("id") === 99L).collect()
+    assert(iso.head.getLong(1) == 99L)
+  }
+
+  test("labelProp: zero iters is the identity labeling") {
+    val nodes = Seq(5L, 6L).toDF("id")
+    val edges = Seq((5L, 6L)).toDF("src", "dst")
+    val got = graft.graph.LabelProp.run(nodes, edges, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((5L, 5L), (6L, 6L)))
+  }
+
   test("clusteringCoefficient: clique scores 1, pendant scores 0") {
     import spark.implicits._
     // triangle {0,1,2} plus pendant 3 hanging off 0

@@ -317,6 +317,32 @@ class OperatorsSpec extends AnyFunSuite {
       ("b", "x", 2L, false, 1L, 6L, 1.0 / 6.0)))
   }
 
+  test("dpNoisedCounts: released = count + seeded two-sided-geometric noise") {
+    val df = (Seq.fill(10)("ka") ++ Seq.fill(7)("kb") ++ Seq.fill(3)("kc"))
+      .toDF("src")
+    // reference model of the derandomized draw (same bit math in Scala)
+    def fnv(s: String): Long = s.getBytes("UTF-8")
+      .foldLeft(-3750763034362895579L /* FNV offset as signed */) {
+        (h, b) => (h ^ (b & 0xffL)) * 1099511628211L
+      }
+    def noise(key: String): Long = {
+      val u = fnv(key) & 0xFFFFFFFFL
+      val y = u / 2
+      val mag = java.lang.Long.bitCount((y ^ (y + 1)) / 2)
+      (1 - 2 * (u % 2)) * mag
+    }
+    val got = graft.operators.Expectations.dpNoisedCounts(df, "src")
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("ka", 10L + noise("ka")), ("kb", 7L + noise("kb")),
+      ("kc", 3L + noise("kc"))))
+    // the draw is a function of the key alone: stable across groupings
+    val again = graft.operators.Expectations
+      .dpNoisedCounts(df.limit(12), "src").orderBy("src").collect()
+      .map(r => r.getLong(1) - noise(r.getString(0))).toSeq
+    assert(again == Seq(10L, 2L))
+  }
+
   test("cusum: window unrolling equals the reset recursion") {
     // values chosen to exercise reset (drop below zero), re-accumulation,
     // and a threshold crossing; target=5, threshold=6
