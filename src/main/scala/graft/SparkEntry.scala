@@ -2217,6 +2217,18 @@ object SparkEntry {
     // crash pandas sort_values) — every component is still compared
     // bit-for-bit, unlike a decimal-string rendering, whose sci-notation
     // thresholds differ between the two engines.
+    // Johnson–Lindenstrauss ±1 projection 64→16 dims (Achlioptas 2003),
+    // signs derandomized from the two-limb Knuth hash of (i*131+j) so no
+    // projection matrix is stored or shuffled — a pure narrow map at any
+    // corpus size (the IO/memory reducer upstream of ANN at 100 TB).
+    // In-index-order fold per output dim; rows exploded for the driver
+    // comparator like q_embed_normalize.
+    "q_jl_project" -> ((s, dir) =>
+      Ann.jlProject(t(s, dir, "embeddings").filter(col("vec_id") < 50))
+        .select(col("vec_id"),
+          posexplode(col("embedding_proj")).as(Seq("dim", "value")))
+        .orderBy("vec_id", "dim")),
+
     "q_embed_normalize" -> ((s, dir) =>
       Ann.l2Normalize(t(s, dir, "embeddings"))
         .select(col("vec_id"),
@@ -6371,6 +6383,20 @@ object SparkEntry {
     // unit vector exploded to (vec_id, pos, unit) FLOAT rows on BOTH
     // engines: the division and both casts are correctly rounded, so
     // every component compares bit-for-bit
+    // same signs from hash32Sql, same in-order fold, same 1/sqrt(16)
+    "q_jl_project" ->
+      s"""SELECT vec_id, CAST(j AS INT) AS dim,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(generate_series(1, 64),
+                 i -> CAST(embedding[i] AS DOUBLE) *
+                   (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) *
+                     ((${hash32Sql("(i-1)*131 + j")}) % 2)))),
+             (a, b) -> a + b) / sqrt(CAST(16 AS DOUBLE)) AS value
+         FROM embeddings, unnest(generate_series(0, 15)) AS t(j)
+         WHERE vec_id < 50
+         ORDER BY vec_id, dim""",
+
     "q_embed_normalize" ->
       """SELECT vec_id, CAST(i - 1 AS INT) AS pos,
            CASE WHEN list_dot_product(v, v) = 0.0

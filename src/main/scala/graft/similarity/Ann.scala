@@ -253,6 +253,34 @@ object Ann {
     * Float output keeps the column compatible with every other vector
     * kernel and store here (they are all float-array-typed); the all-zero
     * vector stays all-zero instead of dividing by zero. */
+  /** Johnson–Lindenstrauss random projection to `dimOut` dimensions with
+    * a ±1 sign matrix (Achlioptas 2003's database-friendly projection),
+    * DERANDOMIZED from the two-limb Knuth hash of the (row, column)
+    * index: s(i,j) = 1 - 2·(hash32(i·131 + j) mod 2). No projection
+    * matrix is stored or shuffled — each executor recomputes signs from
+    * the indices, so the operator is a pure narrow map at any corpus
+    * size, and engines replay it exactly (the twin rebuilds the same
+    * signs from the same hash). Each output dim is an in-index-order
+    * fold of x_i·s(i,j) (float adds are non-associative; the pinned
+    * order is what makes the output bit-stable), scaled by
+    * 1/sqrt(dimOut). */
+  def jlProject(corpus: DataFrame, dimIn: Int = 64, dimOut: Int = 16,
+      vecCol: String = "embedding"): DataFrame = {
+    val sign = (i: Column, j: Column) =>
+      lit(1.0) - lit(2.0) *
+        pmod(graft.functions.Profile.hash32(i * 131 + j), lit(2L))
+          .cast(DoubleType)
+    val projected = transform(sequence(lit(0), lit(dimOut - 1)), j =>
+      aggregate(
+        sequence(lit(0), lit(dimIn - 1)),
+        lit(0.0),
+        (acc, i) => acc +
+          element_at(col(vecCol), (i + 1).cast(IntegerType))
+            .cast(DoubleType) * sign(i, j),
+        acc => acc / sqrt(lit(dimOut.toDouble))))
+    corpus.withColumn(vecCol + "_proj", projected)
+  }
+
   def l2Normalize(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val n = graft.functions.native.vec_norm(col(vecCol))
     corpus.withColumn(vecCol + "_unit",

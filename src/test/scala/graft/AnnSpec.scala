@@ -152,6 +152,27 @@ class AnnSpec extends AnyFunSuite {
     assert(tie == Seq(4L, 7L))
   }
 
+  test("jlProject: one-hot input isolates one sign row; scale is 1/sqrt(dimOut)") {
+    // projecting e_i yields s(i,j)/4 per output dim j: |value| = 0.25
+    // with the sign equal to the hash32(i*131+j) parity
+    def h32(x: Long): Long = {
+      val a = ((x % 4294967296L) + 4294967296L) % 4294967296L
+      val lo = (a % 65536L) * 2654435761L
+      val hi = (((a >> 16) * 2654435761L) % 65536L) << 16
+      (lo + hi) % 4294967296L
+    }
+    val i = 5
+    val oneHot = Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f)
+    val df = Seq((0L, oneHot)).toDF("vec_id", "embedding")
+    val got = Ann.jlProject(df).select("embedding_proj")
+      .collect().head.getSeq[Double](0)
+    assert(got.length == 16)
+    got.zipWithIndex.foreach { case (v, j) =>
+      val sign = 1.0 - 2.0 * (h32(i * 131L + j) % 2)
+      assert(v == sign * 0.25, s"dim $j")
+    }
+  }
+
   test("mmrRerank: penalizes redundancy, keeps relevance order otherwise") {
     // id 2 is nearly identical to id 1 (sim 1.0): with lambda 0.7/0.3 its
     // marginal score 0.7*0.9-0.3*1.0 = 0.33 loses to the diverse id 3's
