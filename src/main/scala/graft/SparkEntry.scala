@@ -6705,7 +6705,7 @@ object SparkEntry {
                (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
                  % CAST('18446744073709551616' AS HUGEINT)) AS hu
            FROM g),
-         sh AS (SELECT doc_id, gpos,
+         sh AS MATERIALIZED (SELECT doc_id, gpos,
              CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
                THEN hu - CAST('18446744073709551616' AS HUGEINT)
                ELSE hu END AS BIGINT) AS hv
@@ -6716,9 +6716,9 @@ object SparkEntry {
                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
              gpos, m.gc AS gc
            FROM sh JOIN m USING (doc_id)),
-         sel AS (SELECT DISTINCT doc_id, fp FROM win
+         sel AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM win
            WHERE gpos <= greatest(gc - 7, 1)),
-         capped AS (SELECT doc_id, fp FROM sel
+         capped AS MATERIALIZED (SELECT doc_id, fp FROM sel
            WHERE fp IN (SELECT fp FROM sel GROUP BY fp
              HAVING count(*) <= 2000))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -41,6 +41,25 @@ object PipelineProps extends Properties("Pipeline") {
       ids(lo).subsetOf(ids(hi))
     }
 
+  property("winnowPairs: a planted shared run >= window+k-1 tokens is always caught") =
+    forAll(
+      Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")),
+      Gen.listOfN(14, Gen.oneOf("gg", "hh", "ii", "jj", "kk")),
+      Gen.listOfN(14, Gen.oneOf("ll", "mm", "nn", "oo", "pp"))) {
+      (run, pre, post) =>
+        // doc 0 = pre ++ run, doc 1 = run ++ post: the shared run has
+        // 12 >= window+k-1 = 4+3-1+... (window 4, k 3 -> guarantee 6)
+        // tokens, so winnowing MUST select one identical fingerprint
+        // in both docs regardless of the surrounding noise
+        val docs = Seq(
+          (0L, (pre ++ run).mkString(" ")),
+          (1L, (run ++ post).mkString(" "))).toDF("doc_id", "text")
+        val pairs = Dedup.winnowPairs(docs, k = 3, window = 4,
+          minShared = 1, maxBucketSize = 1000)
+          .select("id_a", "id_b").as[(Long, Long)].collect()
+        pairs.contains((0L, 1L))
+    }
+
   property("hashSplit: train/eval partition the input deterministically") =
     forAll(docsGen) { rows =>
       val df = rows.toDF("doc_id", "source", "text")
