@@ -2064,6 +2064,20 @@ object SparkEntry {
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("shard")),
 
+    // rendezvous (highest-random-weight) sharding: argmax_j of
+    // hash32(key*31+j) — resizing moves ONLY keys whose winning shard
+    // vanished (~1/n of data), vs ~everything under the modulo shard;
+    // the twin replays the argmax as a row_number over the shard series
+    "q_rendezvous" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Profile.rendezvousShard(col("doc_id"), 8)
+            .as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("shard")),
+
     // deterministic sequence packing: concat-and-chunk the corpus into
     // fixed token-budget training sequences in decorrelated hash order,
     // via a distributed prefix sum (no unpartitioned window anywhere) —
@@ -6651,6 +6665,19 @@ object SparkEntry {
                AS rk
            FROM h)
          SELECT doc_id, source FROM r WHERE rk <= 10 ORDER BY doc_id""",
+
+    "q_rendezvous" ->
+      s"""WITH scored AS (
+           SELECT doc_id, j AS shard,
+             ${hash32Sql("(doc_id % 4294967296) * 31 + j")} AS h
+           FROM documents, unnest(generate_series(0, 7)) AS t(j)),
+         pick AS (SELECT doc_id, shard FROM (
+             SELECT doc_id, shard, row_number() OVER (PARTITION BY doc_id
+               ORDER BY h DESC, shard ASC) AS rn
+             FROM scored) WHERE rn = 1)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM pick GROUP BY shard ORDER BY shard""",
 
     "q_shards" ->
       """WITH h AS (

@@ -60,6 +60,20 @@ object PipelineProps extends Properties("Pipeline") {
         pairs.contains((0L, 1L))
     }
 
+  property("rendezvousShard: shrinking the shard set moves only the removed shard's keys") =
+    forAll(Gen.choose(2, 10)) { n =>
+      val df = (0L until 300L).toList.toDF("id")
+      val got = df.select(col("id"),
+          Profile.rendezvousShard(col("id"), n).as("full"),
+          Profile.rendezvousShard(col("id"), n - 1).as("small"))
+        .as[(Long, Long, Long)].collect()
+      got.forall { case (_, full, small) =>
+        (full == small) || full == n - 1 // moved => was on the removed shard
+      } && got.forall { case (_, full, small) =>
+        full < n && small < n - 1
+      }
+    }
+
   property("hashSplit: train/eval partition the input deterministically") =
     forAll(docsGen) { rows =>
       val df = rows.toDF("doc_id", "source", "text")
