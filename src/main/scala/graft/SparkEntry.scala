@@ -3847,6 +3847,18 @@ object SparkEntry {
           iters = 3)
         .orderBy("iter")),
 
+    // classifier reliability table over the quality-filter stack (train:
+    // q_perceptron_train, apply: q_classify): linearScore clamped into
+    // 10 equal-width bins over [-1,1] with the q_histogram clamp+floor
+    // expression, per-bin positive rate for lang='en' — integer counts
+    // + one exact division, so the curve hash-checks cross-engine
+    "q_calibration" -> ((s, dir) =>
+      graft.operators.Analytics.calibration(
+        t(s, dir, "documents").select(
+          graft.functions.Text.linearScore(col("text")).as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("label")),
+        "score", "label", lo = -1.0, hi = 1.0, buckets = 10)),
+
     "q_classify" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -8960,6 +8972,45 @@ object SparkEntry {
 
     // per-token FNV-1a replayed in HUGEINT mod-2^64 (the simhash twin's
     // hash), bucket = low 8 bits, integer weights, one double division
+    // q_classify's score chain + the q_histogram clamp+floor binning
+    "q_calibration" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(text, '[ \n\t\r]+'), x -> x <> '')) AS tok
+           FROM documents),
+         th AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(generate_series(1, length(tok)),
+                   i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
+                 % CAST('18446744073709551616' AS HUGEINT)) AS h
+           FROM toks),
+         tw AS (SELECT doc_id,
+             ((CAST(h % 256 AS BIGINT) * 2654435761 + 12345) % 2001) - 1000
+               AS w
+           FROM th),
+         agg AS (SELECT doc_id, sum(w) AS s, count(*) AS n
+           FROM tw GROUP BY doc_id),
+         sc AS (SELECT d.doc_id,
+             CAST(coalesce(a.s, 0) AS DOUBLE)
+               / (CAST(1000.0 AS DOUBLE)
+                  * CAST(greatest(coalesce(a.n, 0), 1) AS DOUBLE)) AS score,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+         b AS (SELECT least(greatest(
+             CAST(floor((score - CAST(-1.0 AS DOUBLE))
+               / CAST(0.2 AS DOUBLE)) AS BIGINT), 0), 9) AS bucket, y
+           FROM sc)
+         SELECT bucket,
+           CAST(-1.0 AS DOUBLE) + CAST(bucket AS DOUBLE)
+             * CAST(0.2 AS DOUBLE) AS lo_edge,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS positives,
+           CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+         FROM b GROUP BY bucket ORDER BY bucket""",
+
     "q_classify" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_filter(

@@ -500,6 +500,32 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Classifier reliability table (the data behind a calibration curve):
+    * scores clamped into `buckets` equal-width bins over [lo, hi] with
+    * the IDENTICAL clamp+floor expression [[histogram]] uses
+    * (engine-exact floats), then per-bin example and positive counts and
+    * the positive rate (one exact integer division per bin). Reading the
+    * table: a well-calibrated quality filter has pos_rate rising
+    * monotonically with the bin edge. One grouped aggregate pass —
+    * map-side combined, |buckets| result rows. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+      lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(buckets > 0 && hi > lo, "calibration needs hi > lo, buckets > 0")
+    val width = (hi - lo) / buckets
+    val raw = floor((col(scoreCol) - lit(lo)) / lit(width)).cast(LongType)
+    val bucket = least(greatest(raw, lit(0L)), lit(buckets - 1L))
+    df.filter(col(scoreCol).isNotNull)
+      .select(bucket.as("bucket"), col(labelCol).cast(LongType).as("__y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("positives"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket").cast(DoubleType) * lit(width)).as("lo_edge"),
+        col("n"), col("positives"),
+        (col("positives").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("pos_rate"))
+      .orderBy("bucket")
+  }
+
   /** Robust per-group outlier gate by median absolute deviation: returns
     * (group, med, mad, n, n_outliers) where an outlier is
     * dev > k·mad (multiply-only predicate; k = 4.4478 ≈ 3·1.4826 makes

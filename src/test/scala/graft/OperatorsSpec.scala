@@ -317,6 +317,19 @@ class OperatorsSpec extends AnyFunSuite {
       ("b", "x", 2L, false, 1L, 6L, 1.0 / 6.0)))
   }
 
+  test("calibration: clamped binning, exact per-bin counts and rates") {
+    // scores: -2.0 clamps to bin 0, 1.5 clamps to bin 9; 0.05 -> bin 5,
+    // -0.15 -> bin 4, 0.999 -> bin 9 (width 0.2 over [-1,1])
+    val df = Seq((-2.0, 1L), (1.5, 0L), (0.05, 1L), (-0.15, 0L),
+      (0.999, 1L)).toDF("score", "label")
+    val got = graft.operators.Analytics
+      .calibration(df, "score", "label", -1.0, 1.0, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq((0L, 1L, 1L, 1.0), (4L, 1L, 0L, 0.0),
+      (5L, 1L, 1L, 1.0), (9L, 2L, 1L, 0.5)))
+  }
+
   test("dpNoisedCounts: released = count + seeded two-sided-geometric noise") {
     val df = (Seq.fill(10)("ka") ++ Seq.fill(7)("kb") ++ Seq.fill(3)("kc"))
       .toDF("src")
