@@ -206,6 +206,22 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("round-7 late additions stay shuffle-sane and pruned") {
+    for (q <- Seq("q_winnow", "q_dp_release", "q_bpe_encode",
+        "q_label_prop", "q_rendezvous", "q_calibration", "q_jl_project"))
+      assert(!plan(q).contains("CartesianProduct"),
+        s"$q plans a CartesianProduct")
+    // JL projection is a pure narrow map: the candidate filter must land
+    // in the scan, and the 64x16 fold must not introduce a shuffle
+    val jl = plan("q_jl_project")
+    assert(jl.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,50)]"))
+    // DP release reads only the group column
+    assert(plan("q_dp_release").contains("ReadSchema: struct<source:string>"))
+    // rendezvous is a narrow map + one grouped aggregate: no join at all
+    val rv = plan("q_rendezvous")
+    assert(!rv.contains("Join"), "rendezvous must not join")
+  }
+
   test("new rank/sequence windows all declare a partition key") {
     // every Window in these plans must carry a non-empty PARTITION BY —
     // an unpartitioned window serializes the corpus through one task
