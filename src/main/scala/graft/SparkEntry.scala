@@ -2388,6 +2388,16 @@ object SparkEntry {
           Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .orderBy("media_id", "frame_idx")),
 
+    // shot-boundary detection on REAL decoded frames: per-doc 6-frame
+    // PNG sequences (scene seed switches at frame 3), ImageIO decode,
+    // frame-to-frame sum-of-absolute-differences, integer cut decision
+    // sad > 40·n_elems — the twin replays the closed-form pixel formula
+    // codec-free, so a hash match certifies the encode→decode round trip
+    "q_media_shots" -> ((s, dir) =>
+      Multimodal.shotBoundaries(
+          Multimodal.syntheticFrames(t(s, dir, "documents")))
+        .orderBy("media_id", "frame_idx")),
+
     // Gopher-style repetition quality filters (Rae et al. 2021): duplicate
     // -word fraction, most-frequent-bigram coverage, duplicate-5-gram
     // fraction — the signals that catch looping generations and scraped
@@ -7018,6 +7028,25 @@ object SparkEntry {
            WHERE len(a.gs) > 0 AND len(b.gs) > 0)
          SELECT id_a, id_b, jaccard FROM pairs
          WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    // closed-form frame pixels → SAD → same integer cut rule
+    "q_media_shots" ->
+      """WITH px AS (
+           SELECT doc_id AS media_id, f, i,
+             (((doc_id * 2 + CASE WHEN f >= 3 THEN 1 ELSE 0 END) * 131
+               + (i + f) * 7) % 256) AS v
+           FROM documents,
+                unnest(generate_series(0, 5)) AS t(f),
+                unnest(generate_series(0, 143)) AS s(i)),
+         sad AS (
+           SELECT a.media_id, b.f AS frame_idx,
+             CAST(sum(abs(b.v - a.v)) AS BIGINT) AS sad
+           FROM px a JOIN px b
+             ON a.media_id = b.media_id AND a.i = b.i AND b.f = a.f + 1
+           GROUP BY 1, 2)
+         SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, sad,
+           sad > 40 * 144 AS is_cut
+         FROM sad ORDER BY media_id, frame_idx""",
 
     "q_media_frames" ->
       """WITH m AS (

@@ -364,6 +364,104 @@ object Multimodal {
   /** "Frame sampling" for video payloads: every `stride`-th fixed-size byte
     * window becomes one frame row (explode → one row per frame). Real
     * pipelines do exactly this shape with decoded frames. */
+  /** One synthetic video-frame row: real PNG bytes for frame `frame_idx`
+    * of media `media_id`. */
+  case class FrameRow(media_id: Long, frame_idx: Int, payload: Array[Byte])
+
+  /** Build per-document frame SEQUENCES (a fake "video") of real PNGs:
+    * frame f of media id draws pixels from [[pixelValue]] with scene seed
+    * `id·2 + (f >= nFrames/2)` and flat index `idx + f` — consecutive
+    * frames within a scene differ by a small constant drift (motion),
+    * while the seed switch at nFrames/2 is a hard scene cut. Same
+    * per-partition ImageIO encode as [[syntheticImages]]. */
+  def syntheticFrames(docs: DataFrame, width: Int = 8, height: Int = 6,
+      nFrames: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.flatMap { id =>
+        (0 until nFrames).map { f =>
+          val seed = id * 2L + (if (f >= nFrames / 2) 1L else 0L)
+          val img = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val base = (y.toLong * width + x) * 3L
+              val r = pixelValue(seed, base + f)
+              val g = pixelValue(seed, base + 1 + f)
+              val b = pixelValue(seed, base + 2 + f)
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream(256)
+          javax.imageio.ImageIO.write(img, "png", baos)
+          FrameRow(id, f, baos.toByteArray)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Shot-boundary detection over DECODED frames: each PNG payload is
+    * parsed back with `ImageIO.read`, consecutive frames of a media are
+    * equi-joined on (media_id, frame index), and the boundary signal is
+    * the classic sum of absolute per-channel differences (SAD). The cut
+    * decision is pure integer arithmetic — `sad > perElemThreshold ×
+    * n_elements` — so any engine replaying the pixel formula reproduces
+    * both the signal and the flags bit-for-bit.
+    *
+    * Scale shape: decode is a narrow per-partition map; the consecutive-
+    * frame pairing is one equi-join on (media_id, frame) — frames of one
+    * media co-hash, no window, no cartesian; SAD is a codegen'd
+    * zip_with/aggregate fold over the (tiny) per-frame arrays. */
+  def shotBoundaries(frames: DataFrame, perElemThreshold: Int = 40): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val decoded = frames
+      .select(col("media_id"), col("frame_idx"), col("payload"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, f, payload) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, s"media_id=$id frame=$f: not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          val pix = new Array[Int](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val o = (y * w + x) * 3
+              pix(o) = (rgb >> 16) & 0xff
+              pix(o + 1) = (rgb >> 8) & 0xff
+              pix(o + 2) = rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, f, pix)
+        }
+      }.toDF("media_id", "f", "pix")
+    val a = decoded.select(col("media_id"), col("f"), col("pix").as("pa"))
+    val b = decoded.select(col("media_id"), (col("f") - 1).as("f"),
+      col("f").as("frame_idx"), col("pix").as("pb"))
+    a.join(b, Seq("media_id", "f"))
+      .select(col("media_id"), col("frame_idx"),
+        aggregate(zip_with(col("pa"), col("pb"), (x, y) => abs(x - y)),
+          lit(0L), (acc, v) => acc + v).as("sad"),
+        size(col("pa")).cast(LongType).as("n_elems"))
+      .select(col("media_id"), col("frame_idx"), col("sad"),
+        (col("sad") > lit(perElemThreshold.toLong) * col("n_elems"))
+          .as("is_cut"))
+  }
+
   def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     val nFrames = floor((col("n_bytes") / frameBytes.toDouble) / stride)
       .cast(IntegerType)

@@ -171,6 +171,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("shotBoundaries: decoded SAD matches the pixel formula; cut only at the seed switch") {
+    import spark.implicits._
+    val docs = Seq(7L, 8L).toDF("doc_id")
+    val got = Multimodal.shotBoundaries(Multimodal.syntheticFrames(docs))
+      .orderBy("media_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    // reference model of the generator: v = ((seed*131 + (i+f)*7) % 256)
+    def v(id: Long, f: Int, i: Int): Long =
+      ((id * 2 + (if (f >= 3) 1 else 0)) * 131 + (i + f) * 7) % 256
+    def sad(id: Long, f: Int): Long =
+      (0 until 144).map(i => math.abs(v(id, f, i) - v(id, f - 1, i))).sum
+    val want = for (id <- Seq(7L, 8L); f <- 1 to 5)
+      yield (id, f, sad(id, f), sad(id, f) > 40L * 144)
+    assert(got == want)
+    // the hard cut is exactly the scene switch, nowhere else
+    assert(got.filter(_._4).map(_._2).toSet == Set(3))
+  }
+
   test("perceptualHash: deterministic bits, identical payloads collide, near payloads near") {
     import spark.implicits._
     val texts = Seq(
