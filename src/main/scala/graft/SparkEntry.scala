@@ -2534,9 +2534,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val n = docs.count()
       val id = col("doc_id")
-      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
-        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
-        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      val edges = ringSkipAffineEdges(docs, n, id)
       graft.graph.Triangles.perNode(edges).orderBy("node_id")
     }),
 
@@ -2547,9 +2545,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val n = docs.count()
       val id = col("doc_id")
-      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
-        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
-        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      val edges = ringSkipAffineEdges(docs, n, id)
       graft.graph.Triangles.clusteringCoefficient(edges).orderBy("node_id")
     }),
 
@@ -3169,9 +3165,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val n = docs.count()
       val id = col("doc_id")
-      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
-        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
-        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      val edges = ringSkipAffineEdges(docs, n, id)
         .filter(col("src") =!= col("dst"))
         .distinct()
       // deliberately NOT persisted although three branches (out/in
@@ -3344,7 +3338,7 @@ object SparkEntry {
         WITH c AS (SELECT source, count(*) AS n FROM documents
           GROUP BY source),
         u AS (SELECT source, n,
-          rolling_fingerprint(source) & 4294967295 AS u FROM c)
+          fnv64(source) & 4294967295 AS u FROM c)
         SELECT source,
           CAST(n + (1L - 2L * (u % 2)) *
             CAST(bit_count(((u div 2) ^ ((u div 2) + 1)) div 2) AS BIGINT)
@@ -3443,9 +3437,7 @@ object SparkEntry {
       val n = docs.count() // single bounded scalar, never data-sized
       val id = col("doc_id")
       val nodes = docs.select(id.as("node_id"))
-      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
-        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
-        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      val edges = ringSkipAffineEdges(docs, n, id)
       graft.graph.Negatives.sample(nodes, edges, n, proposals = 3)
         .orderBy("src", "dst")
     }),
@@ -3772,9 +3764,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val n = docs.count() // single bounded scalar, never data-sized
       val id = col("doc_id")
-      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
-        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
-        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      val edges = ringSkipAffineEdges(docs, n, id)
         .withColumn("w", (col("src") % 5) + 1)
       val sources = docs.filter(id < 2).select(id.as("node_id"))
       graft.graph.Sssp.cheapestPaths(edges, sources, maxHops = 4)
@@ -3888,9 +3878,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val n = docs.count() // single bounded scalar, never data-sized
       val id = col("doc_id")
-      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
-        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
-        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      val edges = ringSkipAffineEdges(docs, n, id)
       val nodes = docs.select(id.as("id"))
       graft.graph.LabelProp.run(nodes, edges, iters = 3)
         .groupBy("label").agg(count(lit(1)).as("n_members"))
@@ -3901,9 +3889,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val n = docs.count() // single bounded scalar, never data-sized
       val id = col("doc_id")
-      val edges = docs.select(id.as("src"), ((id + 1) % n).as("dst"))
-        .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
-        .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
+      val edges = ringSkipAffineEdges(docs, n, id)
       val sources = docs.filter(id < 2).select(id.as("node_id"))
       graft.graph.Bfs.hops(edges, sources, maxHops = 4).orderBy("node_id")
     }),
@@ -4161,37 +4147,23 @@ object SparkEntry {
     * counts adjacent pairs over the spaced-token word strings (weighted
     * by word freq), picks the (cnt DESC, lhs, rhs) argmax, and applies
     * the merge with the same non-overlapping replace() the engine uses. */
-  private def bpeTwin(k: Int): String = {
-    val head =
-      """WITH words AS (
-           SELECT w, count(*) AS freq FROM (
-             SELECT unnest(regexp_split_to_array(text, '[ \n\t\r]+')) AS w
-             FROM documents) WHERE w <> '' GROUP BY w),
-         v0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s, freq
-                FROM words)"""
-    val rounds = (1 to k).map { r =>
-      s""",
-         t$r AS (SELECT string_split(trim(s), ' ') AS t, freq FROM v${r - 1}),
-         p$r AS (SELECT t[i] AS l, t[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
-           FROM t$r, unnest(generate_series(1, len(t) - 1)) AS g(i)
-           GROUP BY 1, 2),
-         m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
-         v$r AS (SELECT replace(s,
-             ' ' || (SELECT l FROM m$r) || ' ' || (SELECT r FROM m$r) || ' ',
-             ' ' || (SELECT l FROM m$r) || (SELECT r FROM m$r) || ' ') AS s, freq
-           FROM v${r - 1})"""
-    }.mkString
-    val finals = (1 to k).map(r =>
-      s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS freq FROM m$r")
-      .mkString("\n         UNION ALL ")
-    head + rounds + "\n         " + finals + "\n         ORDER BY merge_rank"
-  }
+  /** The shared synthetic link graph (ring + skip + affine: id→id+1,
+    * id→id+2, id→7·id+3, all mod n) every graph-family query builds on —
+    * ONE definition so the constants can never desynchronize across the
+    * seven consumers whose twins replay the same three terms in SQL. */
+  private def ringSkipAffineEdges(docs: org.apache.spark.sql.DataFrame,
+      n: Long, id: Column): org.apache.spark.sql.DataFrame =
+    docs.select(id.as("src"), ((id + 1) % n).as("dst"))
+      .union(docs.select(id.as("src"), ((id + 2) % n).as("dst")))
+      .union(docs.select(id.as("src"), ((id * 7 + 3) % n).as("dst")))
 
-  /** BPE ENCODE replay: the same training chain as [[bpeTwin]], then the
-    * k merges applied in rank order to every word's spaced form with the
-    * identical non-overlapping replace(), summed to per-doc symbol
-    * counts. Wordless docs re-attach as zeros via the LEFT JOIN. */
-  private def bpeEncodeTwin(k: Int): String = {
+  /** Shared BPE training replay (words → spaced vocab → k argmax/merge
+    * rounds) — the ONE definition both [[bpeTwin]] and [[bpeEncodeTwin]]
+    * build on, so the two queries can never train different merge
+    * sequences. `m$r` is MATERIALIZED: it is referenced by the v-chain,
+    * the encode chain, and the finals, and DuckDB would otherwise
+    * re-inline the whole upstream per reference. */
+  private def bpeTrainCtes(k: Int): String = {
     val head =
       """WITH words AS (
            SELECT w, count(*) AS freq FROM (
@@ -4212,6 +4184,21 @@ object SparkEntry {
              ' ' || (SELECT l FROM m$r) || (SELECT r FROM m$r) || ' ') AS s, freq
            FROM v${r - 1})"""
     }.mkString
+    head + rounds
+  }
+
+  private def bpeTwin(k: Int): String = {
+    val finals = (1 to k).map(r =>
+      s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, cnt AS freq FROM m$r")
+      .mkString("\n         UNION ALL ")
+    bpeTrainCtes(k) + "\n         " + finals + "\n         ORDER BY merge_rank"
+  }
+
+  /** BPE ENCODE replay: the same training chain as [[bpeTwin]], then the
+    * k merges applied in rank order to every word's spaced form with the
+    * identical non-overlapping replace(), summed to per-doc symbol
+    * counts. Wordless docs re-attach as zeros via the LEFT JOIN. */
+  private def bpeEncodeTwin(k: Int): String = {
     val encode =
       """,
          dw AS (SELECT doc_id,
@@ -4238,7 +4225,7 @@ object SparkEntry {
            COALESCE(p.n_words, 0) AS n_words
          FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          ORDER BY d.doc_id"""
-    head + rounds + encode
+    bpeTrainCtes(k) + encode
   }
 
   /** Perceptron replay: k unrolled batch rounds. All-integer margins and
@@ -9027,7 +9014,8 @@ object SparkEntry {
                / (CAST(1000.0 AS DOUBLE)
                   * CAST(greatest(coalesce(a.n, 0), 1) AS DOUBLE)) AS score,
              CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
-           FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+           FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+           WHERE d.text IS NOT NULL),
          b AS (SELECT least(greatest(
              CAST(floor((score - CAST(-1.0 AS DOUBLE))
                / CAST(0.2 AS DOUBLE)) AS BIGINT), 0), 9) AS bucket, y

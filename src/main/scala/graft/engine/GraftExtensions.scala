@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
 
     inject("rolling_fingerprint", es => RollingFingerprint(es.head))
+    inject("fnv64", es => Fnv64(es.head))
     inject("simhash64", es => SimHash64(es.head))
     inject("vec_dot", es => FloatVecDot(es(0), es(1)))
     inject("vec_norm", es => FloatVecNorm(es.head))

@@ -449,6 +449,10 @@ object Multimodal {
           (id, f, pix)
         }
       }.toDF("media_id", "f", "pix")
+      // both sides of the consecutive-frame join read this — persist so
+      // the PNG encode+decode (the dominant cost) runs once per frame,
+      // not once per join side
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = decoded.select(col("media_id"), col("f"), col("pix").as("pa"))
     val b = decoded.select(col("media_id"), (col("f") - 1).as("f"),
       col("f").as("frame_idx"), col("pix").as("pb"))

@@ -126,9 +126,12 @@ object Expectations {
   def dpNoisedCounts(df: DataFrame, groupCol: String): DataFrame =
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"))
-      // low 32 bits of the key fingerprint: identical signed/unsigned
+      // low 32 bits of the whole-string FNV-1a fingerprint: identical
+      // signed/unsigned, and identical to the twin's HUGEINT fold for
+      // ANY key (rolling_fingerprint would diverge on keys containing
+      // whitespace — it folds per token)
       .withColumn("__u",
-        graft.functions.native.rolling_fingerprint(col(groupCol))
+        graft.functions.native.fnv64(col(groupCol))
           .bitwiseAND(lit(0xFFFFFFFFL)))
       // sign from bit 0; magnitude = trailing ones of u>>1 via the
       // classic mask (y XOR (y+1)) >> 1 = 2^t - 1, popcounted

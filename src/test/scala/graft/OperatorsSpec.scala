@@ -331,7 +331,10 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("dpNoisedCounts: released = count + seeded two-sided-geometric noise") {
-    val df = (Seq.fill(10)("ka") ++ Seq.fill(7)("kb") ++ Seq.fill(3)("kc"))
+    // "k c" pins whole-string FNV semantics: a token-fold fingerprint
+    // (rolling_fingerprint) would hash the two tokens separately and
+    // diverge from the twin's per-character HUGEINT fold
+    val df = (Seq.fill(10)("ka") ++ Seq.fill(7)("kb") ++ Seq.fill(3)("k c"))
       .toDF("src")
     // reference model of the derandomized draw (same bit math in Scala)
     def fnv(s: String): Long = s.getBytes("UTF-8")
@@ -347,8 +350,8 @@ class OperatorsSpec extends AnyFunSuite {
     val got = graft.operators.Expectations.dpNoisedCounts(df, "src")
       .orderBy("src").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(got == Seq(("ka", 10L + noise("ka")), ("kb", 7L + noise("kb")),
-      ("kc", 3L + noise("kc"))))
+    assert(got == Seq(("k c", 3L + noise("k c")), ("ka", 10L + noise("ka")),
+      ("kb", 7L + noise("kb"))))
     // the draw is a function of the key alone: stable across groupings
     val again = graft.operators.Expectations
       .dpNoisedCounts(df.limit(12), "src").orderBy("src").collect()
