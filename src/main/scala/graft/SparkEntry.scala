@@ -1940,6 +1940,38 @@ object SparkEntry {
           minShared = 3)
         .orderBy("id_a", "id_b")),
 
+    // the SAME winnowing result through the §2.6 SQL front door: the
+    // injected span_gram_hashes in SQL text, window-min as a doc-
+    // partitioned window function (0-based gpos → full windows are
+    // gpos <= gc-8), the hot-bucket cap, and the pair count — a second
+    // independent implementation converging on q_winnow's oracle
+    "q_sql_winnow" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        WITH g AS (
+          SELECT doc_id, pe.gpos AS gpos, pe.h AS h
+          FROM documents
+          LATERAL VIEW posexplode(span_gram_hashes(text, 4)) pe AS gpos, h),
+        m AS (SELECT doc_id, count(*) AS gc FROM g GROUP BY doc_id),
+        win AS (
+          SELECT g.doc_id, g.gpos, m.gc,
+            min(g.h) OVER (PARTITION BY g.doc_id ORDER BY g.gpos
+              ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+          FROM g JOIN m ON g.doc_id = m.doc_id),
+        sel AS (SELECT DISTINCT doc_id, fp FROM win
+          WHERE gpos <= greatest(gc - 8, 0)),
+        hot AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) > 2000),
+        capped AS (SELECT doc_id, fp FROM sel
+          WHERE fp NOT IN (SELECT fp FROM hot)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM capped a JOIN capped b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, shared FROM pairs WHERE shared >= 3
+        ORDER BY id_a, id_b""")
+    }),
+
     // cross-document boilerplate removal (C4-style): tokens occurring in
     // >= 100 distinct docs are corpus boilerplate, removed from every doc
     // (order preserved). The boilerplate set is tiny by construction →
@@ -4273,6 +4305,47 @@ object SparkEntry {
       .mkString("\n         UNION ALL ")
     head + rounds + "\n         " + finals + "\n         ORDER BY iter"
   }
+
+  /** The winnowing twin, shared by q_winnow (DataFrame path) and
+    * q_sql_winnow (SQL front door) — both engines' implementations must
+    * converge on this one oracle. */
+  private val winnowTwinSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         g AS (SELECT doc_id, i AS gpos,
+                 array_to_string(toks[i:i+3], ' ') AS gram
+               FROM t, unnest(generate_series(1,
+                 greatest(0, length(toks) - 3))) AS s(i)),
+         fh AS (SELECT doc_id, gpos,
+             list_reduce(
+               list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                 list_transform(generate_series(1, length(gram)),
+                   i -> CAST(ord(substr(gram, i, 1)) AS HUGEINT))),
+               (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
+                 % CAST('18446744073709551616' AS HUGEINT)) AS hu
+           FROM g),
+         sh AS MATERIALIZED (SELECT doc_id, gpos,
+             CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+               THEN hu - CAST('18446744073709551616' AS HUGEINT)
+               ELSE hu END AS BIGINT) AS hv
+           FROM fh),
+         m AS (SELECT doc_id, count(*) AS gc FROM sh GROUP BY doc_id),
+         win AS (SELECT sh.doc_id,
+             min(hv) OVER (PARTITION BY sh.doc_id ORDER BY gpos
+               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
+             gpos, m.gc AS gc
+           FROM sh JOIN m USING (doc_id)),
+         sel AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM win
+           WHERE gpos <= greatest(gc - 7, 1)),
+         capped AS MATERIALIZED (SELECT doc_id, fp FROM sel
+           WHERE fp IN (SELECT fp FROM sel GROUP BY fp
+             HAVING count(*) <= 2000))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared
+         FROM capped a JOIN capped b
+           ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY id_a, id_b"""
 
   /** Label-prop replay: k unrolled synchronous rounds on the symmetrized
     * ring+skip+affine graph — per round a per-(node,label) count and a
@@ -6727,42 +6800,10 @@ object SparkEntry {
     // window-min with the same truncated-window rule for short docs,
     // the hot-bucket cap, then the shared-fingerprint pair count
     "q_winnow" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-           FROM documents),
-         g AS (SELECT doc_id, i AS gpos,
-                 array_to_string(toks[i:i+3], ' ') AS gram
-               FROM t, unnest(generate_series(1,
-                 greatest(0, length(toks) - 3))) AS s(i)),
-         fh AS (SELECT doc_id, gpos,
-             list_reduce(
-               list_prepend(CAST('14695981039346656037' AS HUGEINT),
-                 list_transform(generate_series(1, length(gram)),
-                   i -> CAST(ord(substr(gram, i, 1)) AS HUGEINT))),
-               (h, b) -> (xor(h, b) * CAST('1099511628211' AS HUGEINT))
-                 % CAST('18446744073709551616' AS HUGEINT)) AS hu
-           FROM g),
-         sh AS MATERIALIZED (SELECT doc_id, gpos,
-             CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
-               THEN hu - CAST('18446744073709551616' AS HUGEINT)
-               ELSE hu END AS BIGINT) AS hv
-           FROM fh),
-         m AS (SELECT doc_id, count(*) AS gc FROM sh GROUP BY doc_id),
-         win AS (SELECT sh.doc_id,
-             min(hv) OVER (PARTITION BY sh.doc_id ORDER BY gpos
-               ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp,
-             gpos, m.gc AS gc
-           FROM sh JOIN m USING (doc_id)),
-         sel AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM win
-           WHERE gpos <= greatest(gc - 7, 1)),
-         capped AS MATERIALIZED (SELECT doc_id, fp FROM sel
-           WHERE fp IN (SELECT fp FROM sel GROUP BY fp
-             HAVING count(*) <= 2000))
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           count(*) AS shared
-         FROM capped a JOIN capped b
-           ON a.fp = b.fp AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 3
-         ORDER BY id_a, id_b""",
+winnowTwinSql,
+
+    // same result through the SQL front door (window-min formulation)
+    "q_sql_winnow" -> winnowTwinSql,
 
     // replay the kernel in DuckDB: explode to (line, position), keep each
     // line's first position, reassemble in order

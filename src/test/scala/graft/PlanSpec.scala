@@ -207,8 +207,9 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("round-7 late additions stay shuffle-sane and pruned") {
-    for (q <- Seq("q_winnow", "q_dp_release", "q_bpe_encode",
-        "q_label_prop", "q_rendezvous", "q_calibration", "q_jl_project"))
+    for (q <- Seq("q_winnow", "q_sql_winnow", "q_dp_release",
+        "q_bpe_encode", "q_label_prop", "q_rendezvous", "q_calibration",
+        "q_jl_project"))
       assert(!plan(q).contains("CartesianProduct"),
         s"$q plans a CartesianProduct")
     // JL projection is a pure narrow map: the candidate filter must land
