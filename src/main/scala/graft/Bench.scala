@@ -23,22 +23,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query state isolation, OUTSIDE the timed region (the former
+    // shape ran cleanup inside a `finally` that the elapsed expression
+    // waited on, charging cleanup to the query being measured):
+    // clearCache drops DataFrame persists; iterative operators
+    // (BFS/CC/PageRank) also leave RDD persists and localCheckpoint
+    // blocks behind — across a 276-query sweep those accumulate into
+    // block-manager memory pressure that taxes every later query (dedup
+    // family measured 2x slower in-session than isolated before this
+    // cleanup). The explicit GC then lets ContextCleaner's
+    // reference-queue pass reclaim dropped shuffle files and broadcast
+    // blocks between queries — the shuffle-file accumulation suspected
+    // behind the r7 4-5x in-sweep outliers (q_dedup_survivors 10.4 s
+    // in-sweep vs 2.5 s steady on identical code). Opt out with
+    // SPARK_GRAFT_BENCH_NO_GC=1.
+    val gcBetween = !sys.env.contains("SPARK_GRAFT_BENCH_NO_GC")
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      if (gcBetween) { System.gc(); Thread.sleep(50) }
+    }
+
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] failed: ${e.getMessage}"); return -1.0 }
-      finally {
-        // job-boundary hygiene: clearCache drops DataFrame persists, but
-        // iterative operators (BFS/CC/PageRank) also leave RDD persists
-        // and localCheckpoint blocks behind — across a 169-query sweep
-        // those accumulate into block-manager memory pressure that taxes
-        // every later query (dedup family measured 2x slower in-session
-        // than isolated before this cleanup)
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] failed: ${e.getMessage}"); -1.0
+        }
+      isolate()
+      elapsed
     }
 
     // Warm-up: run every query once at the smallest scale factor so the
@@ -50,6 +67,7 @@ object Bench {
       SparkEntry.queries.values.foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        finally isolate() // warm-up persists must not leak into the runs
       }
     else SparkEntry.queries.get("q_scan").foreach(run)
     // Min of two measured runs per query: the second run reuses compiled

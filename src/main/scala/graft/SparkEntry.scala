@@ -2097,9 +2097,11 @@ object SparkEntry {
         .orderBy("shard")),
 
     // rendezvous (highest-random-weight) sharding: argmax_j of
-    // hash32(key*31+j) — resizing moves ONLY keys whose winning shard
-    // vanished (~1/n of data), vs ~everything under the modulo shard;
-    // the twin replays the argmax as a row_number over the shard series
+    // hash32(hash32(key)+j) — resizing moves ONLY keys whose winning
+    // shard vanished (~1/n of data), vs ~everything under the modulo
+    // shard; the inner hash decorrelates keys so (k,j) never aliases
+    // (k+1,j-31); the twin replays the argmax as a row_number over the
+    // shard series
     "q_rendezvous" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -2345,6 +2347,29 @@ object SparkEntry {
       val store = "/tmp/graft_ivf_store"
       graft.similarity.Ivf.writeAssignedStore(emb, cents, store)
       graft.similarity.Ivf.ivfTopKFromStore(store, Ann.selfQueries(emb, 2),
+          cents, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // incremental ANN maintenance: train IVF on the RESIDENT 80% only,
+    // build its partitioned store, then APPEND the remaining 20% batch
+    // assigned to the FROZEN centroids — no retrain, no list rewrite —
+    // and probe the merged store. Assignment being a deterministic
+    // per-row function of (vector, centroids), the merged store equals
+    // a full rebuild of the union under the same centroids (IvfSpec
+    // asserts store-level parity; the twin replays train-on-base +
+    // assign-union exactly).
+    "q_ann_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val cents = graft.similarity.Ivf.train(base, k = 8, iters = 1)
+      val store = "/tmp/graft_ivf_incr_store"
+      // overwrite-base then append-batch keeps the query idempotent
+      // across re-runs while exercising the real append path
+      graft.similarity.Ivf.writeAssignedStore(base, cents, store)
+      graft.similarity.Ivf.appendToStore(batch, cents, store)
+      graft.similarity.Ivf.ivfTopKFromStore(store, Ann.selfQueries(emb, 10),
           cents, k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
@@ -3200,21 +3225,34 @@ object SparkEntry {
       val edges = ringSkipAffineEdges(docs, n, id)
         .filter(col("src") =!= col("dst"))
         .distinct()
-      // deliberately NOT persisted although three branches (out/in
-      // degree, the cc wedge pipeline) traverse it: measured at sf0.1,
-      // caching the distinct is 2.5x SLOWER (5.1 s vs 1.9 s steady) —
-      // the lineage is one pruned bigint scan plus narrow hash ops, so
-      // recompute beats the cache's build + InMemoryTableScan cost and
-      // the codegen fusion it breaks. Revisit only if the edge builder
-      // ever becomes wider than a single-column scan.
-      val outDeg = edges.groupBy(col("src").as("node_id"))
-        .agg(count(lit(1)).as("out_deg"))
-      val inDeg = edges.groupBy(col("dst").as("node_id"))
-        .agg(count(lit(1)).as("in_deg"))
+      // deliberately NOT persisted although two branches (the unified
+      // degree aggregate, the cc wedge pipeline) traverse it: measured
+      // at sf0.1, caching the distinct is 2.5x SLOWER (5.1 s vs 1.9 s
+      // steady) — the lineage is one pruned bigint scan plus narrow
+      // hash ops, so recompute beats the cache's build +
+      // InMemoryTableScan cost and the codegen fusion it breaks.
+      // Revisit only if the edge builder ever becomes wider than a
+      // single-column scan.
+      //
+      // Directed in/out degree comes from ONE aggregate over the
+      // direction-tagged exploded endpoints (out = sum of src-side
+      // tags, in = sum of dst-side tags; explode, not union — a union
+      // would re-expand the unpersisted edge lineage twice). One
+      // shuffle on node_id replaces the former two groupBys + two left
+      // joins; the undirected degree rides along free on cc's output
+      // (its triangle orientation needs it anyway).
+      val sym = edges
+        .select(explode(array(
+          struct(col("src").as("node_id"), lit(1L).as("o"), lit(0L).as("i")),
+          struct(col("dst").as("node_id"), lit(0L).as("o"), lit(1L).as("i"))))
+          .as("t"))
+        .select(col("t.node_id").as("node_id"), col("t.o").as("o"),
+          col("t.i").as("i"))
+      val degs = sym.groupBy("node_id").agg(
+        sum("o").as("out_deg"), sum("i").as("in_deg"))
       val cc = graft.graph.Triangles.clusteringCoefficient(edges)
       docs.select(id.as("node_id"))
-        .join(outDeg, Seq("node_id"), "left")
-        .join(inDeg, Seq("node_id"), "left")
+        .join(degs, Seq("node_id"), "left")
         .join(cc, Seq("node_id"), "left")
         .select(col("node_id"),
           coalesce(col("out_deg"), lit(0L)).as("out_deg"),
@@ -3735,7 +3773,9 @@ object SparkEntry {
     // fingerprint (integer bit arithmetic only), so both engines replay
     // the released counts bit-for-bit
     "q_dp_release" -> ((s, dir) =>
-      graft.operators.Expectations.dpNoisedCounts(
+      // key-derandomized variant: replayable by the DuckDB twin; the
+      // library mechanism (dpNoisedCounts) seeds from a CSPRNG
+      graft.operators.Expectations.dpNoisedCountsKeyDerandomized(
           t(s, dir, "documents"), "source")
         .orderBy("source")),
 
@@ -4535,6 +4575,77 @@ object SparkEntry {
                      * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
                  c.cid ASC) AS rn
              FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
+
+  /** [[kmeansAssignCtes]] variant for the INCREMENTAL path: the k-means
+    * training chain (seeds, one Lloyd iteration) runs over the BASE
+    * subset only (`baseWhere`), but the final assignment `a1` covers the
+    * FULL corpus — exactly what assign-new-batch-to-frozen-centroids
+    * computes, since per-row assignment is independent of which store
+    * file the row lands in. */
+  private def kmeansAssignBaseCtes(baseWhere: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+         eb AS (SELECT vec_id, v FROM e WHERE $baseWhere),
+         seeds AS (
+           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cid, v
+           FROM (SELECT * FROM eb ORDER BY vec_id LIMIT 8)),
+         a0 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT eb.vec_id, eb.v, s.cid,
+               row_number() OVER (PARTITION BY eb.vec_id ORDER BY
+                 (list_dot_product(eb.v, s.v)
+                  / (sqrt(list_dot_product(eb.v, eb.v))
+                     * sqrt(list_dot_product(s.v, s.v)))) DESC,
+                 s.cid ASC) AS rn
+             FROM eb CROSS JOIN seeds s) WHERE rn = 1),
+         vals AS (
+           SELECT a0.cid, t.i AS dim, a0.v[t.i] AS val, a0.vec_id
+           FROM a0, unnest(generate_series(1, 64)) AS t(i)),
+         m1 AS (
+           SELECT cid, dim,
+             CAST(list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+               / count(*) AS FLOAT) AS f
+           FROM vals GROUP BY cid, dim),
+         c1 AS (SELECT cid, list(CAST(f AS DOUBLE) ORDER BY dim) AS cv
+                FROM m1 GROUP BY cid),
+         a1 AS (
+           SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                 c.cid ASC) AS rn
+             FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
+
+  /** Probe + top-k suffix shared by the IVF twins (parameterized by the
+    * query-set size). */
+  private def ivfProbeSuffix(nQueries: Int): String = s""",
+         probes AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 (list_dot_product(e.v, c.cv)
+                  / (sqrt(list_dot_product(e.v, e.v))
+                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                 c.cid ASC) AS rn
+             FROM e CROSS JOIN c1 c WHERE e.vec_id < $nQueries) WHERE rn <= 2),
+         scored AS (
+           SELECT p.query_id, a1.vec_id AS neighbor_id,
+             round(list_dot_product(p.qv, a1.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(a1.v, a1.v))), 6) AS cosine
+           FROM a1 JOIN probes p
+             ON a1.cid = p.cid AND a1.vec_id <> p.query_id),
+         ranked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             neighbor_id, cosine
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank"""
 
   /** Full DuckDB twin of the IVF path (k-means prefix + nprobe=2 probe
     * selection + exact cosine top-k over the probed lists), parameterized
@@ -6374,6 +6485,11 @@ object SparkEntry {
     // lists. Possible only because training is bit-deterministic.
     "q_ann_ivf" -> ivfFullTwin(10),
 
+    // train on the 80% base, assign/probe the full union — the exact
+    // semantics of append-to-frozen-store (see the query comment)
+    "q_ann_incremental" ->
+      (kmeansAssignBaseCtes("vec_id % 5 <> 0") + ivfProbeSuffix(10)),
+
     "q_ann_ivf_pruned" -> ivfFullTwin(2),
 
     // both the exact and the LSH-bucketed top-5 recomputed, intersected
@@ -6751,7 +6867,7 @@ object SparkEntry {
     "q_rendezvous" ->
       s"""WITH scored AS (
            SELECT doc_id, j AS shard,
-             ${hash32Sql("(doc_id % 4294967296) * 31 + j")} AS h
+             ${hash32Sql(s"(${hash32Sql("doc_id")}) + j")} AS h
            FROM documents, unnest(generate_series(0, 7)) AS t(j)),
          pick AS (SELECT doc_id, shard FROM (
              SELECT doc_id, shard, row_number() OVER (PARTITION BY doc_id
@@ -7135,7 +7251,6 @@ winnowTwinSql,
            CAST(sum(b4) AS BIGINT) AS sum_b
          FROM blk GROUP BY media_id ORDER BY media_id""",
 
-    // the STUB decode is deterministic in the payload bytes, so even the
     // real-decode twin: the oracle replays the closed-form pixel generator
     // v(id, idx) = (id*131 + idx*7) % 256 over a 12×8 RGB raster — no codec
     // on the oracle side, so a hash match certifies Spark's actual PNG

@@ -10,14 +10,24 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_NO_BROADCAST=1: verify under the CLUSTER-SCALE join
+    // plan. At 100 TB no fact-table side fits a broadcast, so the plans
+    // that actually run there are sort-merge/shuffled-hash — locally AQE
+    // broadcasts instead, which leaves that plan shape unverified unless
+    // forced. Explicit broadcast() hints in operators keep their bounded
+    // broadcasts (those ARE the declared scale plan).
+    val spark = (if (sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1"))
+      builder
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -136,21 +136,24 @@ object Profile {
     pmod(hash32(id), lit(nShards.toLong))
 
   /** Rendezvous / highest-random-weight shard assignment (Thaler &
-    * Ravishankar 1996): shard = argmax_j hash32(key·31 + j), ties to the
-    * smallest j. Unlike `shardOf`'s modulo, resizing the shard set moves
-    * ONLY the keys whose winning shard disappeared (~1/n of data on
-    * shard removal, vs ~all under modulo) — the property that makes
-    * incremental shard-count changes cheap on a 100 TB layout. Pure
-    * narrow map: nShards hash evaluations per row, argmax as
-    * `greatest` over (hash, -shard) structs, no shuffle, engine-exact
-    * (the key is pre-reduced mod 2^32 so key·31+j never overflows in
-    * any engine's BIGINT). */
+    * Ravishankar 1996): shard = argmax_j hash32(hash32(key) + j), ties
+    * to the smallest j. Unlike `shardOf`'s modulo, resizing the shard
+    * set moves ONLY the keys whose winning shard disappeared (~1/n of
+    * data on shard removal, vs ~all under modulo) — the property that
+    * makes incremental shard-count changes cheap on a 100 TB layout.
+    * The inner hash decorrelates (key, j) across keys: a raw `key·31+j`
+    * mix would alias (k, j) with (k+1, j−31) for nShards > 31, making
+    * adjacent keys share per-shard weights and weakening HRW
+    * independence. Pure narrow map: nShards+1 hash evaluations per row,
+    * argmax as `greatest` over (hash, -shard) structs, no shuffle,
+    * engine-exact (hash32 outputs are < 2^32 so hash32(key)+j never
+    * overflows in any engine's BIGINT). */
   def rendezvousShard(id: Column, nShards: Int): Column = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     if (nShards == 1) return lit(0L) // greatest() needs two operands
-    val k = pmod(id.cast(LongType), lit(4294967296L))
+    val k = hash32(id)
     val scored = (0 until nShards).map { j =>
-      struct(hash32(k * 31 + lit(j.toLong)).as("h"),
+      struct(hash32(k + lit(j.toLong)).as("h"),
         lit(-j.toLong).as("nj"))
     }
     (-greatest(scored: _*).getField("nj")).cast(LongType)

@@ -217,6 +217,12 @@ object Multimodal {
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
             s"media_id=$id: expected 16-bit mono PCM, got $fmt")
           val bytes = ais.readAllBytes()
+          // fail loudly on a valid-but-empty stream (rms would be 0/0 =
+          // NaN) or a truncated odd byte count (a silently dropped
+          // trailing byte means a corrupt 16-bit PCM payload)
+          require(bytes.length > 0 && bytes.length % 2 == 0,
+            s"media_id=$id: empty or odd-length PCM stream " +
+              s"(${bytes.length} bytes)")
           val n = bytes.length / 2
           var sumAbs = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
           var prevNeg = false

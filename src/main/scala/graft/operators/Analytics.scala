@@ -19,6 +19,11 @@ import org.apache.spark.sql.types._
   * by the literal step count. */
 object Analytics {
 
+  /** Ceiling on distinct groups per range bucket in [[rankedByGroup]]'s
+    * heap-resident offsets directory — exceeding it raises an actionable
+    * error (scale `parts` with |groups|) instead of an executor OOM. */
+  private val MaxGroupsPerBucket = 4000000
+
   /** Sentinel for NaN group keys: boxed-Double equality (and Scala `==`)
     * says NaN != NaN, but Catalyst's grouping/sort semantics put all NaNs
     * in ONE group — a NaN group column would otherwise reset the local
@@ -218,7 +223,19 @@ object Analytics {
     val zipped = rankedRdd.zipPartitions(offsRdd,
         preservesPartitioning = true) { (it, offIt) =>
       val byKey = new java.util.HashMap[Seq[Any], (Long, Long)]()
-      offIt.foreach { case (_, (key, off, n)) => byKey.put(key, (off, n)) }
+      offIt.foreach { case (_, (key, off, n)) =>
+        byKey.put(key, (off, n))
+        // the group directory is deliberately heap-resident (see the
+        // trade note above); degrade GRACEFULLY at extreme cardinality:
+        // fail with the remedy instead of an executor OOM. 4M entries
+        // ≈ low hundreds of MB worst-case — under any sane task heap.
+        if (byKey.size > MaxGroupsPerBucket)
+          throw new IllegalStateException(
+            s"rankedByGroup: > $MaxGroupsPerBucket distinct groups in " +
+              s"one range bucket (parts=$nParts). Raise `parts` so " +
+              "each bucket's group directory fits task memory — " +
+              "target parts >= |distinct groups| / 1e6.")
+      }
       // groups are contiguous in the ranked partition (sorted by group),
       // so one lookup per group suffices, not one per row
       var curKey: Seq[Any] = null

@@ -133,13 +133,31 @@ object Ann {
     * is an explicit constant (NOT computed as `1 - lambdaRel`, whose
     * float value engines would have to agree on). */
   def mmrRerank(candidates: DataFrame, sims: DataFrame, k: Int,
-      lambdaRel: Double = 0.7, lambdaDiv: Double = 0.3): DataFrame = {
+      lambdaRel: Double = 0.7, lambdaDiv: Double = 0.3,
+      maxCandidates: Int = 1024): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val cand = candidates.select(col("id"), col("rel"))
+    // explicit casts (a FloatType/IntegerType input would otherwise
+    // throw ClassCastException mid-collect) and a loud bound check: the
+    // contract is a top-N candidate list, not a corpus — fail before
+    // collecting an unbounded sims matrix to the driver
+    val cand = candidates
+      .select(col("id").cast("long"), col("rel").cast("double"))
+      .limit(maxCandidates + 1)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
-    val simMap = sims.select(col("id_a"), col("id_b"), col("sim"))
+    require(cand.length <= maxCandidates,
+      s"mmrRerank expects a bounded top-N candidate list (<= " +
+        s"$maxCandidates rows) — got more; run the distributed top-k " +
+        "first and rerank its result")
+    val simRows = sims
+      .select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("sim").cast("double"))
+      .limit(maxCandidates * maxCandidates + 1)
       .collect()
+    require(simRows.length <= maxCandidates.toLong * maxCandidates,
+      s"mmrRerank sims matrix exceeds $maxCandidates^2 rows — pass the " +
+        "pairwise similarities of the bounded candidate list only")
+    val simMap = simRows
       .flatMap { r =>
         val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
         Seq((a, b) -> s, (b, a) -> s)

@@ -151,6 +151,26 @@ object Ivf {
     graft.sources.Sinks.writeParquet(assign(corpus, centroids, idCol, vecCol),
       path, partitionCols = Seq("centroid_id"))
 
+  /** Incremental index maintenance: assign a NEW batch of vectors to the
+    * FROZEN centroid set and APPEND it to an existing
+    * [[writeAssignedStore]] layout — no retrain, no rewrite of the
+    * resident lists. This is the daily-corpus-append path a real
+    * pipeline needs: assignment is a narrow per-row argmax (zero
+    * shuffle), and the hive append only touches the partition
+    * directories the batch actually lands in. Because assignment is a
+    * deterministic per-row function of (vector, centroids), the merged
+    * store is BIT-IDENTICAL to a full rebuild of the union corpus under
+    * the same centroids (IvfSpec asserts it; q_ann_incremental's DuckDB
+    * twin replays it) — recall drifts only as far as the frozen
+    * centroids drift from the true cluster structure, the standard IVF
+    * reindex-cadence trade. */
+  def appendToStore(newVectors: DataFrame, centroids: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    graft.sources.Sinks.writeParquet(
+      assign(newVectors, centroids, idCol, vecCol), path,
+      partitionCols = Seq("centroid_id"),
+      mode = org.apache.spark.sql.SaveMode.Append)
+
   /** IVF top-k against a [[writeAssignedStore]] layout: the probe set (the
     * union of every query's nprobe nearest centroids — at most k ids,
     * driver-sized by construction) becomes an IN filter on the partition

@@ -65,6 +65,34 @@ class IvfSpec extends AnyFunSuite {
     assert(full == bf)
   }
 
+  test("appendToStore: merged store answers probes identically to a full rebuild") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val base = corpus.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+    val batch = corpus.filter(pmod(col("vec_id"), lit(4)) === 0)
+    // centroids trained on the BASE only, then frozen
+    val cents = Ivf.train(base, k = 4, iters = 1, dim = 16)
+    val incr = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+    val full = java.nio.file.Files.createTempDirectory("ivf_full").toString
+    Ivf.writeAssignedStore(base, cents, incr)
+    Ivf.appendToStore(batch, cents, incr) // incremental: no retrain
+    Ivf.writeAssignedStore(corpus, cents, full) // rebuild on the union
+    // the two stores hold identical (vec_id, centroid_id) assignments...
+    val aIncr = spark.read.parquet(incr).select("vec_id", "centroid_id")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val aFull = spark.read.parquet(full).select("vec_id", "centroid_id")
+      .as[(Long, Int)].collect().sortBy(_._1).toSeq
+    assert(aIncr == aFull && aIncr.length == 60)
+    // ...and answer a probe identically
+    val qs = Ann.selfQueries(corpus, 5)
+    val rIncr = Ivf.ivfTopKFromStore(incr, qs, cents, k = 3, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val rFull = Ivf.ivfTopKFromStore(full, qs, cents, k = 3, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rIncr == rFull && rIncr.nonEmpty)
+  }
+
   test("knnGraph: every vector gets neighbors only from its own cell") {
     val cents = Ivf.train(corpus, k = 4, iters = 1, dim = 16)
     val cell = Ivf.assign(corpus, cents)

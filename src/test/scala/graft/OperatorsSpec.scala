@@ -347,16 +347,44 @@ class OperatorsSpec extends AnyFunSuite {
       val mag = java.lang.Long.bitCount((y ^ (y + 1)) / 2)
       (1 - 2 * (u % 2)) * mag
     }
-    val got = graft.operators.Expectations.dpNoisedCounts(df, "src")
+    val got = graft.operators.Expectations
+      .dpNoisedCountsKeyDerandomized(df, "src")
       .orderBy("src").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("k c", 3L + noise("k c")), ("ka", 10L + noise("ka")),
       ("kb", 7L + noise("kb"))))
     // the draw is a function of the key alone: stable across groupings
     val again = graft.operators.Expectations
-      .dpNoisedCounts(df.limit(12), "src").orderBy("src").collect()
+      .dpNoisedCountsKeyDerandomized(df.limit(12), "src").orderBy("src")
+      .collect()
       .map(r => r.getLong(1) - noise(r.getString(0))).toSeq
     assert(again == Seq(10L, 2L))
+  }
+
+  test("dpNoisedCounts: seeded — reproducible per seed, distinct across seeds") {
+    val df = (Seq.fill(64)("ka") ++ Seq.fill(48)("kb") ++ Seq.fill(32)("kc") ++
+      Seq.fill(24)("kd") ++ Seq.fill(16)("ke") ++ Seq.fill(12)("kf") ++
+      Seq.fill(8)("kg") ++ Seq.fill(6)("kh")).toDF("src")
+    def release(seed: Option[Long]) = graft.operators.Expectations
+      .dpNoisedCounts(df, "src", seed).orderBy("src").collect()
+      .map(r => r.getLong(1)).toSeq
+    // a fixed seed is exactly reproducible
+    assert(release(Some(7L)) == release(Some(7L)))
+    // different seeds perturb differently: with 8 groups and P(equal
+    // noise per group) ≤ 3/8, seeds 1..5 all colliding with seed 0 on
+    // every group has probability < 1e-16 — a stable assertion
+    val base = release(Some(0L))
+    assert((1L to 5L).exists(s => release(Some(s)) != base))
+    // the unseeded path draws a fresh CSPRNG seed (smoke: runs, 8 rows,
+    // each within the mechanism's noise envelope of the true count)
+    val truth = Map("ka" -> 64L, "kb" -> 48L, "kc" -> 32L, "kd" -> 24L,
+      "ke" -> 16L, "kf" -> 12L, "kg" -> 8L, "kh" -> 6L)
+    val unseeded = graft.operators.Expectations.dpNoisedCounts(df, "src")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(unseeded.length == 8)
+    unseeded.foreach { case (k, v) =>
+      assert(math.abs(v - truth(k)) <= 31L) // trailing-ones magnitude < 32
+    }
   }
 
   test("cusum: window unrolling equals the reset recursion") {
