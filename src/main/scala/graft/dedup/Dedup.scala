@@ -122,7 +122,20 @@ object Dedup {
     * (A sig_agree estimate prefilter was measured instead and rejected:
     * on this corpus est-Jaccard at any recall-safe margin cut <6% of
     * candidates while hauling both signature arrays through the join —
-    * the size filter cuts ~64% here and can never lose a true pair.) */
+    * the size filter cuts ~64% here and can never lose a true pair.)
+    *
+    * Sizing `maxBucketSize` (the 100x stress lesson, SCALE.md "Second
+    * decade"): the exact-verify join moves Θ(candidate pairs × shingle
+    * bytes), and candidate pairs grow QUADRATICALLY in bucket size — a
+    * boilerplate-heavy corpus whose naturally-hot bands hold B docs
+    * contributes ~B²/2 pairs per bucket up to the cap. Size the cap to
+    * the EXPECTED TRUE near-dup cluster size (a few × the largest real
+    * clique you intend to link), not to the corpus: at 500k docs the
+    * default 1000 admits a ~0.5 TB verify join where a cap of 64 — still
+    * 6x the true 10-member cliques there — verifies the same true pairs
+    * in 77 s. Capped-out buckets are boilerplate by construction; route
+    * them to exact dedup (they collide on FULL bands) rather than raising
+    * the cap. */
   def minhashVerifiedPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
       shingle: Int = 5, threshold: Double = 0.7,

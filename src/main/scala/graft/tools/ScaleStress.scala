@@ -25,42 +25,92 @@ import scala.collection.mutable
   * stages (stages with >= 2 s of total task time; tiny-task stages say
   * nothing about skew). SCALE.md gate: worst-stage max <= 4x median.
   *
-  * Usage: runMain graft.tools.ScaleStress [factor]
+  * Usage: runMain graft.tools.ScaleStress [factor] [pipeline1,...] [repCap]
+  * The optional second arg restricts the run to the named pipelines —
+  * the 100x second-decade spot-run uses it to drive just the heavy
+  * dedup spines without paying for the whole matrix at 500k docs.
+  *
+  * `repCap` (default = factor) bounds the NEAR-DUP CLUSTER SIZE: the
+  * factor splits into repCap near-dup replicas x (factor/repCap) content
+  * shards whose text is vowel-rotated per shard (length-preserving, so
+  * n_chars stays honest) — shards share no character shingles, so they
+  * never collide in minhash/ngram buckets. Default (repCap = factor)
+  * reproduces the historical all-one-clique corpus, where candidate-pair
+  * volume grows QUADRATICALLY in the factor — the adversarial shape; at
+  * factor 100 its verify join must move ~25M pairs x two shingle arrays
+  * (~200 GB), past this single node's free disk (measured: graceful
+  * spill to ENOSPC, no OOM, no skew — a cluster's aggregate disk
+  * absorbs it). `repCap = 10` holds the dup structure constant while
+  * the corpus scales — the realistic second-decade experiment: engine
+  * cost should scale LINEARLY with the corpus when the data's dup
+  * profile doesn't change.
   */
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
+    val repCap = if (args.length > 2) args(2).toInt else factor
+    require(factor % repCap == 0,
+      s"factor $factor must be a multiple of repCap $repCap")
     val srcDir = "/root/testdata/sf0.1"
     val outDir = "/tmp/graft_sfstress"
     val spark = graft.engine.Context.session("local[32]", 32)
     spark.sparkContext.setLogLevel("WARN")
 
-    val marker = new java.io.File(s"$outDir/.factor_$factor")
+    val marker = new java.io.File(s"$outDir/.factor_${factor}_rep$repCap")
     if (!marker.exists()) {
       val docs = spark.read.parquet(s"$srcDir/documents.parquet")
       val n = docs.count()
-      val reps = docs.crossJoin(
-          spark.range(factor).select(col("id").as("rep")))
+      val nShards = factor / repCap
+      // per-shard vowel rotation: length-preserving text rewrite that
+      // shares no 5-char shingle with any other shard, so cross-shard
+      // docs never enter the same candidate bucket (cluster size stays
+      // exactly repCap). Shard 0 is the identity — replica (0, 0) IS the
+      // original corpus.
+      // a 10-letter rotation set gives nShards <= 10 DISTINCT mappings
+      // (a 5-vowel set would alias shard s with shard s+5)
+      val alpha = "aeiousnrtl"
+      require(nShards <= alpha.length,
+        s"at most ${alpha.length} content shards supported, got $nShards")
+      def rot(s: Int): String = alpha.drop(s) + alpha.take(s)
+      def sharded(c: org.apache.spark.sql.Column) =
+        (1 until nShards).foldLeft(when(col("shard") === 0, c)) { (acc, s) =>
+          acc.when(col("shard") === s, translate(c, alpha, rot(s)))
+        }
+      val withShardText = docs.crossJoin(
+          spark.range(factor).select(
+            (col("id") % repCap).as("rep"),
+            expr(s"id div $repCap").as("shard")))
+        .withColumn("__sh_text",
+          if (nShards == 1) col("text") else sharded(col("text")))
         .select(
-          (col("doc_id") + col("rep") * n).as("doc_id"),
-          when(col("rep") === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" rep"), col("rep")))
+          (col("doc_id") + (col("shard") * repCap + col("rep")) * n)
+            .as("doc_id"),
+          when(col("rep") === 0, col("__sh_text"))
+            .otherwise(concat(col("__sh_text"), lit(" rep"), col("rep")))
             .as("text"),
           col("lang"), col("source"), col("n_chars"))
-      reps.repartition(32).write.mode("overwrite")
+      withShardText.repartition(32).write.mode("overwrite")
         .parquet(s"$outDir/documents.parquet")
       new java.io.File(outDir).mkdirs()
       marker.createNewFile()
-      println(s"[stress] built ${n * factor}-doc corpus at $outDir")
+      println(s"[stress] built ${n * factor}-doc corpus at $outDir " +
+        s"($repCap-member clusters x $nShards shards)")
     }
 
-    // (stageId -> task durations) per measured query
+    // (stageId -> task durations) per measured query, plus spill totals
     val byStage = new mutable.HashMap[Int, mutable.ArrayBuffer[Long]]()
+    val spill = new Array[Long](2) // (memoryBytesSpilled, diskBytesSpilled)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
         if (e.taskInfo != null) byStage.synchronized {
           byStage.getOrElseUpdate(e.stageId, mutable.ArrayBuffer.empty)
             .append(e.taskInfo.duration)
+          if (e.taskMetrics != null) {
+            spill(0) += e.taskMetrics.memoryBytesSpilled
+            spill(1) += e.taskMetrics.diskBytesSpilled
+          }
         }
     })
 
@@ -70,6 +120,17 @@ object ScaleStress {
     def pairsDefault = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
     val pipelines: Seq[(String, () => DataFrame)] = Seq(
       "minhash_verified" -> (() => Dedup.minhashVerifiedPairs(docs, threshold = 0.7)),
+      // second-decade configuration: the 500k-doc corpus REPLICATES the
+      // base corpus's naturally-hot minhash bands (boilerplate-like docs
+      // sharing whole bands) ~100x, so in-bucket pair volume grows
+      // quadratically — 2.83e9 raw / 3.7e8 under the default cap of
+      // 1000 (BucketProbe, 2026-08-15), whose verify join moves
+      // Θ(pairs x shingle bytes) ≈ 0.5 TB: fine spread over a cluster,
+      // past one node's disk. The scale knob is the hot-bucket cap —
+      // 64 keeps every true 10-member clique bucket intact while
+      // bounding boilerplate-glued buckets (4.4e7 pre-dedup pair rows).
+      "minhash_scale64" -> (() => Dedup.minhashVerifiedPairs(docs,
+        threshold = 0.7, maxBucketSize = 64)),
       "fuzzy_join" -> (() => Dedup.editDistancePairs(docs24, "k", "doc_id", maxDist = 2)),
       "dedup_best" -> (() => Dedup.nearDupSurvivorsBy(docs, pairsDefault, col("n_chars"))),
       "dedup_survivors" -> (() => Dedup.nearDupSurvivors(docs, pairsDefault)),
@@ -79,7 +140,8 @@ object ScaleStress {
     )
 
     def measure(name: String, mk: () => DataFrame): Unit = {
-      byStage.synchronized(byStage.clear())
+      if (!only.forall(_.contains(name))) return
+      byStage.synchronized { byStage.clear(); spill(0) = 0L; spill(1) = 0L }
       val t0 = System.nanoTime()
       val rows = mk().count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -112,10 +174,11 @@ object ScaleStress {
       val w = worst.map { case (r, mx, md, nt) =>
         f"$r%6.2fx  (max $mx%6d / med $md%5d over $nt%4d tasks)"
       }.getOrElse("no stage >= 2s")
-      println(f"$name%-18s $wall%8.2f $rows%9d $nTasks%7d  $w")
+      val (sm, sd) = byStage.synchronized((spill(0), spill(1)))
+      println(f"$name%-18s $wall%8.2f $rows%9d $nTasks%7d ${sm / 1e6}%9.1f ${sd / 1e6}%9.1f  $w")
     }
 
-    println(f"${"pipeline"}%-18s ${"wall_s"}%8s ${"rows"}%9s ${"tasks"}%7s ${"worst-stage max/med (ms, tasks)"}")
+    println(f"${"pipeline"}%-18s ${"wall_s"}%8s ${"rows"}%9s ${"tasks"}%7s ${"spillM_MB"}%9s ${"spillD_MB"}%9s ${"worst-stage max/med (ms, tasks)"}")
     pipelines.foreach { case (name, mk) => measure(name, mk) }
 
     // graph family at the same 10x node count (50k nodes, 150k directed
