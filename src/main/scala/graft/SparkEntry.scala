@@ -4539,42 +4539,10 @@ object SparkEntry {
     * lowest-id seeds, one Lloyd iteration with the ordered-fold mean, and
     * the final nearest-centroid assignment (`a1`: vec_id, v, cid). Used by
     * the IVF twins (probe + top-k on top) and the SemDeDup twin
-    * (within-cluster pair enumeration on top). */
-  private val kmeansAssignCtes: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             FROM embeddings),
-         seeds AS (
-           SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-               AS cid, v
-           FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
-         a0 AS (
-           SELECT vec_id, v, cid FROM (
-             SELECT e.vec_id, e.v, s.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 (list_dot_product(e.v, s.v)
-                  / (sqrt(list_dot_product(e.v, e.v))
-                     * sqrt(list_dot_product(s.v, s.v)))) DESC,
-                 s.cid ASC) AS rn
-             FROM e CROSS JOIN seeds s) WHERE rn = 1),
-         vals AS (
-           SELECT a0.cid, t.i AS dim, a0.v[t.i] AS val, a0.vec_id
-           FROM a0, unnest(generate_series(1, 64)) AS t(i)),
-         m1 AS (
-           SELECT cid, dim,
-             CAST(list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
-               / count(*) AS FLOAT) AS f
-           FROM vals GROUP BY cid, dim),
-         c1 AS (SELECT cid, list(CAST(f AS DOUBLE) ORDER BY dim) AS cv
-                FROM m1 GROUP BY cid),
-         a1 AS (
-           SELECT vec_id, v, cid FROM (
-             SELECT e.vec_id, e.v, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 (list_dot_product(e.v, c.cv)
-                  / (sqrt(list_dot_product(e.v, e.v))
-                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
-                 c.cid ASC) AS rn
-             FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
+    * (within-cluster pair enumeration on top). ONE text with
+    * [[kmeansAssignBaseCtes]] (base filter TRUE = train on everything) so
+    * a future oracle tweak cannot silently diverge the siblings. */
+  private lazy val kmeansAssignCtes: String = kmeansAssignBaseCtes("TRUE")
 
   /** [[kmeansAssignCtes]] variant for the INCREMENTAL path: the k-means
     * training chain (seeds, one Lloyd iteration) runs over the BASE
@@ -4653,32 +4621,8 @@ object SparkEntry {
     * uses 2 so its probe union is a strict subset of the 8 inverted lists
     * and the partition pruning is observable (the pruned variant only
     * changes WHERE the lists are read from, never the result). */
-  private def ivfFullTwin(nQueries: Int): String = kmeansAssignCtes +
-    s""",
-         probes AS (
-           SELECT query_id, qv, cid FROM (
-             SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 (list_dot_product(e.v, c.cv)
-                  / (sqrt(list_dot_product(e.v, e.v))
-                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
-                 c.cid ASC) AS rn
-             FROM e CROSS JOIN c1 c WHERE e.vec_id < $nQueries) WHERE rn <= 2),
-         scored AS (
-           SELECT p.query_id, a1.vec_id AS neighbor_id,
-             round(list_dot_product(p.qv, a1.v)
-               / (sqrt(list_dot_product(p.qv, p.qv))
-                  * sqrt(list_dot_product(a1.v, a1.v))), 6) AS cosine
-           FROM a1 JOIN probes p
-             ON a1.cid = p.cid AND a1.vec_id <> p.query_id),
-         ranked AS (
-           SELECT query_id,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
-             neighbor_id, cosine
-           FROM scored)
-         SELECT query_id, rank, neighbor_id, cosine FROM ranked
-         WHERE rank <= 5 ORDER BY query_id, rank"""
+  private def ivfFullTwin(nQueries: Int): String =
+    kmeansAssignCtes + ivfProbeSuffix(nQueries)
 
   /** Full DuckDB twin of the PQ path (q_ann_pq): per-subspace k-means —
     * lowest-id seeds on the SLICED vectors, one Lloyd iteration with the

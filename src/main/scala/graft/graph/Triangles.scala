@@ -73,18 +73,24 @@ object Triangles {
     // task-memory-safe on any graph
     val adj = o.groupBy(col("u"))
       .agg(collect_list(struct(col("w"), col("degw"))).as("nbrs"))
-    // unordered out-neighbor pairs, generated locally, emitted directly
-    // in the (deg, id) storage orientation so ONE probe of the oriented
-    // edge set closes the wedge (each triangle matches exactly once, at
-    // its unique apex)
+    // unordered out-neighbor pairs, emitted directly in the (deg, id)
+    // storage orientation so ONE probe of the oriented edge set closes
+    // the wedge (each triangle matches exactly once, at its unique
+    // apex). TWO explode steps, not one flatten: posexplode pins each
+    // pivot x to its own row first, so no single value ever holds more
+    // than one O(sqrt(m)) neighbor slice — a one-shot
+    // flatten(transform²) would materialize all O(out-deg²) pairs of an
+    // apex (O(m) structs on a clique-heavy graph) inside ONE unspillable
+    // in-row array before the explode could split it.
     val wedges = adj
+      .select(col("u"), col("nbrs"),
+        posexplode(col("nbrs")).as(Seq("i", "x")))
       .select(col("u"), explode(expr(
-        "flatten(transform(nbrs, (x, i) -> " +
-          "transform(slice(nbrs, i + 2, size(nbrs)), y -> " +
+        "transform(slice(nbrs, i + 2, size(nbrs)), y -> " +
           "case when x.degw < y.degw or " +
           "(x.degw = y.degw and x.w < y.w) " +
           "then struct(x.w as v1, y.w as v2) " +
-          "else struct(y.w as v1, x.w as v2) end)))")).as("p"))
+          "else struct(y.w as v1, x.w as v2) end)")).as("p"))
       .select(col("u"), col("p.v1"), col("p.v2"))
     val closing = o.select(col("u").as("v1"), col("w").as("v2"))
     wedges.join(closing, Seq("v1", "v2"))

@@ -135,6 +135,10 @@ object Ann {
   def mmrRerank(candidates: DataFrame, sims: DataFrame, k: Int,
       lambdaRel: Double = 0.7, lambdaDiv: Double = 0.3,
       maxCandidates: Int = 1024): DataFrame = {
+    // limit() takes an Int: 46341² overflows, silently truncating the
+    // sims collect (wrong ranking, no error) — cap where the square fits
+    require(maxCandidates >= 1 && maxCandidates <= 46340,
+      s"maxCandidates must be in [1, 46340], got $maxCandidates")
     val spark = candidates.sparkSession
     import spark.implicits._
     // explicit casts (a FloatType/IntegerType input would otherwise

@@ -32,9 +32,12 @@ import scala.collection.mutable
   *
   * `repCap` (default = factor) bounds the NEAR-DUP CLUSTER SIZE: the
   * factor splits into repCap near-dup replicas x (factor/repCap) content
-  * shards whose text is vowel-rotated per shard (length-preserving, so
-  * n_chars stays honest) — shards share no character shingles, so they
-  * never collide in minhash/ngram buckets. Default (repCap = factor)
+  * shards whose text is letter-rotated per shard (length-preserving, so
+  * n_chars stays honest) — shingles touching the rotation set differ
+  * across shards, so shards rarely share minhash/ngram buckets (shingles
+  * of digits/punctuation/unrotated letters CAN coincide: verify the
+  * output-row linearity on a new corpus before trusting the
+  * constant-cluster premise). Default (repCap = factor)
   * reproduces the historical all-one-clique corpus, where candidate-pair
   * volume grows QUADRATICALLY in the factor — the adversarial shape; at
   * factor 100 its verify join must move ~25M pairs x two shingle arrays
@@ -60,14 +63,20 @@ object ScaleStress {
 
     val marker = new java.io.File(s"$outDir/.factor_${factor}_rep$repCap")
     if (!marker.exists()) {
+      // every config writes the SAME documents.parquet: clear sibling
+      // markers so a later run of a previously-built config can't
+      // silently reuse THIS config's corpus as its own evidence
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(".factor_")).foreach(_.delete())
       val docs = spark.read.parquet(s"$srcDir/documents.parquet")
       val n = docs.count()
       val nShards = factor / repCap
-      // per-shard vowel rotation: length-preserving text rewrite that
-      // shares no 5-char shingle with any other shard, so cross-shard
-      // docs never enter the same candidate bucket (cluster size stays
-      // exactly repCap). Shard 0 is the identity — replica (0, 0) IS the
-      // original corpus.
+      // per-shard letter rotation: length-preserving text rewrite under
+      // which any shingle touching the rotation set differs across
+      // shards, so cross-shard docs rarely share a candidate bucket
+      // (cluster size ≈ repCap; see the scaladoc caveat on shingles of
+      // unrotated characters). Shard 0 is the identity — replica (0, 0)
+      // IS the original corpus.
       // a 10-letter rotation set gives nShards <= 10 DISTINCT mappings
       // (a 5-vowel set would alias shard s with shard s+5)
       val alpha = "aeiousnrtl"
