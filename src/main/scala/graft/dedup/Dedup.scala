@@ -191,6 +191,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact ceiling on the candidate-pair rows [[minhashVerifiedPairs]]'
+    * verify join will enumerate at this `maxBucketSize`: Σ over surviving
+    * buckets of n·(n−1)/2 (pre-dedup, so a strict upper bound on the
+    * distinct pairs whose shingle arrays the verify join must move). One
+    * slim aggregate over the banded keys — no signatures or shingle
+    * arrays travel, so this costs a corpus scan plus one shuffle of
+    * (band, hash) longs and can be run as a cheap pre-flight on an
+    * unfamiliar corpus. Budget rule of thumb from the 100x stress
+    * (SCALE.md "Second decade"): verify bytes ≈ pairs × 2 × avg shingle
+    * bytes; gate with
+    * `require(estimate < budget)` BEFORE launching a multi-TB join, or
+    * lower `maxBucketSize` until the estimate fits. */
+  def estimateMinhashCandidates(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
+      shingle: Int = 5, maxBucketSize: Int = 1000): Long = {
+    val banded = docs
+      // same zero-shingle exclusion as the pipeline (such docs never
+      // reach its banding, so they must not inflate the estimate)
+      .filter(size(native.char_shingle_hashes(col(textCol), shingle)) > 0)
+      .select(col(idCol).as("id"),
+        posexplode(native.minhash_bands(
+          minhashSignature(col(textCol), numHashes, shingle), bands))
+          .as(Seq("band_id", "band_hash")))
+    banded.groupBy("band_id", "band_hash").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucketSize)
+      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
+        .cast(LongType))
+      .head().getLong(0)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.

@@ -175,6 +175,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("estimateMinhashCandidates: exact pre-flight ceiling on verify pairs") {
+    // two identical docs collide in every band; the unrelated doc and the
+    // degenerate docs (empty / sub-shingle) must not inflate the estimate
+    val docs = Seq(
+      (0L, ""),
+      (1L, "ab"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely unrelated content with other words entirely here"))
+      .toDF("doc_id", "text")
+    val est = Dedup.estimateMinhashCandidates(docs)
+    // identical docs share all 16 bands -> exactly 16 in-bucket pairs,
+    // unless doc 4 coincidentally shares a band (it must not here)
+    assert(est == 16L)
+    // the estimate upper-bounds the DISTINCT candidate pairs by
+    // construction: the verified output here is the single (2,3) pair
+    val pairs = Dedup.minhashVerifiedPairs(docs, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length <= est)
+    // a cap below the duplicate bucket size zeroes the estimate (the
+    // pipeline would drop those buckets too)
+    assert(Dedup.estimateMinhashCandidates(docs, maxBucketSize = 1) == 0L)
+  }
+
   test("incremental dedup: new-only rows against a reference corpus") {
     val ref = Seq(
       (100L, "shared duplicated text body number one"),
