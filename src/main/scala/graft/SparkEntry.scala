@@ -3767,6 +3767,29 @@ object SparkEntry {
           t(s, dir, "documents"), Seq("lang", "source"), k = 10)
         .orderBy("lang", "source")),
 
+    // l-diversity audit (k-anonymity's sensitive-value counterpart): a
+    // (event_type, day) class whose events come from < 50 distinct users
+    // is re-identifiable however large it is; day stays a TIMESTAMP
+    // (date_trunc) on both sides — the engine-portable date idiom
+    "q_ldiversity" -> ((s, dir) =>
+      graft.operators.Expectations.lDiversity(
+          t(s, dir, "events")
+            .withColumn("day", date_trunc("day", col("ts"))),
+          Seq("event_type", "day"), "user_id", l = 50)
+        .orderBy("event_type", "day")),
+
+    // leakage-safe TIME split with a 2-day embargo gap before the eval
+    // cutoff: sessions/trends straddling a knife-edge boundary leak
+    // across it, so the gap rows are dropped, not assigned. Explicit
+    // cutoff literal — reproducible under late-arriving data.
+    "q_time_split" -> ((s, dir) =>
+      graft.functions.Profile.timeEmbargoSplit(t(s, dir, "events"), "ts",
+          "2024-01-24 00:00:00", embargoDays = 2)
+        .groupBy("event_type", "split")
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+          max("event_id").as("max_id"))
+        .orderBy("event_type", "split")),
+
     // differentially-private count release (discrete Laplace / two-sided
     // geometric at eps = ln 2) — the release counterpart to q_kanon's
     // audit; the noise draw is derandomized from the group-key
@@ -6117,6 +6140,36 @@ object SparkEntry {
            t.risky AS rows_at_risk, t.total AS rows_total,
            CAST(t.risky AS DOUBLE) / CAST(t.total AS DOUBLE) AS risk_share
          FROM c, t ORDER BY lang, source""",
+
+    "q_ldiversity" ->
+      """WITH c AS (
+           SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(coalesce(sum(CASE WHEN n_sensitive < 50 THEN n END), 0)
+               AS BIGINT) AS risky
+           FROM c)
+         SELECT event_type, day, n, n_sensitive,
+           n_sensitive < 50 AS at_risk,
+           t.risky AS rows_at_risk, t.total AS rows_total,
+           CAST(t.risky AS DOUBLE) / CAST(t.total AS DOUBLE) AS risk_share
+         FROM c, t ORDER BY event_type, day""",
+
+    "q_time_split" ->
+      """WITH s AS (
+           SELECT event_type, event_id,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                    < TIMESTAMP '2024-01-22 00:00:00' THEN 'train'
+                  WHEN CAST(ts AS TIMESTAMP)
+                    >= TIMESTAMP '2024-01-24 00:00:00' THEN 'eval'
+             END AS split
+           FROM events)
+         SELECT event_type, split, CAST(count(*) AS BIGINT) AS n,
+           min(event_id) AS min_id, max(event_id) AS max_id
+         FROM s WHERE split IS NOT NULL
+         GROUP BY 1, 2 ORDER BY event_type, split""",
 
     // histogram product vs the materialized join, both exact
     "q_join_size" ->

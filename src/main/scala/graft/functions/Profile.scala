@@ -170,6 +170,31 @@ object Profile {
       when(bucket < trainPct, "train").otherwise("eval"))
   }
 
+  /** Leakage-safe TIME split with an embargo gap: train = rows strictly
+    * before (cutoff − embargoDays), eval = rows at/after cutoff, and the
+    * embargo window in between is DROPPED. The gap is what makes the
+    * split honest for time-series/user-event data: adjacent events leak
+    * across a knife-edge boundary (sessions straddle it, short-horizon
+    * trends carry over, labels computed with lookahead touch both
+    * sides), so models validated on a gapless time split overfit the
+    * boundary. Standard practice in financial ML (purged/embargoed CV,
+    * Lopez de Prado 2018) and event-stream evaluation.
+    *
+    * Pure narrow filter + label (no shuffle, no state); `cutoff` is an
+    * explicit timestamp literal so the split is reproducible across
+    * runs and engines — never derived from max(ts), which would change
+    * under late-arriving data. Returns the input plus `split`. */
+  def timeEmbargoSplit(df: DataFrame, tsCol: String, cutoff: String,
+      embargoDays: Int): DataFrame = {
+    require(embargoDays >= 0, s"embargoDays must be >= 0, got $embargoDays")
+    val cut = to_timestamp(lit(cutoff))
+    val trainEnd = cut - expr(s"INTERVAL $embargoDays DAYS")
+    df.withColumn("split",
+        when(col(tsCol) < trainEnd, "train")
+          .when(col(tsCol) >= cut, "eval"))
+      .filter(col("split").isNotNull)
+  }
+
   /** Deterministic stratified sampling: keep ~`pct`% of rows from EVERY
     * stratum by the same multiplicative id hash — unlike a global sample,
     * rare strata keep their proportional share rather than vanishing. A

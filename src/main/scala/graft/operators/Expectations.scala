@@ -106,6 +106,37 @@ object Expectations {
           .as("risk_share"))): _*)
   }
 
+  /** l-diversity audit — k-anonymity's sensitive-value counterpart
+    * (Machanavajjhala et al. 2007): a quasi-identifier equivalence class
+    * is re-identifiable in practice when all its members share the same
+    * SENSITIVE value even if the class is large, so the gate is distinct
+    * sensitive values per class >= l, not class size >= k. Returns one
+    * row per class: the quasi-identifier values, class size `n`,
+    * `n_sensitive` (exact distinct), `at_risk` (n_sensitive < l), and
+    * the exact corpus-wide share of rows in risky classes.
+    *
+    * Scale shape: one groupBy on the quasi-identifier tuple with an
+    * exact count-distinct branch (Catalyst plans the Expand + two-phase
+    * aggregate — still one scan); totals are a 1-row broadcast back,
+    * same as [[kAnonymity]]. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < l)
+    val totals = classes.agg(
+      sum(col("n")).as("__total"),
+      sum(when(col("at_risk"), col("n")).otherwise(0L)).as("__risky"))
+    classes.crossJoin(broadcast(totals))
+      .select((quasiCols.map(col) ++ Seq(col("n"),
+        col("n_sensitive").cast(LongType).as("n_sensitive"), col("at_risk"),
+        col("__risky").cast(LongType).as("rows_at_risk"),
+        col("__total").cast(LongType).as("rows_total"),
+        (col("__risky").cast(DoubleType) / col("__total").cast(DoubleType))
+          .as("risk_share"))): _*)
+  }
+
   /** Differentially-private count release: per-group counts perturbed
     * with TWO-SIDED GEOMETRIC noise (the discrete Laplace mechanism,
     * Ghosh/Roughgarden/Sundararajan 2009) at alpha = 1/2, i.e.

@@ -317,6 +317,20 @@ class OperatorsSpec extends AnyFunSuite {
       ("b", "x", 2L, false, 1L, 6L, 1.0 / 6.0)))
   }
 
+  test("lDiversity: distinct-sensitive gate, not class size") {
+    // class a: 4 rows but only 1 distinct sensitive value -> risky at l=2
+    // class b: 2 rows, 2 distinct -> safe (size alone would not decide)
+    val df = Seq(("a", 7L), ("a", 7L), ("a", 7L), ("a", 7L),
+      ("b", 1L), ("b", 2L)).toDF("g", "s")
+    val got = graft.operators.Expectations.lDiversity(df, Seq("g"), "s", 2)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("a", 4L, 1L, true, 4L, 6L, 4.0 / 6.0),
+      ("b", 2L, 2L, false, 4L, 6L, 4.0 / 6.0)))
+  }
+
   test("calibration: clamped binning, exact per-bin counts and rates") {
     // scores: -2.0 clamps to bin 0, 1.5 clamps to bin 9; 0.05 -> bin 5,
     // -0.15 -> bin 4, 0.999 -> bin 9 (width 0.2 over [-1,1])

@@ -200,6 +200,28 @@ class SinksSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("id", "v"))
   }
 
+  test("timeEmbargoSplit: embargo rows dropped, boundaries half-open") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val df = Seq(
+      (1L, "2024-01-21 23:59:59"), // train (strictly before cutoff-2d)
+      (2L, "2024-01-22 00:00:00"), // embargo start -> dropped
+      (3L, "2024-01-23 12:00:00"), // embargo -> dropped
+      (4L, "2024-01-24 00:00:00"), // eval (at cutoff, inclusive)
+      (5L, "2024-01-25 00:00:00")) // eval
+      .toDF("id", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = graft.functions.Profile
+      .timeEmbargoSplit(df, "ts", "2024-01-24 00:00:00", embargoDays = 2)
+      .select("id", "split").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.sorted
+    assert(got == Seq((1L, "train"), (4L, "eval"), (5L, "eval")))
+    // zero embargo degrades to the plain knife-edge split (no dropped rows)
+    val all = graft.functions.Profile
+      .timeEmbargoSplit(df, "ts", "2024-01-24 00:00:00", embargoDays = 0)
+      .count()
+    assert(all == 5L)
+  }
+
   test("hashSplit is deterministic, covers all rows, roughly respects pct") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("id")
