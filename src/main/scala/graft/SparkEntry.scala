@@ -3416,6 +3416,30 @@ object SparkEntry {
         FROM u ORDER BY source""")
     }),
 
+    // §2.6 front-door parity for the round-8 l-diversity audit: the
+    // same classes/totals shape expressed through Context.sql (count
+    // DISTINCT + CASE totals + 1-row cross join), sharing
+    // q_ldiversity's oracle. CAST(n AS BIGINT) pins count(*)'s type,
+    // and the count(*) > counts keep both engines in BIGINT.
+    "q_sql_ldiversity" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        WITH c AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+          FROM events GROUP BY event_type, date_trunc('day', ts)),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+            CAST(coalesce(sum(CASE WHEN n_sensitive < 50 THEN n END), 0)
+              AS BIGINT) AS risky
+          FROM c)
+        SELECT event_type, day, n, n_sensitive,
+          n_sensitive < 50 AS at_risk,
+          t.risky AS rows_at_risk, t.total AS rows_total,
+          CAST(t.risky AS DOUBLE) / CAST(t.total AS DOUBLE) AS risk_share
+        FROM c, t ORDER BY event_type, day""")
+    }),
+
     "q_sql_dedup_rate" -> ((s, dir) => {
       val ctx = Context.forSfDir(s, dir)
       ctx.sql("""
@@ -4496,6 +4520,24 @@ object SparkEntry {
 
   /** The width-safe two-limb Knuth hash (Profile.hash32) over an SQL
     * expression — every intermediate < 1.8e14, identical in any engine. */
+  /** l-diversity twin, shared by the DataFrame path (q_ldiversity) and
+    * the SQL front door (q_sql_ldiversity). */
+  private val ldiversityTwinSql: String =
+    """WITH c AS (
+           SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+             CAST(coalesce(sum(CASE WHEN n_sensitive < 50 THEN n END), 0)
+               AS BIGINT) AS risky
+           FROM c)
+         SELECT event_type, day, n, n_sensitive,
+           n_sensitive < 50 AS at_risk,
+           t.risky AS rows_at_risk, t.total AS rows_total,
+           CAST(t.risky AS DOUBLE) / CAST(t.total AS DOUBLE) AS risk_share
+         FROM c, t ORDER BY event_type, day"""
+
   private def hash32Sql(x: String): String =
     s"(((($x) % 4294967296) % 65536) * 2654435761" +
       s" + ((((($x) % 4294967296) // 65536) * 2654435761) % 65536) * 65536)" +
@@ -6141,21 +6183,9 @@ object SparkEntry {
            CAST(t.risky AS DOUBLE) / CAST(t.total AS DOUBLE) AS risk_share
          FROM c, t ORDER BY lang, source""",
 
-    "q_ldiversity" ->
-      """WITH c AS (
-           SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive
-           FROM events GROUP BY 1, 2),
-         t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
-             CAST(coalesce(sum(CASE WHEN n_sensitive < 50 THEN n END), 0)
-               AS BIGINT) AS risky
-           FROM c)
-         SELECT event_type, day, n, n_sensitive,
-           n_sensitive < 50 AS at_risk,
-           t.risky AS rows_at_risk, t.total AS rows_total,
-           CAST(t.risky AS DOUBLE) / CAST(t.total AS DOUBLE) AS risk_share
-         FROM c, t ORDER BY event_type, day""",
+    "q_ldiversity" -> ldiversityTwinSql,
+    // same audit through the §2.6 SQL front door -> same oracle
+    "q_sql_ldiversity" -> ldiversityTwinSql,
 
     "q_time_split" ->
       """WITH s AS (
