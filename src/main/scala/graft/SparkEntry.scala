@@ -2045,6 +2045,18 @@ object SparkEntry {
           maxBucketSize = 100000)
         .orderBy("id_a", "id_b")),
 
+    // the closed-loop cap gate: chooseBucketCap evaluates the capped
+    // pair ceiling for every ladder rung in one slim aggregate and
+    // minhashVerifiedPairsAuto runs the verified pipeline at the largest
+    // rung under the 100k-pair budget. At gate scale the chosen rung
+    // (4000 > the 273-doc max bucket) caps nothing, so the SAME full
+    // O(n²) exact-Jaccard twin proves the auto-gated path end to end;
+    // DedupSpec pins the tight-budget rung selection the twin can't see
+    "q_dedup_autocap" -> ((s, dir) =>
+      Dedup.minhashVerifiedPairsAuto(t(s, dir, "documents"),
+          threshold = 0.7, pairBudget = 100000L)
+        .orderBy("id_a", "id_b")),
+
     // SimHash pairs at maxHamming=3: with 4 pigeonhole chunks the candidate
     // generation is provably COMPLETE for hamming <= 3, so the emitted set
     // is exactly {pairs with hamming(simhash_a, simhash_b) <= 3} — and the
@@ -4520,6 +4532,25 @@ object SparkEntry {
 
   /** The width-safe two-limb Knuth hash (Profile.hash32) over an SQL
     * expression — every intermediate < 1.8e14, identical in any engine. */
+  /** Full O(n²) exact byte-shingle Jaccard twin, shared by the manual-cap
+    * (q_dedup_minhash) and auto-gated (q_dedup_autocap) pipelines. */
+  private val minhashExactTwinSql: String =
+    """WITH grams AS (
+         SELECT doc_id,
+           list_distinct(list_transform(
+             generate_series(1, greatest(length(text) - 4, 0)),
+             i -> substr(text, i, 5))) AS gs
+         FROM documents),
+       pairs AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+             (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+             AS jaccard
+         FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+         WHERE len(a.gs) > 0 AND len(b.gs) > 0)
+       SELECT id_a, id_b, jaccard FROM pairs
+       WHERE jaccard >= 0.7 ORDER BY id_a, id_b"""
+
   /** l-diversity twin, shared by the DataFrame path (q_ldiversity) and
     * the SQL front door (q_sql_ldiversity). */
   private val ldiversityTwinSql: String =
@@ -7044,22 +7075,10 @@ winnowTwinSql,
     // full O(n²) exact byte-shingle Jaccard twin — proves MinHash banding
     // candidate recall is lossless at gate scale (corpus is ASCII, so
     // DuckDB's char substr == the kernel's byte windows)
-    "q_dedup_minhash" ->
-      """WITH grams AS (
-           SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, greatest(length(text) - 4, 0)),
-               i -> substr(text, i, 5))) AS gs
-           FROM documents),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
-               (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
-               AS jaccard
-           FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-           WHERE len(a.gs) > 0 AND len(b.gs) > 0)
-         SELECT id_a, id_b, jaccard FROM pairs
-         WHERE jaccard >= 0.7 ORDER BY id_a, id_b""",
+    "q_dedup_minhash" -> minhashExactTwinSql,
+    // the auto-gated path chooses a cap that caps nothing at gate scale,
+    // so the same exact twin proves it end to end
+    "q_dedup_autocap" -> minhashExactTwinSql,
 
     // bit-exact FNV-1a simhash recomputed in DuckDB (HUGEINT mod-2^64
     // arithmetic), ALL pairs at hamming <= 3 — two-sided proof of the

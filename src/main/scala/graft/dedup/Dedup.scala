@@ -221,6 +221,71 @@ object Dedup {
       .head().getLong(0)
   }
 
+  /** Corpus-aware bucket-cap chooser: evaluates the capped candidate-pair
+    * ceiling ([[estimateMinhashCandidates]]) for every rung of a cap
+    * ladder in ONE aggregate pass and returns the largest cap whose
+    * ceiling fits `pairBudget`, together with that ceiling. This is the
+    * automatic gate the scaladoc of [[minhashVerifiedPairs]] asks callers
+    * to run by hand: the bucket-size table is computed once (one corpus
+    * scan + one slim shuffle of (band, hash) longs — no signatures or
+    * shingle arrays travel) and each rung is a conditional sum over it,
+    * so the whole ladder costs the same as a single estimate.
+    *
+    * The ceiling is monotone in the cap (a larger cap only admits more
+    * buckets), so "largest rung that fits" is well-defined. If even the
+    * smallest rung exceeds the budget the smallest rung is returned with
+    * its (over-budget) ceiling — the caller decides whether to proceed;
+    * [[minhashVerifiedPairsAuto]] refuses loudly. */
+  def chooseBucketCap(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
+      shingle: Int = 5, pairBudget: Long = 100000000L,
+      capLadder: Seq[Int] = Seq(16, 64, 256, 1000, 4000)): (Int, Long) = {
+    require(capLadder.nonEmpty, "capLadder must not be empty")
+    require(capLadder == capLadder.sorted && capLadder.distinct == capLadder,
+      s"capLadder must be strictly increasing, got $capLadder")
+    require(pairBudget > 0, s"pairBudget must be positive, got $pairBudget")
+    val sizes = docs
+      .filter(size(native.char_shingle_hashes(col(textCol), shingle)) > 0)
+      .select(col(idCol).as("id"),
+        posexplode(native.minhash_bands(
+          minhashSignature(col(textCol), numHashes, shingle), bands))
+          .as(Seq("band_id", "band_hash")))
+      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("n"))
+    // one wide aggregate row: Σ n(n−1)/2 over buckets surviving each rung
+    val rungCols = capLadder.map(c =>
+      coalesce(sum(when(col("n") <= c, col("n") * (col("n") - 1) / 2)),
+        lit(0L)).cast(LongType).as(s"cap_$c"))
+    val row = sizes.agg(rungCols.head, rungCols.tail: _*).head()
+    val ceilings = capLadder.indices.map(i => capLadder(i) -> row.getLong(i))
+    ceilings.reverse.find(_._2 <= pairBudget).getOrElse(ceilings.head)
+  }
+
+  /** [[minhashVerifiedPairs]] with the bucket cap chosen automatically by
+    * [[chooseBucketCap]] against an explicit candidate-pair budget — the
+    * closed-loop version of the "estimate before you join" guidance: on
+    * an unfamiliar corpus the pre-flight costs one extra scan and
+    * guarantees the verify join enumerates at most `pairBudget` candidate
+    * pairs (verify bytes ≈ pairs × 2 × avg shingle-array bytes; the
+    * default budget of 1e8 pairs ≈ low-tens-of-GB shuffle at typical
+    * 5-byte-shingle documents — tune to the cluster). Refuses loudly if
+    * even the smallest ladder rung exceeds the budget: a corpus that hot
+    * is boilerplate-dominated and should go through exact dedup first
+    * (capped-out buckets collide on FULL bands), not a bigger join. */
+  def minhashVerifiedPairsAuto(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
+      shingle: Int = 5, threshold: Double = 0.7,
+      pairBudget: Long = 100000000L,
+      capLadder: Seq[Int] = Seq(16, 64, 256, 1000, 4000)): DataFrame = {
+    val (cap, ceiling) = chooseBucketCap(docs, textCol, idCol, numHashes,
+      bands, shingle, pairBudget, capLadder)
+    require(ceiling <= pairBudget,
+      s"even the smallest bucket cap ${capLadder.head} admits $ceiling " +
+        s"candidate pairs (> budget $pairBudget): run exact dedup on the " +
+        "boilerplate first or raise the budget explicitly")
+    minhashVerifiedPairs(docs, textCol, idCol, numHashes, bands, shingle,
+      threshold, cap)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.

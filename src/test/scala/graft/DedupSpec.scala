@@ -199,6 +199,46 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.estimateMinhashCandidates(docs, maxBucketSize = 1) == 0L)
   }
 
+  test("chooseBucketCap: one-pass ladder picks largest rung under budget") {
+    // a 3-clique of identical docs (48 in-bucket pairs: 3 per band x 16
+    // bands) and a 2-clique (16 pairs), plus an unrelated doc
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "some other duplicated body shared by exactly two documents"),
+      (5L, "some other duplicated body shared by exactly two documents"),
+      (6L, "completely unrelated content with other words entirely here"))
+      .toDF("doc_id", "text")
+    // each ladder rung must agree with the single-cap estimator
+    assert(Dedup.estimateMinhashCandidates(docs, maxBucketSize = 2) == 16L)
+    assert(Dedup.estimateMinhashCandidates(docs, maxBucketSize = 3) == 64L)
+    assert(Dedup.chooseBucketCap(docs, pairBudget = 100L,
+      capLadder = Seq(2, 3)) == (3, 64L))
+    assert(Dedup.chooseBucketCap(docs, pairBudget = 20L,
+      capLadder = Seq(2, 3)) == (2, 16L))
+    // nothing fits -> smallest rung with its over-budget ceiling
+    assert(Dedup.chooseBucketCap(docs, pairBudget = 5L,
+      capLadder = Seq(2, 3)) == (2, 16L))
+
+    // the auto pipeline runs at the chosen rung: cap 2 drops the
+    // 3-clique's buckets but keeps the 2-clique's pair
+    val tight = Dedup.minhashVerifiedPairsAuto(docs, threshold = 0.7,
+        pairBudget = 20L, capLadder = Seq(2, 3))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(tight == Set((4L, 5L)))
+    val roomy = Dedup.minhashVerifiedPairsAuto(docs, threshold = 0.7,
+        pairBudget = 100L, capLadder = Seq(2, 3))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(roomy == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    // over-budget corpus refuses loudly instead of launching the join
+    val err = intercept[IllegalArgumentException] {
+      Dedup.minhashVerifiedPairsAuto(docs, pairBudget = 5L,
+        capLadder = Seq(2, 3))
+    }
+    assert(err.getMessage.contains("exact dedup"))
+  }
+
   test("incremental dedup: new-only rows against a reference corpus") {
     val ref = Seq(
       (100L, "shared duplicated text body number one"),
