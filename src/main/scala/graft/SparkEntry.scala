@@ -4084,6 +4084,16 @@ object SparkEntry {
       graft.functions.Text.pmiCollocations(
         t(s, dir, "documents"), minCount = 5, topk = 20)),
 
+    // Kneser–Ney bigram LM (the train side of an n-gram perplexity
+    // filter): all denominators counted over ALL bigrams, output filtered
+    // to the c12 >= 5 head; the smoothed probability is one per-row
+    // double expression over exact integers, mirrored shape-for-shape in
+    // the twin
+    "q_kn_lm" -> ((s, dir) =>
+      graft.functions.Text.kneserNeyBigrams(
+          t(s, dir, "documents"), discount = 0.75, minCount = 5)
+        .orderBy("w1", "w2")),
+
     // HITS hubs/authorities (2 unnormalized rounds) on the affine link
     // graph — exact path-count integers, so plain sum() is deterministic
     // under any partitioning and the twin replays the rounds verbatim
@@ -8030,6 +8040,35 @@ winnowTwinSql,
            JOIN unic u2 ON bg.w2 = u2.w
            CROSS JOIN totals t
          ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""",
+
+    // Kneser–Ney bigram table: every probability input is an exact
+    // integer count; the one double expression mirrors Spark's
+    // cast/precedence shape term for term (CAST literals to DOUBLE —
+    // bare 0.75 is DECIMAL in DuckDB)
+    "q_kn_lm" ->
+      """WITH toks AS (SELECT list_filter(string_split(text, ' '),
+             x -> x <> '') AS tk FROM documents),
+         bigrams AS (
+           SELECT tk[i] AS w1, tk[i + 1] AS w2
+           FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+           WHERE len(tk) > 1),
+         bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM bigrams GROUP BY w1, w2),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c_ctx,
+             CAST(count(*) AS BIGINT) AS n_follow FROM bg GROUP BY w1),
+         prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+                  FROM bg GROUP BY w2),
+         types AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM bg)
+         SELECT bg.w1, bg.w2, bg.c12, ctx.c_ctx, ctx.n_follow, prec.n_prec,
+           round(greatest(CAST(bg.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+               CAST(0 AS DOUBLE)) / CAST(ctx.c_ctx AS DOUBLE)
+             + CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE)
+               / CAST(ctx.c_ctx AS DOUBLE)
+               * (CAST(prec.n_prec AS DOUBLE) / CAST(types.b_types AS DOUBLE)),
+             6) AS p_kn
+         FROM bg JOIN ctx USING (w1) JOIN prec USING (w2) CROSS JOIN types
+         WHERE bg.c12 >= 5
+         ORDER BY w1, w2""",
 
     // full power-iteration replay with engine-shaped double arithmetic
     "q_pagerank" -> pageRankTwin(iters = 3),

@@ -542,6 +542,62 @@ object Text {
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(topk)
   }
 
+  /** Interpolated Kneser–Ney bigram model (single absolute discount D) —
+    * the classic smoothing behind n-gram-LM perplexity filters for corpus
+    * quality scoring (CCNet-style): train the LM on a reference corpus,
+    * score candidate documents, drop the tail. This is the TRAIN side:
+    * the full smoothed conditional table
+    *
+    *   P_kn(w2|w1) = max(c(w1,w2) − D, 0) / c(w1·)
+    *               + (D · N1+(w1,·) / c(w1·)) · N1+(·,w2) / B
+    *
+    * where c(w1·) is the bigram-context total, N1+(w1,·)/N1+(·,w2) are
+    * follower/predecessor TYPE counts and B is the total bigram-type
+    * count — the continuation probability that makes KN beat plain
+    * discounting ("Francisco" is frequent but only ever follows "San").
+    *
+    * Exactness: every input to the probability is an exact integer count;
+    * the probability itself is ONE per-row double expression over them,
+    * so the result is bit-exact under any partitioning/evaluation order.
+    * Scale shape: bigram generation is a narrow zip of each token array
+    * with its own tail (no self-join); all four count tables derive from
+    * ONE persisted bigram aggregate (map-side combined); the context and
+    * continuation joins run on the minCount-FILTERED output set so the
+    * heavy vocabulary joins happen after the long tail is dropped, while
+    * the counts themselves are computed over ALL bigrams (filtering
+    * before counting would corrupt the denominators); the type total is
+    * a 1-row broadcast. */
+  def kneserNeyBigrams(docs: DataFrame, textCol: String = "text",
+      discount: Double = 0.75, minCount: Long = 5): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val toks = docs.select(
+      filter(split(col(textCol), " "), t => t =!= "").as("tk"))
+    val bigrams = toks.filter(size(col("tk")) > 1)
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = bg.groupBy("w1")
+      .agg(sum(col("c12")).cast(LongType).as("c_ctx"),
+        count(lit(1)).as("n_follow"))
+    val prec = bg.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+    val types = bg.agg(count(lit(1)).as("b_types"))
+    val d = lit(discount)
+    val pKn =
+      greatest(col("c12").cast(DoubleType) - d, lit(0.0)) /
+        col("c_ctx").cast(DoubleType) +
+      d * col("n_follow").cast(DoubleType) / col("c_ctx").cast(DoubleType) *
+        (col("n_prec").cast(DoubleType) / col("b_types").cast(DoubleType))
+    bg.filter(col("c12") >= minCount)
+      .join(ctx, "w1").join(prec, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("c_ctx"),
+        col("n_follow"), col("n_prec"), round(pKn, 6).as("p_kn"))
+  }
+
   /** FastText-shaped linear classifier APPLY: hashed bag-of-words
     * features (FNV-1a token hash -> one of `buckets` feature ids) dotted
     * with a weight vector, mean-normalized by token count. In production

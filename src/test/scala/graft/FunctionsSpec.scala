@@ -323,6 +323,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq(("q", "w", 2L)))
   }
 
+  test("kneserNeyBigrams: hand-computed smoothed probabilities") {
+    // bigrams: (a,b)x2 (b,a)x2 (a,c) (d,b) (b,d) (d,c) -> B=6 types
+    // ctx a: c=3 follow=2; prec b: 2 contexts (a,d), prec c: 2 (a,d)
+    val docs = Seq((1L, "a b a b a c"), (2L, "d b d c")).toDF("doc_id", "text")
+    val got = Text.kneserNeyBigrams(docs, discount = 0.75, minCount = 1)
+      .select("w1", "w2", "c12", "c_ctx", "n_follow", "n_prec", "p_kn")
+      .as[(String, String, Long, Long, Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t).toMap
+    assert(got.size == 6)
+    val ab = got(("a", "b"))
+    assert((ab._3, ab._4, ab._5, ab._6) == (2L, 3L, 2L, 2L))
+    // P(b|a) = (2-.75)/3 + (.75*2/3)*(2/6) = 0.583333
+    assert(math.abs(ab._7 - 0.583333) < 1e-9)
+    // P(c|a): discounted mass 0.25/3 + same continuation = 0.25
+    assert(math.abs(got(("a", "c"))._7 - 0.25) < 1e-9)
+    // "a" follows only "b": continuation type-count 1 despite c12=2
+    assert(got(("b", "a"))._6 == 1L)
+    // per-context probabilities over OBSERVED followers stay under 1
+    // (the remaining mass backs off to unseen words)
+    val byCtx = got.values.groupBy(_._1).view.mapValues(_.map(_._7).sum)
+    byCtx.foreach { case (_, s) => assert(s > 0 && s <= 1.0 + 1e-9) }
+    // minCount filters output rows only, denominators unchanged
+    val head = Text.kneserNeyBigrams(docs, minCount = 2)
+      .select("w1", "w2", "c_ctx").as[(String, String, Long)].collect()
+    assert(head.toSet == Set(("a", "b", 3L), ("b", "a", 3L)))
+  }
+
   test("linearScore: hand-computed hashed-bag-of-words score") {
     // replicate the kernel's arithmetic in plain Scala
     def fnv(tok: String): Long = {
