@@ -4094,6 +4094,20 @@ object SparkEntry {
           t(s, dir, "documents"), discount = 0.75, minCount = 5)
         .orderBy("w1", "w2")),
 
+    // the score side of the perplexity filter: train interpolated KN on
+    // the non-src1 corpus, score src1 docs — cross-corpus, so the seen /
+    // context-backoff / OOV-floor paths are all genuinely exercised.
+    // Per-bigram log-probs accumulate as DECIMAL (exact under any
+    // partitioning); only the final per-doc division/exp is double
+    "q_kn_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.Text.kneserNeyBigrams(
+        docs.filter(col("source") =!= "src1"), minCount = 1)
+      graft.functions.Text.knPerplexity(
+          docs.filter(col("source") === "src1"), model)
+        .orderBy("doc_id")
+    }),
+
     // HITS hubs/authorities (2 unnormalized rounds) on the affine link
     // graph — exact path-count integers, so plain sum() is deterministic
     // under any partitioning and the twin replays the rounds verbatim
@@ -8069,6 +8083,58 @@ winnowTwinSql,
          FROM bg JOIN ctx USING (w1) JOIN prec USING (w2) CROSS JOIN types
          WHERE bg.c12 >= 5
          ORDER BY w1, w2""",
+
+    // KN scorer twin: model CTE at minCount=1 (same rounded p_kn), then
+    // the seen / context-backoff / OOV-floor chain per scored bigram;
+    // DECIMAL(28,6) log-prob sums keep the fold order-independent
+    "q_kn_perplexity" ->
+      """WITH toks AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           FROM documents),
+         rbigrams AS (
+           SELECT tk[i] AS w1, tk[i + 1] AS w2
+           FROM (SELECT tk FROM toks WHERE source <> 'src1'),
+             unnest(generate_series(1, len(tk) - 1)) AS t(i)
+           WHERE len(tk) > 1),
+         bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM rbigrams GROUP BY w1, w2),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c_ctx,
+             CAST(count(*) AS BIGINT) AS n_follow FROM bg GROUP BY w1),
+         prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+                  FROM bg GROUP BY w2),
+         types AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM bg),
+         model AS (SELECT bg.w1, bg.w2,
+             round(greatest(CAST(bg.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                 CAST(0 AS DOUBLE)) / CAST(ctx.c_ctx AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE)
+                 / CAST(ctx.c_ctx AS DOUBLE)
+                 * (CAST(prec.n_prec AS DOUBLE)
+                   / CAST(types.b_types AS DOUBLE)), 6) AS p_kn
+           FROM bg JOIN ctx USING (w1) JOIN prec USING (w2)
+             CROSS JOIN types),
+         sbigrams AS (
+           SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+           FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+           WHERE source = 'src1' AND len(tk) > 1),
+         scored AS (SELECT sb.doc_id,
+             CAST(round(ln(greatest(
+               coalesce(m.p_kn,
+                 CASE WHEN c.c_ctx IS NOT NULL
+                   THEN CAST(0.75 AS DOUBLE) * CAST(c.n_follow AS DOUBLE)
+                     / CAST(c.c_ctx AS DOUBLE)
+                     * (CAST(coalesce(p.n_prec, 0) AS DOUBLE)
+                       / CAST(t2.b_types AS DOUBLE))
+                   ELSE CAST(0 AS DOUBLE) END),
+               CAST(1e-7 AS DOUBLE))), 6) AS DECIMAL(28,6)) AS lp
+           FROM sbigrams sb
+           LEFT JOIN model m ON sb.w1 = m.w1 AND sb.w2 = m.w2
+           LEFT JOIN ctx c ON sb.w1 = c.w1
+           LEFT JOIN prec p ON sb.w2 = p.w2
+           CROSS JOIN types t2)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(-(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE))),
+             6) AS perplexity
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     // full power-iteration replay with engine-shaped double arithmetic
     "q_pagerank" -> pageRankTwin(iters = 3),

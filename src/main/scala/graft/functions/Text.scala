@@ -598,6 +598,69 @@ object Text {
         col("n_follow"), col("n_prec"), round(pKn, 6).as("p_kn"))
   }
 
+  /** The SCORE side of the n-gram perplexity filter: per-document bigram
+    * perplexity under a trained [[kneserNeyBigrams]] model (train on a
+    * clean reference corpus, score candidates, drop the high-perplexity
+    * tail — the CCNet recipe). Backoff chain for bigrams the model has
+    * not seen: a seen context w1 contributes its reserved mass
+    * λ(w1)·P_cont(w2) (zero P_cont for unseen w2); a wholly unseen
+    * context falls to the explicit OOV floor `pOov`, which also floors
+    * every probability so log(0) cannot occur. The floor is a documented
+    * simplification of full KN unigram backoff — deterministic,
+    * engine-replayable, and standard practice in filtering pipelines
+    * where the tail ranking (not the exact tail value) is what matters.
+    *
+    * Exactness under any partitioning: per-bigram log-probs are rounded
+    * to 6 decimals and summed as DECIMAL (exact, order-independent);
+    * only the final per-doc division/exp returns to double.
+    * Scale shape: one hash join of doc-bigrams against the model on
+    * (w1, w2) plus two slim backoff joins on the miss side's keys; the
+    * type total is a 1-row broadcast; no windows, no driver state. */
+  def knPerplexity(docs: DataFrame, model: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", discount: Double = 0.75,
+      pOov: Double = 1e-7): DataFrame = {
+    require(pOov > 0, s"pOov must be positive, got $pOov")
+    val bigrams = docs.select(col(idCol).as("id"),
+        filter(split(col(textCol), " "), t => t =!= "").as("tk"))
+      .filter(size(col("tk")) > 1)
+      .select(col("id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // backoff tables derived from the model itself (c_ctx/n_follow repeat
+    // per context; n_prec per successor) — train once, score many. The
+    // model is persisted here because FOUR branches read it (pair join,
+    // ctx, prec, types): without the persist each branch replays the
+    // whole training lineage, quadrupling the plan (measured 48 → 17
+    // exchanges at sf0.1)
+    val m = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx = m.select(col("w1"), col("c_ctx"), col("n_follow")).distinct()
+    val prec = m.select(col("w2"), col("n_prec")).distinct()
+    val types = m.agg(count(lit(1)).as("b_types"))
+    val d = lit(discount)
+    val pBackoff = d * col("n_follow").cast(DoubleType) /
+      col("c_ctx").cast(DoubleType) *
+      (coalesce(col("n_prec"), lit(0L)).cast(DoubleType) /
+        col("b_types").cast(DoubleType))
+    val p = greatest(
+      coalesce(col("p_kn"),
+        when(col("c_ctx").isNotNull, pBackoff).otherwise(lit(0.0))),
+      lit(pOov))
+    bigrams
+      .join(m.select(col("w1"), col("w2"), col("p_kn")), Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(prec, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("id").as(idCol),
+        round(log(p), 6).cast(DecimalType(28, 6)).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(exp(-(col("s").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType))), 6).as("perplexity"))
+  }
+
   /** FastText-shaped linear classifier APPLY: hashed bag-of-words
     * features (FNV-1a token hash -> one of `buckets` feature ids) dotted
     * with a weight vector, mean-normalized by token count. In production

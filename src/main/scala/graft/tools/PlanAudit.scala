@@ -108,7 +108,13 @@ object PlanAudit {
         "contract query (with orderBy) 0.85 s. The 5.09 s in BENCH_r06 was " +
         "sweep-context interference, not the parse: JsonToStructs IS " +
         "CodegenFallback (interpreted Jackson parse) but costs ~3 µs/row and " +
-        "is embarrassingly parallel — no scale hazard."))
+        "is embarrassingly parallel — no scale hazard."),
+      "q_kn_perplexity" -> ("cost note (r8): the exchanges figure above is a " +
+        "toString artifact — the persisted KN model's cached plan prints once " +
+        "per InMemoryTableScan occurrence (4 reader branches × ~11). The " +
+        "EXECUTED plan has 8 distinct exchanges (4 shuffle + 4 broadcast, " +
+        "counted by distinct plan_id after collect); the model materializes " +
+        "once and every branch reads the cache."))
 
     // Queries whose reason to exist is file skipping: the audit FAILS
     // (nonzero exit) if their scans report `pruned read: m of n` with

@@ -350,6 +350,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(head.toSet == Set(("a", "b", 3L), ("b", "a", 3L)))
   }
 
+  test("knPerplexity: seen / context-backoff / OOV-floor paths") {
+    // ref bigrams: (a,b)x2, (b,a)x1 -> B=2; p(b|a)=0.8125, p(a|b)=0.625
+    val ref = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    val model = Text.kneserNeyBigrams(ref, minCount = 1)
+    // scored doc: (a,b) seen; (b,z) seen ctx, unseen successor -> backoff
+    // mass 0 -> floor; (z,q) and (q,a) unseen ctx -> floor
+    val docs = Seq((1L, "a b z q a")).toDF("doc_id", "text")
+    val got = Text.knPerplexity(docs, model)
+      .select("doc_id", "n_bigrams", "perplexity")
+      .as[(Long, Long, Double)].collect().head
+    assert((got._1, got._2) == (1L, 4L))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpSum = r6(math.log(0.8125)) + 3 * r6(math.log(1e-7))
+    assert(math.abs(got._3 - r6(math.exp(-lpSum / 4))) < 1e-6)
+    // self-scoring the training corpus: all bigrams seen, low perplexity
+    val self = Text.knPerplexity(ref, model)
+      .select("n_bigrams", "perplexity").as[(Long, Double)].collect().head
+    assert(self._1 == 3L)
+    val selfSum = 2 * r6(math.log(0.8125)) + r6(math.log(0.625))
+    assert(math.abs(self._2 - r6(math.exp(-selfSum / 3))) < 1e-6)
+    assert(self._2 < got._3) // the filter signal: unseen text scores worse
+  }
+
   test("linearScore: hand-computed hashed-bag-of-words score") {
     // replicate the kernel's arithmetic in plain Scala
     def fnv(tok: String): Long = {
