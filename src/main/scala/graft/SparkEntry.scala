@@ -3452,6 +3452,40 @@ object SparkEntry {
         FROM c, t ORDER BY event_type, day""")
     }),
 
+    // §2.6 front-door parity for the Kneser–Ney table: the whole train
+    // pipeline is ANSI-expressible, so the same counts + one double
+    // expression run through Context.sql and converge on q_kn_lm's
+    // oracle (Spark SQL slice/zip_with are 1-based like the DF path)
+    "q_sql_kn_lm" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql("""
+        WITH toks AS (SELECT filter(split(text, ' '), x -> x != '') AS tk
+            FROM documents),
+        bigrams AS (
+          SELECT bg.w1 AS w1, bg.w2 AS w2 FROM toks
+          LATERAL VIEW explode(zip_with(
+            slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+            (a, b) -> struct(a AS w1, b AS w2))) t AS bg
+          WHERE size(tk) > 1),
+        bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+               FROM bigrams GROUP BY w1, w2),
+        ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c_ctx,
+            CAST(count(*) AS BIGINT) AS n_follow FROM bg GROUP BY w1),
+        prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+                 FROM bg GROUP BY w2),
+        types AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM bg)
+        SELECT bg.w1, bg.w2, bg.c12, ctx.c_ctx, ctx.n_follow, prec.n_prec,
+          round(greatest(CAST(bg.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+              CAST(0 AS DOUBLE)) / CAST(ctx.c_ctx AS DOUBLE)
+            + CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE)
+              / CAST(ctx.c_ctx AS DOUBLE)
+              * (CAST(prec.n_prec AS DOUBLE) / CAST(types.b_types AS DOUBLE)),
+            6) AS p_kn
+        FROM bg JOIN ctx USING (w1) JOIN prec USING (w2) CROSS JOIN types
+        WHERE bg.c12 >= 5
+        ORDER BY w1, w2""")
+    }),
+
     "q_sql_dedup_rate" -> ((s, dir) => {
       val ctx = Context.forSfDir(s, dir)
       ctx.sql("""
@@ -4574,6 +4608,33 @@ object SparkEntry {
          WHERE len(a.gs) > 0 AND len(b.gs) > 0)
        SELECT id_a, id_b, jaccard FROM pairs
        WHERE jaccard >= 0.7 ORDER BY id_a, id_b"""
+
+  /** Kneser–Ney bigram-table twin, shared by the DataFrame path
+    * (q_kn_lm) and the SQL front door (q_sql_kn_lm). */
+  private val knLmTwinSql: String =
+    """WITH toks AS (SELECT list_filter(string_split(text, ' '),
+           x -> x <> '') AS tk FROM documents),
+       bigrams AS (
+         SELECT tk[i] AS w1, tk[i + 1] AS w2
+         FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+         WHERE len(tk) > 1),
+       bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              FROM bigrams GROUP BY w1, w2),
+       ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c_ctx,
+           CAST(count(*) AS BIGINT) AS n_follow FROM bg GROUP BY w1),
+       prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+                FROM bg GROUP BY w2),
+       types AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM bg)
+       SELECT bg.w1, bg.w2, bg.c12, ctx.c_ctx, ctx.n_follow, prec.n_prec,
+         round(greatest(CAST(bg.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+             CAST(0 AS DOUBLE)) / CAST(ctx.c_ctx AS DOUBLE)
+           + CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE)
+             / CAST(ctx.c_ctx AS DOUBLE)
+             * (CAST(prec.n_prec AS DOUBLE) / CAST(types.b_types AS DOUBLE)),
+           6) AS p_kn
+       FROM bg JOIN ctx USING (w1) JOIN prec USING (w2) CROSS JOIN types
+       WHERE bg.c12 >= 5
+       ORDER BY w1, w2"""
 
   /** l-diversity twin, shared by the DataFrame path (q_ldiversity) and
     * the SQL front door (q_sql_ldiversity). */
@@ -8059,30 +8120,9 @@ winnowTwinSql,
     // integer count; the one double expression mirrors Spark's
     // cast/precedence shape term for term (CAST literals to DOUBLE —
     // bare 0.75 is DECIMAL in DuckDB)
-    "q_kn_lm" ->
-      """WITH toks AS (SELECT list_filter(string_split(text, ' '),
-             x -> x <> '') AS tk FROM documents),
-         bigrams AS (
-           SELECT tk[i] AS w1, tk[i + 1] AS w2
-           FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
-           WHERE len(tk) > 1),
-         bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-                FROM bigrams GROUP BY w1, w2),
-         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c_ctx,
-             CAST(count(*) AS BIGINT) AS n_follow FROM bg GROUP BY w1),
-         prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
-                  FROM bg GROUP BY w2),
-         types AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM bg)
-         SELECT bg.w1, bg.w2, bg.c12, ctx.c_ctx, ctx.n_follow, prec.n_prec,
-           round(greatest(CAST(bg.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
-               CAST(0 AS DOUBLE)) / CAST(ctx.c_ctx AS DOUBLE)
-             + CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE)
-               / CAST(ctx.c_ctx AS DOUBLE)
-               * (CAST(prec.n_prec AS DOUBLE) / CAST(types.b_types AS DOUBLE)),
-             6) AS p_kn
-         FROM bg JOIN ctx USING (w1) JOIN prec USING (w2) CROSS JOIN types
-         WHERE bg.c12 >= 5
-         ORDER BY w1, w2""",
+    "q_kn_lm" -> knLmTwinSql,
+    // same table through the §2.6 SQL front door -> same oracle
+    "q_sql_kn_lm" -> knLmTwinSql,
 
     // KN scorer twin: model CTE at minCount=1 (same rounded p_kn), then
     // the seen / context-backoff / OOV-floor chain per scored bigram;
