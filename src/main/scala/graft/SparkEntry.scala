@@ -2048,13 +2048,17 @@ object SparkEntry {
     // the closed-loop cap gate: chooseBucketCap evaluates the capped
     // pair ceiling for every ladder rung in one slim aggregate and
     // minhashVerifiedPairsAuto runs the verified pipeline at the largest
-    // rung under the 100k-pair budget. At gate scale the chosen rung
+    // rung under the 10M-pair budget. At gate scale the chosen rung
     // (4000 > the 273-doc max bucket) caps nothing, so the SAME full
     // O(n²) exact-Jaccard twin proves the auto-gated path end to end;
-    // DedupSpec pins the tight-budget rung selection the twin can't see
+    // DedupSpec pins the tight-budget rung selection the twin can't see.
+    // The budget survives the 10x ContractStress corpus (~7M capped
+    // pairs); at 100k it was observed REFUSING that corpus (smallest
+    // rung 16 already admits 904,335 pairs) — the guard behaving as
+    // designed on a hot corpus
     "q_dedup_autocap" -> ((s, dir) =>
       Dedup.minhashVerifiedPairsAuto(t(s, dir, "documents"),
-          threshold = 0.7, pairBudget = 100000L)
+          threshold = 0.7, pairBudget = 10000000L)
         .orderBy("id_a", "id_b")),
 
     // SimHash pairs at maxHamming=3: with 4 pigeonhole chunks the candidate
