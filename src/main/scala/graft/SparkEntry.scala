@@ -3484,7 +3484,8 @@ object SparkEntry {
             + CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE)
               / CAST(ctx.c_ctx AS DOUBLE)
               * (CAST(prec.n_prec AS DOUBLE) / CAST(types.b_types AS DOUBLE)),
-            6) AS p_kn
+            6) AS p_kn,
+          types.b_types, CAST(0.75 AS DOUBLE) AS discount
         FROM bg JOIN ctx USING (w1) JOIN prec USING (w2) CROSS JOIN types
         WHERE bg.c12 >= 5
         ORDER BY w1, w2""")
@@ -4592,8 +4593,6 @@ object SparkEntry {
     head + rounds + "\n         " + finals + "\n         ORDER BY rank"
   }
 
-  /** The width-safe two-limb Knuth hash (Profile.hash32) over an SQL
-    * expression — every intermediate < 1.8e14, identical in any engine. */
   /** Full O(n²) exact byte-shingle Jaccard twin, shared by the manual-cap
     * (q_dedup_minhash) and auto-gated (q_dedup_autocap) pipelines. */
   private val minhashExactTwinSql: String =
@@ -4635,7 +4634,8 @@ object SparkEntry {
            + CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE)
              / CAST(ctx.c_ctx AS DOUBLE)
              * (CAST(prec.n_prec AS DOUBLE) / CAST(types.b_types AS DOUBLE)),
-           6) AS p_kn
+           6) AS p_kn,
+         types.b_types, CAST(0.75 AS DOUBLE) AS discount
        FROM bg JOIN ctx USING (w1) JOIN prec USING (w2) CROSS JOIN types
        WHERE bg.c12 >= 5
        ORDER BY w1, w2"""
@@ -4658,6 +4658,8 @@ object SparkEntry {
            CAST(t.risky AS DOUBLE) / CAST(t.total AS DOUBLE) AS risk_share
          FROM c, t ORDER BY event_type, day"""
 
+  /** The width-safe two-limb Knuth hash (Profile.hash32) over an SQL
+    * expression — every intermediate < 1.8e14, identical in any engine. */
   private def hash32Sql(x: String): String =
     s"(((($x) % 4294967296) % 65536) * 2654435761" +
       s" + ((((($x) % 4294967296) // 65536) * 2654435761) % 65536) * 65536)" +
@@ -8174,11 +8176,15 @@ winnowTwinSql,
            LEFT JOIN model m ON sb.w1 = m.w1 AND sb.w2 = m.w2
            LEFT JOIN ctx c ON sb.w1 = c.w1
            LEFT JOIN prec p ON sb.w2 = p.w2
-           CROSS JOIN types t2)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(exp(-(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE))),
-             6) AS perplexity
-         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+           CROSS JOIN types t2),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, sum(lp) AS s
+                 FROM scored GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+           round(exp(-(CAST(a.s AS DOUBLE) / CAST(a.nb AS DOUBLE))), 6)
+             AS perplexity
+         FROM (SELECT doc_id FROM documents WHERE source = 'src1') d
+         LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
 
     // full power-iteration replay with engine-shaped double arithmetic
     "q_pagerank" -> pageRankTwin(iters = 3),

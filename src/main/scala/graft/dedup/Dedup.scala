@@ -205,8 +205,19 @@ object Dedup {
     * lower `maxBucketSize` until the estimate fits. */
   def estimateMinhashCandidates(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
-      shingle: Int = 5, maxBucketSize: Int = 1000): Long = {
-    val banded = docs
+      shingle: Int = 5, maxBucketSize: Int = 1000): Long =
+    // one-rung ladder with an unbounded budget: the single-cap estimate
+    // IS the ladder evaluation, so the two entry points cannot diverge
+    chooseBucketCap(docs, textCol, idCol, numHashes, bands, shingle,
+      pairBudget = Long.MaxValue, capLadder = Seq(maxBucketSize))._2
+
+  /** The banded bucket-size table both the estimator and the chooser
+    * price: ONE place owns the zero-shingle exclusion and the banding,
+    * so the budgeted join is always the join [[minhashVerifiedPairs]]
+    * actually runs. */
+  private def bandedBucketSizes(docs: DataFrame, textCol: String,
+      idCol: String, numHashes: Int, bands: Int, shingle: Int): DataFrame =
+    docs
       // same zero-shingle exclusion as the pipeline (such docs never
       // reach its banding, so they must not inflate the estimate)
       .filter(size(native.char_shingle_hashes(col(textCol), shingle)) > 0)
@@ -214,12 +225,7 @@ object Dedup {
         posexplode(native.minhash_bands(
           minhashSignature(col(textCol), numHashes, shingle), bands))
           .as(Seq("band_id", "band_hash")))
-    banded.groupBy("band_id", "band_hash").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucketSize)
-      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
-        .cast(LongType))
-      .head().getLong(0)
-  }
+      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("n"))
 
   /** Corpus-aware bucket-cap chooser: evaluates the capped candidate-pair
     * ceiling ([[estimateMinhashCandidates]]) for every rung of a cap
@@ -244,13 +250,7 @@ object Dedup {
     require(capLadder == capLadder.sorted && capLadder.distinct == capLadder,
       s"capLadder must be strictly increasing, got $capLadder")
     require(pairBudget > 0, s"pairBudget must be positive, got $pairBudget")
-    val sizes = docs
-      .filter(size(native.char_shingle_hashes(col(textCol), shingle)) > 0)
-      .select(col(idCol).as("id"),
-        posexplode(native.minhash_bands(
-          minhashSignature(col(textCol), numHashes, shingle), bands))
-          .as(Seq("band_id", "band_hash")))
-      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("n"))
+    val sizes = bandedBucketSizes(docs, textCol, idCol, numHashes, bands, shingle)
     // one wide aggregate row: Σ n(n−1)/2 over buckets surviving each rung
     val rungCols = capLadder.map(c =>
       coalesce(sum(when(col("n") <= c, col("n") * (col("n") - 1) / 2)),

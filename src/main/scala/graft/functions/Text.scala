@@ -567,17 +567,26 @@ object Text {
     * the counts themselves are computed over ALL bigrams (filtering
     * before counting would corrupt the denominators); the type total is
     * a 1-row broadcast. */
+  /** Adjacent whitespace-token bigrams of `textCol`, carrying `carry`
+    * columns through. ONE implementation feeds both the KN train and
+    * score sides — the model join only hits if both sides tokenize
+    * identically, so the extraction must not be duplicated. */
+  private def wsBigrams(df: DataFrame, textCol: String,
+      carry: Seq[String]): DataFrame = {
+    val toks = df.select(carry.map(col) :+
+      filter(split(col(textCol), " "), t => t =!= "").as("tk"): _*)
+    toks.filter(size(col("tk")) > 1)
+      .select(carry.map(col) :+ explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"): _*)
+      .select(carry.map(col) :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+  }
+
   def kneserNeyBigrams(docs: DataFrame, textCol: String = "text",
       discount: Double = 0.75, minCount: Long = 5): DataFrame = {
     require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
-    val toks = docs.select(
-      filter(split(col(textCol), " "), t => t =!= "").as("tk"))
-    val bigrams = toks.filter(size(col("tk")) > 1)
-      .select(explode(zip_with(
-        slice(col("tk"), lit(1), size(col("tk")) - 1),
-        slice(col("tk"), lit(2), size(col("tk")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = wsBigrams(docs, textCol, Nil)
     val bg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = bg.groupBy("w1")
@@ -591,11 +600,17 @@ object Text {
         col("c_ctx").cast(DoubleType) +
       d * col("n_follow").cast(DoubleType) / col("c_ctx").cast(DoubleType) *
         (col("n_prec").cast(DoubleType) / col("b_types").cast(DoubleType))
+    // b_types and discount ride along so the model is SELF-DESCRIBING:
+    // the scorer needs the true pre-filter type total (deriving it from
+    // the filtered rows would inflate continuation probabilities past 1
+    // on any minCount > 1 model) and must mix backoff mass with the SAME
+    // discount the seen rows reserved
     bg.filter(col("c12") >= minCount)
       .join(ctx, "w1").join(prec, "w2")
       .crossJoin(broadcast(types))
       .select(col("w1"), col("w2"), col("c12"), col("c_ctx"),
-        col("n_follow"), col("n_prec"), round(pKn, 6).as("p_kn"))
+        col("n_follow"), col("n_prec"), round(pKn, 6).as("p_kn"),
+        col("b_types"), lit(discount).as("discount"))
   }
 
   /** The SCORE side of the n-gram perplexity filter: per-document bigram
@@ -609,6 +624,17 @@ object Text {
     * simplification of full KN unigram backoff — deterministic,
     * engine-replayable, and standard practice in filtering pipelines
     * where the tail ranking (not the exact tail value) is what matters.
+    * The discount and the true bigram-type total come FROM THE MODEL
+    * (it is self-describing): mixing a different discount than the seen
+    * rows reserved, or deriving the type total from a minCount-filtered
+    * head, would push per-context mass past 1. On a filtered model,
+    * tail-only contexts/successors are absent from the backoff tables
+    * and fall to the floor — a conservative (never inflating) miss.
+    *
+    * Documents with fewer than two tokens have no bigrams and no defined
+    * perplexity: they are still emitted, with n_bigrams = 0 and a NULL
+    * perplexity, so a downstream threshold filter sees them explicitly
+    * instead of silently losing them.
     *
     * Exactness under any partitioning: per-bigram log-probs are rounded
     * to 6 decimals and summed as DECIMAL (exact, order-independent);
@@ -617,29 +643,21 @@ object Text {
     * (w1, w2) plus two slim backoff joins on the miss side's keys; the
     * type total is a 1-row broadcast; no windows, no driver state. */
   def knPerplexity(docs: DataFrame, model: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", discount: Double = 0.75,
-      pOov: Double = 1e-7): DataFrame = {
+      idCol: String = "doc_id", pOov: Double = 1e-7): DataFrame = {
     require(pOov > 0, s"pOov must be positive, got $pOov")
-    val bigrams = docs.select(col(idCol).as("id"),
-        filter(split(col(textCol), " "), t => t =!= "").as("tk"))
-      .filter(size(col("tk")) > 1)
-      .select(col("id"), explode(zip_with(
-        slice(col("tk"), lit(1), size(col("tk")) - 1),
-        slice(col("tk"), lit(2), size(col("tk")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = wsBigrams(docs, textCol, Seq(idCol))
     // backoff tables derived from the model itself (c_ctx/n_follow repeat
     // per context; n_prec per successor) — train once, score many. The
     // model is persisted here because FOUR branches read it (pair join,
-    // ctx, prec, types): without the persist each branch replays the
+    // ctx, prec, consts): without the persist each branch replays the
     // whole training lineage, quadrupling the plan (measured 48 → 17
     // exchanges at sf0.1)
     val m = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ctx = m.select(col("w1"), col("c_ctx"), col("n_follow")).distinct()
     val prec = m.select(col("w2"), col("n_prec")).distinct()
-    val types = m.agg(count(lit(1)).as("b_types"))
-    val d = lit(discount)
-    val pBackoff = d * col("n_follow").cast(DoubleType) /
+    val consts = m.agg(max(col("b_types")).as("b_types"),
+      max(col("discount")).as("discount"))
+    val pBackoff = col("discount") * col("n_follow").cast(DoubleType) /
       col("c_ctx").cast(DoubleType) *
       (coalesce(col("n_prec"), lit(0L)).cast(DoubleType) /
         col("b_types").cast(DoubleType))
@@ -647,18 +665,20 @@ object Text {
       coalesce(col("p_kn"),
         when(col("c_ctx").isNotNull, pBackoff).otherwise(lit(0.0))),
       lit(pOov))
-    bigrams
+    val scored = bigrams
       .join(m.select(col("w1"), col("w2"), col("p_kn")), Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .join(prec, Seq("w2"), "left")
-      .crossJoin(broadcast(types))
-      .select(col("id").as(idCol),
+      .crossJoin(broadcast(consts))
+      .select(col(idCol),
         round(log(p), 6).cast(DecimalType(28, 6)).as("lp"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("s"))
-      .select(col(idCol), col("n_bigrams"),
+      .agg(count(lit(1)).as("nb"), sum(col("lp")).as("s"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
         round(exp(-(col("s").cast(DoubleType) /
-          col("n_bigrams").cast(DoubleType))), 6).as("perplexity"))
+          col("nb").cast(DoubleType))), 6).as("perplexity"))
   }
 
   /** FastText-shaped linear classifier APPLY: hashed bag-of-words

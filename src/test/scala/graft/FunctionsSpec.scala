@@ -371,6 +371,21 @@ class FunctionsSpec extends AnyFunSuite {
     val selfSum = 2 * r6(math.log(0.8125)) + r6(math.log(0.625))
     assert(math.abs(self._2 - r6(math.exp(-selfSum / 3))) < 1e-6)
     assert(self._2 < got._3) // the filter signal: unseen text scores worse
+    // sub-bigram docs are emitted explicitly: n_bigrams=0, NULL perplexity
+    val shorts = Seq((7L, "solo"), (8L, "")).toDF("doc_id", "text")
+    val sgot = Text.knPerplexity(shorts, model)
+      .select("doc_id", "n_bigrams", "perplexity")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(sgot == Map(7L -> (0L, None), 8L -> (0L, None)))
+    // a minCount-FILTERED model stays conservative: b_types/discount come
+    // from the model columns (true pre-filter values), and tail-only
+    // contexts fall to the floor instead of inflating p past 1
+    val filt = Text.kneserNeyBigrams(ref, minCount = 2)
+    assert(filt.select("b_types").as[Long].collect().forall(_ == 2L))
+    val fscore = Text.knPerplexity(Seq((9L, "b a")).toDF("doc_id", "text"), filt)
+      .select("perplexity").as[Double].collect().head
+    assert(fscore > 1.0) // floored (b,a) miss -> high perplexity, not < 1
   }
 
   test("linearScore: hand-computed hashed-bag-of-words score") {
