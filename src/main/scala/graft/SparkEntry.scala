@@ -4133,6 +4133,14 @@ object SparkEntry {
           t(s, dir, "documents"), discount = 0.75, minCount = 5)
         .orderBy("w1", "w2")),
 
+    // one order up: interpolated trigram KN with continuation counts at
+    // both lower levels (the textbook recursion) — exact integer
+    // type-counts, one nested double expression mirrored in the twin
+    "q_kn_trigram" -> ((s, dir) =>
+      graft.functions.Text.kneserNeyTrigrams(
+          t(s, dir, "documents"), discount = 0.75, minCount = 5)
+        .orderBy("w1", "w2", "w3")),
+
     // the score side of the perplexity filter: train interpolated KN on
     // the non-src1 corpus, score src1 docs — cross-corpus, so the seen /
     // context-backoff / OOV-floor paths are all genuinely exercised.
@@ -8129,6 +8137,45 @@ winnowTwinSql,
     "q_kn_lm" -> knLmTwinSql,
     // same table through the §2.6 SQL front door -> same oracle
     "q_sql_kn_lm" -> knLmTwinSql,
+
+    // trigram KN twin: the same nested interpolation over trigram-type
+    // continuation counts, shape-mirrored casts throughout
+    "q_kn_trigram" ->
+      """WITH toks AS (SELECT list_filter(string_split(text, ' '),
+             x -> x <> '') AS tk FROM documents),
+         trigrams AS (
+           SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+           FROM toks, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+           WHERE len(tk) > 2),
+         tg AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+                FROM trigrams GROUP BY w1, w2, w3),
+         ctx12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+             CAST(count(*) AS BIGINT) AS nf12 FROM tg GROUP BY w1, w2),
+         cont23 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cont23
+                    FROM tg GROUP BY w2, w3),
+         ctx2 AS (SELECT w2, CAST(sum(cont23) AS BIGINT) AS cont2,
+             CAST(count(*) AS BIGINT) AS nf2 FROM cont23 GROUP BY w2),
+         cont3 AS (SELECT w3, CAST(count(*) AS BIGINT) AS cont3
+                   FROM cont23 GROUP BY w3),
+         btot AS (SELECT CAST(count(*) AS BIGINT) AS b23 FROM cont23)
+         SELECT tg.w1, tg.w2, tg.w3, tg.c123, ctx12.c12, ctx12.nf12,
+           cont23.cont23, ctx2.cont2, ctx2.nf2, cont3.cont3,
+           round(greatest(CAST(tg.c123 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+               CAST(0 AS DOUBLE)) / CAST(ctx12.c12 AS DOUBLE)
+             + CAST(0.75 AS DOUBLE) * CAST(ctx12.nf12 AS DOUBLE)
+               / CAST(ctx12.c12 AS DOUBLE)
+               * (greatest(CAST(cont23.cont23 AS DOUBLE)
+                     - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                   / CAST(ctx2.cont2 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * CAST(ctx2.nf2 AS DOUBLE)
+                   / CAST(ctx2.cont2 AS DOUBLE)
+                   * (CAST(cont3.cont3 AS DOUBLE)
+                     / CAST(btot.b23 AS DOUBLE))), 6) AS p_kn,
+           btot.b23, CAST(0.75 AS DOUBLE) AS discount
+         FROM tg JOIN ctx12 USING (w1, w2) JOIN cont23 USING (w2, w3)
+           JOIN ctx2 USING (w2) JOIN cont3 USING (w3) CROSS JOIN btot
+         WHERE tg.c123 >= 5
+         ORDER BY w1, w2, w3""",
 
     // KN scorer twin: model CTE at minCount=1 (same rounded p_kn), then
     // the seen / context-backoff / OOV-floor chain per scored bigram;

@@ -613,6 +613,69 @@ object Text {
         col("b_types"), lit(discount).as("discount"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM model — the same recipe one order
+    * up, with the textbook twist that the lower orders use CONTINUATION
+    * counts derived from trigram types, not raw counts:
+    *
+    *   P(w3|w1,w2) = max(c(w1w2w3) − D, 0)/c(w1w2·) + λ(w1,w2)·P2(w3|w2)
+    *   P2(w3|w2)   = max(N1+(·w2w3) − D, 0)/N1+(·w2·) + λ2(w2)·Pc(w3)
+    *   Pc(w3)      = N1+(··w3) / |{distinct (w2,w3) among trigram types}|
+    *
+    * with λ(w1,w2) = D·N1+(w1w2·)/c(w1w2·) and λ2(w2) = D·N1+(·w2|·)/
+    * N1+(·w2·). Every input is an exact integer type-count; the nested
+    * probability is one per-row double expression, so the table is
+    * bit-exact under any partitioning. Scale shape mirrors
+    * [[kneserNeyBigrams]]: the trigram-type aggregate is persisted ONCE
+    * and every lower-order table derives from it by slim hash
+    * aggregates; the heavy joins run on the minCount-filtered head while
+    * denominators count all types; the type total is a 1-row broadcast.
+    * Like the bigram model, the output is self-describing (b23 +
+    * discount columns) for a future trigram scorer. */
+  def kneserNeyTrigrams(docs: DataFrame, textCol: String = "text",
+      discount: Double = 0.75, minCount: Long = 5): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val toks = docs.select(
+      filter(split(col(textCol), " "), t => t =!= "").as("tk"))
+    val tri = toks.filter(size(col("tk")) > 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2"),
+          element_at(col("tk"), i + 2).as("w3")))).as("tg"))
+      .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+    val tg = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx12 = tg.groupBy("w1", "w2")
+      .agg(sum(col("c123")).cast(LongType).as("c12"),
+        count(lit(1)).as("nf12"))
+    // tg rows are unique per (w1,w2,w3), so a (w2,w3) row count IS the
+    // distinct-predecessor continuation count N1+(·w2w3)
+    val cont23 = tg.groupBy("w2", "w3").agg(count(lit(1)).as("cont23"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx2 = cont23.groupBy("w2")
+      .agg(sum(col("cont23")).cast(LongType).as("cont2"),
+        count(lit(1)).as("nf2"))
+    val cont3 = cont23.groupBy("w3").agg(count(lit(1)).as("cont3"))
+    val btot = cont23.agg(count(lit(1)).as("b23"))
+    val d = lit(discount)
+    val p2 =
+      greatest(col("cont23").cast(DoubleType) - d, lit(0.0)) /
+        col("cont2").cast(DoubleType) +
+      d * col("nf2").cast(DoubleType) / col("cont2").cast(DoubleType) *
+        (col("cont3").cast(DoubleType) / col("b23").cast(DoubleType))
+    val pKn =
+      greatest(col("c123").cast(DoubleType) - d, lit(0.0)) /
+        col("c12").cast(DoubleType) +
+      d * col("nf12").cast(DoubleType) / col("c12").cast(DoubleType) * p2
+    tg.filter(col("c123") >= minCount)
+      .join(ctx12, Seq("w1", "w2")).join(cont23, Seq("w2", "w3"))
+      .join(ctx2, "w2").join(cont3, "w3")
+      .crossJoin(broadcast(btot))
+      .select(col("w1"), col("w2"), col("w3"), col("c123"), col("c12"),
+        col("nf12"), col("cont23"), col("cont2"), col("nf2"), col("cont3"),
+        round(pKn, 6).as("p_kn"), col("b23"), lit(discount).as("discount"))
+  }
+
   /** The SCORE side of the n-gram perplexity filter: per-document bigram
     * perplexity under a trained [[kneserNeyBigrams]] model (train on a
     * clean reference corpus, score candidates, drop the high-perplexity

@@ -350,6 +350,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(head.toSet == Set(("a", "b", 3L), ("b", "a", 3L)))
   }
 
+  test("kneserNeyTrigrams: hand-computed nested interpolation") {
+    // trigram types: (a,b,c)x2 (b,c,a)x2 (c,a,b)x2 (a,b,d)x1 -> b23=4
+    val docs = Seq((1L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val got = Text.kneserNeyTrigrams(docs, discount = 0.75, minCount = 1)
+      .select("w1", "w2", "w3", "c123", "c12", "nf12", "cont23", "cont2",
+        "nf2", "cont3", "p_kn", "b23")
+      .as[(String, String, String, Long, Long, Long, Long, Long, Long,
+        Long, Double, Long)].collect()
+      .map(t => (t._1, t._2, t._3) -> t).toMap
+    assert(got.size == 4)
+    val abc = got(("a", "b", "c"))
+    assert((abc._4, abc._5, abc._6, abc._7, abc._8, abc._9, abc._10, abc._12)
+      == (2L, 3L, 2L, 1L, 2L, 2L, 1L, 4L))
+    // P2(c|b) = 0.25/2 + (0.75*2/2)*(1/4) = 0.3125
+    // P(c|a,b) = 1.25/3 + (0.75*2/3)*0.3125 = 0.572917
+    assert(math.abs(abc._11 - 0.572917) < 1e-9)
+    assert(math.abs(got(("a", "b", "d"))._11 - 0.239583) < 1e-9)
+    // observed-follower mass stays under 1; the rest backs off
+    assert(abc._11 + got(("a", "b", "d"))._11 < 1.0)
+  }
+
   test("knPerplexity: seen / context-backoff / OOV-floor paths") {
     // ref bigrams: (a,b)x2, (b,a)x1 -> B=2; p(b|a)=0.8125, p(a|b)=0.625
     val ref = Seq((10L, "a b a b")).toDF("doc_id", "text")
