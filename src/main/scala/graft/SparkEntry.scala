@@ -3853,6 +3853,17 @@ object SparkEntry {
           Seq("event_type", "day"), "user_id", l = 50)
         .orderBy("event_type", "day")),
 
+    // t-closeness audit completes the privacy triad: per-day sensitive
+    // (event_type) distribution vs the global mix, total-variation
+    // distance computed on integer cross-multiplied cell counts so the
+    // per-class fold is order-independent; one double expr at the end
+    "q_tcloseness" -> ((s, dir) =>
+      graft.operators.Expectations.tCloseness(
+          t(s, dir, "events")
+            .withColumn("day", date_trunc("day", col("ts"))),
+          Seq("day"), "event_type", t = 0.1)
+        .orderBy("day")),
+
     // leakage-safe TIME split with a 2-day embargo gap before the eval
     // cutoff: sessions/trends straddling a knife-edge boundary leak
     // across it, so the gap rows are dropped, not assigned. Explicit
@@ -6314,6 +6325,39 @@ object SparkEntry {
          FROM c, t ORDER BY lang, source""",
 
     "q_ldiversity" -> ldiversityTwinSql,
+
+    // t-closeness twin: same integer cross-multiplied TV sum; the
+    // closed-form absent-value term (1 - g_in/N) avoids materializing
+    // absent (class, value) pairs in either engine
+    "q_tcloseness" ->
+      """WITH e AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             event_type FROM events),
+         cells AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS c
+                   FROM e GROUP BY day, event_type),
+         cls AS (SELECT day, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_values FROM cells GROUP BY day),
+         gv AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS g
+                  FROM cells GROUP BY event_type),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntot FROM cells),
+         per AS (SELECT day,
+             CAST(sum(abs(cells.c * tot.ntot - gv.g * cls.n)) AS BIGINT)
+               AS s_abs,
+             CAST(sum(gv.g) AS BIGINT) AS g_in,
+             max(cls.n) AS n, max(cls.n_values) AS n_values,
+             max(tot.ntot) AS ntot
+           FROM cells JOIN gv USING (event_type) JOIN cls USING (day)
+             CROSS JOIN tot
+           GROUP BY day)
+         SELECT day, n, n_values,
+           round(CAST(0.5 AS DOUBLE) * (CAST(s_abs AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(ntot AS DOUBLE))
+             + (CAST(ntot AS DOUBLE) - CAST(g_in AS DOUBLE))
+               / CAST(ntot AS DOUBLE)), 6) AS tv_distance,
+           CAST(0.5 AS DOUBLE) * (CAST(s_abs AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(ntot AS DOUBLE))
+             + (CAST(ntot AS DOUBLE) - CAST(g_in AS DOUBLE))
+               / CAST(ntot AS DOUBLE)) > CAST(0.1 AS DOUBLE) AS at_risk
+         FROM per ORDER BY day""",
     // same audit through the §2.6 SQL front door -> same oracle
     "q_sql_ldiversity" -> ldiversityTwinSql,
 

@@ -137,6 +137,56 @@ object Expectations {
           .as("risk_share"))): _*)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third gate of the privacy triad: a class can pass k-anonymity AND
+    * l-diversity yet still leak when its sensitive-value DISTRIBUTION
+    * diverges from the corpus-wide one (90% of one value in a class vs
+    * 5% globally tells an observer a lot even with many distinct
+    * values). For a CATEGORICAL sensitive attribute the paper's Earth
+    * Mover's Distance reduces to total variation:
+    * tv(c) = ½ Σ_v |p_c(v) − p(v)|.
+    *
+    * Exactness: the per-class sum runs on the INTEGER cross-multiplied
+    * form |c_cv·N − g_v·n_c| (order-independent long sum; magnitudes
+    * ≤ 2N² — overflow-safe to N ≈ 2e9 rows per audit scope), and values
+    * absent from a class contribute in closed form (1 − Σ_in g_v / N)
+    * rather than by materializing absent (class, value) pairs; one final
+    * double expression produces tv. Scale shape: one cell aggregate on
+    * (quasi, sensitive) feeds the class, global, and total tables; the
+    * heavy join runs on cells (bounded by the data, never classes ×
+    * values); totals are a 1-row broadcast. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(t > 0 && t < 1, s"t in (0,1), got $t")
+    // internal names are __-prefixed so user quasi/sensitive columns
+    // (e.g. one literally named "g" or "n") cannot collide in the joins
+    val cells = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cls = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).cast(LongType).as("__n"),
+        count(lit(1)).as("__n_values"))
+    val glob = cells.groupBy(sensitiveCol)
+      .agg(sum(col("__c")).cast(LongType).as("__g"))
+    val tot = cells.agg(sum(col("__c")).cast(LongType).as("__ntot"))
+    val per = cells.join(glob, sensitiveCol).join(cls, quasiCols)
+      .crossJoin(broadcast(tot))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(abs(col("__c") * col("__ntot") - col("__g") * col("__n")))
+          .cast(LongType).as("__s_abs"),
+        sum(col("__g")).cast(LongType).as("__g_in"),
+        max(col("__n")).as("__n"), max(col("__n_values")).as("__n_values"),
+        max(col("__ntot")).as("__ntot"))
+    val tv = lit(0.5) *
+      (col("__s_abs").cast(DoubleType) /
+        (col("__n").cast(DoubleType) * col("__ntot").cast(DoubleType)) +
+       (col("__ntot").cast(DoubleType) - col("__g_in").cast(DoubleType)) /
+         col("__ntot").cast(DoubleType))
+    per.select(quasiCols.map(col) ++ Seq(col("__n").as("n"),
+      col("__n_values").as("n_values"),
+      round(tv, 6).as("tv_distance"), (tv > lit(t)).as("at_risk")): _*)
+  }
+
   /** Differentially-private count release: per-group counts perturbed
     * with TWO-SIDED GEOMETRIC noise (the discrete Laplace mechanism,
     * Ghosh/Roughgarden/Sundararajan 2009) at alpha = 1/2, i.e.

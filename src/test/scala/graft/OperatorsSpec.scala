@@ -331,6 +331,23 @@ class OperatorsSpec extends AnyFunSuite {
       ("b", 2L, 2L, false, 4L, 6L, 4.0 / 6.0)))
   }
 
+  test("tCloseness: hand-computed TV distance incl. absent-value term") {
+    // A(x3,y1) B(x1,y3) C(z2); global x4 y4 z2, N=10
+    // tv_A = 0.5*((|30-16|+|10-16|)/40 + (10-8)/10) = 0.35 (same for B)
+    // tv_C = 0.5*(|20-4|/20 + (10-2)/10) = 0.8 — z-only class far off mix
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "y"), ("B", "y"), ("B", "y"),
+      ("C", "z"), ("C", "z")).toDF("g", "s")
+    val got = graft.operators.Expectations.tCloseness(df, Seq("g"), "s", 0.5)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      ("A", 4L, 2L, 0.35, false),
+      ("B", 4L, 2L, 0.35, false),
+      ("C", 2L, 1L, 0.8, true)))
+  }
+
   test("calibration: clamped binning, exact per-bin counts and rates") {
     // scores: -2.0 clamps to bin 0, 1.5 clamps to bin 9; 0.05 -> bin 5,
     // -0.15 -> bin 4, 0.999 -> bin 9 (width 0.2 over [-1,1])
