@@ -4152,6 +4152,18 @@ object SparkEntry {
           t(s, dir, "documents"), discount = 0.75, minCount = 5)
         .orderBy("w1", "w2", "w3")),
 
+    // trigram scorer: train the trigram KN on non-src1 (minCount=1) and
+    // score src1 with the full backoff chain — seen triple / reserved
+    // context mass / mid-level model / continuation base / OOV floor
+    "q_kn_trigram_ppl" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.functions.Text.kneserNeyTrigrams(
+        docs.filter(col("source") =!= "src1"), minCount = 1)
+      graft.functions.Text.knTrigramPerplexity(
+          docs.filter(col("source") === "src1"), model)
+        .orderBy("doc_id")
+    }),
+
     // the score side of the perplexity filter: train interpolated KN on
     // the non-src1 corpus, score src1 docs — cross-corpus, so the seen /
     // context-backoff / OOV-floor paths are all genuinely exercised.
@@ -4633,6 +4645,86 @@ object SparkEntry {
 
   /** Kneser–Ney bigram-table twin, shared by the DataFrame path
     * (q_kn_lm) and the SQL front door (q_sql_kn_lm). */
+  /** The mid-level interpolated term P2(w3|w2) of the trigram scorer
+    * twin — used in two CASE branches, so ONE snippet keeps the copies
+    * textually identical. */
+  private val knTriP2Sql: String =
+    """(CASE WHEN x2.cont2 IS NOT NULL THEN
+         greatest(CAST(coalesce(md.cont23, 0) AS DOUBLE)
+             - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+           / CAST(x2.cont2 AS DOUBLE)
+         + CAST(0.75 AS DOUBLE) * CAST(x2.nf2 AS DOUBLE)
+           / CAST(x2.cont2 AS DOUBLE)
+           * (CAST(coalesce(cc.cont3, 0) AS DOUBLE)
+             / CAST(bt.b23 AS DOUBLE))
+       ELSE CAST(coalesce(cc.cont3, 0) AS DOUBLE)
+         / CAST(bt.b23 AS DOUBLE) END)"""
+
+  /** Trigram scorer twin: model CTEs at minCount=1 over the non-src1
+    * corpus, then the seen / context-mass / mid-level / base / floor
+    * chain per scored trigram, DECIMAL-folded per document. */
+  private val knTrigramPplTwinSql: String =
+    s"""WITH toks AS (SELECT doc_id, source,
+           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+         FROM documents),
+       rtri AS (
+         SELECT tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+         FROM (SELECT tk FROM toks WHERE source <> 'src1'),
+           unnest(generate_series(1, len(tk) - 2)) AS t(i)
+         WHERE len(tk) > 2),
+       tg AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+              FROM rtri GROUP BY w1, w2, w3),
+       ctx12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+           CAST(count(*) AS BIGINT) AS nf12 FROM tg GROUP BY w1, w2),
+       mid AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS cont23
+               FROM tg GROUP BY w2, w3),
+       ctx2 AS (SELECT w2, CAST(sum(cont23) AS BIGINT) AS cont2,
+           CAST(count(*) AS BIGINT) AS nf2 FROM mid GROUP BY w2),
+       c3 AS (SELECT w3, CAST(count(*) AS BIGINT) AS cont3
+              FROM mid GROUP BY w3),
+       btot AS (SELECT CAST(count(*) AS BIGINT) AS b23 FROM mid),
+       model AS (SELECT tg.w1, tg.w2, tg.w3,
+           round(greatest(CAST(tg.c123 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+               CAST(0 AS DOUBLE)) / CAST(ctx12.c12 AS DOUBLE)
+             + CAST(0.75 AS DOUBLE) * CAST(ctx12.nf12 AS DOUBLE)
+               / CAST(ctx12.c12 AS DOUBLE)
+               * (greatest(CAST(mid.cont23 AS DOUBLE)
+                     - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+                   / CAST(ctx2.cont2 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * CAST(ctx2.nf2 AS DOUBLE)
+                   / CAST(ctx2.cont2 AS DOUBLE)
+                   * (CAST(c3.cont3 AS DOUBLE)
+                     / CAST(btot.b23 AS DOUBLE))), 6) AS p_kn
+         FROM tg JOIN ctx12 USING (w1, w2) JOIN mid USING (w2, w3)
+           JOIN ctx2 USING (w2) JOIN c3 USING (w3) CROSS JOIN btot),
+       stri AS (
+         SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2, tk[i + 2] AS w3
+         FROM toks, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+         WHERE source = 'src1' AND len(tk) > 2),
+       scored AS (SELECT st.doc_id,
+           CAST(round(ln(greatest(
+             CASE WHEN m.p_kn IS NOT NULL THEN m.p_kn
+                  WHEN x12.c12 IS NOT NULL THEN
+                    CAST(0.75 AS DOUBLE) * CAST(x12.nf12 AS DOUBLE)
+                    / CAST(x12.c12 AS DOUBLE) * $knTriP2Sql
+                  ELSE $knTriP2Sql END,
+             CAST(1e-7 AS DOUBLE))), 6) AS DECIMAL(28,6)) AS lp
+         FROM stri st
+         LEFT JOIN model m ON st.w1 = m.w1 AND st.w2 = m.w2 AND st.w3 = m.w3
+         LEFT JOIN ctx12 x12 ON st.w1 = x12.w1 AND st.w2 = x12.w2
+         LEFT JOIN mid md ON st.w2 = md.w2 AND st.w3 = md.w3
+         LEFT JOIN ctx2 x2 ON st.w2 = x2.w2
+         LEFT JOIN c3 cc ON st.w3 = cc.w3
+         CROSS JOIN btot bt),
+       agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt, sum(lp) AS s
+               FROM scored GROUP BY doc_id)
+       SELECT d.doc_id, CAST(coalesce(a.nt, 0) AS BIGINT) AS n_trigrams,
+         round(exp(-(CAST(a.s AS DOUBLE) / CAST(a.nt AS DOUBLE))), 6)
+           AS perplexity
+       FROM (SELECT doc_id FROM documents WHERE source = 'src1') d
+       LEFT JOIN agg a ON d.doc_id = a.doc_id
+       ORDER BY d.doc_id"""
+
   private val knLmTwinSql: String =
     """WITH toks AS (SELECT list_filter(string_split(text, ' '),
            x -> x <> '') AS tk FROM documents),
@@ -8220,6 +8312,10 @@ winnowTwinSql,
            JOIN ctx2 USING (w2) JOIN cont3 USING (w3) CROSS JOIN btot
          WHERE tg.c123 >= 5
          ORDER BY w1, w2, w3""",
+
+    // deeper-backoff trigram scorer twin (shared P2 snippet keeps the
+    // two CASE branches textually identical)
+    "q_kn_trigram_ppl" -> knTrigramPplTwinSql,
 
     // KN scorer twin: model CTE at minCount=1 (same rounded p_kn), then
     // the seen / context-backoff / OOV-floor chain per scored bigram;

@@ -676,6 +676,73 @@ object Text {
         round(pKn, 6).as("p_kn"), col("b23"), lit(discount).as("discount"))
   }
 
+  /** Trigram perplexity under a trained [[kneserNeyTrigrams]] model —
+    * the deeper-backoff score side. Chain per scored trigram:
+    * seen triple → the model's p_kn; unseen triple but seen (w1,w2)
+    * context → its reserved mass λ12·P2(w3|w2); unseen context → the
+    * mid-level model P2(w3|w2) alone (an uninformative context adds
+    * nothing); unknown w2 → the continuation base Pc(w3); unknown w3 →
+    * 0, caught by the `pOov` floor. Discount and the b23 type total
+    * come from the model's self-describing columns; on a
+    * minCount-filtered model, tail entries are absent from the derived
+    * backoff tables and degrade DOWN the chain (never inflating).
+    * Documents with fewer than three tokens emit n_trigrams = 0 and a
+    * NULL perplexity. Same exactness discipline as [[knPerplexity]]:
+    * rounded per-trigram log-probs summed as DECIMAL. */
+  def knTrigramPerplexity(docs: DataFrame, model: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      pOov: Double = 1e-7): DataFrame = {
+    require(pOov > 0, s"pOov must be positive, got $pOov")
+    val tri = docs.select(col(idCol),
+        filter(split(col(textCol), " "), t => t =!= "").as("tk"))
+      .filter(size(col("tk")) > 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => struct(element_at(col("tk"), i).as("w1"),
+          element_at(col("tk"), i + 1).as("w2"),
+          element_at(col("tk"), i + 2).as("w3")))).as("tg"))
+      .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val m = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ctx12 = m.select(col("w1"), col("w2"), col("c12"), col("nf12")).distinct()
+    val mid = m.select(col("w2"), col("w3"), col("cont23")).distinct()
+    val ctx2 = m.select(col("w2"), col("cont2"), col("nf2")).distinct()
+    val c3 = m.select(col("w3"), col("cont3")).distinct()
+    val consts = m.agg(max(col("b23")).as("b23"),
+      max(col("discount")).as("discount"))
+    val d = col("discount")
+    val pc = coalesce(col("cont3"), lit(0L)).cast(DoubleType) /
+      col("b23").cast(DoubleType)
+    val p2 = when(col("cont2").isNotNull,
+        greatest(coalesce(col("cont23"), lit(0L)).cast(DoubleType) - d,
+          lit(0.0)) / col("cont2").cast(DoubleType) +
+        d * col("nf2").cast(DoubleType) / col("cont2").cast(DoubleType) * pc)
+      .otherwise(pc)
+    val p = greatest(
+      when(col("p_kn").isNotNull, col("p_kn"))
+        .when(col("c12").isNotNull,
+          d * col("nf12").cast(DoubleType) / col("c12").cast(DoubleType) * p2)
+        .otherwise(p2),
+      lit(pOov))
+    val scored = tri
+      .join(m.select(col("w1"), col("w2"), col("w3"), col("p_kn")),
+        Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(mid, Seq("w2", "w3"), "left")
+      .join(ctx2, Seq("w2"), "left")
+      .join(c3, Seq("w3"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col(idCol),
+        round(log(p), 6).cast(DecimalType(28, 6)).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("nt"), sum(col("lp")).as("s"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nt"), lit(0L)).as("n_trigrams"),
+        round(exp(-(col("s").cast(DoubleType) /
+          col("nt").cast(DoubleType))), 6).as("perplexity"))
+  }
+
   /** The SCORE side of the n-gram perplexity filter: per-document bigram
     * perplexity under a trained [[kneserNeyBigrams]] model (train on a
     * clean reference corpus, score candidates, drop the high-perplexity

@@ -114,7 +114,12 @@ object PlanAudit {
         "per InMemoryTableScan occurrence (4 reader branches × ~11). The " +
         "EXECUTED plan has 8 distinct exchanges (4 shuffle + 4 broadcast, " +
         "counted by distinct plan_id after collect); the model materializes " +
-        "once and every branch reads the cache."))
+        "once and every branch reads the cache."),
+      "q_kn_trigram_ppl" -> ("cost note (r8): same toString artifact as " +
+        "q_kn_perplexity, amplified — SIX reader branches of the persisted " +
+        "trigram model each print its ~20-exchange cached plan. The EXECUTED " +
+        "plan has 8 distinct exchanges (distinct plan_id after collect); the " +
+        "model materializes once."))
 
     // Queries whose reason to exist is file skipping: the audit FAILS
     // (nonzero exit) if their scans report `pruned read: m of n` with

@@ -371,6 +371,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(abc._11 + got(("a", "b", "d"))._11 < 1.0)
   }
 
+  test("knTrigramPerplexity: every branch of the backoff chain") {
+    val ref = Seq((10L, "a b c a b c a b d")).toDF("doc_id", "text")
+    val model = Text.kneserNeyTrigrams(ref, minCount = 1)
+    val docs = Seq(
+      (1L, "a b c"), // seen triple -> model p_kn = 0.572917
+      (2L, "c b c"), // unseen ctx (c,b) -> P2(c|b) = 0.3125
+      (3L, "a b a"), // seen ctx, unseen (b,a) mid -> 0.5*lam2*pc = 0.09375
+      (4L, "x y z"), // nothing known -> OOV floor
+      (5L, "hi"))    // sub-trigram -> n=0, NULL
+      .toDF("doc_id", "text")
+    val got = Text.knTrigramPerplexity(docs, model)
+      .select("doc_id", "n_trigrams", "perplexity")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ppl1(p: Double) = r6(math.exp(-r6(math.log(p))))
+    assert(got(1L) == ((1L, Some(ppl1(0.572917)))))
+    assert(got(2L) == ((1L, Some(ppl1(0.3125)))))
+    assert(got(3L) == ((1L, Some(ppl1(0.09375)))))
+    assert(got(4L) == ((1L, Some(ppl1(1e-7)))))
+    assert(got(5L) == ((0L, None)))
+  }
+
   test("knPerplexity: seen / context-backoff / OOV-floor paths") {
     // ref bigrams: (a,b)x2, (b,a)x1 -> B=2; p(b|a)=0.8125, p(a|b)=0.625
     val ref = Seq((10L, "a b a b")).toDF("doc_id", "text")
