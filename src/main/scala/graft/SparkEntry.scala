@@ -2032,6 +2032,15 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // C4-style banned-term screen: per doc the banned-token count, a
+    // flagged bit and the first banned token in document order — pure
+    // codegen'd higher-order functions, parquet-scan speed (the "drop
+    // pages containing a blocklist word" pass every web corpus runs)
+    "q_blocklist" -> ((s, dir) =>
+      graft.functions.Text.blocklistStats(
+          t(s, dir, "documents"), Seq("slow", "error", "leak"))
+        .orderBy("doc_id")),
+
     // exact dedup (hash-groupBy)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("keep_id")),
@@ -2451,6 +2460,19 @@ object SparkEntry {
     // codec path is lossless and actually exercised.
     "q_media_audio" -> ((s, dir) =>
       Multimodal.decodeAudioFeatures(
+          Multimodal.syntheticAudio(t(s, dir, "documents")))
+        .toDF()
+        .orderBy("media_id")),
+
+    // voice-activity detection on REAL decoded WAV: 32-sample frames,
+    // a frame is voiced when its summed |sample| clears mean·frameSize
+    // (decided in longs), segments/longest-run per clip — the
+    // speech-corpus triage pass before any ASR spend. The twin replays
+    // frame energies from the closed-form PCM generator codec-free and
+    // runs gaps-and-islands for the segmentation, so a hash match
+    // certifies decode AND run-length logic
+    "q_media_vad" -> ((s, dir) =>
+      graft.multimodal.Vad.energySegments(
           Multimodal.syntheticAudio(t(s, dir, "documents")))
         .toDF()
         .orderBy("media_id")),
@@ -3031,6 +3053,45 @@ object SparkEntry {
             col("pe_num").cast(DoubleType)) /
             (col("n").cast(DoubleType) * col("n").cast(DoubleType) -
               col("pe_num").cast(DoubleType)))
+    }),
+
+    // unbiased pass@k (Chen et al. 2021, eq. 1) per problem: n attempts,
+    // c passes (value >= 100), estimator 1 - Π(n-c-i)/(n-i) UNROLLED
+    // into a fixed k-term left-to-right double chain (no pow/lgamma —
+    // libm varies); c=0 and n-c<k short-circuit exactly. One hash agg
+    // over the attempt log, then a narrow expression — no second shuffle
+    "q_pass_at_k" -> ((s, dir) =>
+      graft.operators.Evaluation.passAtK(
+          t(s, dir, "events"), "user_id",
+          col("value") >= 100.0, k = 5)
+        .select(col("user_id"), col("n"), col("c"),
+          round(col("pass_at_k"), 6).as("pass_at_k"))
+        .orderBy("user_id")),
+
+    // Bradley-Terry preference strengths (Hunter 2004 MM) — the scoring
+    // backbone of preference/RLHF curation: per user the five event
+    // types are ranked by exact spend cents, every non-tied pairwise
+    // outcome feeds the win table, then 3 MM rounds with ordered-fold
+    // denominator/normalization sums (the PageRank determinism
+    // contract). The corpus is touched once; the loop runs on the
+    // item-vocabulary-sized pair table
+    "q_bradley_terry" -> ((s, dir) => {
+      val cents = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      val wins = cents.alias("a").join(cents.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .filter(col("a.cents") =!= col("b.cents"))
+        .select(
+          when(col("a.cents") > col("b.cents"), col("a.event_type"))
+            .otherwise(col("b.event_type")).as("winner"),
+          when(col("a.cents") > col("b.cents"), col("b.event_type"))
+            .otherwise(col("a.event_type")).as("loser"))
+        .groupBy("winner", "loser").agg(count(lit(1)).as("w"))
+      graft.operators.Evaluation.bradleyTerry(wins, iters = 3)
+        .select(col("item"), round(col("strength"), 6).as("strength"))
+        .orderBy("item")
     }),
 
     // link reciprocity: share of directed edges whose reverse edge also
@@ -6361,6 +6422,106 @@ object SparkEntry {
              AS wilson_lb
          FROM a, z ORDER BY item""",
 
+    // blocklist twin: list_filter preserves token order on both engines,
+    // so the hit count AND the first-hit audit column replay exactly
+    "q_blocklist" ->
+      """WITH h AS (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '),
+               t -> t IN ('slow', 'error', 'leak')) AS hits
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(hits) AS BIGINT) AS n_banned,
+           len(hits) > 0 AS flagged,
+           CASE WHEN len(hits) > 0 THEN hits[1] END AS first_banned
+         FROM h ORDER BY doc_id""",
+
+    // the telescoped pass@k product replayed term-for-term: the engine's
+    // fold is 1.0 * t0 * t1 * ... left-assoc, each term
+    // ((n-c)-i)/(n-i) with the same subtraction shape; the c=0 / n-c<k
+    // short circuits match the engine's `when` chain exactly
+    "q_pass_at_k" -> {
+      val prod = (0 until 5).map { i =>
+        s"""* (((CAST(n AS DOUBLE) - CAST(c AS DOUBLE))
+                 - CAST($i AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST($i AS DOUBLE)))"""
+      }.mkString("\n             ")
+      s"""WITH a AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= CAST(100.0 AS DOUBLE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS c
+           FROM events GROUP BY user_id)
+         SELECT user_id, n, c,
+           round(CASE WHEN c = 0 THEN CAST(0.0 AS DOUBLE)
+             WHEN n - c < 5 THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(1.0 AS DOUBLE) - (CAST(1.0 AS DOUBLE)
+             $prod)
+             END, 6) AS pass_at_k
+         FROM a ORDER BY user_id"""
+    },
+
+    // full Bradley-Terry MM replay: exact-cents win table, then 3 rounds
+    // of denominator folds (list_reduce over list(... ORDER BY j), the
+    // engine's sort_array ordered fold) and a sum-to-m rescale whose
+    // item-ordered fold matches the engine's normalization
+    "q_bradley_terry" -> {
+      val rounds = (1 to 3).map { r =>
+        val prev = s"r${r - 1}"
+        s"""d$r AS (
+           SELECT nt.i,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(nt.n_tot AS DOUBLE)
+                      / (wi.strength + wj.strength) ORDER BY nt.j)),
+               (a, b) -> a + b) AS denom
+           FROM nt JOIN $prev wi ON wi.item = nt.i
+             JOIN $prev wj ON wj.item = nt.j
+           GROUP BY nt.i),
+         raw$r AS (
+           SELECT wtot.i AS item,
+             CAST(wtot.w_total AS DOUBLE) / d$r.denom AS raw
+           FROM wtot JOIN d$r ON d$r.i = wtot.i),
+         t$r AS (
+           SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(raw ORDER BY item)), (a, b) -> a + b) AS t
+           FROM raw$r),
+         r$r AS (
+           SELECT item, raw * mm.m / t$r.t AS strength
+           FROM raw$r, t$r, mm)"""
+      }.mkString(",\n         ")
+      s"""WITH cents AS (
+           SELECT user_id, event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events GROUP BY 1, 2),
+         wt AS (
+           SELECT winner, loser, CAST(count(*) AS BIGINT) AS w FROM (
+             SELECT
+               CASE WHEN a.cents > b.cents THEN a.event_type
+                 ELSE b.event_type END AS winner,
+               CASE WHEN a.cents > b.cents THEN b.event_type
+                 ELSE a.event_type END AS loser
+             FROM cents a JOIN cents b
+               ON a.user_id = b.user_id AND a.event_type < b.event_type
+             WHERE a.cents <> b.cents)
+           GROUP BY 1, 2),
+         pt AS (
+           SELECT i, j, CAST(sum(wij) AS BIGINT) AS wij FROM (
+             SELECT winner AS i, loser AS j, w AS wij FROM wt
+             UNION ALL SELECT loser AS i, winner AS j, 0 AS wij FROM wt)
+           GROUP BY 1, 2),
+         nt AS (
+           SELECT a.i, a.j, a.wij, a.wij + b.wij AS n_tot
+           FROM pt a JOIN pt b ON a.i = b.j AND a.j = b.i),
+         wtot AS (SELECT i, CAST(sum(wij) AS BIGINT) AS w_total
+           FROM nt GROUP BY i),
+         mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM wtot),
+         r0 AS (SELECT i AS item, CAST(1.0 AS DOUBLE) AS strength
+           FROM wtot),
+         $rounds
+         SELECT item, round(strength, 6) AS strength FROM r3
+         ORDER BY item"""
+    },
+
     // class sizes and the risk share in exact longs; one quotient per row
     // same released counts through the SQL front door
     "q_sql_dp_release" ->
@@ -7555,6 +7716,44 @@ winnowTwinSql,
              ELSE 0 END) AS BIGINT) AS zero_crossings,
            sqrt(CAST(sum(s * s) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS rms
          FROM sm GROUP BY media_id ORDER BY media_id""",
+
+    // VAD twin: frame energies from the closed-form PCM generator
+    // (32-sample frames over the 256-sample clip), voiced = frame
+    // sum(|s|) >= 16384·32, then gaps-and-islands — islands keyed by
+    // frame − row_number() within the voiced class — for segment count
+    // and longest run; every decision in BIGINT
+    "q_media_vad" ->
+      """WITH sm AS (
+           SELECT doc_id AS media_id, t.i AS i,
+             abs(((doc_id * 37 + t.i * 2654435761) % 65536) - 32768) AS a
+           FROM documents, unnest(generate_series(0, 255)) AS t(i)),
+         f AS (
+           SELECT media_id, i // 32 AS frame,
+             CAST(sum(a) AS BIGINT) AS e
+           FROM sm GROUP BY 1, 2),
+         v AS (SELECT media_id, frame, e >= 524288 AS voiced FROM f),
+         isl AS (
+           SELECT media_id, frame, voiced,
+             frame - row_number() OVER (PARTITION BY media_id, voiced
+               ORDER BY frame) AS grp
+           FROM v),
+         runs AS (
+           SELECT media_id, grp, CAST(count(*) AS BIGINT) AS len
+           FROM isl WHERE voiced GROUP BY 1, 2),
+         agg AS (
+           SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_voiced
+           FROM v GROUP BY 1),
+         seg AS (
+           SELECT media_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(max(len) AS BIGINT) AS longest_run
+           FROM runs GROUP BY 1)
+         SELECT a.media_id, a.n_frames, a.n_voiced,
+           coalesce(seg.n_segments, 0) AS n_segments,
+           coalesce(seg.longest_run, 0) AS longest_run
+         FROM agg a LEFT JOIN seg ON seg.media_id = a.media_id
+         ORDER BY a.media_id""",
 
     "q_media_decode" ->
       """WITH px AS (

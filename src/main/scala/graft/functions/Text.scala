@@ -115,6 +115,28 @@ object Text {
         "https?://[^ \\t\\n]+", "<URL>"),
       "[0-9]{6,}", "<NUM>")
 
+  /** C4-style banned-term screen (Raffel et al. 2020 dropped any page
+    * containing a "List of Dirty, Naughty…" word): per doc the banned
+    * token count, a flagged bit, and the FIRST banned token in document
+    * order (the audit column a human reviewer asks for). Pure builtin
+    * higher-order functions — `filter`/`array_contains` stay in codegen,
+    * no UDF, no shuffle. The term list rides the plan as a literal
+    * array, the right shape for curated lists (10²–10⁴ terms); a
+    * crawl-scale list (millions of phrases) would instead tokenize-
+    * explode and broadcast-join the term table. */
+  def blocklistStats(docs: DataFrame, terms: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "blocklistStats: empty term list")
+    val banned = lit(terms.toArray)
+    val hits = filter(split(col(textCol), " "),
+      t => array_contains(banned, t))
+    docs.select(col("doc_id"),
+      size(hits).cast(LongType).as("n_banned"),
+      (size(hits) > 0).as("flagged"),
+      // guarded: ANSI element_at throws on an empty array
+      when(size(hits) > 0, element_at(hits, 1)).as("first_banned"))
+  }
+
   /** Fraction of repeated words: 1 - distinct/total tokens (0 for empty).
     * The classic C4/RefinedWeb-style repetition signal — high values mean
     * boilerplate or degenerate generation loops. */

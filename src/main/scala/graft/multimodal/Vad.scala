@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Per-clip voice-activity summary: frame grid, voiced-frame count,
+  * voiced-segment count and the longest voiced run (in frames). */
+case class VadSummary(media_id: Long, n_frames: Long, n_voiced: Long,
+    n_segments: Long, longest_run: Long)
+
+/** Energy-threshold voice-activity detection over REAL decoded WAV —
+  * the speech-corpus triage step (drop silent clips, bound segment
+  * lengths) that runs before any expensive ASR pass. Same proof shape
+  * as [[Multimodal.decodeAudioFeatures]]: the payload is a genuine
+  * RIFF/WAVE stream parsed by the JDK's WaveFileReader, the PCM is
+  * rebuilt honoring the decoded format, and every statistic is an exact
+  * integer, so an external oracle replays the frame energies from the
+  * closed-form sample generator without a codec — a hash match proves
+  * the encode→decode round trip AND the segmentation logic.
+  *
+  * Scale shape: mapPartitions over the clip table, one decoder init per
+  * partition, no shuffle — codec-bound and embarrassingly parallel, the
+  * same 100 TB answer as the image path. The reference has no media
+  * story at all (CSV only, src/io/mod.rs:56-59).
+  */
+object Vad {
+
+  /** Segment `audio` (media_id, payload) into fixed `frameSize`-sample
+    * frames (the trailing partial frame is dropped — standard framing)
+    * and mark a frame voiced when its summed |sample| clears
+    * `meanAbsThreshold`·frameSize, i.e. mean absolute amplitude above
+    * the threshold, decided entirely in longs. Emits per clip the frame
+    * count, voiced count, number of voiced runs and the longest run. */
+  def energySegments(audio: DataFrame, frameSize: Int = 32,
+      meanAbsThreshold: Long = 16384L): Dataset[VadSummary] = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+            s"media_id=$id: expected 16-bit mono PCM, got $fmt")
+          val bytes = ais.readAllBytes()
+          require(bytes.length > 0 && bytes.length % 2 == 0,
+            s"media_id=$id: empty or odd-length PCM stream " +
+              s"(${bytes.length} bytes)")
+          val n = bytes.length / 2
+          val nFrames = n / frameSize
+          val frameThreshold = meanAbsThreshold * frameSize
+          var f = 0
+          var nVoiced = 0L; var nSegments = 0L
+          var run = 0L; var longest = 0L
+          while (f < nFrames) {
+            var sumAbs = 0L
+            var i = f * frameSize
+            val end = i + frameSize
+            while (i < end) {
+              val lo = if (fmt.isBigEndian) bytes(2 * i + 1) else bytes(2 * i)
+              val hi = if (fmt.isBigEndian) bytes(2 * i) else bytes(2 * i + 1)
+              sumAbs += math.abs(((hi << 8) | (lo & 0xff)).toShort.toInt)
+              i += 1
+            }
+            if (sumAbs >= frameThreshold) {
+              nVoiced += 1
+              run += 1
+              if (run == 1L) nSegments += 1
+              if (run > longest) longest = run
+            } else run = 0L
+            f += 1
+          }
+          VadSummary(id, nFrames.toLong, nVoiced, nSegments, longest)
+        }
+      }
+  }
+}

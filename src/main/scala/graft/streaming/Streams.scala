@@ -350,6 +350,38 @@ object Streams {
       .start()
   }
 
+  /** Watermarked tumbling-window counts in the APPEND-mode shape: a
+    * window row is emitted exactly once, when the watermark passes its
+    * end and its state is evicted — the bounded-state contract that
+    * lets this run forever on an unbounded feed. Input rows arriving
+    * after their window's state was evicted are DROPPED by the engine;
+    * [[runToMemoryPhased]] + q_stream_late make that drop rule a
+    * hash-checked contract rather than a doc claim. */
+  def windowedCounts(events: DataFrame, length: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), length), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Drive a streaming query through EXPLICIT feed phases: each phase
+    * callback lands more files in the source directory, then the query
+    * drains (`processAllAvailable`, which also runs the no-new-data
+    * batches that advance the watermark and flush evictions). The phase
+    * boundary is what makes watermark semantics DETERMINISTIC: within a
+    * drain the watermark only moves at batch boundaries, so "what was
+    * on time when this batch arrived" is fixed by the phase sequence,
+    * not by file-listing races. Callers keep each phase's write to ONE
+    * atomically-renamed file (coalesce(1)) so a phase can't straddle
+    * two micro-batches. */
+  def runToMemoryPhased(streamed: DataFrame, name: String,
+      mode: OutputMode, phases: Seq[() => Unit]): DataFrame = {
+    val q = streamed.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    phases.foreach { feed => feed(); q.processAllAvailable() }
+    q.stop()
+    streamed.sparkSession.table(name)
+  }
+
   /** Run a streaming query over a bounded source into a memory sink and
     * return the materialized result — used by tests to drive the streaming
     * path end-to-end with deterministic content. */

@@ -563,4 +563,22 @@ class FunctionsSpec extends AnyFunSuite {
     // doc 1 owns gram abc; doc 2 repeats abc (seen), adds bcd (novel)
     assert(got == Seq((1L, 1L, 1L), (2L, 2L, 1L)))
   }
+
+  test("blocklistStats: counts, flag, and FIRST hit in document order") {
+    val docs = Seq(
+      (1L, "fast clean table"), // no hits
+      (2L, "a slow join with an error"), // two hits, 'slow' first
+      (3L, "error error slow"), // repeated term counts each occurrence
+      (4L, "slowly errors")) // substrings must NOT match whole tokens
+      .toDF("doc_id", "text")
+    val got = Text.blocklistStats(docs, Seq("slow", "error", "leak"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        Option(r.getString(3)))).toSeq
+    assert(got == Seq(
+      (1L, 0L, false, None),
+      (2L, 2L, true, Some("slow")),
+      (3L, 3L, true, Some("error")),
+      (4L, 0L, false, None)))
+  }
 }

@@ -234,4 +234,47 @@ class MultimodalSpec extends AnyFunSuite {
     // the two heavy keys dominate their buckets: est within n_tail slack
     assert(est(7L) >= 40L && est(13L) >= 25L)
   }
+
+  test("VAD: frame energies and run-lengths match the PCM formula") {
+    import spark.implicits._
+    val docs = Seq((7L, "x"), (11L, "x")).toDF("doc_id", "text")
+    val out = graft.multimodal.Vad.energySegments(
+        Multimodal.syntheticAudio(docs)) // 256 samples → 8 frames of 32
+      .collect().map(v => v.media_id -> v).toMap
+    for (id <- Seq(7L, 11L)) {
+      // replay the generator: voiced = frame sum|s| >= 16384*32
+      val voiced = (0 until 8).map { f =>
+        val e = (f * 32 until (f + 1) * 32).map { i =>
+          math.abs((((id * 37L + i * 2654435761L) % 65536L) - 32768L))
+        }.sum
+        e >= 16384L * 32
+      }
+      var segs = 0L; var run = 0L; var longest = 0L
+      voiced.foreach { v =>
+        if (v) { run += 1; if (run == 1) segs += 1
+          if (run > longest) longest = run }
+        else run = 0
+      }
+      val o = out(id)
+      assert(o.n_frames == 8L, s"id=$id")
+      assert(o.n_voiced == voiced.count(identity).toLong, s"id=$id")
+      assert(o.n_segments == segs && o.longest_run == longest, s"id=$id")
+    }
+  }
+
+  test("VAD: all-silent and all-voiced edges behave") {
+    import spark.implicits._
+    val docs = Seq((3L, "x")).toDF("doc_id", "text")
+    val audio = Multimodal.syntheticAudio(docs)
+    // threshold 0 → every frame voiced, one segment spanning the clip
+    val allV = graft.multimodal.Vad.energySegments(audio,
+      meanAbsThreshold = 0L).collect().head
+    assert(allV.n_voiced == 8L && allV.n_segments == 1L &&
+      allV.longest_run == 8L)
+    // impossible threshold → nothing voiced, zero segments
+    val none = graft.multimodal.Vad.energySegments(audio,
+      meanAbsThreshold = 40000L).collect().head
+    assert(none.n_voiced == 0L && none.n_segments == 0L &&
+      none.longest_run == 0L)
+  }
 }
