@@ -849,6 +849,47 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // watermark LATE-DATA accounting, driven as a real two-phase stream:
+    // phase 1 feeds on-time rows (even users, hours [0,4)) — the
+    // watermark advances to max(ts)-30min and Append mode emits the
+    // closed hour windows; phase 2 feeds the stragglers (odd users,
+    // same hours) plus hours [4,6). Stragglers whose window closed in
+    // phase 1 are DROPPED by the engine; stragglers for the still-open
+    // hour-3 window are counted. The twin replays the exact semantics:
+    // wm1 from phase-1 data gates which phase-2 rows count, wm2 gates
+    // which windows were ever emitted (hour 5 never closes). A hash
+    // match makes Spark's watermark drop/eviction rule a verified
+    // contract, not a doc claim
+    "q_stream_late" -> ((s, dir) => {
+      val h4 = lit("2024-01-01 04:00:00").cast(TimestampType)
+      val h6 = lit("2024-01-01 06:00:00").cast(TimestampType)
+      val ev = t(s, dir, "events")
+        .select(col("ts"), col("user_id"), col("event_type"))
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_slate").toString
+      // phase-0 feed lands BEFORE the query starts → one deterministic
+      // first batch; later phases are single atomically-renamed files
+      ev.filter(col("user_id") % 2 === 0 && col("ts") < h4)
+        .coalesce(1).write.mode("append").parquet(feed)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val src = ss.readStream.schema(ss.read.parquet(feed).schema)
+        .parquet(feed)
+      val name = "slate_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val late = ev.filter(
+        (col("user_id") % 2 === 1 && col("ts") < h4) ||
+          (col("ts") >= h4 && col("ts") < h6))
+      graft.streaming.Streams.runToMemoryPhased(
+          graft.streaming.Streams.windowedCounts(src),
+          name, org.apache.spark.sql.streaming.OutputMode.Append(),
+          Seq(() => (),
+            () => late.coalesce(1).write.mode("append").parquet(feed)))
+        .select(col("window.start").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // semi join (EXISTS) — absent in reference (JoinType has 2 variants,
     // ref: src/plan/logical/join.rs:14-17)
     "q_join_semi" -> ((s, dir) => {
@@ -9201,6 +9242,40 @@ winnowTwinSql,
               <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
          WHERE c.event_type = 'click' AND v.event_type = 'view'
            AND c.user_id % 4 = 0 AND v.user_id % 4 = 0""",
+
+    // watermark-semantics replay: wm1 = phase-1 max(ts) − 30min decides
+    // which phase-2 stragglers the engine DROPPED (window end <= wm1);
+    // wm2 = overall max(ts) − 30min decides which windows were ever
+    // EMITTED (end <= wm2). Counts sum on-time + surviving-late rows.
+    // ts cast to TIMESTAMP (micros) to match the engine's precision
+    "q_stream_late" ->
+      """WITH f1 AS (
+           SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+           WHERE user_id % 2 = 0
+             AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01 04:00:00'),
+         f2 AS (
+           SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+           WHERE (user_id % 2 = 1
+               AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01 04:00:00')
+             OR (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 04:00:00'
+               AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01 06:00:00')),
+         w1 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM f1),
+         w2 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM
+           (SELECT ts FROM f1 UNION ALL SELECT ts FROM f2)),
+         c1 AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+             count(*) AS n
+           FROM f1 GROUP BY 1, 2),
+         c2 AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+             count(*) AS n
+           FROM f2, w1
+           WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > w1.wm
+           GROUP BY 1, 2),
+         u AS (SELECT ws, event_type, CAST(sum(n) AS BIGINT) AS n
+           FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+           GROUP BY 1, 2)
+         SELECT u.ws AS window_start, u.event_type, u.n
+         FROM u, w2 WHERE u.ws + INTERVAL 1 HOUR <= w2.wm
+         ORDER BY 1, 2""",
 
     // survivor = global min doc_id per text (the q_dedup_exact policy)
     "q_dedup_rate" ->

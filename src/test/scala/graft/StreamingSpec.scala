@@ -449,4 +449,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$snapDir/v=0").count() == 2)
     } finally q.stop()
   }
+
+  test("windowedCounts: late rows drop iff their window already closed") {
+    implicit val sqlCtx = spark.sqlContext
+    def t2(s: String) = Timestamp.valueOf(s"2024-01-02 $s:00")
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = Streams.runToMemoryPhased(
+      Streams.windowedCounts(
+        mem.toDF.toDF("ts", "event_type"),
+        length = "1 hour", watermark = "30 minutes"),
+      "slate_spec", OutputMode.Append(),
+      Seq(
+        // phase 1: wm advances to 02:20 → windows 00 and 01 close
+        () => mem.addData((t2("00:10"), "a"), (t2("00:20"), "a"),
+          (t2("01:10"), "a"), (t2("02:50"), "a")),
+        // phase 2: 00:30 is late for a CLOSED window → dropped;
+        // 02:10 is late but window 02 is still open → counted;
+        // 03:40 advances wm to 03:10, closing window 02
+        () => mem.addData((t2("00:30"), "a"), (t2("02:10"), "a"),
+          (t2("03:40"), "a"))))
+    val got = out
+      .selectExpr("cast(window.start as string) AS ws", "n")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "2024-01-02 00:00:00" -> 2L, // 00:30 straggler NOT here
+      "2024-01-02 01:00:00" -> 1L,
+      "2024-01-02 02:00:00" -> 2L)) // 02:10 straggler counted
+    // window 03 never closed → never emitted in Append mode
+  }
 }
