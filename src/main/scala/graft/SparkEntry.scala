@@ -4000,6 +4000,22 @@ object SparkEntry {
       Ann.reciprocalRank(exact, approx, qs).orderBy("query_id")
     }),
 
+    // nDCG@5 of the LSH index vs exact ranking — the graded retrieval
+    // metric (recall counts hits, MRR the first hit; nDCG rewards
+    // putting the BEST neighbors highest). log2 discounts ride both
+    // plans as shared literals (libm log2 isn't correctly rounded);
+    // the per-query DCG is an ordered fold over <= 5 collected ranks
+    "q_ann_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = Ann.selfQueries(emb, 10)
+      val exact = Ann.bruteForceTopK(emb, qs, k = 5)
+      val approx = Ann.lshTopK(emb, qs, k = 5, planes = 6)
+      Ann.ndcgAtK(exact, approx, qs, k = 5)
+        .select(col("query_id"), round(col("dcg"), 6).as("dcg"),
+          round(col("ndcg"), 6).as("ndcg"))
+        .orderBy("query_id")
+    }),
+
     // exact equi-join cardinality from per-key histograms, validated
     // in-query against the materialized join — the pre-shuffle planning
     // primitive (broadcast vs SMJ vs salt) exercised as a contract
@@ -7066,6 +7082,56 @@ object SparkEntry {
                       / CAST(fh.first_rank AS DOUBLE) END AS rr
           FROM q LEFT JOIN fh ON q.query_id = fh.query_id
           ORDER BY q.query_id""",
+
+    // nDCG twin: the same e/b/q/ex/ap ranking CTEs as q_mrr (exact rank
+    // kept), relevance 6−exact_rank, discount weights and the ideal DCG
+    // embedded as the ENGINE's doubles (Double.toString round-trips), the
+    // per-query DCG as a rank-ordered list_reduce fold
+    "q_ann_ndcg" -> {
+      val w = graft.similarity.Ann.discountWeights(5)
+        .map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
+      val idcg = s"CAST('${graft.similarity.Ann.idealDcg(5)}' AS DOUBLE)"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+          b AS (SELECT vec_id, v, ${embBucketSql(6, 64)} AS bucket FROM e),
+          q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b
+                WHERE vec_id < 10),
+          ex AS (
+            SELECT query_id, neighbor_id, rn FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  round(list_dot_product(q.qv, e.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(e.v, e.v))), 6) DESC,
+                  e.vec_id ASC) AS rn
+              FROM e JOIN q ON e.vec_id <> q.query_id) WHERE rn <= 5),
+          ap AS (
+            SELECT query_id, neighbor_id, rn FROM (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY q.query_id ORDER BY
+                  round(list_dot_product(q.qv, c.v)
+                    / (sqrt(list_dot_product(q.qv, q.qv))
+                       * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                  c.vec_id ASC) AS rn
+              FROM b c JOIN q ON c.bucket = q.bucket
+                AND c.vec_id <> q.query_id) WHERE rn <= 5),
+          rel AS (
+            SELECT ap.query_id, ap.rn AS rank,
+              CAST(coalesce(6 - ex.rn, 0) AS DOUBLE)
+                * list_extract($w, ap.rn) AS g
+            FROM ap LEFT JOIN ex ON ex.query_id = ap.query_id
+              AND ex.neighbor_id = ap.neighbor_id),
+          d AS (
+            SELECT query_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(g ORDER BY rank)), (a, b) -> a + b) AS dcg
+            FROM rel GROUP BY query_id)
+          SELECT q.query_id,
+            round(coalesce(d.dcg, CAST(0.0 AS DOUBLE)), 6) AS dcg,
+            round(coalesce(d.dcg, CAST(0.0 AS DOUBLE)) / $idcg, 6) AS ndcg
+          FROM q LEFT JOIN d ON q.query_id = d.query_id
+          ORDER BY q.query_id"""
+    },
 
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label

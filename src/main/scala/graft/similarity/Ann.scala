@@ -97,6 +97,62 @@ object Ann {
           .as("rr"))
   }
 
+  /** Per-query nDCG@k of an approximate top-k against the exact ranking
+    * (Järvelin & Kekäläinen 2002) — the graded metric that, unlike
+    * recall/MRR, rewards putting the BEST neighbors highest: relevance
+    * of an approx result at exact rank e is k+1−e (0 if outside the
+    * exact top-k), DCG = Σ rel_r·w_r with w_r = 1/log2(r+1), and the
+    * ideal DCG is the same sum over the perfect ordering.
+    *
+    * Determinism contract: log2 is NOT correctly rounded and varies by
+    * libm, so the k discount weights are computed ONCE here and ride
+    * the plan as literals — an oracle twin embeds the same decimal
+    * literals (Double.toString round-trips exactly), making the metric
+    * engine-exact. The per-query DCG sum is an ordered fold over the
+    * ≤k collected ranks, the PageRank contract.
+    *
+    * Scale shape: one equi-join of two top-k frames (both k·|queries|
+    * rows) + one hash aggregate; never touches the corpus. */
+  def ndcgAtK(exact: DataFrame, approx: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = discountWeights(k)
+    val idcg = idealDcg(k)
+    val rel = approx.select(col("query_id"), col("rank"),
+        col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id"),
+          col("rank").as("exact_rank")),
+        Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"),
+        (coalesce(lit(k.toLong + 1L) - col("exact_rank"), lit(0L))
+          .cast(DoubleType) *
+          element_at(lit(w.toArray), col("rank").cast(IntegerType)))
+          .as("g"))
+    val dcg = rel.groupBy("query_id")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("rank"), col("g")))),
+        lit(0.0), (acc, x) => acc + x.getField("g")).as("dcg"))
+    queries.select(col("query_id"))
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        (coalesce(col("dcg"), lit(0.0)) / lit(idcg)).as("ndcg"))
+  }
+
+  /** The k DCG discount weights 1/log2(r+1), r = 1..k — computed once
+    * so both the plan and any oracle share identical doubles. */
+  def discountWeights(k: Int): Seq[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+
+  /** Ideal DCG at k: Σ_{r=1..k} (k+1−r)·w_r, left-to-right. */
+  def idealDcg(k: Int): Double = {
+    val w = discountWeights(k)
+    var s = 0.0
+    var r = 1
+    while (r <= k) { s += (k + 1 - r).toDouble * w(r - 1); r += 1 }
+    s
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
     * a lexical and a vector rank list — the standard hybrid-retrieval
     * merge: score(d) = Σ 1/(kRrf + rank_list(d)), with a list the doc is

@@ -226,4 +226,25 @@ class AnnSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
     assert(m(0) == Seq(3.0f, 4.0f)) // dim0: (2+4)/2; dim1: 8/2 over n=2
   }
+
+  test("ndcgAtK: perfect=1 exactly, reversed matches hand fold, miss=0") {
+    val k = 3
+    val qs = Seq(Tuple1(1L)).toDF("query_id")
+    def ranking(ids: Seq[Long]) = ids.zipWithIndex
+      .map { case (n, i) => (1L, (i + 1).toLong, n) }
+      .toDF("query_id", "rank", "neighbor_id")
+    val exact = ranking(Seq(10L, 11L, 12L))
+    def ndcg(approx: org.apache.spark.sql.DataFrame) =
+      Ann.ndcgAtK(exact, approx, qs, k).collect().head.getDouble(2)
+    // identical ranking: dcg and idcg are the SAME fold → exactly 1.0
+    assert(ndcg(ranking(Seq(10L, 11L, 12L))) === 1.0)
+    // reversed: rel (1,2,3) against weights, hand-folded in rank order
+    val w = Ann.discountWeights(k)
+    val expect = ((0.0 + 1.0 * w(0)) + 2.0 * w(1)) + 3.0 * w(2)
+    assert(ndcg(ranking(Seq(12L, 11L, 10L))) === expect / Ann.idealDcg(k))
+    // all-miss ranking scores zero
+    assert(ndcg(ranking(Seq(20L, 21L, 22L))) === 0.0)
+    // monotonic discounts, and idcg equals the perfect fold by formula
+    assert(w(0) === 1.0 && w(0) > w(1) && w(1) > w(2))
+  }
 }
