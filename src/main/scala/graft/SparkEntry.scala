@@ -3109,6 +3109,31 @@ object SparkEntry {
           round(col("pass_at_k"), 6).as("pass_at_k"))
         .orderBy("user_id")),
 
+    // the SAME pass@k through the §2.6 SQL front door (catalog
+    // validation + Spark SQL parser): an independent re-statement of
+    // the unrolled product converging on the shared oracle
+    "q_sql_pass_at_k" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      val prod = (0 until 5).map { i =>
+        s"""* (((CAST(n AS DOUBLE) - CAST(c AS DOUBLE))
+                 - CAST($i AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST($i AS DOUBLE)))"""
+      }.mkString("\n            ")
+      ctx.sql(s"""
+        WITH a AS (
+          SELECT user_id, count(*) AS n,
+            sum(CASE WHEN value >= CAST(100.0 AS DOUBLE)
+              THEN 1L ELSE 0L END) AS c
+          FROM events GROUP BY user_id)
+        SELECT user_id, n, c,
+          round(CASE WHEN c = 0 THEN CAST(0.0 AS DOUBLE)
+            WHEN n - c < 5 THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(1.0 AS DOUBLE) - (CAST(1.0 AS DOUBLE)
+            $prod)
+            END, 6) AS pass_at_k
+        FROM a ORDER BY user_id""")
+    }),
+
     // Bradley-Terry preference strengths (Hunter 2004 MM) — the scoring
     // backbone of preference/RLHF curation: per user the five event
     // types are ranked by exact spend cents, every non-tied pairwise
@@ -4615,6 +4640,31 @@ object SparkEntry {
            (SELECT errs FROM g$r) AS errors FROM w$r""")
       .mkString("\n         UNION ALL ")
     head + rounds + "\n         " + finals + "\n         ORDER BY iter"
+  }
+
+  /** The pass@k twin, shared by q_pass_at_k (DataFrame path) and
+    * q_sql_pass_at_k (SQL front door): the telescoped product replayed
+    * term-for-term — the engine's fold is 1.0 * t0 * t1 * ... left-
+    * assoc, each term ((n-c)-i)/(n-i) with the same subtraction shape;
+    * the c=0 / n-c<k short circuits match the `when` chain exactly. */
+  private val passAtKTwinSql: String = {
+    val prod = (0 until 5).map { i =>
+      s"""* (((CAST(n AS DOUBLE) - CAST(c AS DOUBLE))
+               - CAST($i AS DOUBLE))
+             / (CAST(n AS DOUBLE) - CAST($i AS DOUBLE)))"""
+    }.mkString("\n             ")
+    s"""WITH a AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN value >= CAST(100.0 AS DOUBLE)
+             THEN 1 ELSE 0 END) AS BIGINT) AS c
+         FROM events GROUP BY user_id)
+       SELECT user_id, n, c,
+         round(CASE WHEN c = 0 THEN CAST(0.0 AS DOUBLE)
+           WHEN n - c < 5 THEN CAST(1.0 AS DOUBLE)
+           ELSE CAST(1.0 AS DOUBLE) - (CAST(1.0 AS DOUBLE)
+           $prod)
+           END, 6) AS pass_at_k
+       FROM a ORDER BY user_id"""
   }
 
   /** The winnowing twin, shared by q_winnow (DataFrame path) and
@@ -6493,29 +6543,10 @@ object SparkEntry {
            CASE WHEN len(hits) > 0 THEN hits[1] END AS first_banned
          FROM h ORDER BY doc_id""",
 
-    // the telescoped pass@k product replayed term-for-term: the engine's
-    // fold is 1.0 * t0 * t1 * ... left-assoc, each term
-    // ((n-c)-i)/(n-i) with the same subtraction shape; the c=0 / n-c<k
-    // short circuits match the engine's `when` chain exactly
-    "q_pass_at_k" -> {
-      val prod = (0 until 5).map { i =>
-        s"""* (((CAST(n AS DOUBLE) - CAST(c AS DOUBLE))
-                 - CAST($i AS DOUBLE))
-               / (CAST(n AS DOUBLE) - CAST($i AS DOUBLE)))"""
-      }.mkString("\n             ")
-      s"""WITH a AS (
-           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN value >= CAST(100.0 AS DOUBLE)
-               THEN 1 ELSE 0 END) AS BIGINT) AS c
-           FROM events GROUP BY user_id)
-         SELECT user_id, n, c,
-           round(CASE WHEN c = 0 THEN CAST(0.0 AS DOUBLE)
-             WHEN n - c < 5 THEN CAST(1.0 AS DOUBLE)
-             ELSE CAST(1.0 AS DOUBLE) - (CAST(1.0 AS DOUBLE)
-             $prod)
-             END, 6) AS pass_at_k
-         FROM a ORDER BY user_id"""
-    },
+    // shared twin (see passAtKTwinSql): both the DataFrame path and the
+    // §2.6 SQL front door must converge on this one oracle
+    "q_pass_at_k" -> passAtKTwinSql,
+    "q_sql_pass_at_k" -> passAtKTwinSql,
 
     // full Bradley-Terry MM replay: exact-cents win table, then 3 rounds
     // of denominator folds (list_reduce over list(... ORDER BY j), the
