@@ -2073,6 +2073,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // T5-style span corruption: deterministic hash-selected token masks,
+    // contiguous runs collapsed to numbered sentinels, target = the
+    // removed spans — the denoising-objective data prep. The twin
+    // replays the Knuth hash, the run islands (pos − row_number) and
+    // the ordered string reassembly, so input AND target hash-match
+    "q_span_corrupt" -> ((s, dir) =>
+      graft.functions.Text.spanCorrupt(
+          t(s, dir, "documents"), maskEveryK = 5)
+        .orderBy("doc_id")),
+
     // C4-style banned-term screen: per doc the banned-token count, a
     // flagged bit and the first banned token in document order — pure
     // codegen'd higher-order functions, parquet-scan speed (the "drop
@@ -6528,6 +6538,69 @@ object SparkEntry {
            / (CAST(1.0 AS DOUBLE) + (z1 * z1) / CAST(n AS DOUBLE))
              AS wilson_lb
          FROM a, z ORDER BY item""",
+
+    // span-corruption twin: the same Knuth hash mask, gaps-and-islands
+    // runs, dense-rank sentinel ids, and string_agg ordered by
+    // (pos, prio, part) — the engine's sort_array struct order
+    "q_span_corrupt" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents),
+         tok AS (
+           SELECT doc_id, s.i - 1 AS pos, toks[s.i] AS tok
+           FROM tk, unnest(generate_series(1, len(toks))) AS s(i)),
+         f AS (
+           SELECT doc_id, pos, tok,
+             (${hash32Sql("doc_id * 131 + pos")}) % 5 = 0 AS masked
+           FROM tok),
+         m AS (
+           SELECT doc_id, pos, tok,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+           FROM f WHERE masked),
+         si AS (
+           SELECT doc_id, pos, tok, island,
+             dense_rank() OVER (PARTITION BY doc_id ORDER BY island) - 1
+               AS sid
+           FROM m),
+         st AS (
+           SELECT doc_id, min(pos) AS pos, 1 AS prio,
+             '<extra_id_' || sid || '>' AS part
+           FROM si GROUP BY doc_id, island, sid),
+         up AS (SELECT doc_id, pos, 2 AS prio, tok AS part
+           FROM f WHERE NOT masked),
+         mp AS (SELECT doc_id, pos, 2 AS prio, tok AS part FROM si),
+         mt AS (
+           SELECT doc_id,
+             string_agg(part, ' ' ORDER BY pos, prio, part)
+               AS masked_text
+           FROM (SELECT * FROM up UNION ALL SELECT * FROM st)
+           GROUP BY doc_id),
+         tt AS (
+           SELECT doc_id,
+             string_agg(part, ' ' ORDER BY pos, prio, part)
+               AS target_text
+           FROM (SELECT * FROM mp UNION ALL SELECT * FROM st)
+           GROUP BY doc_id),
+         cn AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked
+           FROM f GROUP BY doc_id),
+         ns AS (
+           SELECT doc_id, CAST(count(DISTINCT island) AS BIGINT)
+               AS n_spans
+           FROM m GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(mt.masked_text, '') AS masked_text,
+           coalesce(tt.target_text, '') AS target_text,
+           coalesce(cn.n_masked, 0) AS n_masked,
+           coalesce(ns.n_spans, 0) AS n_spans
+         FROM documents d
+           LEFT JOIN mt ON mt.doc_id = d.doc_id
+           LEFT JOIN tt ON tt.doc_id = d.doc_id
+           LEFT JOIN cn ON cn.doc_id = d.doc_id
+           LEFT JOIN ns ON ns.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     // blocklist twin: list_filter preserves token order on both engines,
     // so the hit count AND the first-hit audit column replay exactly

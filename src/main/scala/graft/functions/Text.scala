@@ -147,6 +147,69 @@ object Text {
         size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020, §3.1.4) — the
+    * denoising-objective data prep: a deterministic ~1/maskEveryK of
+    * token positions is masked (width-safe Knuth hash of (doc, pos), so
+    * the selection replays on any engine), CONTIGUOUS masked runs
+    * collapse to one numbered sentinel in the input, and the target is
+    * the sentinel-delimited sequence of removed spans. Emits
+    * (doc_id, masked_text, target_text, n_masked, n_spans).
+    *
+    * Shape: posexplode + two doc-partitioned windows (run islands via
+    * pos − row_number, sentinel ids via dense_rank) + ordered
+    * string reassembly — no global window, no UDF; every doc is
+    * independent, so at 100 TB this runs at shuffle-by-doc_id speed and
+    * the windows ride the per-doc partitioning. */
+  def spanCorrupt(docs: DataFrame, maskEveryK: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    require(maskEveryK >= 2, s"maskEveryK must be >= 2, got $maskEveryK")
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val flagged = toks.withColumn("masked",
+      pmod(Profile.hash32(col("doc_id") * 131 + col("pos")),
+        lit(maskEveryK.toLong)) === 0L)
+    val masked = flagged.filter(col("masked"))
+      .withColumn("island",
+        col("pos") - row_number().over(
+          w.partitionBy("doc_id").orderBy("pos")))
+    val byIsland = masked.withColumn("sid",
+      dense_rank().over(w.partitionBy("doc_id").orderBy("island")) - 1)
+    val sentinels = byIsland.groupBy("doc_id", "island", "sid")
+      .agg(min("pos").as("pos"))
+      .select(col("doc_id"), col("pos"), lit(1).as("prio"),
+        concat(lit("<extra_id_"), col("sid"), lit(">")).as("part"))
+    val keptParts = flagged.filter(!col("masked"))
+      .select(col("doc_id"), col("pos"), lit(2).as("prio"),
+        col("tok").as("part"))
+    val removedParts = byIsland.select(col("doc_id"), col("pos"),
+      lit(2).as("prio"), col("tok").as("part"))
+    // ordered reassembly: a sentinel sits at its run's first position
+    // and sorts BEFORE any token at the same pos (prio 1 < 2)
+    def assemble(parts: DataFrame, name: String) = parts
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(
+          struct(col("pos"), col("prio"), col("part")))),
+        x => x.getField("part")), " ").as(name))
+    val counts = flagged.groupBy("doc_id")
+      .agg(sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+    val spans = byIsland.groupBy("doc_id")
+      .agg(countDistinct(col("island")).as("n_spans"))
+    docs.select(col("doc_id"))
+      .join(assemble(keptParts.unionByName(sentinels), "masked_text"),
+        Seq("doc_id"), "left")
+      .join(assemble(removedParts.unionByName(sentinels), "target_text"),
+        Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("masked_text"), lit("")).as("masked_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
   /** Log-free TF-IDF per (doc, term): tf = termCount/docTerms, idf =
     * nDocs/docFreq, score = tf*idf. Log-free on purpose — every factor is an
     * IEEE division/multiplication of exact integer counts, so the score is

@@ -564,6 +564,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, 1L), (2L, 2L, 1L)))
   }
 
+  test("spanCorrupt: masks, sentinels and targets match a Scala replay") {
+    // the width-safe Knuth hash, replayed independently
+    def h32(x: Long): Long = {
+      val a = x % 4294967296L
+      val lo = (a % 65536L) * 2654435761L
+      val hi = (((a >> 16) * 2654435761L) % 65536L) << 16
+      (lo + hi) % 4294967296L
+    }
+    val text = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq((5L, text), (9L, "a b c")).toDF("doc_id", "text")
+    val got = Text.spanCorrupt(docs, maskEveryK = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    for ((id, toks) <- Seq(5L -> (0 until 30).map(i => s"w$i"),
+        9L -> Seq("a", "b", "c"))) {
+      val masked = toks.indices.map(p => h32(id * 131 + p) % 3 == 0)
+      val mt = new StringBuilder; val tt = new StringBuilder
+      var sid = 0; var inRun = false
+      for (p <- toks.indices) {
+        if (masked(p)) {
+          if (!inRun) {
+            if (mt.nonEmpty) mt.append(' ')
+            mt.append(s"<extra_id_$sid>")
+            if (tt.nonEmpty) tt.append(' ')
+            tt.append(s"<extra_id_$sid>")
+            sid += 1; inRun = true
+          }
+          tt.append(' ').append(toks(p))
+        } else {
+          if (mt.nonEmpty) mt.append(' ')
+          mt.append(toks(p)); inRun = false
+        }
+      }
+      val (gmt, gtt, nMasked, nSpans) = got(id)
+      assert(gmt == mt.toString, s"masked_text id=$id")
+      assert(gtt == tt.toString, s"target_text id=$id")
+      assert(nMasked == masked.count(identity).toLong, s"n_masked id=$id")
+      assert(nSpans == sid.toLong, s"n_spans id=$id")
+    }
+  }
+
   test("blocklistStats: counts, flag, and FIRST hit in document order") {
     val docs = Seq(
       (1L, "fast clean table"), // no hits
