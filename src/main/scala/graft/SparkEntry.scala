@@ -2073,6 +2073,14 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // fill-in-the-middle (PSM order) on a deterministic half of the
+    // corpus: hash-chosen token cut points, prefix/suffix/middle
+    // re-emitted with sentinels — the code-model pretraining transform;
+    // the twin replays cuts and reassembly with list slices
+    "q_fim" -> ((s, dir) =>
+      graft.functions.Text.fimTransform(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // T5-style span corruption: deterministic hash-selected token masks,
     // contiguous runs collapsed to numbered sentinels, target = the
     // removed spans — the denoising-objective data prep. The twin
@@ -6538,6 +6546,32 @@ object SparkEntry {
            / (CAST(1.0 AS DOUBLE) + (z1 * z1) / CAST(n AS DOUBLE))
              AS wilson_lb
          FROM a, z ORDER BY item""",
+
+    // FIM twin: same width-safe hash for the apply coin and both cut
+    // points, same sorted pair, list slices 1-based inclusive = the
+    // engine's slice(start, length) windows
+    "q_fim" ->
+      s"""WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+             FROM documents),
+         c AS (
+           SELECT doc_id, text, toks, len(toks) AS L,
+             (${hash32Sql("doc_id * 17 + 1")}) % (len(toks) + 1) AS h1,
+             (${hash32Sql("doc_id * 17 + 2")}) % (len(toks) + 1) AS h2,
+             (${hash32Sql("doc_id * 17")}) % 2 = 0 AS applied
+           FROM tk),
+         s AS (
+           SELECT doc_id, text, toks, L, applied,
+             least(h1, h2) AS c1, greatest(h1, h2) AS c2
+           FROM c)
+         SELECT doc_id, applied AS fim_applied,
+           CASE WHEN applied THEN
+             '<PRE> ' || coalesce(array_to_string(toks[1:c1], ' '), '')
+               || ' <SUF> '
+               || coalesce(array_to_string(toks[c2+1:L], ' '), '')
+               || ' <MID> '
+               || coalesce(array_to_string(toks[c1+1:c2], ' '), '')
+           ELSE text END AS transformed
+         FROM s ORDER BY doc_id""",
 
     // span-corruption twin: the same Knuth hash mask, gaps-and-islands
     // runs, dense-rank sentinel ids, and string_agg ordered by

@@ -210,6 +210,36 @@ object Text {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022) — the
+    * code-model pretraining prep: for a deterministic half of the docs
+    * (Knuth hash of doc_id), two hash-chosen token cut points split the
+    * doc into prefix/middle/suffix, re-emitted in PSM order as
+    * `<PRE> prefix <SUF> suffix <MID> middle`; the other half passes
+    * through untouched. Cut points replay on any engine (width-safe
+    * hash mod L+1, pair sorted), so the transform is an oracle-checkable
+    * contract. Pure narrow expressions: split/slice/array_join —
+    * parquet-scan speed, no shuffle. */
+  def fimTransform(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val L = size(toks)
+    val h1 = pmod(Profile.hash32(col("doc_id") * 17 + 1),
+      (L + 1).cast(LongType))
+    val h2 = pmod(Profile.hash32(col("doc_id") * 17 + 2),
+      (L + 1).cast(LongType))
+    val c1 = least(h1, h2).cast(IntegerType)
+    val c2 = greatest(h1, h2).cast(IntegerType)
+    val applied = pmod(Profile.hash32(col("doc_id") * 17), lit(2L)) === 0L
+    // slice is 1-based; slice(toks, a+1, n) takes n elements from a
+    val prefix = array_join(slice(toks, lit(1), c1), " ")
+    val middle = array_join(slice(toks, c1 + 1, c2 - c1), " ")
+    val suffix = array_join(slice(toks, c2 + 1, L - c2), " ")
+    docs.select(col("doc_id"), applied.as("fim_applied"),
+      when(applied, concat(lit("<PRE> "), prefix, lit(" <SUF> "), suffix,
+          lit(" <MID> "), middle))
+        .otherwise(col(textCol)).as("transformed"))
+  }
+
   /** Log-free TF-IDF per (doc, term): tf = termCount/docTerms, idf =
     * nDocs/docFreq, score = tf*idf. Log-free on purpose — every factor is an
     * IEEE division/multiplication of exact integer counts, so the score is

@@ -606,6 +606,37 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("fimTransform: PSM reassembly is lossless and matches the hash") {
+    def h32(x: Long): Long = {
+      val a = x % 4294967296L
+      val lo = (a % 65536L) * 2654435761L
+      val hi = (((a >> 16) * 2654435761L) % 65536L) << 16
+      (lo + hi) % 4294967296L
+    }
+    val docs = (0L until 12L)
+      .map(id => (id, (0 until 9).map(i => s"t${id}_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Text.fimTransform(docs).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    for (id <- 0L until 12L) {
+      val toks = (0 until 9).map(i => s"t${id}_$i")
+      val (applied, out) = got(id)
+      assert(applied == (h32(id * 17) % 2 == 0), s"coin id=$id")
+      if (!applied) assert(out == toks.mkString(" "))
+      else {
+        val h1 = h32(id * 17 + 1) % 10
+        val h2 = h32(id * 17 + 2) % 10
+        val (c1, c2) = (math.min(h1, h2).toInt, math.max(h1, h2).toInt)
+        val expect = s"<PRE> ${toks.take(c1).mkString(" ")} " +
+          s"<SUF> ${toks.drop(c2).mkString(" ")} " +
+          s"<MID> ${toks.slice(c1, c2).mkString(" ")}"
+        assert(out == expect, s"psm id=$id c1=$c1 c2=$c2")
+      }
+    }
+    // the deterministic coin actually splits the corpus
+    assert(got.values.count(_._1) > 0 && got.values.count(!_._1) > 0)
+  }
+
   test("blocklistStats: counts, flag, and FIRST hit in document order") {
     val docs = Seq(
       (1L, "fast clean table"), // no hits
