@@ -849,6 +849,41 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // STREAMING near-dup candidate generation: the codegen'd SimHash64
+    // native expression runs inside micro-batches, docs bucket by
+    // 16-bit simhash chunks (the q_dedup_simhash pigeonhole), and the
+    // Complete-mode counts converge to the batch bucket census — the
+    // shape of an always-on ingest dedup front end. The twin replays
+    // the FNV simhash bit-exactly in HUGEINT and rebuilds the chunk
+    // values from the bit list
+    "q_stream_neardup" -> ((s, dir) => {
+      val feed = java.nio.file.Files
+        .createTempDirectory("graft_sneardup").toString
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .coalesce(4).write.mode("overwrite").parquet(feed)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val src = ss.readStream.schema(ss.read.parquet(feed).schema)
+        .parquet(feed)
+      val chunkVals = array((0 until 4).map(i =>
+        shiftrightunsigned(col("sh"), i * 16)
+          .bitwiseAND(lit(0xffffL))): _*)
+      val buckets = src
+        .select(col("doc_id"), native.simhash64(col("text")).as("sh"))
+        .select(col("doc_id"), posexplode(chunkVals)
+          .as(Seq("chunk_id", "chunk_val")))
+        .groupBy("chunk_id", "chunk_val").agg(count(lit(1)).as("c"))
+      val name = "sneardup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.Streams.runToMemory(buckets, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .filter(col("c") > 1L)
+        .agg(count(lit(1)).as("n_hot_buckets"),
+          sum(col("c") * (col("c") - lit(1L))).as("p2"))
+        .select(col("n_hot_buckets"),
+          expr("p2 div 2").as("n_candidate_pairs"))
+    }),
+
     // watermark LATE-DATA accounting, driven as a real two-phase stream:
     // phase 1 feeds on-time rows (even users, hours [0,4)) — the
     // watermark advances to max(ts)-30min and Append mode emits the
@@ -9446,6 +9481,26 @@ winnowTwinSql,
               <= CAST(c.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
          WHERE c.event_type = 'click' AND v.event_type = 'view'
            AND c.user_id % 4 = 0 AND v.user_id % 4 = 0""",
+
+    // streaming-near-dup twin: the q_dedup_simhash bit replay, chunk
+    // values rebuilt as Σ bits[16i+j]·2^(j−1) in BIGINT shifts, then
+    // the same hot-bucket census; a finite Complete-mode stream equals
+    // this batch result exactly
+    "q_stream_neardup" -> (simhashBitsCte +
+      """,
+         ch AS (
+           SELECT sh.doc_id, t.i AS chunk_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 16),
+                 j -> CAST(bits[t.i * 16 + j] AS BIGINT)
+                   * (CAST(1 AS BIGINT) << (j - 1)))),
+               (a, b) -> a + b) AS chunk_val
+           FROM sh, unnest(generate_series(0, 3)) AS t(i)),
+         g AS (SELECT chunk_id, chunk_val, count(*) AS c
+           FROM ch GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets,
+           CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS n_candidate_pairs
+         FROM g WHERE c > 1"""),
 
     // watermark-semantics replay: wm1 = phase-1 max(ts) − 30min decides
     // which phase-2 stragglers the engine DROPPED (window end <= wm1);
