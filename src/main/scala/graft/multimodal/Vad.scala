@@ -18,10 +18,11 @@ case class VadSummary(media_id: Long, n_frames: Long, n_voiced: Long,
   * closed-form sample generator without a codec — a hash match proves
   * the encode→decode round trip AND the segmentation logic.
   *
-  * Scale shape: mapPartitions over the clip table, one decoder init per
-  * partition, no shuffle — codec-bound and embarrassingly parallel, the
-  * same 100 TB answer as the image path. The reference has no media
-  * story at all (CSV only, src/io/mod.rs:56-59).
+  * Scale shape: mapPartitions over the clip table — one JVM-level codec
+  * path warmed per partition, a cheap per-clip parser instantiation (the
+  * JDK reader is allocation-light), no shuffle — codec-bound and
+  * embarrassingly parallel, the same 100 TB answer as the image path.
+  * The reference has no media story at all (CSV only, src/io/mod.rs:56-59).
   */
 object Vad {
 
@@ -44,7 +45,7 @@ object Vad {
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
             s"media_id=$id: expected 16-bit mono PCM, got $fmt")
-          val bytes = ais.readAllBytes()
+          val bytes = try ais.readAllBytes() finally ais.close()
           require(bytes.length > 0 && bytes.length % 2 == 0,
             s"media_id=$id: empty or odd-length PCM stream " +
               s"(${bytes.length} bytes)")

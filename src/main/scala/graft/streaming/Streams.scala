@@ -377,19 +377,16 @@ object Streams {
       mode: OutputMode, phases: Seq[() => Unit]): DataFrame = {
     val q = streamed.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
-    phases.foreach { feed => feed(); q.processAllAvailable() }
-    q.stop()
+    // always stop: a failed phase write or a rethrown stream error must
+    // not leak a RUNNING query (this JVM hosts hundreds of queries)
+    try phases.foreach { feed => feed(); q.processAllAvailable() }
+    finally q.stop()
     streamed.sparkSession.table(name)
   }
 
   /** Run a streaming query over a bounded source into a memory sink and
     * return the materialized result — used by tests to drive the streaming
     * path end-to-end with deterministic content. */
-  def runToMemory(streamed: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val q = streamed.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
-    streamed.sparkSession.table(name)
-  }
+  def runToMemory(streamed: DataFrame, name: String, mode: OutputMode): DataFrame =
+    runToMemoryPhased(streamed, name, mode, Seq(() => ()))
 }
