@@ -2116,6 +2116,36 @@ object SparkEntry {
       graft.functions.Text.fimTransform(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // the SAME FIM transform through the §2.6 SQL front door: hash coin
+    // + cut points + slice reassembly re-stated in Spark SQL, converging
+    // on q_fim's oracle
+    "q_sql_fim" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql(s"""
+        WITH tk AS (SELECT doc_id, text, split(text, ' ') AS toks
+            FROM documents),
+        c AS (
+          SELECT doc_id, text, toks, size(toks) AS L,
+            (${hash32SparkSql("doc_id * 17 + 1")})
+              % (size(toks) + 1) AS h1,
+            (${hash32SparkSql("doc_id * 17 + 2")})
+              % (size(toks) + 1) AS h2,
+            (${hash32SparkSql("doc_id * 17")}) % 2 = 0 AS applied
+          FROM tk),
+        s AS (
+          SELECT doc_id, text, toks, L, applied,
+            CAST(least(h1, h2) AS INT) AS c1,
+            CAST(greatest(h1, h2) AS INT) AS c2
+          FROM c)
+        SELECT doc_id, applied AS fim_applied,
+          CASE WHEN applied THEN
+            concat('<PRE> ', array_join(slice(toks, 1, c1), ' '),
+              ' <SUF> ', array_join(slice(toks, c2 + 1, L - c2), ' '),
+              ' <MID> ', array_join(slice(toks, c1 + 1, c2 - c1), ' '))
+          ELSE text END AS transformed
+        FROM s ORDER BY doc_id""")
+    }),
+
     // T5-style span corruption: deterministic hash-selected token masks,
     // contiguous runs collapsed to numbered sentinels, target = the
     // removed spans — the denoising-objective data prep. The twin
@@ -2125,6 +2155,72 @@ object SparkEntry {
       graft.functions.Text.spanCorrupt(
           t(s, dir, "documents"), maskEveryK = 5)
         .orderBy("doc_id")),
+
+    // the SAME span corruption through the §2.6 SQL front door: Knuth
+    // mask, run islands, dense-rank sentinels and the ordered
+    // array_sort/array_join reassembly re-stated in Spark SQL — a second
+    // independent implementation converging on q_span_corrupt's oracle
+    "q_sql_span_corrupt" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      ctx.sql(s"""
+        WITH tok AS (
+          SELECT doc_id, t.pos, t.tok
+          FROM documents
+          LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok),
+        f AS (
+          SELECT doc_id, pos, tok,
+            (${hash32SparkSql("doc_id * 131 + pos")}) % 5 = 0 AS masked
+          FROM tok),
+        m AS (
+          SELECT doc_id, pos, tok,
+            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+              AS island
+          FROM f WHERE masked),
+        si AS (
+          SELECT doc_id, pos, tok, island,
+            dense_rank() OVER (PARTITION BY doc_id ORDER BY island) - 1
+              AS sid
+          FROM m),
+        st AS (
+          SELECT doc_id, min(pos) AS pos, 1 AS prio,
+            concat('<extra_id_', sid, '>') AS part
+          FROM si GROUP BY doc_id, island, sid),
+        up AS (SELECT doc_id, pos, 2 AS prio, tok AS part
+          FROM f WHERE NOT masked),
+        mp AS (SELECT doc_id, pos, 2 AS prio, tok AS part FROM si),
+        mt AS (
+          SELECT doc_id,
+            array_join(transform(
+              array_sort(collect_list(struct(pos, prio, part))),
+              x -> x.part), ' ') AS masked_text
+          FROM (SELECT * FROM up UNION ALL SELECT * FROM st)
+          GROUP BY doc_id),
+        tt AS (
+          SELECT doc_id,
+            array_join(transform(
+              array_sort(collect_list(struct(pos, prio, part))),
+              x -> x.part), ' ') AS target_text
+          FROM (SELECT * FROM mp UNION ALL SELECT * FROM st)
+          GROUP BY doc_id),
+        cn AS (
+          SELECT doc_id,
+            sum(CASE WHEN masked THEN 1L ELSE 0L END) AS n_masked
+          FROM f GROUP BY doc_id),
+        ns AS (
+          SELECT doc_id, count(DISTINCT island) AS n_spans
+          FROM m GROUP BY doc_id)
+        SELECT d.doc_id,
+          coalesce(mt.masked_text, '') AS masked_text,
+          coalesce(tt.target_text, '') AS target_text,
+          coalesce(cn.n_masked, 0L) AS n_masked,
+          coalesce(ns.n_spans, 0L) AS n_spans
+        FROM documents d
+          LEFT JOIN mt ON mt.doc_id = d.doc_id
+          LEFT JOIN tt ON tt.doc_id = d.doc_id
+          LEFT JOIN cn ON cn.doc_id = d.doc_id
+          LEFT JOIN ns ON ns.doc_id = d.doc_id
+        ORDER BY d.doc_id""")
+    }),
 
     // C4-style banned-term screen: per doc the banned-token count, a
     // flagged bit and the first banned token in document order — pure
@@ -4720,6 +4816,98 @@ object SparkEntry {
        FROM a ORDER BY user_id"""
   }
 
+
+  /** FIM twin, shared by q_fim and q_sql_fim: same width-safe hash for
+    * the apply coin and both cut points, same sorted pair, list slices
+    * 1-based inclusive = the engine's slice(start, length) windows;
+    * empty slices coalesced (DuckDB array_to_string(NULL on empty)). */
+  private val fimTwinSql: String =
+    s"""WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents),
+       c AS (
+         SELECT doc_id, text, toks, len(toks) AS L,
+           (${hash32Sql("doc_id * 17 + 1")}) % (len(toks) + 1) AS h1,
+           (${hash32Sql("doc_id * 17 + 2")}) % (len(toks) + 1) AS h2,
+           (${hash32Sql("doc_id * 17")}) % 2 = 0 AS applied
+         FROM tk),
+       s AS (
+         SELECT doc_id, text, toks, L, applied,
+           least(h1, h2) AS c1, greatest(h1, h2) AS c2
+         FROM c)
+       SELECT doc_id, applied AS fim_applied,
+         CASE WHEN applied THEN
+           '<PRE> ' || coalesce(array_to_string(toks[1:c1], ' '), '')
+             || ' <SUF> '
+             || coalesce(array_to_string(toks[c2+1:L], ' '), '')
+             || ' <MID> '
+             || coalesce(array_to_string(toks[c1+1:c2], ' '), '')
+         ELSE text END AS transformed
+       FROM s ORDER BY doc_id"""
+
+  /** Span-corruption twin, shared by q_span_corrupt and
+    * q_sql_span_corrupt: the same Knuth hash mask, gaps-and-islands
+    * runs, dense-rank sentinel ids, and string_agg ordered by
+    * (pos, prio, part) — the engine's sort_array struct order. */
+  private val spanCorruptTwinSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents),
+         tok AS (
+           SELECT doc_id, s.i - 1 AS pos, toks[s.i] AS tok
+           FROM tk, unnest(generate_series(1, len(toks))) AS s(i)),
+         f AS (
+           SELECT doc_id, pos, tok,
+             (${hash32Sql("doc_id * 131 + pos")}) % 5 = 0 AS masked
+           FROM tok),
+         m AS (
+           SELECT doc_id, pos, tok,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+           FROM f WHERE masked),
+         si AS (
+           SELECT doc_id, pos, tok, island,
+             dense_rank() OVER (PARTITION BY doc_id ORDER BY island) - 1
+               AS sid
+           FROM m),
+         st AS (
+           SELECT doc_id, min(pos) AS pos, 1 AS prio,
+             '<extra_id_' || sid || '>' AS part
+           FROM si GROUP BY doc_id, island, sid),
+         up AS (SELECT doc_id, pos, 2 AS prio, tok AS part
+           FROM f WHERE NOT masked),
+         mp AS (SELECT doc_id, pos, 2 AS prio, tok AS part FROM si),
+         mt AS (
+           SELECT doc_id,
+             string_agg(part, ' ' ORDER BY pos, prio, part)
+               AS masked_text
+           FROM (SELECT * FROM up UNION ALL SELECT * FROM st)
+           GROUP BY doc_id),
+         tt AS (
+           SELECT doc_id,
+             string_agg(part, ' ' ORDER BY pos, prio, part)
+               AS target_text
+           FROM (SELECT * FROM mp UNION ALL SELECT * FROM st)
+           GROUP BY doc_id),
+         cn AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked
+           FROM f GROUP BY doc_id),
+         ns AS (
+           SELECT doc_id, CAST(count(DISTINCT island) AS BIGINT)
+               AS n_spans
+           FROM m GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(mt.masked_text, '') AS masked_text,
+           coalesce(tt.target_text, '') AS target_text,
+           coalesce(cn.n_masked, 0) AS n_masked,
+           coalesce(ns.n_spans, 0) AS n_spans
+         FROM documents d
+           LEFT JOIN mt ON mt.doc_id = d.doc_id
+           LEFT JOIN tt ON tt.doc_id = d.doc_id
+           LEFT JOIN cn ON cn.doc_id = d.doc_id
+           LEFT JOIN ns ON ns.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
+
   /** The winnowing twin, shared by q_winnow (DataFrame path) and
     * q_sql_winnow (SQL front door) — both engines' implementations must
     * converge on this one oracle. */
@@ -4989,6 +5177,14 @@ object SparkEntry {
            t.risky AS rows_at_risk, t.total AS rows_total,
            CAST(t.risky AS DOUBLE) / CAST(t.total AS DOUBLE) AS risk_share
          FROM c, t ORDER BY event_type, day"""
+
+  /** The same two-limb Knuth hash in SPARK SQL dialect (`div` for
+    * integer division; inputs are nonnegative so `%` == pmod) — used by
+    * the §2.6 front-door twins of the hash-masked transforms. */
+  private def hash32SparkSql(x: String): String =
+    s"(((($x) % 4294967296) % 65536) * 2654435761" +
+      s" + ((((($x) % 4294967296) div 65536) * 2654435761) % 65536)" +
+      " * 65536) % 4294967296"
 
   /** The width-safe two-limb Knuth hash (Profile.hash32) over an SQL
     * expression — every intermediate < 1.8e14, identical in any engine. */
@@ -6582,94 +6778,14 @@ object SparkEntry {
              AS wilson_lb
          FROM a, z ORDER BY item""",
 
-    // FIM twin: same width-safe hash for the apply coin and both cut
-    // points, same sorted pair, list slices 1-based inclusive = the
-    // engine's slice(start, length) windows
-    "q_fim" ->
-      s"""WITH tk AS (SELECT doc_id, text, string_split(text, ' ') AS toks
-             FROM documents),
-         c AS (
-           SELECT doc_id, text, toks, len(toks) AS L,
-             (${hash32Sql("doc_id * 17 + 1")}) % (len(toks) + 1) AS h1,
-             (${hash32Sql("doc_id * 17 + 2")}) % (len(toks) + 1) AS h2,
-             (${hash32Sql("doc_id * 17")}) % 2 = 0 AS applied
-           FROM tk),
-         s AS (
-           SELECT doc_id, text, toks, L, applied,
-             least(h1, h2) AS c1, greatest(h1, h2) AS c2
-           FROM c)
-         SELECT doc_id, applied AS fim_applied,
-           CASE WHEN applied THEN
-             '<PRE> ' || coalesce(array_to_string(toks[1:c1], ' '), '')
-               || ' <SUF> '
-               || coalesce(array_to_string(toks[c2+1:L], ' '), '')
-               || ' <MID> '
-               || coalesce(array_to_string(toks[c1+1:c2], ' '), '')
-           ELSE text END AS transformed
-         FROM s ORDER BY doc_id""",
+    // FIM twin (shared by the DataFrame path and the §2.6 front door)
+    "q_fim" -> fimTwinSql,
+    "q_sql_fim" -> fimTwinSql,
 
-    // span-corruption twin: the same Knuth hash mask, gaps-and-islands
-    // runs, dense-rank sentinel ids, and string_agg ordered by
-    // (pos, prio, part) — the engine's sort_array struct order
-    "q_span_corrupt" ->
-      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
-             FROM documents),
-         tok AS (
-           SELECT doc_id, s.i - 1 AS pos, toks[s.i] AS tok
-           FROM tk, unnest(generate_series(1, len(toks))) AS s(i)),
-         f AS (
-           SELECT doc_id, pos, tok,
-             (${hash32Sql("doc_id * 131 + pos")}) % 5 = 0 AS masked
-           FROM tok),
-         m AS (
-           SELECT doc_id, pos, tok,
-             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-               AS island
-           FROM f WHERE masked),
-         si AS (
-           SELECT doc_id, pos, tok, island,
-             dense_rank() OVER (PARTITION BY doc_id ORDER BY island) - 1
-               AS sid
-           FROM m),
-         st AS (
-           SELECT doc_id, min(pos) AS pos, 1 AS prio,
-             '<extra_id_' || sid || '>' AS part
-           FROM si GROUP BY doc_id, island, sid),
-         up AS (SELECT doc_id, pos, 2 AS prio, tok AS part
-           FROM f WHERE NOT masked),
-         mp AS (SELECT doc_id, pos, 2 AS prio, tok AS part FROM si),
-         mt AS (
-           SELECT doc_id,
-             string_agg(part, ' ' ORDER BY pos, prio, part)
-               AS masked_text
-           FROM (SELECT * FROM up UNION ALL SELECT * FROM st)
-           GROUP BY doc_id),
-         tt AS (
-           SELECT doc_id,
-             string_agg(part, ' ' ORDER BY pos, prio, part)
-               AS target_text
-           FROM (SELECT * FROM mp UNION ALL SELECT * FROM st)
-           GROUP BY doc_id),
-         cn AS (
-           SELECT doc_id,
-             CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_masked
-           FROM f GROUP BY doc_id),
-         ns AS (
-           SELECT doc_id, CAST(count(DISTINCT island) AS BIGINT)
-               AS n_spans
-           FROM m GROUP BY doc_id)
-         SELECT d.doc_id,
-           coalesce(mt.masked_text, '') AS masked_text,
-           coalesce(tt.target_text, '') AS target_text,
-           coalesce(cn.n_masked, 0) AS n_masked,
-           coalesce(ns.n_spans, 0) AS n_spans
-         FROM documents d
-           LEFT JOIN mt ON mt.doc_id = d.doc_id
-           LEFT JOIN tt ON tt.doc_id = d.doc_id
-           LEFT JOIN cn ON cn.doc_id = d.doc_id
-           LEFT JOIN ns ON ns.doc_id = d.doc_id
-         ORDER BY d.doc_id""",
+    // span-corruption twin (shared likewise)
+    "q_span_corrupt" -> spanCorruptTwinSql,
+    "q_sql_span_corrupt" -> spanCorruptTwinSql,
+
 
     // blocklist twin: list_filter preserves token order on both engines,
     // so the hit count AND the first-hit audit column replay exactly
