@@ -2231,6 +2231,28 @@ object SparkEntry {
           t(s, dir, "documents"), Seq("slow", "error", "leak"))
         .orderBy("doc_id")),
 
+    // curation decision LOG: every doc gets the FIRST failing rule as
+    // a reason code (too_short → too_long → high_punct → repetitive →
+    // blocklisted → keep), aggregated per source — the auditable
+    // drop-accounting table a governed corpus ships with. One narrow
+    // pass over the corpus (all codegen'd kernels) + one hash agg
+    "q_curation_report" -> ((s, dir) => {
+      val st = native.text_stats(col("text"))
+      val rep = graft.functions.Text.wordRepetitionRatio(col("text"))
+      val blocked = arrays_overlap(split(col("text"), " "),
+        lit(Array("slow", "error", "leak")))
+      val reason = when(st.getField("n_tokens") < 5L, "too_short")
+        .when(st.getField("n_tokens") > 2000L, "too_long")
+        .when(st.getField("punct_ratio") >= 0.3, "high_punct")
+        .when(rep >= 0.6, "repetitive")
+        .when(blocked, "blocklisted")
+        .otherwise("keep")
+      t(s, dir, "documents")
+        .select(col("source"), reason.as("reason"))
+        .groupBy("source", "reason").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "reason")
+    }),
+
     // exact dedup (hash-groupBy)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("keep_id")),
@@ -7535,6 +7557,39 @@ object SparkEntry {
                'https?://[^ \t\n]+', '<URL>', 'g'),
              '[0-9]{6,}', '<NUM>', 'g') AS redacted
          FROM documents ORDER BY doc_id""",
+
+    // curation-log twin: the q_quality_filter signal replays (token
+    // count, punct ratio, repetition) plus the blocklist probe, folded
+    // through the SAME first-failing-rule CASE order
+    "q_curation_report" ->
+      """WITH scored AS (
+           SELECT doc_id, source,
+             length(regexp_extract_all(text, '\S+')) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text,
+                         '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+             CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(list_filter(
+                         regexp_split_to_array(text, '\s+'), x -> x <> '')))
+                       AS DOUBLE)
+                       / CAST(len(list_filter(regexp_split_to_array(text,
+                           '\s+'), x -> x <> '')) AS DOUBLE) END AS rep,
+             len(list_filter(string_split(text, ' '),
+               t -> t IN ('slow', 'error', 'leak'))) > 0 AS blocked
+           FROM documents),
+         r AS (
+           SELECT source,
+             CASE WHEN n_tokens < 5 THEN 'too_short'
+                  WHEN n_tokens > 2000 THEN 'too_long'
+                  WHEN punct_ratio >= 0.3 THEN 'high_punct'
+                  WHEN rep >= 0.6 THEN 'repetitive'
+                  WHEN blocked THEN 'blocklisted'
+                  ELSE 'keep' END AS reason
+           FROM scored)
+         SELECT source, reason, CAST(count(*) AS BIGINT) AS n_docs
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_quality_filter" ->
       """WITH scored AS (
