@@ -2098,9 +2098,9 @@ object SparkEntry {
     // standard token-count / punctuation / word-repetition thresholds
     "q_quality_filter" -> ((s, dir) => {
       val st = native.text_stats(col("text"))
-      val keep = st.getField("n_tokens").between(5L, 2000L) &&
-        st.getField("punct_ratio") < 0.3 &&
-        graft.functions.Text.wordRepetitionRatio(col("text")) < 0.6
+      val keep = st.getField("n_tokens").between(QfMinTokens, QfMaxTokens) &&
+        st.getField("punct_ratio") < QfMaxPunct &&
+        graft.functions.Text.wordRepetitionRatio(col("text")) < QfMaxRep
       t(s, dir, "documents")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -2228,7 +2228,7 @@ object SparkEntry {
     // pages containing a blocklist word" pass every web corpus runs)
     "q_blocklist" -> ((s, dir) =>
       graft.functions.Text.blocklistStats(
-          t(s, dir, "documents"), Seq("slow", "error", "leak"))
+          t(s, dir, "documents"), blocklistTerms)
         .orderBy("doc_id")),
 
     // curation decision LOG: every doc gets the FIRST failing rule as
@@ -2240,11 +2240,11 @@ object SparkEntry {
       val st = native.text_stats(col("text"))
       val rep = graft.functions.Text.wordRepetitionRatio(col("text"))
       val blocked = arrays_overlap(split(col("text"), " "),
-        lit(Array("slow", "error", "leak")))
-      val reason = when(st.getField("n_tokens") < 5L, "too_short")
-        .when(st.getField("n_tokens") > 2000L, "too_long")
-        .when(st.getField("punct_ratio") >= 0.3, "high_punct")
-        .when(rep >= 0.6, "repetitive")
+        lit(blocklistTerms.toArray))
+      val reason = when(st.getField("n_tokens") < QfMinTokens, "too_short")
+        .when(st.getField("n_tokens") > QfMaxTokens, "too_long")
+        .when(st.getField("punct_ratio") >= QfMaxPunct, "high_punct")
+        .when(rep >= QfMaxRep, "repetitive")
         .when(blocked, "blocklisted")
         .otherwise("keep")
       t(s, dir, "documents")
@@ -5200,20 +5200,60 @@ object SparkEntry {
            CAST(t.risky AS DOUBLE) / CAST(t.total AS DOUBLE) AS risk_share
          FROM c, t ORDER BY event_type, day"""
 
+  /** The quality-screen signal expressions (token count, punct ratio,
+    * word-repetition) in DuckDB SQL — ONE definition shared by the
+    * q_quality_filter and q_curation_report twins so the two screens'
+    * signals can never drift. NOTE (known, inherited domain bound): the
+    * RE2 '\\S'/length() semantics here match TextStatsKernel only on
+    * text without U+000B or non-BMP characters — true of the driver
+    * corpus; a Unicode-wild corpus would need the kernel's charset
+    * replayed explicitly (same bound as every TextStats twin). */
+  private val qualitySignalsSql: String =
+    """length(regexp_extract_all(text, '\S+')) AS n_tokens,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(text,
+                         '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+             CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(list_filter(
+                         regexp_split_to_array(text, '\s+'), x -> x <> '')))
+                       AS DOUBLE)
+                       / CAST(len(list_filter(regexp_split_to_array(text,
+                           '\s+'), x -> x <> '')) AS DOUBLE) END AS rep"""
+
+  /** The curated banned-term list, shared by q_blocklist and
+    * q_curation_report on BOTH the engine and oracle sides — one
+    * source of truth so the two screens' "blocklisted" populations can
+    * never drift apart. */
+  /** Quality-screen thresholds, shared by q_quality_filter and
+    * q_curation_report on both the engine and oracle sides. */
+  private val QfMinTokens = 5L
+  private val QfMaxTokens = 2000L
+  private val QfMaxPunct = 0.3
+  private val QfMaxRep = 0.6
+
+  private val blocklistTerms: Seq[String] = Seq("slow", "error", "leak")
+  private def blocklistTermsSql: String =
+    blocklistTerms.map(t => s"'$t'").mkString(", ")
+
   /** The same two-limb Knuth hash in SPARK SQL dialect (`div` for
     * integer division; inputs are nonnegative so `%` == pmod) — used by
-    * the §2.6 front-door twins of the hash-masked transforms. */
-  private def hash32SparkSql(x: String): String =
+    * the §2.6 front-door twins of the hash-masked transforms. One body
+    * shared with [[hash32Sql]] so the two dialects can never drift. */
+  private def hash32SqlDialect(x: String, intDiv: String): String =
     s"(((($x) % 4294967296) % 65536) * 2654435761" +
-      s" + ((((($x) % 4294967296) div 65536) * 2654435761) % 65536)" +
+      s" + ((((($x) % 4294967296) $intDiv 65536) * 2654435761) % 65536)" +
       " * 65536) % 4294967296"
 
+  private def hash32SparkSql(x: String): String =
+    hash32SqlDialect(x, "div")
+
   /** The width-safe two-limb Knuth hash (Profile.hash32) over an SQL
-    * expression — every intermediate < 1.8e14, identical in any engine. */
+    * expression — every intermediate < 1.8e14, identical in any engine.
+    * DuckDB dialect of [[hash32SqlDialect]] (`//` integer division). */
   private def hash32Sql(x: String): String =
-    s"(((($x) % 4294967296) % 65536) * 2654435761" +
-      s" + ((((($x) % 4294967296) // 65536) * 2654435761) % 65536) * 65536)" +
-      " % 4294967296"
+    hash32SqlDialect(x, "//")
 
   private def simhashBitsCte: String =
     s"""WITH toks AS (
@@ -6812,10 +6852,10 @@ object SparkEntry {
     // blocklist twin: list_filter preserves token order on both engines,
     // so the hit count AND the first-hit audit column replay exactly
     "q_blocklist" ->
-      """WITH h AS (
+      s"""WITH h AS (
            SELECT doc_id,
              list_filter(string_split(text, ' '),
-               t -> t IN ('slow', 'error', 'leak')) AS hits
+               t -> t IN ($blocklistTermsSql)) AS hits
            FROM documents)
          SELECT doc_id,
            CAST(len(hits) AS BIGINT) AS n_banned,
@@ -7562,29 +7602,18 @@ object SparkEntry {
     // count, punct ratio, repetition) plus the blocklist probe, folded
     // through the SAME first-failing-rule CASE order
     "q_curation_report" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
            SELECT doc_id, source,
-             length(regexp_extract_all(text, '\S+')) AS n_tokens,
-             CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(length(regexp_replace(text,
-                         '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
-                       / CAST(length(text) AS DOUBLE) END AS punct_ratio,
-             CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
-                            x -> x <> '')) = 0 THEN 0.0
-                  ELSE 1.0 - CAST(len(list_distinct(list_filter(
-                         regexp_split_to_array(text, '\s+'), x -> x <> '')))
-                       AS DOUBLE)
-                       / CAST(len(list_filter(regexp_split_to_array(text,
-                           '\s+'), x -> x <> '')) AS DOUBLE) END AS rep,
+             $qualitySignalsSql,
              len(list_filter(string_split(text, ' '),
-               t -> t IN ('slow', 'error', 'leak'))) > 0 AS blocked
+               t -> t IN ($blocklistTermsSql))) > 0 AS blocked
            FROM documents),
          r AS (
            SELECT source,
-             CASE WHEN n_tokens < 5 THEN 'too_short'
-                  WHEN n_tokens > 2000 THEN 'too_long'
-                  WHEN punct_ratio >= 0.3 THEN 'high_punct'
-                  WHEN rep >= 0.6 THEN 'repetitive'
+             CASE WHEN n_tokens < $QfMinTokens THEN 'too_short'
+                  WHEN n_tokens > $QfMaxTokens THEN 'too_long'
+                  WHEN punct_ratio >= $QfMaxPunct THEN 'high_punct'
+                  WHEN rep >= $QfMaxRep THEN 'repetitive'
                   WHEN blocked THEN 'blocklisted'
                   ELSE 'keep' END AS reason
            FROM scored)
@@ -7592,24 +7621,13 @@ object SparkEntry {
          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_quality_filter" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
            SELECT source,
-             length(regexp_extract_all(text, '\S+')) AS n_tokens,
-             CASE WHEN length(text) = 0 THEN 0.0
-                  ELSE CAST(length(regexp_replace(text,
-                         '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS DOUBLE)
-                       / CAST(length(text) AS DOUBLE) END AS punct_ratio,
-             CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'),
-                            x -> x <> '')) = 0 THEN 0.0
-                  ELSE 1.0 - CAST(len(list_distinct(list_filter(
-                         regexp_split_to_array(text, '\s+'), x -> x <> '')))
-                       AS DOUBLE)
-                       / CAST(len(list_filter(regexp_split_to_array(text,
-                           '\s+'), x -> x <> '')) AS DOUBLE) END AS rep
+             $qualitySignalsSql
            FROM documents)
          SELECT source, count(*) AS n_docs,
-           CAST(sum(CASE WHEN n_tokens BETWEEN 5 AND 2000
-                          AND punct_ratio < 0.3 AND rep < 0.6
+           CAST(sum(CASE WHEN n_tokens BETWEEN $QfMinTokens AND $QfMaxTokens
+                          AND punct_ratio < $QfMaxPunct AND rep < $QfMaxRep
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM scored GROUP BY source ORDER BY source""",
 
