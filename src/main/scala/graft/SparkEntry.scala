@@ -3305,6 +3305,91 @@ object SparkEntry {
         FROM a ORDER BY user_id""")
     }),
 
+    // the SAME Bradley-Terry fit through the §2.6 SQL front door: the
+    // 3 MM rounds unrolled as sequential CTEs, the ordered folds as
+    // aggregate(sort_array(collect_list(named_struct(...)))) — Spark
+    // SQL's spelling of the PageRank determinism contract — converging
+    // on q_bradley_terry's oracle
+    "q_sql_bradley_terry" -> ((s, dir) => {
+      val ctx = Context.forSfDir(s, dir)
+      val rounds = (1 to 3).map { r =>
+        val prev = s"r${r - 1}"
+        s"""d$r AS (
+          SELECT nt.i,
+            aggregate(sort_array(collect_list(named_struct(
+                'j', nt.j,
+                'd', CAST(nt.n_tot AS DOUBLE)
+                  / (wi.strength + wj.strength)))),
+              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d) AS denom
+          FROM nt JOIN $prev wi ON wi.item = nt.i
+            JOIN $prev wj ON wj.item = nt.j
+          GROUP BY nt.i),
+        raw$r AS (
+          SELECT wtot.i AS item,
+            CAST(wtot.w_total AS DOUBLE) / d$r.denom AS raw
+          FROM wtot JOIN d$r ON d$r.i = wtot.i),
+        t$r AS (
+          SELECT aggregate(sort_array(collect_list(named_struct(
+                'item', item, 'raw', raw))),
+              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.raw) AS t
+          FROM raw$r),
+        r$r AS (
+          SELECT item, raw * mm.m / t$r.t AS strength
+          FROM raw$r CROSS JOIN t$r CROSS JOIN mm)"""
+      }.mkString(",\n        ")
+      ctx.sql(s"""
+        WITH cents AS (
+          SELECT user_id, event_type,
+            sum(CAST(round(value * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2),
+        wt AS (
+          SELECT winner, loser, count(*) AS w FROM (
+            SELECT
+              CASE WHEN a.cents > b.cents THEN a.event_type
+                ELSE b.event_type END AS winner,
+              CASE WHEN a.cents > b.cents THEN b.event_type
+                ELSE a.event_type END AS loser
+            FROM cents a JOIN cents b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            WHERE a.cents <> b.cents)
+          GROUP BY 1, 2),
+        pt AS (
+          SELECT i, j, sum(wij) AS wij FROM (
+            SELECT winner AS i, loser AS j, w AS wij FROM wt
+            UNION ALL SELECT loser AS i, winner AS j, 0L AS wij FROM wt)
+          GROUP BY 1, 2),
+        nt AS (
+          SELECT a.i, a.j, a.wij, a.wij + b.wij AS n_tot
+          FROM pt a JOIN pt b ON a.i = b.j AND a.j = b.i),
+        wtot AS (SELECT i, sum(wij) AS w_total FROM nt GROUP BY i),
+        mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM wtot),
+        r0 AS (SELECT i AS item, CAST(1.0 AS DOUBLE) AS strength
+          FROM wtot),
+        $rounds
+        SELECT item, round(strength, 6) AS strength FROM r3
+        ORDER BY item""")
+    }),
+
+    // DPO-style preference-PAIR construction: per prompt (user) the
+    // highest- and lowest-scored responses become (chosen, rejected)
+    // with a positive margin — the dataset artifact preference tuning
+    // consumes. Deterministic ties via struct order (value, event_id);
+    // one hash agg over the response log, no window, no second shuffle
+    "q_pref_pairs" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("user_id"))
+        .agg(max(struct(col("value"), col("event_id"))).as("ch"),
+          min(struct(col("value"), col("event_id"))).as("rj"))
+        .select(col("user_id"),
+          col("ch.event_id").as("chosen_id"),
+          col("rj.event_id").as("rejected_id"),
+          col("ch.value").as("chosen_score"),
+          col("rj.value").as("rejected_score"),
+          (col("ch.value") - col("rj.value")).as("margin"))
+        .filter(col("margin") > 0.0)
+        .orderBy("user_id")
+    }),
+
     // Bradley-Terry preference strengths (Hunter 2004 MM) — the scoring
     // backbone of preference/RLHF curation: per user the five event
     // types are ranked by exact spend cents, every non-tied pairwise
@@ -4812,6 +4897,67 @@ object SparkEntry {
       .mkString("\n         UNION ALL ")
     head + rounds + "\n         " + finals + "\n         ORDER BY iter"
   }
+
+  /** The Bradley-Terry twin, shared by q_bradley_terry and
+    * q_sql_bradley_terry: exact-cents win table, 3 unrolled MM rounds
+    * with list_reduce ordered folds and the sum-to-m rescale. */
+  private val bradleyTerryTwinSql: String = {
+      val rounds = (1 to 3).map { r =>
+        val prev = s"r${r - 1}"
+        s"""d$r AS (
+           SELECT nt.i,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(nt.n_tot AS DOUBLE)
+                      / (wi.strength + wj.strength) ORDER BY nt.j)),
+               (a, b) -> a + b) AS denom
+           FROM nt JOIN $prev wi ON wi.item = nt.i
+             JOIN $prev wj ON wj.item = nt.j
+           GROUP BY nt.i),
+         raw$r AS (
+           SELECT wtot.i AS item,
+             CAST(wtot.w_total AS DOUBLE) / d$r.denom AS raw
+           FROM wtot JOIN d$r ON d$r.i = wtot.i),
+         t$r AS (
+           SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(raw ORDER BY item)), (a, b) -> a + b) AS t
+           FROM raw$r),
+         r$r AS (
+           SELECT item, raw * mm.m / t$r.t AS strength
+           FROM raw$r, t$r, mm)"""
+      }.mkString(",\n         ")
+      s"""WITH cents AS (
+           SELECT user_id, event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+           FROM events GROUP BY 1, 2),
+         wt AS (
+           SELECT winner, loser, CAST(count(*) AS BIGINT) AS w FROM (
+             SELECT
+               CASE WHEN a.cents > b.cents THEN a.event_type
+                 ELSE b.event_type END AS winner,
+               CASE WHEN a.cents > b.cents THEN b.event_type
+                 ELSE a.event_type END AS loser
+             FROM cents a JOIN cents b
+               ON a.user_id = b.user_id AND a.event_type < b.event_type
+             WHERE a.cents <> b.cents)
+           GROUP BY 1, 2),
+         pt AS (
+           SELECT i, j, CAST(sum(wij) AS BIGINT) AS wij FROM (
+             SELECT winner AS i, loser AS j, w AS wij FROM wt
+             UNION ALL SELECT loser AS i, winner AS j, 0 AS wij FROM wt)
+           GROUP BY 1, 2),
+         nt AS (
+           SELECT a.i, a.j, a.wij, a.wij + b.wij AS n_tot
+           FROM pt a JOIN pt b ON a.i = b.j AND a.j = b.i),
+         wtot AS (SELECT i, CAST(sum(wij) AS BIGINT) AS w_total
+           FROM nt GROUP BY i),
+         mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM wtot),
+         r0 AS (SELECT i AS item, CAST(1.0 AS DOUBLE) AS strength
+           FROM wtot),
+         $rounds
+         SELECT item, round(strength, 6) AS strength FROM r3
+         ORDER BY item"""
+    }
 
   /** The pass@k twin, shared by q_pass_at_k (DataFrame path) and
     * q_sql_pass_at_k (SQL front door): the telescoped product replayed
@@ -6868,67 +7014,35 @@ object SparkEntry {
     "q_pass_at_k" -> passAtKTwinSql,
     "q_sql_pass_at_k" -> passAtKTwinSql,
 
+    // preference-pair twin: the engine's struct max/min replayed as
+    // explicit (value, event_id) ranked windows — ties break on the
+    // HIGHER event_id for chosen, LOWER for rejected, exactly the
+    // field-wise struct order
+    "q_pref_pairs" ->
+      """WITH r AS (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id DESC) AS rc,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY value ASC, event_id ASC) AS rr
+           FROM events),
+         ch AS (SELECT user_id, event_id AS chosen_id,
+             value AS chosen_score FROM r WHERE rc = 1),
+         rj AS (SELECT user_id, event_id AS rejected_id,
+             value AS rejected_score FROM r WHERE rr = 1)
+         SELECT ch.user_id, ch.chosen_id, rj.rejected_id,
+           ch.chosen_score, rj.rejected_score,
+           ch.chosen_score - rj.rejected_score AS margin
+         FROM ch JOIN rj ON ch.user_id = rj.user_id
+         WHERE ch.chosen_score - rj.rejected_score > 0.0
+         ORDER BY ch.user_id""",
+
     // full Bradley-Terry MM replay: exact-cents win table, then 3 rounds
     // of denominator folds (list_reduce over list(... ORDER BY j), the
     // engine's sort_array ordered fold) and a sum-to-m rescale whose
     // item-ordered fold matches the engine's normalization
-    "q_bradley_terry" -> {
-      val rounds = (1 to 3).map { r =>
-        val prev = s"r${r - 1}"
-        s"""d$r AS (
-           SELECT nt.i,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(CAST(nt.n_tot AS DOUBLE)
-                      / (wi.strength + wj.strength) ORDER BY nt.j)),
-               (a, b) -> a + b) AS denom
-           FROM nt JOIN $prev wi ON wi.item = nt.i
-             JOIN $prev wj ON wj.item = nt.j
-           GROUP BY nt.i),
-         raw$r AS (
-           SELECT wtot.i AS item,
-             CAST(wtot.w_total AS DOUBLE) / d$r.denom AS raw
-           FROM wtot JOIN d$r ON d$r.i = wtot.i),
-         t$r AS (
-           SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-               list(raw ORDER BY item)), (a, b) -> a + b) AS t
-           FROM raw$r),
-         r$r AS (
-           SELECT item, raw * mm.m / t$r.t AS strength
-           FROM raw$r, t$r, mm)"""
-      }.mkString(",\n         ")
-      s"""WITH cents AS (
-           SELECT user_id, event_type,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS cents
-           FROM events GROUP BY 1, 2),
-         wt AS (
-           SELECT winner, loser, CAST(count(*) AS BIGINT) AS w FROM (
-             SELECT
-               CASE WHEN a.cents > b.cents THEN a.event_type
-                 ELSE b.event_type END AS winner,
-               CASE WHEN a.cents > b.cents THEN b.event_type
-                 ELSE a.event_type END AS loser
-             FROM cents a JOIN cents b
-               ON a.user_id = b.user_id AND a.event_type < b.event_type
-             WHERE a.cents <> b.cents)
-           GROUP BY 1, 2),
-         pt AS (
-           SELECT i, j, CAST(sum(wij) AS BIGINT) AS wij FROM (
-             SELECT winner AS i, loser AS j, w AS wij FROM wt
-             UNION ALL SELECT loser AS i, winner AS j, 0 AS wij FROM wt)
-           GROUP BY 1, 2),
-         nt AS (
-           SELECT a.i, a.j, a.wij, a.wij + b.wij AS n_tot
-           FROM pt a JOIN pt b ON a.i = b.j AND a.j = b.i),
-         wtot AS (SELECT i, CAST(sum(wij) AS BIGINT) AS w_total
-           FROM nt GROUP BY i),
-         mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM wtot),
-         r0 AS (SELECT i AS item, CAST(1.0 AS DOUBLE) AS strength
-           FROM wtot),
-         $rounds
-         SELECT item, round(strength, 6) AS strength FROM r3
-         ORDER BY item"""
-    },
+    "q_bradley_terry" -> bradleyTerryTwinSql,
+    "q_sql_bradley_terry" -> bradleyTerryTwinSql,
 
     // class sizes and the risk share in exact longs; one quotient per row
     // same released counts through the SQL front door
