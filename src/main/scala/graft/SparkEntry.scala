@@ -3305,39 +3305,21 @@ object SparkEntry {
         FROM a ORDER BY user_id""")
     }),
 
-    // the SAME Bradley-Terry fit through the §2.6 SQL front door: the
-    // 3 MM rounds unrolled as sequential CTEs, the ordered folds as
+    // the SAME Bradley-Terry fit through the §2.6 SQL front door, run
+    // the way a SQL CLIENT would: each stage is a catalog-validated
+    // statement whose (checkpointed) result is re-REGISTERED as a table
+    // for the next one — the reference's own register-then-query idiom
+    // (context.rs:53-63). This matters: Spark INLINES deterministic
+    // CTEs regardless of reference count, so a single statement with 3
+    // unrolled MM rounds (each reading the previous round twice)
+    // explodes to a 3,549-exchange plan and a 41 s wall; staged through
+    // registered checkpoints the plan stays round-sized. Folds are
     // aggregate(sort_array(collect_list(named_struct(...)))) — Spark
     // SQL's spelling of the PageRank determinism contract — converging
     // on q_bradley_terry's oracle
     "q_sql_bradley_terry" -> ((s, dir) => {
       val ctx = Context.forSfDir(s, dir)
-      val rounds = (1 to 3).map { r =>
-        val prev = s"r${r - 1}"
-        s"""d$r AS (
-          SELECT nt.i,
-            aggregate(sort_array(collect_list(named_struct(
-                'j', nt.j,
-                'd', CAST(nt.n_tot AS DOUBLE)
-                  / (wi.strength + wj.strength)))),
-              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d) AS denom
-          FROM nt JOIN $prev wi ON wi.item = nt.i
-            JOIN $prev wj ON wj.item = nt.j
-          GROUP BY nt.i),
-        raw$r AS (
-          SELECT wtot.i AS item,
-            CAST(wtot.w_total AS DOUBLE) / d$r.denom AS raw
-          FROM wtot JOIN d$r ON d$r.i = wtot.i),
-        t$r AS (
-          SELECT aggregate(sort_array(collect_list(named_struct(
-                'item', item, 'raw', raw))),
-              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.raw) AS t
-          FROM raw$r),
-        r$r AS (
-          SELECT item, raw * mm.m / t$r.t AS strength
-          FROM raw$r CROSS JOIN t$r CROSS JOIN mm)"""
-      }.mkString(",\n        ")
-      ctx.sql(s"""
+      ctx.register("bt_nt", ctx.sql("""
         WITH cents AS (
           SELECT user_id, event_type,
             sum(CAST(round(value * 100) AS BIGINT)) AS cents
@@ -3357,17 +3339,46 @@ object SparkEntry {
           SELECT i, j, sum(wij) AS wij FROM (
             SELECT winner AS i, loser AS j, w AS wij FROM wt
             UNION ALL SELECT loser AS i, winner AS j, 0L AS wij FROM wt)
-          GROUP BY 1, 2),
-        nt AS (
-          SELECT a.i, a.j, a.wij, a.wij + b.wij AS n_tot
-          FROM pt a JOIN pt b ON a.i = b.j AND a.j = b.i),
-        wtot AS (SELECT i, sum(wij) AS w_total FROM nt GROUP BY i),
-        mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM wtot),
-        r0 AS (SELECT i AS item, CAST(1.0 AS DOUBLE) AS strength
-          FROM wtot),
-        $rounds
-        SELECT item, round(strength, 6) AS strength FROM r3
-        ORDER BY item""")
+          GROUP BY 1, 2)
+        SELECT a.i, a.j, a.wij, a.wij + b.wij AS n_tot
+        FROM pt a JOIN pt b ON a.i = b.j AND a.j = b.i""")
+        .localCheckpoint())
+      ctx.register("bt_wtot", ctx.sql(
+        "SELECT i, sum(wij) AS w_total FROM bt_nt GROUP BY i")
+        .localCheckpoint())
+      ctx.register("bt_mm", ctx.sql(
+        "SELECT CAST(count(*) AS DOUBLE) AS m FROM bt_wtot"))
+      var prev = ctx.sql(
+        "SELECT i AS item, CAST(1.0 AS DOUBLE) AS strength FROM bt_wtot")
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        ctx.register("bt_w", prev)
+        prev = ctx.sql("""
+          WITH d AS (
+            SELECT nt.i,
+              aggregate(sort_array(collect_list(named_struct(
+                  'j', nt.j,
+                  'd', CAST(nt.n_tot AS DOUBLE)
+                    / (wi.strength + wj.strength)))),
+                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d) AS denom
+            FROM bt_nt nt JOIN bt_w wi ON wi.item = nt.i
+              JOIN bt_w wj ON wj.item = nt.j
+            GROUP BY nt.i),
+          raw AS (
+            SELECT w.i AS item, CAST(w.w_total AS DOUBLE) / d.denom AS raw
+            FROM bt_wtot w JOIN d ON d.i = w.i),
+          t AS (
+            SELECT aggregate(sort_array(collect_list(named_struct(
+                  'item', item, 'raw', raw))),
+                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.raw) AS t
+            FROM raw)
+          SELECT item, raw * mm.m / t.t AS strength
+          FROM raw CROSS JOIN t CROSS JOIN bt_mm mm""")
+          .localCheckpoint()
+      }
+      ctx.register("bt_final", prev)
+      ctx.sql("""SELECT item, round(strength, 6) AS strength
+        FROM bt_final ORDER BY item""")
     }),
 
     // DPO-style preference-PAIR construction: per prompt (user) the
