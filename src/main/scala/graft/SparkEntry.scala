@@ -30,6 +30,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Run `body` against a fresh temp feed directory, then delete the
+    * directory. Only for bodies whose RESULT is feed-independent (the
+    * streaming contract queries return a detached LocalRelation from the
+    * memory sink — see Streams.runToMemoryPhased): a bench/verify sweep
+    * runs hundreds of these per JVM and must not leak one full table
+    * copy of disk per stream query per sweep. Deletion is best-effort —
+    * a failure to clean must never fail the query that succeeded. */
+  private def withTempFeed(prefix: String)(body: String => DataFrame): DataFrame = {
+    val feed = java.nio.file.Files.createTempDirectory(prefix)
+    try body(feed.toString)
+    finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(feed).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+
   /** Exact decimal view of a 2-dp monetary/quantity double. */
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   /** Order-independent SUM of a 2-dp double, returned as DOUBLE. */
@@ -793,9 +813,7 @@ object SparkEntry {
     // which row per key survives is engine-arbitrary, so the hashed
     // output aggregates to per-type distinct-user counts. Multi-batch
     // eviction behavior is covered behaviorally in StreamingSpec.
-    "q_stream_dedup" -> ((s, dir) => {
-      val feed = java.nio.file.Files
-        .createTempDirectory("graft_sdedup").toString
+    "q_stream_dedup" -> ((s, dir) => withTempFeed("graft_sdedup") { feed =>
       t(s, dir, "events").select(col("ts"), col("user_id"),
           col("event_type"))
         .write.mode("overwrite").parquet(feed)
@@ -818,15 +836,13 @@ object SparkEntry {
     // condition) that runs with bounded memory on unbounded input. Inner
     // matches emit eagerly, so a finite stream converges to exactly the
     // batch join; the twin replays it as ordinary SQL.
-    "q_stream_join" -> ((s, dir) => {
+    "q_stream_join" -> ((s, dir) => withTempFeed("graft_sjoin") { feed =>
       // every 4th user: the stream-stream machinery (dual watermarked
       // state stores, time-bounded eviction) is what's under contract;
       // state volume is not — the un-filtered shape is q_interval_join
       val ev = t(s, dir, "events").filter(col("user_id") % 4 === 0)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"))
-      val feed = java.nio.file.Files
-        .createTempDirectory("graft_sjoin").toString
       ev.filter(col("event_type") === "click").coalesce(4)
         .write.mode("overwrite").parquet(s"$feed/clicks")
       ev.filter(col("event_type") === "view").coalesce(4)
@@ -856,9 +872,7 @@ object SparkEntry {
     // shape of an always-on ingest dedup front end. The twin replays
     // the FNV simhash bit-exactly in HUGEINT and rebuilds the chunk
     // values from the bit list
-    "q_stream_neardup" -> ((s, dir) => {
-      val feed = java.nio.file.Files
-        .createTempDirectory("graft_sneardup").toString
+    "q_stream_neardup" -> ((s, dir) => withTempFeed("graft_sneardup") { feed =>
       t(s, dir, "documents").select(col("doc_id"), col("text"))
         .coalesce(4).write.mode("overwrite").parquet(feed)
       val ss = s.newSession()
@@ -895,13 +909,11 @@ object SparkEntry {
     // which windows were ever emitted (hour 5 never closes). A hash
     // match makes Spark's watermark drop/eviction rule a verified
     // contract, not a doc claim
-    "q_stream_late" -> ((s, dir) => {
+    "q_stream_late" -> ((s, dir) => withTempFeed("graft_slate") { feed =>
       val h4 = lit("2024-01-01 04:00:00").cast(TimestampType)
       val h6 = lit("2024-01-01 06:00:00").cast(TimestampType)
       val ev = t(s, dir, "events")
         .select(col("ts"), col("user_id"), col("event_type"))
-      val feed = java.nio.file.Files
-        .createTempDirectory("graft_slate").toString
       // phase-0 feed lands BEFORE the query starts → one deterministic
       // first batch; later phases are single atomically-renamed files
       ev.filter(col("user_id") % 2 === 0 && col("ts") < h4)
@@ -4588,6 +4600,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // STORED-model scoring — the shape a 100 TB pipeline actually runs
+    // (train the LM nightly, score shards from the stored table, never
+    // retrain per batch): the trained bigram model is written to parquet
+    // (Sinks.writeParquet), re-read as an independent table, and scored.
+    // Works because the model is SELF-DESCRIBING (b_types + discount
+    // ride along) and parquet round-trips every column exactly (longs;
+    // p_kn pre-rounded to 6dp) — the twin is therefore q_kn_perplexity's
+    // verbatim. Fixed path overwritten per run (bounded disk, the
+    // q_cdc_stream pattern): the scorer reads the files LAZILY, so the
+    // path must outlive the query's consumption
+    "q_kn_score_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val modelPath = "/tmp/graft_kn_model"
+      val model = graft.functions.Text.kneserNeyBigrams(
+        docs.filter(col("source") =!= "src1"), minCount = 1)
+      graft.sources.Sinks.writeParquet(model, modelPath)
+      graft.functions.Text.knPerplexity(
+          docs.filter(col("source") === "src1"), s.read.parquet(modelPath))
+        .orderBy("doc_id")
+    }),
+
     // HITS hubs/authorities (2 unnormalized rounds) on the affine link
     // graph — exact path-count integers, so plain sum() is deterministic
     // under any partitioning and the twin replays the rounds verbatim
@@ -5251,6 +5284,64 @@ object SparkEntry {
   /** Trigram scorer twin: model CTEs at minCount=1 over the non-src1
     * corpus, then the seen / context-mass / mid-level / base / floor
     * chain per scored trigram, DECIMAL-folded per document. */
+  /** KN bigram scorer twin, shared by q_kn_perplexity and the
+    * stored-model variant q_kn_score_stored: model CTE at minCount=1
+    * (same rounded p_kn), then the seen / context-backoff / OOV-floor
+    * chain per scored bigram; DECIMAL(28,6) log-prob sums keep the
+    * fold order-independent. */
+  private val knPerplexityTwinSql: String =
+    """WITH toks AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           FROM documents),
+         rbigrams AS (
+           SELECT tk[i] AS w1, tk[i + 1] AS w2
+           FROM (SELECT tk FROM toks WHERE source <> 'src1'),
+             unnest(generate_series(1, len(tk) - 1)) AS t(i)
+           WHERE len(tk) > 1),
+         bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                FROM rbigrams GROUP BY w1, w2),
+         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c_ctx,
+             CAST(count(*) AS BIGINT) AS n_follow FROM bg GROUP BY w1),
+         prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+                  FROM bg GROUP BY w2),
+         types AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM bg),
+         model AS (SELECT bg.w1, bg.w2,
+             round(greatest(CAST(bg.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                 CAST(0 AS DOUBLE)) / CAST(ctx.c_ctx AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE)
+                 / CAST(ctx.c_ctx AS DOUBLE)
+                 * (CAST(prec.n_prec AS DOUBLE)
+                   / CAST(types.b_types AS DOUBLE)), 6) AS p_kn
+           FROM bg JOIN ctx USING (w1) JOIN prec USING (w2)
+             CROSS JOIN types),
+         sbigrams AS (
+           SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+           FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
+           WHERE source = 'src1' AND len(tk) > 1),
+         scored AS (SELECT sb.doc_id,
+             CAST(round(ln(greatest(
+               coalesce(m.p_kn,
+                 CASE WHEN c.c_ctx IS NOT NULL
+                   THEN CAST(0.75 AS DOUBLE) * CAST(c.n_follow AS DOUBLE)
+                     / CAST(c.c_ctx AS DOUBLE)
+                     * (CAST(coalesce(p.n_prec, 0) AS DOUBLE)
+                       / CAST(t2.b_types AS DOUBLE))
+                   ELSE CAST(0 AS DOUBLE) END),
+               CAST(1e-7 AS DOUBLE))), 6) AS DECIMAL(28,6)) AS lp
+           FROM sbigrams sb
+           LEFT JOIN model m ON sb.w1 = m.w1 AND sb.w2 = m.w2
+           LEFT JOIN ctx c ON sb.w1 = c.w1
+           LEFT JOIN prec p ON sb.w2 = p.w2
+           CROSS JOIN types t2),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, sum(lp) AS s
+                 FROM scored GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+           round(exp(-(CAST(a.s AS DOUBLE) / CAST(a.nb AS DOUBLE))), 6)
+             AS perplexity
+         FROM (SELECT doc_id FROM documents WHERE source = 'src1') d
+         LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id"""
+
   private val knTrigramPplTwinSql: String =
     s"""WITH toks AS (SELECT doc_id, source,
            list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -5379,10 +5470,6 @@ object SparkEntry {
                        / CAST(len(list_filter(regexp_split_to_array(text,
                            '\s+'), x -> x <> '')) AS DOUBLE) END AS rep"""
 
-  /** The curated banned-term list, shared by q_blocklist and
-    * q_curation_report on BOTH the engine and oracle sides — one
-    * source of truth so the two screens' "blocklisted" populations can
-    * never drift apart. */
   /** Quality-screen thresholds, shared by q_quality_filter and
     * q_curation_report on both the engine and oracle sides. */
   private val QfMinTokens = 5L
@@ -5390,9 +5477,16 @@ object SparkEntry {
   private val QfMaxPunct = 0.3
   private val QfMaxRep = 0.6
 
+  /** The curated banned-term list, shared by q_blocklist and
+    * q_curation_report on BOTH the engine and oracle sides — one
+    * source of truth so the two screens' "blocklisted" populations can
+    * never drift apart. */
   private val blocklistTerms: Seq[String] = Seq("slow", "error", "leak")
+  /** SQL-literal rendering of the list, quote-escaped: a future term
+    * containing an apostrophe must render as a valid literal in both
+    * dialects, not inject broken SQL into the twins. */
   private def blocklistTermsSql: String =
-    blocklistTerms.map(t => s"'$t'").mkString(", ")
+    blocklistTerms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
 
   /** The same two-limb Knuth hash in SPARK SQL dialect (`div` for
     * integer division; inputs are nonnegative so `%` == pmod) — used by
@@ -9113,58 +9207,13 @@ winnowTwinSql,
     // KN scorer twin: model CTE at minCount=1 (same rounded p_kn), then
     // the seen / context-backoff / OOV-floor chain per scored bigram;
     // DECIMAL(28,6) log-prob sums keep the fold order-independent
-    "q_kn_perplexity" ->
-      """WITH toks AS (SELECT doc_id, source,
-             list_filter(string_split(text, ' '), x -> x <> '') AS tk
-           FROM documents),
-         rbigrams AS (
-           SELECT tk[i] AS w1, tk[i + 1] AS w2
-           FROM (SELECT tk FROM toks WHERE source <> 'src1'),
-             unnest(generate_series(1, len(tk) - 1)) AS t(i)
-           WHERE len(tk) > 1),
-         bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-                FROM rbigrams GROUP BY w1, w2),
-         ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c_ctx,
-             CAST(count(*) AS BIGINT) AS n_follow FROM bg GROUP BY w1),
-         prec AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
-                  FROM bg GROUP BY w2),
-         types AS (SELECT CAST(count(*) AS BIGINT) AS b_types FROM bg),
-         model AS (SELECT bg.w1, bg.w2,
-             round(greatest(CAST(bg.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
-                 CAST(0 AS DOUBLE)) / CAST(ctx.c_ctx AS DOUBLE)
-               + CAST(0.75 AS DOUBLE) * CAST(ctx.n_follow AS DOUBLE)
-                 / CAST(ctx.c_ctx AS DOUBLE)
-                 * (CAST(prec.n_prec AS DOUBLE)
-                   / CAST(types.b_types AS DOUBLE)), 6) AS p_kn
-           FROM bg JOIN ctx USING (w1) JOIN prec USING (w2)
-             CROSS JOIN types),
-         sbigrams AS (
-           SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
-           FROM toks, unnest(generate_series(1, len(tk) - 1)) AS t(i)
-           WHERE source = 'src1' AND len(tk) > 1),
-         scored AS (SELECT sb.doc_id,
-             CAST(round(ln(greatest(
-               coalesce(m.p_kn,
-                 CASE WHEN c.c_ctx IS NOT NULL
-                   THEN CAST(0.75 AS DOUBLE) * CAST(c.n_follow AS DOUBLE)
-                     / CAST(c.c_ctx AS DOUBLE)
-                     * (CAST(coalesce(p.n_prec, 0) AS DOUBLE)
-                       / CAST(t2.b_types AS DOUBLE))
-                   ELSE CAST(0 AS DOUBLE) END),
-               CAST(1e-7 AS DOUBLE))), 6) AS DECIMAL(28,6)) AS lp
-           FROM sbigrams sb
-           LEFT JOIN model m ON sb.w1 = m.w1 AND sb.w2 = m.w2
-           LEFT JOIN ctx c ON sb.w1 = c.w1
-           LEFT JOIN prec p ON sb.w2 = p.w2
-           CROSS JOIN types t2),
-         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, sum(lp) AS s
-                 FROM scored GROUP BY doc_id)
-         SELECT d.doc_id, CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
-           round(exp(-(CAST(a.s AS DOUBLE) / CAST(a.nb AS DOUBLE))), 6)
-             AS perplexity
-         FROM (SELECT doc_id FROM documents WHERE source = 'src1') d
-         LEFT JOIN agg a ON d.doc_id = a.doc_id
-         ORDER BY d.doc_id""",
+    "q_kn_perplexity" -> knPerplexityTwinSql,
+
+    // stored-model scoring: parquet round-trips every model column
+    // exactly (longs; p_kn already rounded to 6dp before the write), so
+    // scoring FROM the stored table is value-identical to scoring the
+    // in-memory model — one twin serves both
+    "q_kn_score_stored" -> knPerplexityTwinSql,
 
     // full power-iteration replay with engine-shaped double arithmetic
     "q_pagerank" -> pageRankTwin(iters = 3),
@@ -9820,7 +9869,11 @@ winnowTwinSql,
     // which phase-2 stragglers the engine DROPPED (window end <= wm1);
     // wm2 = overall max(ts) − 30min decides which windows were ever
     // EMITTED (end <= wm2). Counts sum on-time + surviving-late rows.
-    // ts cast to TIMESTAMP (micros) to match the engine's precision
+    // ts cast to TIMESTAMP (micros) to match the engine's precision.
+    // Both watermarks are epoch-guarded: an EMPTY phase subset leaves
+    // the engine's watermark at its initial value (drop nothing) — a
+    // NULL max(ts) here would instead drop EVERYTHING in c2, a silent
+    // data-dependent divergence
     "q_stream_late" ->
       """WITH f1 AS (
            SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
@@ -9832,8 +9885,10 @@ winnowTwinSql,
                AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01 04:00:00')
              OR (CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-01 04:00:00'
                AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-01 06:00:00')),
-         w1 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM f1),
-         w2 AS (SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM
+         w1 AS (SELECT coalesce(max(ts) - INTERVAL 30 MINUTE,
+             TIMESTAMP '1970-01-01') AS wm FROM f1),
+         w2 AS (SELECT coalesce(max(ts) - INTERVAL 30 MINUTE,
+             TIMESTAMP '1970-01-01') AS wm FROM
            (SELECT ts FROM f1 UNION ALL SELECT ts FROM f2)),
          c1 AS (SELECT date_trunc('hour', ts) AS ws, event_type,
              count(*) AS n

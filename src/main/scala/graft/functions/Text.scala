@@ -1153,13 +1153,19 @@ object Text {
     * tokenizer" rather than whitespace tokens.
     *
     * Scale shape: the merge list is k driver rows (the same bounded
-    * collect the trainer already does); application is a fold of k
-    * builtin `replace` calls over the spaced word string — a narrow,
-    * whole-stage-codegen'd per-row expression chain, no shuffle until
-    * the final per-doc sum. The non-overlapping left-to-right `replace`
-    * is exactly the trainer's merge semantics, so counts are consistent
-    * with the learned vocab (and engine-portable — the oracle replays
-    * the same chain). */
+    * collect the trainer already does); application is ONE native
+    * codegen'd expression ([[graft.functions.BpeSymbolCount]]) carrying
+    * the merge table as a prepared reference object — no shuffle until
+    * the final per-doc sum, and vocabulary size is a lookup-table size,
+    * not an expression-tree depth (the previous fold of k chained
+    * `replace` calls was exact but made k a codegen bound: a production
+    * 32k-merge vocabulary is a 32k-deep Catalyst tree). The kernel's
+    * floor-cursor pass order reproduces the trainer's sequential
+    * left-to-right non-overlapping `replace` semantics EXACTLY (proof
+    * sketch in the kernel scaladoc; property-checked against the
+    * replace chain in FunctionsSpec), so counts stay consistent with
+    * the learned vocab and engine-portable — the oracle replays the
+    * replace chain and hashes identical. */
   def bpeEncode(docs: DataFrame, textCol: String = "text", k: Int = 6,
       idCol: String = "doc_id"): DataFrame = {
     val merges = bpeTrainMerges(docs, textCol, k)
@@ -1168,13 +1174,11 @@ object Text {
     val words = docs
       .select(col(idCol), explode(split(col(textCol), "\\s+")).as("w"))
       .filter(col("w") =!= "")
-    val spaced0 = concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "))
-    val encoded = merges.foldLeft(spaced0) { case (s, (l, r)) =>
-      call_function("replace", s, lit(s" $l $r "), lit(s" $l$r "))
-    }
+    val mergeTable = typedLit(merges.map { case (l, r) => s"$l $r" }.toSeq)
     val perDoc = words
       .select(col(idCol),
-        size(split(trim(encoded), " ")).cast(LongType).as("n"))
+        graft.functions.native.bpe_symbol_count(col("w"), mergeTable)
+          .cast(LongType).as("n"))
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("bpe_tokens"), count(lit(1)).as("n_words"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")

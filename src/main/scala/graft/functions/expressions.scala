@@ -259,6 +259,162 @@ object TokenizeKernel {
   }
 }
 
+/** Prepared BPE merge table for [[BpeKernel]]: pair-key → 1-based merge
+  * rank, plus the per-rank components for the merge pass. Built once per
+  * foldable merge-list expression and shipped as a codegen reference
+  * object — vocabulary size is a TABLE size here, never an
+  * expression-tree depth (the prior shape folded k chained `replace`
+  * calls, which at a production 32k-merge vocabulary is a 32k-deep
+  * Catalyst tree that breaks codegen long before data volume matters). */
+final class MergeIndex(val lhs: Array[String], val rhs: Array[String],
+    val rank: java.util.HashMap[String, Array[Int]]) extends Serializable
+
+/** BPE merge application with EXACT sequential-pass semantics. The
+  * trainer ([[graft.functions.Text.bpeTrainMerges]]) defines a merge as
+  * a left-to-right non-overlapping `replace(s, " l r ", " lr ")` over
+  * the spaced word, applied in rank order — one full pass per merge.
+  * The classic rank-greedy BPE encoder (always merge the lowest-rank
+  * pair PRESENT) is NOT equivalent to that chain: a late merge can
+  * create a symbol string that collides with an early merge's component
+  * (e.g. rank-5 ("a","bc") producing "abc" after rank-3 ("abc","d") has
+  * already passed), and pure greedy would illegally re-fire the earlier
+  * rank. The exact-and-still-k-independent algorithm is rank-greedy
+  * with a MONOTONE CURSOR: repeatedly fire the minimum-rank adjacent
+  * pair whose rank exceeds the last fired rank (one left-to-right
+  * non-overlapping pass), until no such pair remains. Each step removes
+  * at least one symbol, so a word of n code points costs O(n) steps of
+  * O(n) map lookups — O(n²) per word, INDEPENDENT of vocabulary size,
+  * versus the replace chain's O(k·n). Equivalence: the first merge the
+  * sequential chain fires is the minimum present rank; after its pass
+  * the chain's cursor is past that rank forever (and a fired pair's
+  * count can never grow back — new adjacencies always involve the newly
+  * created symbol), which is exactly the floor rule. */
+object BpeKernel {
+  /** Merge-list entries are "l r" strings in rank order — unambiguous
+    * because symbols come from whitespace-split words, so a symbol can
+    * never itself contain the space separator. A pair maps to ALL its
+    * ranks (ascending): the same pair CAN recur at a later rank — a
+    * later merge may recreate an already-consumed pair's components
+    * (e.g. ("x","abc") consumed after ("ab","c") built "abc", regrown
+    * when ("a","bc") builds more "abc"s) and the trainer may then
+    * re-learn it — and the chain applies each occurrence's pass
+    * independently. */
+  def prepare(merges: ArrayData): MergeIndex = {
+    val k = merges.numElements()
+    val lhs = new Array[String](k); val rhs = new Array[String](k)
+    val acc = new java.util.HashMap[String, java.util.ArrayList[Int]](k * 2)
+    var i = 0
+    while (i < k) {
+      val key = merges.getUTF8String(i).toString
+      val cut = key.indexOf(' ')
+      lhs(i) = key.substring(0, cut); rhs(i) = key.substring(cut + 1)
+      acc.computeIfAbsent(key, _ => new java.util.ArrayList[Int]())
+        .add(i + 1) // 1-based: floor starts at 0; insertion = ascending
+      i += 1
+    }
+    val rank = new java.util.HashMap[String, Array[Int]](acc.size() * 2)
+    acc.forEach { (key, list) =>
+      val arr = new Array[Int](list.size())
+      var j = 0
+      while (j < arr.length) { arr(j) = list.get(j); j += 1 }
+      rank.put(key, arr)
+    }
+    new MergeIndex(lhs, rhs, rank)
+  }
+
+  /** Per-call fallback for a non-foldable merge column: correct for any
+    * merge list, no caching (bounded memory at any scan size). */
+  def countUnprepared(word: UTF8String, merges: ArrayData): Int =
+    count(word, prepare(merges))
+
+  /** Symbol count of `word` after applying the merge table — the BPE
+    * token count the budget queries aggregate. Splits by CODE POINT to
+    * match the trainer's regex spacing (Java `.` matches one code
+    * point). */
+  def count(word: UTF8String, idx: MergeIndex): Int = {
+    val w = word.toString
+    if (w.isEmpty) return 0
+    val syms = new Array[String](w.codePointCount(0, w.length))
+    var ci = 0; var n = 0
+    while (ci < w.length) {
+      val cc = Character.charCount(w.codePointAt(ci))
+      syms(n) = w.substring(ci, ci + cc); n += 1; ci += cc
+    }
+    var floor = 0
+    var done = false
+    while (!done && n >= 2) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < n - 1) {
+        val ranks = idx.rank.get(syms(j) + " " + syms(j + 1))
+        if (ranks != null) {
+          // first rank above the floor — ranks are ascending, and pairs
+          // almost always carry exactly one
+          var t = 0
+          while (t < ranks.length && ranks(t) <= floor) t += 1
+          if (t < ranks.length && ranks(t) < best) best = ranks(t)
+        }
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        // One replace pass. String-faithful detail: the pattern " l r "
+        // SHARES its trailing space with the next pair's leading space,
+        // so after a hit the scan resumes past that space — the symbol
+        // immediately after a merged pair cannot START a match in the
+        // same pass (" a a a a " under (a,a) → " aa a a ", three
+        // symbols, NOT " aa aa "). `blocked` reproduces that.
+        val l = idx.lhs(best - 1); val r = idx.rhs(best - 1)
+        var src = 0; var dst = 0
+        var blocked = false
+        while (src < n) {
+          if (!blocked && src < n - 1 && syms(src) == l && syms(src + 1) == r) {
+            syms(dst) = l + r; src += 2; blocked = true
+          } else { syms(dst) = syms(src); src += 1; blocked = false }
+          dst += 1
+        }
+        n = dst
+        floor = best
+      }
+    }
+    n
+  }
+}
+
+/** BPE-encoded symbol count of a word under a merge table (rank-ordered
+  * "l r" entries). A foldable merge list (the library's own shape:
+  * [[graft.functions.Text.bpeEncode]] embeds the trained merges as a
+  * literal) is prepared ONCE and shipped as a codegen reference object;
+  * a non-foldable column is re-prepared per call. */
+case class BpeSymbolCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val prepared: Option[MergeIndex] =
+    if (right.foldable)
+      Option(right.eval(null)).map(v => BpeKernel.prepare(v.asInstanceOf[ArrayData]))
+    else None
+
+  override protected def nullSafeEval(w: Any, m: Any): Any = prepared match {
+    case Some(idx) => BpeKernel.count(w.asInstanceOf[UTF8String], idx)
+    case None =>
+      BpeKernel.countUnprepared(w.asInstanceOf[UTF8String], m.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    prepared match {
+      case Some(idx) =>
+        val ref = ctx.addReferenceObj("mergeIdx", idx, classOf[MergeIndex].getName)
+        defineCodeGen(ctx, ev, (w, _) => s"graft.functions.BpeKernel.count($w, $ref)")
+      case None =>
+        defineCodeGen(ctx, ev,
+          (w, m) => s"graft.functions.BpeKernel.countUnprepared($w, $m)")
+    }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeSymbolCount =
+    copy(l, r)
+}
+
 /** Greedy longest-match subword pieces of a word, space-joined. A
   * foldable vocab (the common case: a literal piece list) is prepared
   * ONCE and shipped as a codegen reference object; a non-foldable vocab
@@ -409,6 +565,8 @@ object native {
   def zorder2(a: Column, b: Column): Column = col(ZOrder2(ex(a), ex(b)))
   def tokenize_greedy(word: Column, vocab: Column): Column =
     col(GreedyTokenize(ex(word), ex(vocab)))
+  def bpe_symbol_count(word: Column, merges: Column): Column =
+    col(BpeSymbolCount(ex(word), ex(merges)))
 
   /** Make the functions usable from `spark.sql` text as well. */
   def register(spark: SparkSession): Unit = {
@@ -426,6 +584,8 @@ object native {
       es => ZOrder2(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("tokenize_greedy",
       es => GreedyTokenize(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("bpe_symbol_count",
+      es => BpeSymbolCount(es(0), es(1)), "scala_udf")
   }
 }
 

@@ -381,7 +381,20 @@ object Streams {
     // not leak a RUNNING query (this JVM hosts hundreds of queries)
     try phases.foreach { feed => feed(); q.processAllAvailable() }
     finally q.stop()
-    streamed.sparkSession.table(name)
+    // Detach the result from the memory sink: the sink's rows live on
+    // the DRIVER for as long as its temp view stays registered, so a
+    // long-lived session running many stream queries (a bench sweep
+    // hosts hundreds) would accumulate one driver-resident row buffer
+    // per run — the collect below adds nothing the sink doesn't already
+    // hold, and dropping the view lets the sink be reclaimed. The
+    // returned LocalRelation is also independent of the FEED FILES, so
+    // callers may delete their temp feed directory immediately.
+    val spark = streamed.sparkSession
+    val out = spark.table(name)
+    val rows = out.collect() // bounded: exactly the sink's driver buffer
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Run a streaming query over a bounded source into a memory sink and

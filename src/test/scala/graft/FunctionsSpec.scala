@@ -515,6 +515,98 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Seq((0L, 12L, 6L), (1L, 1L, 1L), (2L, 0L, 0L)))
   }
 
+  /** Sequential replace-chain reference for the BPE kernel tests: the
+    * trainer's exact semantics — one left-to-right non-overlapping
+    * literal replace per merge, in rank order (Java String.replace ==
+    * SQL replace). */
+  private def bpeChainCount(word: String, merges: Seq[(String, String)]): Int = {
+    val sb = new java.lang.StringBuilder(" ")
+    var i = 0
+    while (i < word.length) {
+      val cc = Character.charCount(word.codePointAt(i))
+      sb.append(word, i, i + cc).append(' '); i += cc
+    }
+    var s = sb.toString // " a b c "
+    merges.foreach { case (l, r) => s = s.replace(s" $l $r ", s" $l$r ") }
+    s.trim.split(" ").length
+  }
+
+  test("KN stored-model scoring equals in-memory scoring (bigram + trigram)") {
+    // the train-once/score-many contract: a parquet round-trip of the
+    // self-describing model must not change a single score
+    val train = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog sat"), (4L, "the cat and the dog"),
+      (5L, "on the mat sat a cat")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat"), (11L, "a dog on the mat"),
+      (12L, "unseen words entirely"), (13L, "x")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_knstore")
+    try {
+      val bg = Text.kneserNeyBigrams(train, minCount = 1)
+      bg.write.mode("overwrite").parquet(s"$dir/bg")
+      val memB = Text.knPerplexity(score, bg).orderBy("doc_id").collect().toSeq
+      val stoB = Text.knPerplexity(score, spark.read.parquet(s"$dir/bg"))
+        .orderBy("doc_id").collect().toSeq
+      assert(memB == stoB)
+      val tg = Text.kneserNeyTrigrams(train, minCount = 1)
+      tg.write.mode("overwrite").parquet(s"$dir/tg")
+      val memT = Text.knTrigramPerplexity(score, tg).orderBy("doc_id").collect().toSeq
+      val stoT = Text.knTrigramPerplexity(score, spark.read.parquet(s"$dir/tg"))
+        .orderBy("doc_id").collect().toSeq
+      assert(memT == stoT)
+      assert(memB.nonEmpty && memT.nonEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("BpeKernel: floor-cursor order matches the replace CHAIN, not pure greedy") {
+    // A late merge creates a symbol colliding with an earlier merge's
+    // component: rank 3 ("a","bc") produces "abc", and rank 2 ("abc","d")
+    // has already passed. Pure greedy (no cursor) would re-fire rank 2
+    // and collapse "abcd" to one symbol; the sequential chain leaves two.
+    val merges = Seq(("b", "c"), ("abc", "d"), ("a", "bc"))
+    assert(bpeChainCount("abcd", merges) == 2) // the contract semantics
+    val idx = graft.functions.BpeKernel.prepare(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        merges.map { case (l, r) => UTF8String.fromString(s"$l $r") }.toArray))
+    assert(graft.functions.BpeKernel.count(UTF8String.fromString("abcd"), idx) == 2)
+    // non-overlapping left-to-right within one pass: "aaa" -> [aa, a]
+    val idx2 = graft.functions.BpeKernel.prepare(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(UTF8String.fromString("a a"))))
+    assert(graft.functions.BpeKernel.count(UTF8String.fromString("aaa"), idx2) == 2)
+    // code-point (not UTF-16 unit) symbol split, like the trainer's regex
+    assert(graft.functions.BpeKernel.count(
+      UTF8String.fromString("😀a"), idx2) == 2)
+  }
+
+  test("BpeKernel: equals the replace chain at k=1000 (codegen path, no tree-depth bound)") {
+    // trainer-like merge list: grow a symbol pool by concatenating random
+    // members, 1000 merges deep — the scale at which the former k-chained
+    // replace fold was an expression-tree/codegen bound
+    val rnd = new scala.util.Random(20260815L)
+    val pool = scala.collection.mutable.ArrayBuffer("a", "b", "c", "d", "e", "f")
+    val merges = (1 to 1000).map { _ =>
+      val l = pool(rnd.nextInt(pool.length)); val r = pool(rnd.nextInt(pool.length))
+      if (l.length + r.length <= 8) pool += (l + r)
+      (l, r)
+    }
+    val words = (1 to 200).map { i =>
+      val n = 1 + rnd.nextInt(24)
+      (i.toLong, (1 to n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+    }
+    val expected = words.map { case (id, w) => (id, bpeChainCount(w, merges)) }
+    val mergeTable = typedLit(merges.map { case (l, r) => s"$l $r" })
+    val got = words.toDF("id", "w")
+      .select(col("id"), native.bpe_symbol_count(col("w"), mergeTable).as("n"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == expected)
+  }
+
   test("HtmlKernel: elements, tags, entities, whitespace — staged order") {
     def x(s: String): String =
       graft.functions.HtmlKernel.extractText(
