@@ -4549,6 +4549,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // budget-gated graph build (the q_dedup_autocap pattern for ANN):
+    // cell count sized FROM the corpus (ceil(n/256), floor 8) and the
+    // blocked pair volume priced by one slim aggregate BEFORE the
+    // self-join commits — at both gate scales the auto choice lands on
+    // 8 cells, so the result (and the DuckDB twin) is q_knn_graph's
+    // verbatim; what's new is the refusal path a collapse-skewed corpus
+    // would hit, proven by the 100x embedding stress in SCALE.md
+    "q_knn_graph_auto" -> ((s, dir) =>
+      graft.similarity.Ivf.knnGraphAuto(t(s, dir, "embeddings"), k = 3,
+          targetCellSize = 256, minCells = 8, iters = 1)
+        .orderBy("query_id", "rank")),
+
     // PMI collocation mining (phrase/merge-candidate signal): adjacent
     // bigrams vs the unigram model, long tail dropped BEFORE the
     // vocabulary joins
@@ -9113,6 +9125,27 @@ winnowTwinSql,
     // k-means prefix (bit-deterministic, shared with q_ann_ivf) then
     // exact cosine ranks WITHIN each a1 cell — the blocked k-NN graph
     "q_knn_graph" -> (kmeansAssignCtes +
+      """,
+         scored AS (
+           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+           FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT query_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
+             neighbor_id, cosine
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, cosine FROM ranked
+         WHERE rank <= 3 ORDER BY query_id, rank"""),
+
+    // the auto-gated build picks ceil(n/256) >= 8 cells — 8 at this gate
+    // scale, so the twin is q_knn_graph's k-means replay verbatim (the
+    // q_dedup_autocap oracle trade: the gate's REFUSAL branch is
+    // exercised by IvfSpec and the 100x stress, not the oracle)
+    "q_knn_graph_auto" -> (kmeansAssignCtes +
       """,
          scored AS (
            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

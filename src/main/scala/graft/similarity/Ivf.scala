@@ -145,10 +145,18 @@ object Ivf {
 
   /** Write the assigned corpus as a CENTROID-PARTITIONED parquet store —
     * the 100 TB layout the probe path wants: one hive directory per
-    * inverted list, written once per (re)train. */
+    * inverted list, written once per (re)train. The assigned rows are
+    * CLUSTERED by centroid_id before the partitioned write (the standard
+    * repartition-before-partitionBy): without it every write task emits
+    * one file per cell it holds — tasks × cells small files (measured:
+    * 32 × 782 ≈ 25k files at the 100× stress scale), a file-listing and
+    * object-store-metadata tax on every probe. Clustered, the store is
+    * ~one file per inverted list (maxRecordsPerFile still splits
+    * oversized cells). */
   def writeAssignedStore(corpus: DataFrame, centroids: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    graft.sources.Sinks.writeParquet(assign(corpus, centroids, idCol, vecCol),
+    graft.sources.Sinks.writeParquet(
+      assign(corpus, centroids, idCol, vecCol).repartition(col("centroid_id")),
       path, partitionCols = Seq("centroid_id"))
 
   /** Incremental index maintenance: assign a NEW batch of vectors to the
@@ -167,7 +175,9 @@ object Ivf {
   def appendToStore(newVectors: DataFrame, centroids: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     graft.sources.Sinks.writeParquet(
-      assign(newVectors, centroids, idCol, vecCol), path,
+      assign(newVectors, centroids, idCol, vecCol)
+        .repartition(col("centroid_id")), // one appended file per touched cell
+      path,
       partitionCols = Seq("centroid_id"),
       mode = org.apache.spark.sql.SaveMode.Append)
 
@@ -232,11 +242,25 @@ object Ivf {
     * and each cell's self-join is an equi-join on centroid_id, so the
     * plan shuffles each vector once and never goes cartesian. Per-query
     * results come from the k-bounded TopK partial+final aggregate:
-    * ≤ partitions×k rows shuffle per query, not the full candidate set. */
+    * ≤ partitions×k rows shuffle per query, not the full candidate set.
+    *
+    * Scale bound: at a FIXED centroid count the blocked pair volume is
+    * Θ(n²/cells), i.e. quadratic in corpus growth — the same superlinear
+    * term the minhash 100× stress caught in hot buckets. Size the cell
+    * count to the corpus ([[knnGraphAuto]] does it and prices the join
+    * before committing), not to a constant. */
   def knnGraph(corpus: DataFrame, centroids: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assigned = assign(corpus, centroids, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    knnGraphOfAssigned(assigned, k, idCol, vecCol)
+  }
+
+  /** The self-join + top-k body of [[knnGraph]] over an already-assigned
+    * corpus (vec_id, embedding, centroid_id) — shared by the fixed-k and
+    * budget-gated paths so both compute the identical graph. */
+  private def knnGraphOfAssigned(assigned: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val l = assigned.select(col("centroid_id"),
       col(idCol).as("query_id"), col(vecCol).as("query_vec"))
     val r = assigned.select(col("centroid_id"),
@@ -247,5 +271,56 @@ object Ivf {
         round(native.vec_cosine(col("query_vec"), col("nbr_vec")), 6)
           .as("cosine"))
     Ann.topKPerQuery(scored, k)
+  }
+
+  /** Price the cluster-blocked all-pairs volume of an assignment in ONE
+    * slim aggregate: (ordered candidate pairs Σ cᵢ·(cᵢ−1), largest cell).
+    * This is the ANN analogue of Dedup.chooseBucketCap's rung pricing —
+    * the estimate-before-you-join pre-flight that costs one scan of the
+    * (id, centroid) projection and nothing else. */
+  def cellCost(assigned: DataFrame): (Long, Long) = {
+    val row = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).cast(LongType),
+        coalesce(max(col("n")), lit(0L)).cast(LongType))
+      .head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** [[knnGraph]] with the centroid count chosen FROM THE CORPUS and the
+    * blocked pair volume priced before the self-join — the closed-loop
+    * shape of the fixed-k graph build (the q_dedup_autocap pattern):
+    *
+    *   cells = max(minCells, ceil(n / targetCellSize))
+    *
+    * keeps expected cell size — and so expected pair volume
+    * Θ(n · targetCellSize) — LINEAR in the corpus where a constant cell
+    * count grows it quadratically. After training, the actual assignment
+    * is priced with [[cellCost]] and the build REFUSES loudly if skewed
+    * cells (a mass of near-identical vectors collapsing into one cell —
+    * the embedding-space analogue of boilerplate-hot minhash buckets)
+    * push the candidate volume past `pairBudget`: that corpus wants
+    * exact/semantic dedup before a graph build, not a bigger join.
+    * At the contract gate scale the auto-chosen cell count equals
+    * q_knn_graph's literal k, so the DuckDB twin is shared verbatim —
+    * the same oracle trade q_dedup_autocap makes. */
+  def knnGraphAuto(corpus: DataFrame, k: Int, targetCellSize: Int = 256,
+      minCells: Int = 8, pairBudget: Long = 100000000L, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize must be positive: $targetCellSize")
+    require(pairBudget > 0, s"pairBudget must be positive: $pairBudget")
+    val n = corpus.count() // one bounded scalar, the sizing input
+    val cells = math.max(minCells.toLong,
+      (n + targetCellSize - 1) / targetCellSize).toInt
+    val cents = train(corpus, cells, iters, idCol, vecCol)
+    val assigned = assign(corpus, cents, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (pairs, maxCell) = cellCost(assigned.select(col(idCol), col("centroid_id")))
+    require(pairs <= pairBudget,
+      s"cluster-blocked graph build over $n vectors in $cells cells admits " +
+        s"$pairs candidate pairs (largest cell $maxCell, > budget $pairBudget): " +
+        "the corpus is collapse-skewed — near-dup dedup it first, raise " +
+        "targetCellSize pressure via more cells, or raise the budget explicitly")
+    knnGraphOfAssigned(assigned, k, idCol, vecCol)
   }
 }

@@ -61,8 +61,14 @@ object ScaleStress {
     val spark = graft.engine.Context.session("local[32]", 32)
     spark.sparkContext.setLogLevel("WARN")
 
+    // ANN pipelines run on a separately-built embeddings stress corpus:
+    // skip the (expensive) documents corpus entirely on an ANN-only run
+    val annNames = Set("ivf_train_scaled", "ivf_append", "pq_encode",
+      "knn_graph_auto", "knn_graph_fixed_priced")
+    val docsNeeded = only.forall(_.exists(n => !annNames.contains(n)))
+
     val marker = new java.io.File(s"$outDir/.factor_${factor}_rep$repCap")
-    if (!marker.exists()) {
+    if (docsNeeded && !marker.exists()) {
       // every config writes the SAME documents.parquet: clear sibling
       // markers so a later run of a previously-built config can't
       // silently reuse THIS config's corpus as its own evidence
@@ -124,8 +130,10 @@ object ScaleStress {
     })
 
     import graft.dedup.Dedup
-    val docs = spark.read.parquet(s"$outDir/documents.parquet")
-    val docs24 = docs.select(col("doc_id"), substring(col("text"), 1, 24).as("k"))
+    // lazy: an ANN-only run (docsNeeded=false) must not read the
+    // documents stress corpus, which may not exist
+    lazy val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    lazy val docs24 = docs.select(col("doc_id"), substring(col("text"), 1, 24).as("k"))
     def pairsDefault = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
     val pipelines: Seq[(String, () => DataFrame)] = Seq(
       "minhash_verified" -> (() => Dedup.minhashVerifiedPairs(docs, threshold = 0.7)),
@@ -190,6 +198,7 @@ object ScaleStress {
     println(f"${"pipeline"}%-18s ${"wall_s"}%8s ${"rows"}%9s ${"tasks"}%7s ${"spillM_MB"}%9s ${"spillD_MB"}%9s ${"worst-stage max/med (ms, tasks)"}")
     pipelines.foreach { case (name, mk) => measure(name, mk) }
 
+    if (docsNeeded) {
     // graph family at the same 10x node count (50k nodes, 150k directed
     // edges: ring + skip + affine — same generator family as the
     // contract queries, so the plan shapes match what PLANS.md audits)
@@ -250,6 +259,103 @@ object ScaleStress {
       })
     )
     r6Pipelines.foreach { case (name, mk) => measure(name, mk) }
+    }
+
+    // -------------------------------------------------------- ANN spines
+    // Second-decade stress for the ANN family (VERDICT r8 item 3): the
+    // 2,000-vector sf0.1 embeddings table replicated `factor`x with a
+    // deterministic per-replica jitter (±0.009 per dimension — small
+    // against unit-scale embeddings, so every replica stays in its
+    // original's cluster region: cluster STRUCTURE constant while the
+    // corpus grows a decade or two, the same premise as the repCap dedup
+    // corpus). vec_ids shift by replica so joins/stores stay keyed.
+    if (only.exists(_.exists(annNames.contains))) {
+      import graft.similarity.{Ivf, Pq}
+      val embSrc = s"$srcDir/embeddings.parquet"
+      val embOut = s"$outDir/embeddings.parquet"
+      val embMarker = new java.io.File(s"$outDir/.emb_factor_$factor")
+      if (!embMarker.exists()) {
+        Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(".emb_factor_")).foreach(_.delete())
+        val base = spark.read.parquet(embSrc)
+        val nVec = base.count()
+        base.crossJoin(spark.range(factor).select(col("id").as("rep")))
+          .select(
+            (col("vec_id") + col("rep") * nVec).as("vec_id"),
+            // replica 0 is the ORIGINAL corpus (the dedup-corpus rule)
+            expr("transform(embedding, (x, i) -> CAST(x + if(rep = 0, " +
+              "0.0, ((rep * 37 + i * 11) % 19 - 9) * 0.001) AS FLOAT))")
+              .as("embedding"),
+            col("label"))
+          .repartition(32).write.mode("overwrite").parquet(embOut)
+        new java.io.File(outDir).mkdirs()
+        embMarker.createNewFile()
+        println(s"[stress] built ${nVec * factor}-vector embedding corpus at $embOut")
+      }
+      val emb = spark.read.parquet(embOut)
+      val nVec = emb.count()
+      // scale-path cell count: ceil(n/256) — 782 cells at 200k vectors,
+      // which crosses GreatestMaxK and exercises the NearestCentroid
+      // kernel assignment exactly as a production IVF would
+      val cellsScaled = ((nVec + 255) / 256).toInt
+      // materialize the trained centroids as a DRIVER-LOCAL relation
+      // (cells-sized, tiny): a persist/localCheckpoint would be evicted
+      // by measure()'s between-pipeline cleanup and re-run the
+      // full-corpus assignment fold on every downstream use
+      lazy val centsScaled = {
+        val trained = Ivf.train(emb, k = cellsScaled, iters = 1)
+        val local = trained.collect()
+        spark.createDataFrame(java.util.Arrays.asList(local: _*), trained.schema)
+      }
+      val storeDir = s"$outDir/ivf_store"
+      val annPipelines: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        // full Lloyd pass at the scaled cell count (train is the wall)
+        "ivf_train_scaled" -> (() => Ivf.train(emb, k = cellsScaled, iters = 1)),
+        // daily-append path: resident 90% written partitioned, the 10%
+        // batch assigned to FROZEN centroids and hive-appended; the
+        // returned frame re-reads the merged store so the wall covers
+        // write + append + the re-read a downstream probe would do
+        "ivf_append" -> (() => {
+          val resident = emb.filter(col("vec_id") % 10 =!= 0)
+          val batch = emb.filter(col("vec_id") % 10 === 0)
+          org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(storeDir), true)
+          Ivf.writeAssignedStore(resident, centsScaled, storeDir)
+          Ivf.appendToStore(batch, centsScaled, storeDir)
+          spark.read.parquet(storeDir)
+        }),
+        // PQ codebook train + full-corpus encode at contract geometry
+        // (m=4 subspaces x 16 dims, k=8 codes)
+        "pq_encode" -> (() => {
+          val cbs = Pq.trainCodebooks(emb, m = 4, k = 8, dim = 64)
+          Pq.encode(emb, cbs)
+        }),
+        // the budget-gated graph build: cells sized from the corpus,
+        // pair volume priced BEFORE the self-join (2e8 budget admits the
+        // ~256-sized cells this corpus prices to)
+        "knn_graph_auto" -> (() => Ivf.knnGraphAuto(emb, k = 3,
+          targetCellSize = 256, pairBudget = 400000000L, iters = 1)),
+        // the superlinear shape the gate exists for, PRICED not run: the
+        // contract query's FIXED 8 cells at this corpus — cellCost says
+        // how many pairs the self-join would enumerate (Θ(n²/8))
+        "knn_graph_fixed_priced" -> (() => {
+          val cents8 = Ivf.train(emb, k = 8, iters = 1)
+          val assigned = Ivf.assign(emb, cents8)
+            .select(col("vec_id"), col("centroid_id"))
+          val (pairs, maxCell) = Ivf.cellCost(assigned)
+          println(s"[stress] fixed-8-cell price at $nVec vectors: " +
+            s"$pairs candidate pairs, largest cell $maxCell " +
+            "(the quadratic term knnGraphAuto's budget refuses)")
+          import spark.implicits._
+          Seq((pairs, maxCell)).toDF("pairs", "max_cell")
+        })
+      )
+      // train the shared centroids OUTSIDE the append measurement so the
+      // ivf_append wall is the append path, not a hidden retrain
+      if (only.exists(_.contains("ivf_append"))) { centsScaled; () }
+      annPipelines.foreach { case (name, mk) => measure(name, mk) }
+    }
     spark.stop()
   }
 }

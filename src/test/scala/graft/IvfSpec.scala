@@ -125,4 +125,33 @@ class IvfSpec extends AnyFunSuite {
       .collect().toSet
     assert(g == bf)
   }
+
+  test("cellCost prices ordered pairs and the largest cell exactly") {
+    // hand-built assignment: cells of size 3, 2, 1 -> 3*2 + 2*1 + 0 = 8
+    val assigned = Seq((0L, 0), (1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 2))
+      .toDF("vec_id", "centroid_id")
+    assert(Ivf.cellCost(assigned) == (8L, 3L))
+    assert(Ivf.cellCost(assigned.filter($"vec_id" < 0)) == (0L, 0L))
+  }
+
+  test("knnGraphAuto equals fixed-k knnGraph when the auto choice lands on it") {
+    // 60 vectors, targetCellSize 15 -> ceil(60/15) = 4 cells = the fixed k
+    val auto = Ivf.knnGraphAuto(corpus, k = 3, targetCellSize = 15,
+        minCells = 1, iters = 1)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    val cents = Ivf.train(corpus, k = 4, iters = 1, dim = 16)
+    val fixed = Ivf.knnGraph(corpus, cents, k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(auto == fixed)
+  }
+
+  test("knnGraphAuto refuses when the blocked pair volume exceeds the budget") {
+    val e = intercept[IllegalArgumentException] {
+      Ivf.knnGraphAuto(corpus, k = 3, targetCellSize = 60, minCells = 1,
+        pairBudget = 10L, iters = 1).collect()
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+  }
 }
