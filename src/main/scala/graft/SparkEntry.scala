@@ -2623,6 +2623,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // FULLY-stored index serving: centroids AND inverted lists both live
+    // as parquet (train nightly, probe from disk — nothing of the index
+    // held in memory between jobs). Centroid vectors are FLOAT columns,
+    // which parquet round-trips bit-exactly, and assignment/probe are
+    // deterministic functions of (vector, centroids) — so the stored-
+    // index probe equals q_ann_ivf's in-memory result and SHARES its
+    // full k-means-replay twin (the q_kn_score_stored oracle trade)
+    "q_ann_stored_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.similarity.Ivf.train(emb, k = 8, iters = 1)
+      val centsPath = "/tmp/graft_ivf_cents"
+      val store = "/tmp/graft_ivf_full_store"
+      graft.sources.Sinks.writeParquet(cents, centsPath)
+      graft.similarity.Ivf.writeAssignedStore(emb, cents, store)
+      val storedCents = s.read.parquet(centsPath)
+      graft.similarity.Ivf.ivfTopKFromStore(store, Ann.selfQueries(emb, 10),
+          storedCents, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // multimodal: typed metadata over binary payloads (oracle on meta)
     "q_media_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocuments(t(s, dir, "documents"))
@@ -4629,6 +4649,22 @@ object SparkEntry {
         docs.filter(col("source") =!= "src1"), minCount = 1)
       graft.sources.Sinks.writeParquet(model, modelPath)
       graft.functions.Text.knPerplexity(
+          docs.filter(col("source") === "src1"), s.read.parquet(modelPath))
+        .orderBy("doc_id")
+    }),
+
+    // the TRIGRAM stored-model path (same trade as q_kn_score_stored one
+    // order up): the deeper model's extra columns (c123..cont3, b23,
+    // discount) are longs and pre-rounded/literal doubles — all parquet-
+    // exact — so scoring from the stored table equals the in-memory
+    // q_kn_trigram_ppl bit-for-bit and the twin is shared verbatim
+    "q_kn_trigram_score_stored" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val modelPath = "/tmp/graft_kn_tri_model"
+      val model = graft.functions.Text.kneserNeyTrigrams(
+        docs.filter(col("source") =!= "src1"), minCount = 1)
+      graft.sources.Sinks.writeParquet(model, modelPath)
+      graft.functions.Text.knTrigramPerplexity(
           docs.filter(col("source") === "src1"), s.read.parquet(modelPath))
         .orderBy("doc_id")
     }),
@@ -7585,6 +7621,11 @@ object SparkEntry {
 
     "q_ann_ivf_pruned" -> ivfFullTwin(2),
 
+    // fully-stored index (centroids + lists both from parquet): FLOAT
+    // columns round-trip bit-exactly, so the probe result — and the
+    // twin — are q_ann_ivf's verbatim
+    "q_ann_stored_index" -> ivfFullTwin(10),
+
     // both the exact and the LSH-bucketed top-5 recomputed, intersected
     // per query; zero-hit queries kept by the left join
     "q_ann_recall" ->
@@ -9247,6 +9288,10 @@ winnowTwinSql,
     // scoring FROM the stored table is value-identical to scoring the
     // in-memory model — one twin serves both
     "q_kn_score_stored" -> knPerplexityTwinSql,
+
+    // same stored-model argument one order up: the trigram model's
+    // extra columns are longs + literal doubles, all parquet-exact
+    "q_kn_trigram_score_stored" -> knTrigramPplTwinSql,
 
     // full power-iteration replay with engine-shaped double arithmetic
     "q_pagerank" -> pageRankTwin(iters = 3),

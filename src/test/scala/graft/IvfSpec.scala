@@ -126,6 +126,20 @@ class IvfSpec extends AnyFunSuite {
     assert(g == bf)
   }
 
+  test("stored centroids round-trip: parquet-read centroids probe identically") {
+    val cents = Ivf.train(corpus, k = 4, iters = 1, dim = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cents").toString
+    graft.sources.Sinks.writeParquet(cents, dir)
+    val stored = spark.read.parquet(dir)
+    val qs = corpus.filter($"vec_id" < 5)
+      .selectExpr("vec_id AS query_id", "embedding AS query_vec")
+    def probe(c: org.apache.spark.sql.DataFrame) =
+      Ivf.ivfTopK(corpus, qs, c, k = 3, nprobe = 2)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(probe(stored) == probe(cents))
+  }
+
   test("cellCost prices ordered pairs and the largest cell exactly") {
     // hand-built assignment: cells of size 3, 2, 1 -> 3*2 + 2*1 + 0 = 8
     val assigned = Seq((0L, 0), (1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 2))
