@@ -898,6 +898,47 @@ object SparkEntry {
           expr("p2 div 2").as("n_candidate_pairs"))
     }),
 
+    // STREAMING ANN index maintenance: the resident 80% is trained and
+    // stored (the nightly index), then the 20% batch arrives as a real
+    // two-phase file-source stream whose micro-batches are assigned to
+    // the FROZEN centroids and hive-appended to the store
+    // (Streams.indexAppend). Assignment being a deterministic per-row
+    // function, the streamed store equals the batch append — so the
+    // probe result and the twin are q_ann_incremental's verbatim. The
+    // store lives at a fixed path overwritten per run (the
+    // q_kn_score_stored pattern); feed + checkpoint are temp-scoped.
+    "q_stream_index_append" -> ((s, dir) => withTempFeed("graft_sindex") { feed =>
+      val emb = t(s, dir, "embeddings")
+      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val trained = graft.similarity.Ivf.train(base, k = 8, iters = 1)
+      // driver-local centroids (k rows): per-batch assignment must not
+      // re-run the training lineage inside foreachBatch
+      val cRows = trained.collect()
+      val cents = s.createDataFrame(
+        java.util.Arrays.asList(cRows: _*), trained.schema)
+      val store = "/tmp/graft_ivf_stream_store"
+      graft.similarity.Ivf.writeAssignedStore(base, cents, store)
+      val in = s"$feed/in"; new java.io.File(in).mkdirs()
+      // phase files: each phase ONE atomically-renamed parquet file
+      def phase(p: DataFrame): Unit =
+        p.coalesce(1).write.mode("append").parquet(in)
+      phase(batch.filter(col("vec_id") % 10 === 0)) // lands before start
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val src = ss.readStream.schema(ss.read.parquet(in).schema).parquet(in)
+      val q = graft.streaming.Streams.indexAppend(src, cents, store,
+        s"$feed/ckpt")
+      try {
+        q.processAllAvailable()
+        phase(batch.filter(col("vec_id") % 10 =!= 0))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.similarity.Ivf.ivfTopKFromStore(store,
+          Ann.selfQueries(emb, 10), cents, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // watermark LATE-DATA accounting, driven as a real two-phase stream:
     // phase 1 feeds on-time rows (even users, hours [0,4)) — the
     // watermark advances to max(ts)-30min and Append mode emits the
@@ -7617,6 +7658,12 @@ object SparkEntry {
     // train on the 80% base, assign/probe the full union — the exact
     // semantics of append-to-frozen-store (see the query comment)
     "q_ann_incremental" ->
+      (kmeansAssignBaseCtes("vec_id % 5 <> 0") + ivfProbeSuffix(10)),
+
+    // the STREAMED append converges to the same store as the batch
+    // append (deterministic per-row assignment), so the twin is
+    // q_ann_incremental's verbatim
+    "q_stream_index_append" ->
       (kmeansAssignBaseCtes("vec_id % 5 <> 0") + ivfProbeSuffix(10)),
 
     "q_ann_ivf_pruned" -> ivfFullTwin(2),

@@ -146,17 +146,24 @@ object Ivf {
   /** Write the assigned corpus as a CENTROID-PARTITIONED parquet store —
     * the 100 TB layout the probe path wants: one hive directory per
     * inverted list, written once per (re)train. The assigned rows are
-    * CLUSTERED by centroid_id before the partitioned write (the standard
+    * CLUSTERED before the partitioned write (the standard
     * repartition-before-partitionBy): without it every write task emits
     * one file per cell it holds — tasks × cells small files (measured:
     * 32 × 782 ≈ 25k files at the 100× stress scale), a file-listing and
-    * object-store-metadata tax on every probe. Clustered, the store is
-    * ~one file per inverted list (maxRecordsPerFile still splits
-    * oversized cells). */
+    * object-store-metadata tax on every probe. Clustering is
+    * RANGE-based on (centroid_id, id), not hash-on-centroid alone:
+    * hash clustering writes exactly one file per cell, which makes
+    * probe-read task granularity equal CELL SIZE and turns cell-size
+    * imbalance directly into record skew (the 10× ContractStress gate
+    * caught 7.7× on the incremental-store probe); the range partitioner's
+    * weighted sampling gives oversized cells several balanced files and
+    * lets small cells share write tasks, while directory-level pruning —
+    * a hive-partitionBy property — is untouched. */
   def writeAssignedStore(corpus: DataFrame, centroids: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     graft.sources.Sinks.writeParquet(
-      assign(corpus, centroids, idCol, vecCol).repartition(col("centroid_id")),
+      assign(corpus, centroids, idCol, vecCol)
+        .repartitionByRange(col("centroid_id"), col(idCol)),
       path, partitionCols = Seq("centroid_id"))
 
   /** Incremental index maintenance: assign a NEW batch of vectors to the
@@ -176,7 +183,8 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     graft.sources.Sinks.writeParquet(
       assign(newVectors, centroids, idCol, vecCol)
-        .repartition(col("centroid_id")), // one appended file per touched cell
+        // balanced files per touched cell (see writeAssignedStore)
+        .repartitionByRange(col("centroid_id"), col(idCol)),
       path,
       partitionCols = Seq("centroid_id"),
       mode = org.apache.spark.sql.SaveMode.Append)

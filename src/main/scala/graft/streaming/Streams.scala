@@ -350,6 +350,36 @@ object Streams {
       .start()
   }
 
+  /** Streaming ANN index maintenance: each micro-batch of new vectors is
+    * assigned to the FROZEN centroid set and hive-appended to the
+    * centroid-partitioned store (`Ivf.appendToStore`) — the always-on
+    * ingest path that keeps a nightly-trained IVF index fresh between
+    * retrains. Assignment is a deterministic per-row function of
+    * (vector, centroids), so the store a bounded feed converges to is
+    * BIT-IDENTICAL to batch-appending the same vectors (StreamingSpec
+    * asserts it; q_stream_index_append's twin replays
+    * train-on-resident + assign-union). Pass DRIVER-LOCAL centroids
+    * (collected and re-created, k rows) so per-batch assignment doesn't
+    * re-run the training lineage.
+    *
+    * Exactly-once caveat: a batch REPLAYED after a crash re-appends its
+    * rows (hive append is not idempotent). Production feeds that need
+    * crash-idempotence write per-batch directories keyed by batchId —
+    * the [[parquetSinkExactlyOnce]] / [[cdcApply]] versioning pattern —
+    * or dedup on the vector id at probe time; the bounded contract
+    * feed runs each batch exactly once. */
+  def indexAppend(newVectors: DataFrame, centroids: DataFrame,
+      storeDir: String, checkpointDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.similarity.Ivf.appendToStore(batch, centroids, storeDir,
+          idCol, vecCol)
+      }
+      .start()
+
   /** Watermarked tumbling-window counts in the APPEND-mode shape: a
     * window row is emitted exactly once, when the watermark passes its
     * end and its state is evicted — the bounded-state contract that

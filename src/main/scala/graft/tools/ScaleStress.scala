@@ -29,6 +29,10 @@ import scala.collection.mutable
   * The optional second arg restricts the run to the named pipelines —
   * the 100x second-decade spot-run uses it to drive just the heavy
   * dedup spines without paying for the whole matrix at 500k docs.
+  * The ANN pipelines (ivf_train_scaled, ivf_append, pq_encode,
+  * knn_graph_auto, knn_graph_fixed_priced) run on a separately-built
+  * jittered-replica embeddings corpus and ONLY when named explicitly;
+  * an ANN-only run skips the documents corpus build entirely.
   *
   * `repCap` (default = factor) bounds the NEAR-DUP CLUSTER SIZE: the
   * factor splits into repCap near-dup replicas x (factor/repCap) content

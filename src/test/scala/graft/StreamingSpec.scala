@@ -423,6 +423,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == batch.toSeq)
   }
 
+  test("indexAppend: streamed micro-batch appends equal the batch append") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val batch = (40 until 60).map(i => (i.toLong, vec(i)))
+    val trained = graft.similarity.Ivf.train(base, k = 3, iters = 1, dim = 8)
+    val cRows = trained.collect()
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(cRows: _*), trained.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val (streamStore, batchStore) = (s"$tmp/stream", s"$tmp/batch")
+    graft.similarity.Ivf.writeAssignedStore(base, cents, streamStore)
+    graft.similarity.Ivf.writeAssignedStore(base, cents, batchStore)
+    // batch path: one append of the whole new set
+    graft.similarity.Ivf.appendToStore(
+      batch.toDF("vec_id", "embedding"), cents, batchStore)
+    // streaming path: the same vectors in two micro-batches
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.indexAppend(mem.toDF().toDF("vec_id", "embedding"),
+      cents, streamStore, s"$tmp/ckpt")
+    try {
+      mem.addData(batch.take(10)); q.processAllAvailable()
+      mem.addData(batch.drop(10)); q.processAllAvailable()
+    } finally q.stop()
+    def content(p: String) = spark.read.parquet(p)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toSet
+    val streamed = content(streamStore)
+    assert(streamed == content(batchStore))
+    assert(streamed.size == 60)
+  }
+
   test("cdcApply maintains a versioned keyed snapshot across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
