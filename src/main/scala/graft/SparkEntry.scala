@@ -5370,9 +5370,28 @@ object SparkEntry {
        ELSE CAST(coalesce(cc.cont3, 0) AS DOUBLE)
          / CAST(bt.b23 AS DOUBLE) END)"""
 
-  /** Trigram scorer twin: model CTEs at minCount=1 over the non-src1
-    * corpus, then the seen / context-mass / mid-level / base / floor
-    * chain per scored trigram, DECIMAL-folded per document. */
+  /** Blocked k-NN graph twin, shared by q_knn_graph and the budget-gated
+    * q_knn_graph_auto (whose auto cell choice lands on the same 8 cells
+    * at both gate scales): the bit-deterministic k-means prefix, then
+    * exact cosine ranks WITHIN each a1 cell. One val so the pair can
+    * never drift apart. */
+  private val knnGraphTwinSql: String = kmeansAssignCtes +
+    """,
+       scored AS (
+         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+         FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       ranked AS (
+         SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
+           neighbor_id, cosine
+         FROM scored)
+       SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       WHERE rank <= 3 ORDER BY query_id, rank"""
+
   /** KN bigram scorer twin, shared by q_kn_perplexity and the
     * stored-model variant q_kn_score_stored: model CTE at minCount=1
     * (same rounded p_kn), then the seen / context-backoff / OOV-floor
@@ -5431,6 +5450,10 @@ object SparkEntry {
          LEFT JOIN agg a ON d.doc_id = a.doc_id
          ORDER BY d.doc_id"""
 
+  /** Trigram scorer twin: model CTEs at minCount=1 over the non-src1
+    * corpus, then the seen / context-mass / mid-level / base / floor
+    * chain per scored trigram, DECIMAL-folded per document. Shared by
+    * q_kn_trigram_ppl and the stored-model q_kn_trigram_score_stored. */
   private val knTrigramPplTwinSql: String =
     s"""WITH toks AS (SELECT doc_id, source,
            list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -9212,43 +9235,14 @@ winnowTwinSql,
 
     // k-means prefix (bit-deterministic, shared with q_ann_ivf) then
     // exact cosine ranks WITHIN each a1 cell — the blocked k-NN graph
-    "q_knn_graph" -> (kmeansAssignCtes +
-      """,
-         scored AS (
-           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             round(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v))
-                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-           FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
-         ranked AS (
-           SELECT query_id,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
-             neighbor_id, cosine
-           FROM scored)
-         SELECT query_id, rank, neighbor_id, cosine FROM ranked
-         WHERE rank <= 3 ORDER BY query_id, rank"""),
+    "q_knn_graph" -> knnGraphTwinSql,
 
     // the auto-gated build picks ceil(n/256) >= 8 cells — 8 at this gate
-    // scale, so the twin is q_knn_graph's k-means replay verbatim (the
-    // q_dedup_autocap oracle trade: the gate's REFUSAL branch is
-    // exercised by IvfSpec and the 100x stress, not the oracle)
-    "q_knn_graph_auto" -> (kmeansAssignCtes +
-      """,
-         scored AS (
-           SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             round(list_dot_product(a.v, b.v)
-               / (sqrt(list_dot_product(a.v, a.v))
-                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-           FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
-         ranked AS (
-           SELECT query_id,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank,
-             neighbor_id, cosine
-           FROM scored)
-         SELECT query_id, rank, neighbor_id, cosine FROM ranked
-         WHERE rank <= 3 ORDER BY query_id, rank"""),
+    // scale, so the twin is q_knn_graph's k-means replay, SHARED as one
+    // val so the pair can never desync (the q_dedup_autocap oracle
+    // trade: the gate's REFUSAL branch is exercised by IvfSpec and the
+    // 100x stress, not the oracle)
+    "q_knn_graph_auto" -> knnGraphTwinSql,
 
     // PMI over adjacent-token bigrams with the identical one-expression
     // double shape ln((c_xy*T*T) / (B*c_x*c_y))

@@ -405,26 +405,33 @@ object Streams {
     * two micro-batches. */
   def runToMemoryPhased(streamed: DataFrame, name: String,
       mode: OutputMode, phases: Seq[() => Unit]): DataFrame = {
+    val spark = streamed.sparkSession
     val q = streamed.writeStream.outputMode(mode)
       .format("memory").queryName(name).start()
-    // always stop: a failed phase write or a rethrown stream error must
-    // not leak a RUNNING query (this JVM hosts hundreds of queries)
-    try phases.foreach { feed => feed(); q.processAllAvailable() }
-    finally q.stop()
-    // Detach the result from the memory sink: the sink's rows live on
-    // the DRIVER for as long as its temp view stays registered, so a
-    // long-lived session running many stream queries (a bench sweep
-    // hosts hundreds) would accumulate one driver-resident row buffer
-    // per run — the collect below adds nothing the sink doesn't already
-    // hold, and dropping the view lets the sink be reclaimed. The
-    // returned LocalRelation is also independent of the FEED FILES, so
-    // callers may delete their temp feed directory immediately.
-    val spark = streamed.sparkSession
-    val out = spark.table(name)
-    val rows = out.collect() // bounded: exactly the sink's driver buffer
-    spark.catalog.dropTempView(name)
-    spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), out.schema)
+    try {
+      // always stop: a failed phase write or a rethrown stream error must
+      // not leak a RUNNING query (this JVM hosts hundreds of queries)
+      try phases.foreach { feed => feed(); q.processAllAvailable() }
+      finally q.stop()
+      // Detach the result from the memory sink: the sink's rows live on
+      // the DRIVER for as long as its temp view stays registered, so a
+      // long-lived session running many stream queries (a bench sweep
+      // hosts hundreds) would accumulate one driver-resident row buffer
+      // per run — the collect below adds nothing the sink doesn't already
+      // hold, and dropping the view lets the sink be reclaimed. The
+      // returned LocalRelation is also independent of the FEED FILES, so
+      // callers may delete their temp feed directory immediately.
+      val out = spark.table(name)
+      val rows = out.collect() // bounded: exactly the sink's driver buffer
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      // in the outer finally, not after the collect: a throwing phase or
+      // drain must ALSO free the sink's temp view + driver buffer, or a
+      // sweep retrying flaky stream queries accumulates orphaned sinks —
+      // the exact leak the detach exists to prevent
+      try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
+    }
   }
 
   /** Run a streaming query over a bounded source into a memory sink and

@@ -185,9 +185,17 @@ object ContractStress {
         val recs: Seq[Long] = if (sSkew >= iSkew) shufRecs else inRecs
         val rMed = recs(recs.size / 2)
         val rSkew = math.max(sSkew, iSkew)
-        def dataSkewed: Boolean =
-          (shufRecs.sum >= 10000 && sSkew > 4.0) ||
-          (inRecs.sum >= 10000 && iSkew > 4.0 && dMed >= 200 && dSkew > 1.5)
+        val shuffleGates: Boolean = shufRecs.sum >= 10000 && sSkew > 4.0
+        val scanGates: Boolean =
+          inRecs.sum >= 10000 && iSkew > 4.0 && dMed >= 200 && dSkew > 1.5
+        def dataSkewed: Boolean = shuffleGates || scanGates
+        // the failure must report the source that GATED — an excused
+        // scan-side ratio may be numerically larger than the shuffle
+        // skew that actually fired, and misattributing it points the
+        // reader at exactly the self-healing shape the gate ignores
+        def gatingSkew: Double = if (shuffleGates) sSkew else iSkew
+        def gatingRecs: Seq[Long] = if (shuffleGates) shufRecs else inRecs
+        def gatingKind: String = if (shuffleGates) "shuffle" else "scan"
         def computeSkewed: Boolean = (dMed >= 200 && dSkew > 4.0) ||
           (durs.last >= 5000 && dSkew > 20.0)
       }
@@ -195,9 +203,10 @@ object ContractStress {
         StageSkew(sid, ts.size, ts.map(_._1).sorted, ts.map(_._3).sorted,
           ts.map(_._4).sorted, ts.map(_._2).sorted)
       }
-      for (s <- skews.filter(_.dataSkewed).sortBy(-_.rSkew).headOption)
-        failures ::= f"$n: stage ${s.sid} record skew ${s.rSkew}%.2fx " +
-          f"(max ${s.recs.last} / med ${s.rMed} rows) exceeds the 4x gate"
+      for (s <- skews.filter(_.dataSkewed).sortBy(-_.gatingSkew).headOption)
+        failures ::= f"$n: stage ${s.sid} ${s.gatingKind} record skew " +
+          f"${s.gatingSkew}%.2fx (max ${s.gatingRecs.last} / med " +
+          f"${s.gatingRecs(s.gatingRecs.size / 2)} rows) exceeds the 4x gate"
       for (s <- skews.filter(_.computeSkewed).sortBy(-_.dSkew).headOption)
         failures ::= f"$n: stage ${s.sid} duration skew ${s.dSkew}%.2fx " +
           f"at med ${s.dMed} ms exceeds the 4x gate"

@@ -336,8 +336,8 @@ object ScaleStress {
           Pq.encode(emb, cbs)
         }),
         // the budget-gated graph build: cells sized from the corpus,
-        // pair volume priced BEFORE the self-join (2e8 budget admits the
-        // ~256-sized cells this corpus prices to)
+        // pair volume priced BEFORE the self-join (the 4e8 budget admits
+        // the ~256-sized cells this corpus prices to)
         "knn_graph_auto" -> (() => Ivf.knnGraphAuto(emb, k = 3,
           targetCellSize = 256, pairBudget = 400000000L, iters = 1)),
         // the superlinear shape the gate exists for, PRICED not run: the
