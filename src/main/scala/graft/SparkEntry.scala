@@ -50,6 +50,29 @@ object SparkEntry {
     }
   }
 
+  /** Per-PROCESS scratch root for queries that stage intermediate
+    * stores/models on local disk (stored-index probes, stored LM models,
+    * sink round trips). Suffixing with the JVM pid keeps two sweeps
+    * running concurrently on one host from overwriting each other's
+    * stores mid-probe; within a process the overwrite-per-run semantics
+    * (bounded disk across repeated sweeps) are unchanged. A shutdown
+    * hook deletes the root so repeated processes don't accumulate dead
+    * scratch trees. */
+  private lazy val scratchRoot: String = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_scratch_${ProcessHandle.current().pid()}")
+    d.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d.toPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case scala.util.control.NonFatal(_) => () }))
+    d.getAbsolutePath
+  }
+  private def scratch(name: String): String = s"$scratchRoot/$name"
+
   /** Exact decimal view of a 2-dp monetary/quantity double. */
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   /** Order-independent SUM of a 2-dp double, returned as DOUBLE. */
@@ -94,7 +117,7 @@ object SparkEntry {
     // interleave overwrite-then-read on these two dirs (accepted: the
     // driver runs sweeps serially).
     "q_csv_roundtrip" -> ((s, dir) =>
-      csvRoundtrip(s, dir, "/tmp/graft_csv_roundtrip", ',')),
+      csvRoundtrip(s, dir, scratch("csv_roundtrip"), ',')),
 
     // schema evolution on read: two parquet batches with different
     // column sets land in one dataset directory (the standard additive
@@ -103,7 +126,7 @@ object SparkEntry {
     // new column. The oracle recomputes the union-by-name from the base
     // table.
     "q_merge_schema" -> ((s, dir) => {
-      val out = "/tmp/graft_merge_schema"
+      val out = scratch("merge_schema")
       val nat = t(s, dir, "nation")
       graft.sources.Sinks.writeParquet(
         nat.filter(col("n_nationkey") < 12)
@@ -211,7 +234,7 @@ object SparkEntry {
     // ground truth recomputed by the oracle from the parquet base table,
     // so the roundtrip must preserve every value bit-for-bit
     "q_orc_roundtrip" -> ((s, dir) => {
-      val out = "/tmp/graft_orc_roundtrip"
+      val out = scratch("orc_roundtrip")
       graft.sources.Sinks.writeOrc(
         t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"),
           col("s_nationkey"), col("s_acctbal")), out)
@@ -223,7 +246,7 @@ object SparkEntry {
     // roundtrip serialization), read back with an explicit schema so
     // column types match the parquet ground truth
     "q_json_roundtrip" -> ((s, dir) => {
-      val out = "/tmp/graft_json_roundtrip"
+      val out = scratch("json_roundtrip")
       graft.sources.Sinks.writeJson(
         t(s, dir, "region").select(col("r_regionkey"), col("r_name")), out)
       s.read.schema(StructType(Seq(
@@ -240,7 +263,7 @@ object SparkEntry {
     // ListingTable holds exactly one path — src/io/reader/listing/
     // table.rs:14-19 — so it has no partitioned layout to prune.)
     "q_partitioned_scan" -> ((s, dir) => {
-      val out = "/tmp/graft_partitioned_orders"
+      val out = scratch("partitioned_orders")
       graft.sources.Sinks.writeParquet(
         t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
         out, partitionCols = Seq("o_year"))
@@ -262,8 +285,8 @@ object SparkEntry {
     // variant (q_partitioned_scan) has the filter on the fact column
     // itself; this is the join-driven form every star-schema query needs.
     "q_dpp" -> ((s, dir) => {
-      val factOut = "/tmp/graft_dpp_orders"
-      val dimOut = "/tmp/graft_dpp_years"
+      val factOut = scratch("dpp_orders")
+      val dimOut = scratch("dpp_years")
       graft.sources.Sinks.writeParquet(
         t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
         factOut, partitionCols = Seq("o_year"))
@@ -319,7 +342,7 @@ object SparkEntry {
     // distinct writer config from q_csv_roundtrip: pipe-delimited, with
     // the pipe embedded in the data to force delimiter-quoting
     "q_csv_interchange" -> ((s, dir) =>
-      csvRoundtrip(s, dir, "/tmp/graft_csv_interchange", '|')),
+      csvRoundtrip(s, dir, scratch("csv_interchange"), '|')),
 
     // ---------------- L2 Projection + arithmetic expressions
     // (ref: src/plan/logical/projection.rs, binary ops +,-,*,/)
@@ -899,14 +922,17 @@ object SparkEntry {
     }),
 
     // STREAMING ANN index maintenance: the resident 80% is trained and
-    // stored (the nightly index), then the 20% batch arrives as a real
-    // two-phase file-source stream whose micro-batches are assigned to
-    // the FROZEN centroids and hive-appended to the store
-    // (Streams.indexAppend). Assignment being a deterministic per-row
-    // function, the streamed store equals the batch append — so the
-    // probe result and the twin are q_ann_incremental's verbatim. The
-    // store lives at a fixed path overwritten per run (the
-    // q_kn_score_stored pattern); feed + checkpoint are temp-scoped.
+    // stored as the `ingest=base` layer (the nightly index), then the
+    // 20% batch arrives as a real two-phase file-source stream whose
+    // micro-batches are assigned to the FROZEN centroids and written
+    // EXACTLY-ONCE under their own ingest=b<batchId> keys
+    // (Streams.indexAppend — idempotent overwrite per batch, so a
+    // crash-replayed batch cannot double rows). Assignment being a
+    // deterministic per-row function, the streamed store holds the same
+    // rows as a batch append — so the probe result and the twin are
+    // q_ann_incremental's verbatim. The store is overwritten per run
+    // under the per-process scratch root; feed + checkpoint are
+    // temp-scoped.
     "q_stream_index_append" -> ((s, dir) => withTempFeed("graft_sindex") { feed =>
       val emb = t(s, dir, "embeddings")
       val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
@@ -917,8 +943,14 @@ object SparkEntry {
       val cRows = trained.collect()
       val cents = s.createDataFrame(
         java.util.Arrays.asList(cRows: _*), trained.schema)
-      val store = "/tmp/graft_ivf_stream_store"
-      graft.similarity.Ivf.writeAssignedStore(base, cents, store)
+      val store = scratch("ivf_stream_store")
+      // fresh root per run: stale ingest=b* keys from a prior in-process
+      // run (QueryBench runs queries 3x) must not leak into this run's
+      // probe — batch numbering restarts with the fresh checkpoint, and
+      // only ingest=base is overwritten by the base write
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(store), true)
+      graft.similarity.Ivf.writeIngestStore(base, cents, store)
       val in = s"$feed/in"; new java.io.File(in).mkdirs()
       // phase files: each phase ONE atomically-renamed parquet file
       def phase(p: DataFrame): Unit =
@@ -1553,7 +1585,7 @@ object SparkEntry {
     // oracle. Exercises the streaming-maintained table: file-source
     // streams, foreachBatch exactly-once versioning, epoch chaining.
     "q_cdc_stream" -> ((s, dir) => {
-      val root = "/tmp/graft_cdc_stream"
+      val root = scratch("cdc_stream")
       val hfs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
       hfs.delete(new org.apache.hadoop.fs.Path(root), true)
@@ -2634,7 +2666,7 @@ object SparkEntry {
     "q_ann_ivf_pruned" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = graft.similarity.Ivf.train(emb, k = 8, iters = 1)
-      val store = "/tmp/graft_ivf_store"
+      val store = scratch("ivf_store")
       graft.similarity.Ivf.writeAssignedStore(emb, cents, store)
       graft.similarity.Ivf.ivfTopKFromStore(store, Ann.selfQueries(emb, 2),
           cents, k = 5, nprobe = 2)
@@ -2654,7 +2686,7 @@ object SparkEntry {
       val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
       val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
       val cents = graft.similarity.Ivf.train(base, k = 8, iters = 1)
-      val store = "/tmp/graft_ivf_incr_store"
+      val store = scratch("ivf_incr_store")
       // overwrite-base then append-batch keeps the query idempotent
       // across re-runs while exercising the real append path
       graft.similarity.Ivf.writeAssignedStore(base, cents, store)
@@ -2674,14 +2706,36 @@ object SparkEntry {
     "q_ann_stored_index" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = graft.similarity.Ivf.train(emb, k = 8, iters = 1)
-      val centsPath = "/tmp/graft_ivf_cents"
-      val store = "/tmp/graft_ivf_full_store"
+      val centsPath = scratch("ivf_cents")
+      val store = scratch("ivf_full_store")
       graft.sources.Sinks.writeParquet(cents, centsPath)
       graft.similarity.Ivf.writeAssignedStore(emb, cents, store)
       val storedCents = s.read.parquet(centsPath)
       graft.similarity.Ivf.ivfTopKFromStore(store, Ann.selfQueries(emb, 10),
           storedCents, k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    // RECALL-DRIFT audit of the frozen-centroid append path — the time
+    // axis of index staleness: centroids train once on the resident 80%,
+    // then recall@5 of the frozen IVF probe vs exact brute force is
+    // measured over the growing corpus (stage 0 = resident, 1 = +half
+    // the appended batch, 2 = +all of it). Everything downstream of the
+    // bit-deterministic trainer is deterministic, so the whole curve is
+    // hash-checked by a 3-stage UNION ALL twin. The retrain gate
+    // (Ivf.requireFreshIndex) runs IN-LINE over the persisted audit; on
+    // this un-shifted corpus it passes with margin — the trigger FIRING
+    // is proven on a deliberately shifted batch in IvfSpec and SCALE.md
+    "q_ann_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val resident = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val w1 = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val w2 = emb.filter(pmod(col("vec_id"), lit(10)) === 5)
+      val drift = graft.similarity.Ivf.recallDrift(resident, Seq(w1, w2),
+          Ann.selfQueries(emb, 10), k = 5, nprobe = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.similarity.Ivf.requireFreshIndex(drift, k = 5, floor = 0.2)
+      drift.orderBy("stage", "query_id")
     }),
 
     // multimodal: typed metadata over binary payloads (oracle on meta)
@@ -2859,6 +2913,33 @@ object SparkEntry {
         dim = 64, iters = 1)
       graft.similarity.Pq.ivfAdcTopK(emb, Ann.selfQueries(emb, 10), cents,
           cbs, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // STORED-PQ serving — the last third of the stored triple (centroids
+    // and inverted lists already serve from parquet in
+    // q_ann_stored_index): codebooks (m·k float rows) and the PQ code
+    // table (m small ints per vector instead of d floats — the
+    // memory-compressed layout a 100 TB corpus actually serves from,
+    // centroid-partitioned for probe pruning) are written as parquet and
+    // IVFADC probes ENTIRELY from disk. Integer codes and float
+    // codebooks/centroids are parquet-exact, so the disk probe equals
+    // q_ann_ivfpq bit-for-bit and SHARES its full twin (training,
+    // encoding, probe selection, ADC)
+    "q_ann_stored_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.similarity.Ivf.train(emb, k = 8, iters = 1)
+      val cbs = graft.similarity.Pq.trainCodebooks(emb, m = 4, k = 8,
+        dim = 64, iters = 1)
+      val centsPath = scratch("pq_cents")
+      val cbPath = scratch("pq_codebooks")
+      val store = scratch("pq_code_store")
+      graft.sources.Sinks.writeParquet(cents, centsPath)
+      graft.similarity.Pq.writeCodebooks(s, cbs, cbPath)
+      graft.similarity.Pq.writeIvfAdcStore(emb, cents, cbs, store)
+      graft.similarity.Pq.ivfAdcTopKFromStore(store,
+          Ann.selfQueries(emb, 10), s.read.parquet(centsPath),
+          graft.similarity.Pq.readCodebooks(s, cbPath), k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -4685,7 +4766,7 @@ object SparkEntry {
     // path must outlive the query's consumption
     "q_kn_score_stored" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val modelPath = "/tmp/graft_kn_model"
+      val modelPath = scratch("kn_model")
       val model = graft.functions.Text.kneserNeyBigrams(
         docs.filter(col("source") =!= "src1"), minCount = 1)
       graft.sources.Sinks.writeParquet(model, modelPath)
@@ -4701,7 +4782,7 @@ object SparkEntry {
     // q_kn_trigram_ppl bit-for-bit and the twin is shared verbatim
     "q_kn_trigram_score_stored" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val modelPath = "/tmp/graft_kn_tri_model"
+      val modelPath = scratch("kn_tri_model")
       val model = graft.functions.Text.kneserNeyTrigrams(
         docs.filter(col("source") =!= "src1"), minCount = 1)
       graft.sources.Sinks.writeParquet(model, modelPath)
@@ -5691,6 +5772,15 @@ object SparkEntry {
     * computes, since per-row assignment is independent of which store
     * file the row lands in. */
   private def kmeansAssignBaseCtes(baseWhere: String): String =
+    kmeansAssignCorpusCtes(baseWhere, "TRUE")
+
+  /** [[kmeansAssignBaseCtes]] with the final assignment `a1` ALSO
+    * restricted, to `corpusWhere` — the drift-audit stage shape: train on
+    * the resident base, assign only the vectors that exist at a given
+    * append stage (the inner alias shadows `e`, so a1's text is
+    * unchanged). One body for all three k-means twin variants. */
+  private def kmeansAssignCorpusCtes(baseWhere: String,
+      corpusWhere: String): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              FROM embeddings),
          eb AS (SELECT vec_id, v FROM e WHERE $baseWhere),
@@ -5725,7 +5815,8 @@ object SparkEntry {
                   / (sqrt(list_dot_product(e.v, e.v))
                      * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
                  c.cid ASC) AS rn
-             FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
+             FROM (SELECT * FROM e WHERE $corpusWhere) e
+               CROSS JOIN c1 c) WHERE rn = 1)"""
 
   /** Probe + top-k suffix shared by the IVF twins (parameterized by the
     * query-set size). */
@@ -5763,6 +5854,74 @@ object SparkEntry {
     * changes WHERE the lists are read from, never the result). */
   private def ivfFullTwin(nQueries: Int): String =
     kmeansAssignCtes + ivfProbeSuffix(nQueries)
+
+  /** One stage of the drift-audit twin (q_ann_drift): k-means trained on
+    * the resident 80%, assignment AND the exact brute-force answer
+    * restricted to the stage corpus, nprobe=2 probe + approximate top-5,
+    * intersected with the exact top-5 — Ann.recallAtK's expression
+    * (coalesced hit counts, LEAST-capped denominator, 0.0 for empty
+    * exact sets) mirrored exactly. Emitted as a WITH-bearing subquery so
+    * the stages UNION ALL under one statement. */
+  private def annDriftStageSql(stage: Int, corpusWhere: String): String =
+    s"""SELECT CAST($stage AS INTEGER) AS stage, t.* FROM (
+         ${kmeansAssignCorpusCtes("vec_id % 5 <> 0", corpusWhere)},
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < 10),
+         probes AS (
+           SELECT query_id, qv, cid FROM (
+             SELECT q.query_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 (list_dot_product(q.qv, c.cv)
+                  / (sqrt(list_dot_product(q.qv, q.qv))
+                     * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+                 c.cid ASC) AS rn
+             FROM q CROSS JOIN c1 c) WHERE rn <= 2),
+         ap AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM (
+               SELECT p.query_id, a1.vec_id AS neighbor_id,
+                 round(list_dot_product(p.qv, a1.v)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(a1.v, a1.v))), 6) AS cosine
+               FROM a1 JOIN probes p
+                 ON a1.cid = p.cid AND a1.vec_id <> p.query_id))
+           WHERE rank <= 5),
+         ex AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.query_id, ec.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.qv, ec.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(ec.v, ec.v))), 6) DESC,
+                 ec.vec_id ASC) AS rn
+             FROM (SELECT * FROM e WHERE $corpusWhere) ec JOIN q
+               ON ec.vec_id <> q.query_id) WHERE rn <= 5),
+         hits AS (SELECT ex.query_id, count(*) AS n_hit
+                  FROM ex JOIN ap ON ex.query_id = ap.query_id
+                    AND ex.neighbor_id = ap.neighbor_id
+                  GROUP BY ex.query_id),
+         exn AS (SELECT query_id, count(*) AS n_exact FROM ex
+                 GROUP BY query_id)
+         SELECT q.query_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN coalesce(x.n_exact, 0) = 0 THEN 0.0
+                ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                     / LEAST(5, x.n_exact) END AS recall_at_5
+         FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+              LEFT JOIN exn x ON q.query_id = x.query_id) t"""
+
+  /** Full twin of q_ann_drift: three stage blocks — resident only, +half
+    * the appended batch, +all of it — each a complete train-on-resident →
+    * assign-stage-corpus → probe → recall replay, UNION ALL'd. */
+  private lazy val annDriftTwin: String =
+    Seq("vec_id % 5 <> 0",
+        "(vec_id % 5 <> 0 OR vec_id % 10 = 0)",
+        "TRUE").zipWithIndex
+      .map { case (w, i) => annDriftStageSql(i, w) }
+      .mkString("\n         UNION ALL\n         ") +
+      "\n         ORDER BY stage, query_id"
 
   /** Full DuckDB twin of the PQ path (q_ann_pq): per-subspace k-means —
     * lowest-id seeds on the SLICED vectors, one Lloyd iteration with the
@@ -7696,6 +7855,10 @@ object SparkEntry {
     // twin — are q_ann_ivf's verbatim
     "q_ann_stored_index" -> ivfFullTwin(10),
 
+    // recall-drift audit: three complete train-on-resident →
+    // assign-stage-corpus → probe → recall stage replays, UNION ALL'd
+    "q_ann_drift" -> annDriftTwin,
+
     // both the exact and the LSH-bucketed top-5 recomputed, intersected
     // per query; zero-hit queries kept by the left join
     "q_ann_recall" ->
@@ -9092,6 +9255,12 @@ winnowTwinSql,
 
     // full PQ twin: per-subspace deterministic k-means + codes + ADC
     "q_ann_ivfpq" -> ivfPqTwin(m = 4, sub = 16, k = 8, nQueries = 10,
+      topk = 5, nprobe = 2),
+
+    // stored-PQ serving: integer codes and float codebooks/centroids are
+    // parquet-exact, so the disk probe equals q_ann_ivfpq bit-for-bit
+    // and the twin is shared verbatim (the q_ann_stored_index trade)
+    "q_ann_stored_pq" -> ivfPqTwin(m = 4, sub = 16, k = 8, nQueries = 10,
       topk = 5, nprobe = 2),
     "q_ann_pq" -> pqFullTwin(m = 4, sub = 16, k = 8, nQueries = 10,
       topk = 5),

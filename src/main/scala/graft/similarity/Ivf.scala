@@ -189,6 +189,40 @@ object Ivf {
       partitionCols = Seq("centroid_id"),
       mode = org.apache.spark.sql.SaveMode.Append)
 
+  /** The nightly-retrain base layer of an INGEST-KEYED store: the same
+    * clustered centroid-partitioned layout as [[writeAssignedStore]], but
+    * nested under `ingest=base` of the root so streamed micro-batches can
+    * land next to it under their own `ingest=b<batchId>` keys
+    * ([[writeBatchToStore]]). Reading the root recovers one dataset with
+    * (ingest, centroid_id) as hive partition columns — probe-time
+    * partition pruning on centroid_id is untouched by the extra level
+    * (directory pruning matches any partition column), so
+    * [[ivfTopKFromStore]] works on this layout unchanged. */
+  def writeIngestStore(corpus: DataFrame, centroids: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    writeAssignedStore(corpus, centroids, s"$path/ingest=base", idCol, vecCol)
+
+  /** IDEMPOTENT per-micro-batch append to an ingest-keyed store: the
+    * batch's assigned rows OVERWRITE its own `ingest=b<batchId>`
+    * directory. A micro-batch replayed after a crash (source offsets are
+    * in the streaming checkpoint; the last batch may re-fire) rewrites
+    * byte-identical content instead of duplicating rows — assignment is a
+    * deterministic per-row function of (vector, centroids), so replay
+    * converges. This is the `parquetSinkExactlyOnce` recipe
+    * (offsets-in-checkpoint + idempotent-by-batchId) adapted to keep
+    * centroid_id a hive partition column underneath the batch key; a raw
+    * hive append into the shared lists — the previous shape — was
+    * at-least-once. */
+  def writeBatchToStore(newVectors: DataFrame, centroids: DataFrame,
+      path: String, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    graft.sources.Sinks.writeParquet(
+      assign(newVectors, centroids, idCol, vecCol)
+        .repartitionByRange(col("centroid_id"), col(idCol)),
+      s"$path/ingest=b$batchId",
+      partitionCols = Seq("centroid_id"),
+      mode = org.apache.spark.sql.SaveMode.Overwrite)
+
   /** IVF top-k against a [[writeAssignedStore]] layout: the probe set (the
     * union of every query's nprobe nearest centroids — at most k ids,
     * driver-sized by construction) becomes an IN filter on the partition
@@ -197,16 +231,28 @@ object Ivf {
     * lever as q_partitioned_scan). Result is identical to [[ivfTopK]]
     * over the same centroids, which is how q_ann_ivf_pruned shares
     * q_ann_ivf's full DuckDB twin. */
+  /** Probe selection shared by every IVF-family search path: each query's
+    * nprobe nearest centroids, chosen by sorting the per-row
+    * centroid-score array and exploding the first nprobe — narrow (no
+    * window over the query set). Returns (query_id, query_vec,
+    * centroid_id), one row per probe. ONE body ([[ivfTopK]],
+    * [[ivfTopKFromStore]], Pq.ivfAdcTopK, Pq.ivfAdcTopKFromStore) so the
+    * in-memory and stored probes can never drift. */
+  private[similarity] def probeSelection(queries: DataFrame,
+      cents: Array[(Int, Seq[Float])], nprobe: Int): DataFrame = {
+    val qScores = array(centroidScores(cents, col("query_vec")).toSeq: _*)
+    queries.select(col("query_id"), col("query_vec"),
+        explode(slice(sort_array(qScores, asc = false), 1, nprobe)).as("pc"))
+      .select(col("query_id"), col("query_vec"),
+        (-col("pc.neg_id")).cast(IntegerType).as("centroid_id"))
+  }
+
   def ivfTopKFromStore(storePath: String, queries: DataFrame,
       centroids: DataFrame, k: Int, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = queries.sparkSession
     val cents = collectCentroids(centroids)
-    val qScores = array(centroidScores(cents, col("query_vec")).toSeq: _*)
-    val probes = queries.select(col("query_id"), col("query_vec"),
-        explode(slice(sort_array(qScores, asc = false), 1, nprobe)).as("pc"))
-      .select(col("query_id"), col("query_vec"),
-        (-col("pc.neg_id")).cast(IntegerType).as("centroid_id"))
+    val probes = probeSelection(queries, cents, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)) // bounded by k, never by data scale
@@ -227,11 +273,7 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = collectCentroids(centroids)
     val assigned = assignTo(cents, corpus, idCol, vecCol)
-    val qScores = array(centroidScores(cents, col("query_vec")).toSeq: _*)
-    val probes = queries.select(col("query_id"), col("query_vec"),
-        explode(slice(sort_array(qScores, asc = false), 1, nprobe)).as("pc"))
-      .select(col("query_id"), col("query_vec"),
-        (-col("pc.neg_id")).cast(IntegerType).as("centroid_id"))
+    val probes = probeSelection(queries, cents, nprobe)
     // score only the probed lists
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col(idCol) =!= col("query_id"))
@@ -324,11 +366,74 @@ object Ivf {
     val assigned = assign(corpus, cents, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (pairs, maxCell) = cellCost(assigned.select(col(idCol), col("centroid_id")))
-    require(pairs <= pairBudget,
-      s"cluster-blocked graph build over $n vectors in $cells cells admits " +
-        s"$pairs candidate pairs (largest cell $maxCell, > budget $pairBudget): " +
-        "the corpus is collapse-skewed — near-dup dedup it first, raise " +
-        "targetCellSize pressure via more cells, or raise the budget explicitly")
+    if (pairs > pairBudget) {
+      // the refusal path must not leak the cached assignment: cellCost has
+      // already materialized it, and this JVM may host hundreds more
+      // queries after the throw (ADVICE r9)
+      assigned.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"requirement failed: cluster-blocked graph build over $n vectors " +
+          s"in $cells cells admits $pairs candidate pairs (largest cell " +
+          s"$maxCell, > budget $pairBudget): the corpus is collapse-skewed " +
+          "— near-dup dedup it first, raise targetCellSize pressure via " +
+          "more cells, or raise the budget explicitly")
+    }
     knnGraphOfAssigned(assigned, k, idCol, vecCol)
+  }
+
+  /** Recall-vs-appended-fraction drift audit — the TIME-axis analogue of
+    * [[cellCost]]'s pair budget. A frozen-centroid index degrades as the
+    * appended fraction grows: new vectors land in increasingly wrong
+    * cells as the corpus distribution shifts away from what the coarse
+    * quantizer was trained on, and the probe misses them. This measures
+    * it: centroids are trained ONCE on the resident corpus (collected to
+    * k driver rows so later stages never re-run the training lineage),
+    * then for each PREFIX of the appended waves — stage 0 = resident
+    * only, stage i = resident + waves 1..i — recall@k of the
+    * frozen-centroid IVF probe is computed against the exact brute-force
+    * answer over the SAME stage corpus. Everything downstream of the
+    * bit-deterministic trainer is deterministic, so the whole curve
+    * hash-checks against a full SQL twin (q_ann_drift).
+    *
+    * Output: one row per (stage, query) — (stage, query_id, n_hit,
+    * recall_at_k). Gate the last stage with [[requireFreshIndex]]; at
+    * scale, run the audit on a query sample per append epoch and retrain
+    * when the floor trips (the nightly-retrain trigger). */
+  def recallDrift(resident: DataFrame, waves: Seq[DataFrame],
+      queries: DataFrame, k: Int, nprobe: Int = 2, kCents: Int = 8,
+      iters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = resident.sparkSession
+    val trained = train(resident, kCents, iters, idCol, vecCol)
+    val cRows = trained.collect() // k centroid rows, driver-sized
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(cRows: _*), trained.schema)
+    (0 to waves.size).map { stage =>
+      val corpus = (resident +: waves.take(stage)).reduce(_ unionByName _)
+      val exact = Ann.bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      val approx = ivfTopK(corpus, queries, cents, k, nprobe, idCol, vecCol)
+      Ann.recallAtK(exact, approx, queries, k)
+        .select(lit(stage).as("stage"), col("*"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Retrain trigger over a [[recallDrift]] audit: the LAST stage (the
+    * index's current state) must keep mean recall@k >= `floor`, else the
+    * build refuses loudly and demands a coarse-quantizer retrain — the
+    * same priced-refusal contract as [[knnGraphAuto]]'s pair budget, on
+    * the time axis. Returns the measured mean so callers can log the
+    * margin. Persist the audit frame before calling if you also return
+    * it (this runs one bounded 2-row aggregate over it). */
+  def requireFreshIndex(drift: DataFrame, k: Int, floor: Double): Double = {
+    val row = drift.groupBy(col("stage"))
+      .agg(avg(col(s"recall_at_$k")).as("mean_recall"))
+      .orderBy(col("stage").desc).limit(1).head()
+    val (last, mean) = (row.getInt(0), row.getDouble(1))
+    if (mean < floor) throw new IllegalStateException(
+      f"frozen-centroid index drifted: stage-$last mean recall@$k = " +
+        f"$mean%.4f < floor $floor%.2f — the appended corpus has shifted " +
+        "away from the trained coarse quantizer; retrain the centroids " +
+        "and rebuild the base store")
+    mean
   }
 }

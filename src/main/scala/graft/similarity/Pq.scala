@@ -69,23 +69,30 @@ object Pq {
     corpus.select(col(idCol) +: codeCols: _*)
   }
 
-  /** ADC top-k over an encoded corpus: per candidate, the approximate dot
-    * is the sum over subspaces of dot(query slice, centroid-of-code) — m
-    * element_at lookups into the broadcast codebooks. Queries are
-    * (query_id, query_vec) at full precision; result is
-    * (query_id, rank, neighbor_id, adc_dot). The sum is a fixed
-    * left-to-right chain of IEEE doubles, so it is bit-identical across
-    * engines and the score can be oracle-checked exactly. */
+  /** The ADC approximate-dot expression: the sum over subspaces of
+    * dot(query slice, centroid-of-code) — m element_at lookups into the
+    * codebook literals. A fixed left-to-right chain of IEEE doubles, so
+    * it is bit-identical across engines and every caller ([[adcTopK]],
+    * [[ivfAdcTopK]], [[ivfAdcTopKFromStore]]) scores the same — ONE body
+    * so the three paths can never drift. */
+  private def adcDot(codebooks: Seq[Array[(Int, Seq[Float])]],
+      queryVec: Column): Column = {
+    val sub = codebooks.head.head._2.length
+    codebooks.zipWithIndex.map { case (cb, mi) =>
+      val centArr = typedlit(cb.sortBy(_._1).map(_._2))
+      native.vec_dot(
+        slice(queryVec, mi * sub + 1, sub),
+        element_at(centArr, col(s"code_$mi") + 1))
+    }.reduce(_ + _)
+  }
+
+  /** ADC top-k over an encoded corpus: queries stay full-precision
+    * (query_id, query_vec); result is (query_id, rank, neighbor_id,
+    * adc_dot). */
   def adcTopK(codes: DataFrame, queries: DataFrame,
       codebooks: Seq[Array[(Int, Seq[Float])]], k: Int,
       idCol: String = "vec_id"): DataFrame = {
-    val sub = codebooks.head.head._2.length
-    val approx = codebooks.zipWithIndex.map { case (cb, mi) =>
-      val centArr = typedlit(cb.sortBy(_._1).map(_._2))
-      native.vec_dot(
-        slice(col("query_vec"), mi * sub + 1, sub),
-        element_at(centArr, col(s"code_$mi") + 1))
-    }.reduce(_ + _)
+    val approx = adcDot(codebooks, col("query_vec"))
     val scored = codes.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
@@ -114,22 +121,83 @@ object Pq {
     val store = Ivf.assignTo(cents, corpus, idCol, vecCol)
       .select(col(idCol), col("centroid_id"))
       .join(encode(corpus, codebooks, idCol, vecCol), idCol)
-    val qScores = array(Ivf.centroidScores(cents, col("query_vec")).toSeq: _*)
-    val probes = queries.select(col("query_id"), col("query_vec"),
-        explode(slice(sort_array(qScores, asc = false), 1, nprobe)).as("pc"))
-      .select(col("query_id"), col("query_vec"),
-        (-col("pc.neg_id")).cast(IntegerType).as("centroid_id"))
-    val sub = codebooks.head.head._2.length
-    val approx = codebooks.zipWithIndex.map { case (cb, mi) =>
-      val centArr = typedlit(cb.sortBy(_._1).map(_._2))
-      native.vec_dot(
-        slice(col("query_vec"), mi * sub + 1, sub),
-        element_at(centArr, col(s"code_$mi") + 1))
-    }.reduce(_ + _)
+    val probes = Ivf.probeSelection(queries, cents, nprobe)
     val scored = store.join(broadcast(probes), Seq("centroid_id"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
-        round(approx, 6).as("cosine"))
+        round(adcDot(codebooks, col("query_vec")), 6).as("cosine"))
+    Ann.topKPerQuery(scored, k).withColumnRenamed("cosine", "adc_dot")
+  }
+
+  /** Codebooks as a PARQUET table (subspace, centroid_id, centroid) —
+    * m·k rows, driver-sized by construction. FLOAT columns round-trip
+    * parquet bit-exactly, so a probe from re-read codebooks scores
+    * identically to the in-memory codebooks (the q_kn_score_stored
+    * trade, applied to the PQ model). */
+  def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+      codebooks: Seq[Array[(Int, Seq[Float])]], path: String): Unit = {
+    import spark.implicits._
+    graft.sources.Sinks.writeParquet(
+      codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+        cb.map { case (cid, v) => (mi, cid, v) }
+      }.toDF("subspace", "centroid_id", "centroid"), path)
+  }
+
+  /** Read [[writeCodebooks]] output back into the driver-resident shape
+    * every PQ entry point takes — one bounded collect of m·k rows. */
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Array[(Int, Seq[Float])]] =
+    spark.read.parquet(path)
+      .select(col("subspace").cast(IntegerType),
+        col("centroid_id").cast(IntegerType), col("centroid"))
+      .collect() // bounded: m·k codebook rows by construction
+      .map(r => (r.getInt(0), (r.getInt(1), r.getSeq[Float](2))))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).sortBy(_._1).toArray)
+
+  /** The memory-compressed serving store: (id, centroid_id,
+    * code_0..code_{m-1}) hive-partitioned by centroid_id — at 100 TB of
+    * raw embeddings THIS is the table you persist (m bytes of code per
+    * vector instead of d floats; ~64x smaller at m=4, d=64), probed by
+    * [[ivfAdcTopKFromStore]] with the same partition pruning as
+    * [[Ivf.writeAssignedStore]]. Rows are range-clustered on
+    * (centroid_id, id) before the partitioned write for the same
+    * balanced-files-per-cell reason (Ivf.writeAssignedStore's scaladoc:
+    * hash-per-cell turns cell-size imbalance into probe-task skew). */
+  def writeIvfAdcStore(corpus: DataFrame, centroids: DataFrame,
+      codebooks: Seq[Array[(Int, Seq[Float])]], path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = Ivf.collectCentroids(centroids)
+    graft.sources.Sinks.writeParquet(
+      Ivf.assignTo(cents, corpus, idCol, vecCol)
+        .select(col(idCol), col("centroid_id"))
+        .join(encode(corpus, codebooks, idCol, vecCol), idCol)
+        .repartitionByRange(col("centroid_id"), col(idCol)),
+      path, partitionCols = Seq("centroid_id"))
+  }
+
+  /** IVFADC from DISK — completes the stored serving triple (centroids ✓
+    * and inverted lists ✓ in q_ann_stored_index; codebooks + codes here):
+    * the probe set becomes an IN filter on the partition column so the
+    * scan lists and reads ONLY the probed code directories, and ADC
+    * ranking is [[adcDot]] verbatim — integer codes and float codebooks
+    * are parquet-exact, so the disk probe equals [[ivfAdcTopK]] over the
+    * same models and SHARES its full DuckDB twin. */
+  def ivfAdcTopKFromStore(storePath: String, queries: DataFrame,
+      centroids: DataFrame, codebooks: Seq[Array[(Int, Seq[Float])]],
+      k: Int, nprobe: Int = 2, idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = Ivf.collectCentroids(centroids)
+    val probes = Ivf.probeSelection(queries, cents, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)) // bounded by the centroid count
+    val codes = spark.read.parquet(storePath)
+      .filter(col("centroid_id").isin(probeIds.map(Int.box): _*))
+    val scored = codes.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(adcDot(codebooks, col("query_vec")), 6).as("cosine"))
     Ann.topKPerQuery(scored, k).withColumnRenamed("cosine", "adc_dot")
   }
 }

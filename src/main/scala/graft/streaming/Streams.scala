@@ -350,33 +350,34 @@ object Streams {
       .start()
   }
 
-  /** Streaming ANN index maintenance: each micro-batch of new vectors is
-    * assigned to the FROZEN centroid set and hive-appended to the
-    * centroid-partitioned store (`Ivf.appendToStore`) — the always-on
-    * ingest path that keeps a nightly-trained IVF index fresh between
-    * retrains. Assignment is a deterministic per-row function of
-    * (vector, centroids), so the store a bounded feed converges to is
-    * BIT-IDENTICAL to batch-appending the same vectors (StreamingSpec
-    * asserts it; q_stream_index_append's twin replays
+  /** Streaming ANN index maintenance, EXACTLY-ONCE: each micro-batch of
+    * new vectors is assigned to the FROZEN centroid set and written under
+    * its own `ingest=b<batchId>` key of the store
+    * (`Ivf.writeBatchToStore`, mode Overwrite) — the always-on ingest
+    * path that keeps a nightly-trained IVF index (the `ingest=base`
+    * layer, `Ivf.writeIngestStore`) fresh between retrains. Source
+    * offsets live in the checkpoint and the per-batch write is idempotent
+    * (a replayed batch overwrites its own directory with byte-identical
+    * content — assignment is deterministic), so a crash/restart cannot
+    * double rows: the [[parquetSinkExactlyOnce]] recipe, with centroid_id
+    * kept as a hive partition column beneath the batch key so probe-time
+    * partition pruning is untouched. Assignment being a deterministic
+    * per-row function of (vector, centroids), the store a bounded feed
+    * converges to is row-identical to batch-appending the same vectors
+    * (StreamingSpec asserts it, multiset-strict, and re-fires a batch to
+    * prove replay idempotence; q_stream_index_append's twin replays
     * train-on-resident + assign-union). Pass DRIVER-LOCAL centroids
     * (collected and re-created, k rows) so per-batch assignment doesn't
-    * re-run the training lineage.
-    *
-    * Exactly-once caveat: a batch REPLAYED after a crash re-appends its
-    * rows (hive append is not idempotent). Production feeds that need
-    * crash-idempotence write per-batch directories keyed by batchId —
-    * the [[parquetSinkExactlyOnce]] / [[cdcApply]] versioning pattern —
-    * or dedup on the vector id at probe time; the bounded contract
-    * feed runs each batch exactly once. */
+    * re-run the training lineage. */
   def indexAppend(newVectors: DataFrame, centroids: DataFrame,
       storeDir: String, checkpointDir: String,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.StreamingQuery =
     newVectors.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.similarity.Ivf.appendToStore(batch, centroids, storeDir,
-          idCol, vecCol)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.similarity.Ivf.writeBatchToStore(batch, centroids, storeDir,
+          batchId, idCol, vecCol)
       }
       .start()
 
@@ -430,7 +431,10 @@ object Streams {
       // drain must ALSO free the sink's temp view + driver buffer, or a
       // sweep retrying flaky stream queries accumulates orphaned sinks —
       // the exact leak the detach exists to prevent
-      try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
+      // NonFatal only: swallowing a VM error or a thread interrupt here
+      // would mask the real failure / lose the interrupt (ADVICE r9)
+      try spark.catalog.dropTempView(name)
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

@@ -133,12 +133,18 @@ object ContractStress {
     println(f"${"query"}%-22s ${"wall_s"}%8s ${"rows"}%9s ${"tasks"}%7s ${"worst-stage max/med (ms, tasks)"}")
     for (n <- names) {
       byStage.synchronized(byStage.clear())
-      val df = graft.SparkEntry.queries(n)(spark, outDir)
-      val sp = PlanAudit.singlePartitionViolations(PlanAudit.physicalPlan(df))
-      if (sp.nonEmpty) failures ::= s"$n: ${sp.mkString("; ")}"
+      // time CONSTRUCTION + execution: stored-path queries (q_kn_*_stored,
+      // q_ann_stored_*, q_stream_*) run their train/write actions eagerly
+      // while the frame is built — timing only the final count() would
+      // undersell them vs their in-memory siblings (VERDICT r9 item 6).
+      // Their stages also land in the listener map, so the skew gates see
+      // the whole query, not just the serving read.
       val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(n)(spark, outDir)
       val rows = df.count()
       val wall = (System.nanoTime() - t0) / 1e9
+      val sp = PlanAudit.singlePartitionViolations(PlanAudit.physicalPlan(df))
+      if (sp.nonEmpty) failures ::= s"$n: ${sp.mkString("; ")}"
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -169,10 +175,14 @@ object ContractStress {
       // bin-packing of this harness's tiny files (measured: a probe
       // scan with 7.8x row variance and 1.05x duration — balanced
       // compute, self-healing granularity at scale). Scan-record skew
-      // therefore only gates when duration corroborates (>= 1.5x on a
-      // >= 200 ms median): rows that cost nothing extra to hold in one
-      // task at contract scale will be re-split by the scanner at the
-      // scale where they would start to cost.
+      // therefore only gates when duration corroborates: dSkew > 1.5
+      // with the MAX task >= 500 ms. The floor sits on the straggler,
+      // not the median (ADVICE r9): a 150 ms-median scan whose hot task
+      // runs 4x records AND 4x duration is genuine value-dependent skew
+      // and must gate, while a sub-500 ms max is scheduler/JIT jitter —
+      // rows that cost nothing extra to hold in one task at contract
+      // scale will be re-split by the scanner at the scale where they
+      // would start to cost.
       case class StageSkew(sid: Int, n: Int, durs: Seq[Long],
           shufRecs: Seq[Long], inRecs: Seq[Long], gcs: Seq[Long]) {
         val dMed = math.max(1L, durs(durs.size / 2))
@@ -187,7 +197,7 @@ object ContractStress {
         val rSkew = math.max(sSkew, iSkew)
         val shuffleGates: Boolean = shufRecs.sum >= 10000 && sSkew > 4.0
         val scanGates: Boolean =
-          inRecs.sum >= 10000 && iSkew > 4.0 && dMed >= 200 && dSkew > 1.5
+          inRecs.sum >= 10000 && iSkew > 4.0 && durs.last >= 500 && dSkew > 1.5
         def dataSkewed: Boolean = shuffleGates || scanGates
         // the failure must report the source that GATED — an excused
         // scan-side ratio may be numerically larger than the shuffle

@@ -168,4 +168,76 @@ class IvfSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("candidate pairs"))
   }
+
+  test("recallDrift: one row per (stage, query); stage 0 equals a direct audit") {
+    val resident = corpus.filter($"vec_id" % 5 =!= 0)
+    val w1 = corpus.filter($"vec_id" % 10 === 0)
+    val w2 = corpus.filter($"vec_id" % 10 === 5)
+    val qs = Ann.selfQueries(corpus, 6)
+    val drift = Ivf.recallDrift(resident, Seq(w1, w2), qs, k = 3,
+      nprobe = 2, kCents = 4)
+    val rows = drift.select("stage", "query_id", "n_hit", "recall_at_3")
+      .as[(Int, Long, Long, Double)].collect()
+    assert(rows.length == 18) // 3 stages x 6 queries
+    assert(rows.map(_._1).toSet == Set(0, 1, 2))
+    // stage 0 must equal recallAtK computed directly on the resident-only
+    // corpus with the same frozen centroids
+    val cents = Ivf.train(resident, k = 4, iters = 1, dim = 16)
+    val direct = Ann.recallAtK(
+        Ann.bruteForceTopK(resident, qs, k = 3),
+        Ivf.ivfTopK(resident, qs, cents, k = 3, nprobe = 2), qs, k = 3)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val stage0 = rows.filter(_._1 == 0).map(r => (r._2, r._3, r._4))
+      .toSeq.sorted
+    assert(stage0 == direct)
+  }
+
+  test("requireFreshIndex fires on a distribution-shifted appended batch") {
+    // Resident corpus: two tight clusters around e1 and e2 (the frozen
+    // 2-cell quantizer separates them perfectly). Appended batch: a NEW
+    // cluster on the diagonal (e1+e2)/sqrt(2) — each shifted vector's
+    // cosine to both centroids is ~0.7 and tiny per-vector noise decides
+    // the cell, so the shifted cluster SPLITS across both cells. A
+    // shifted query probing nprobe=1 cell then misses every true
+    // neighbor that landed in the other cell: recall collapses — genuine
+    // frozen-centroid drift, not a plumbing artifact.
+    def unit(dim0: Int, noiseSeed: Int): Array[Float] = {
+      val r = new scala.util.Random(noiseSeed)
+      Array.tabulate(16) { d =>
+        val base = if (d == dim0) 1.0f else 0.0f
+        base + (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    def diag(noiseSeed: Int): Array[Float] = {
+      val r = new scala.util.Random(noiseSeed)
+      Array.tabulate(16) { d =>
+        val base = if (d <= 1) 0.7071f else 0.0f
+        base + (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    // clusters INTERLEAVED by id: the trainer seeds from the two lowest
+    // ids (vec 0 -> e1 cluster, vec 1 -> e2 cluster), so one Lloyd
+    // iteration converges to the true per-cluster means
+    val resident = (0 until 20)
+      .map(i => (i.toLong, unit(if (i % 2 == 0) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    val shifted = (20 until 40).map(i => (i.toLong, diag(i)))
+      .toDF("vec_id", "embedding")
+    val qs = shifted.filter($"vec_id" < 26)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val drift = Ivf.recallDrift(resident, Seq(shifted), qs, k = 3,
+      nprobe = 1, kCents = 2)
+    val e = intercept[IllegalStateException] {
+      Ivf.requireFreshIndex(drift, k = 3, floor = 0.9)
+    }
+    assert(e.getMessage.contains("drifted"))
+    // and a healthy audit passes: the same corpus WITHOUT the shift
+    val healthyWave = resident.filter($"vec_id" % 5 === 0)
+      .select($"vec_id" + 100, $"embedding").toDF("vec_id", "embedding")
+    val healthyQs = resident.filter($"vec_id" < 6)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val healthy = Ivf.recallDrift(resident, Seq(healthyWave), healthyQs,
+      k = 3, nprobe = 1, kCents = 2)
+    assert(Ivf.requireFreshIndex(healthy, k = 3, floor = 0.9) >= 0.9)
+  }
 }

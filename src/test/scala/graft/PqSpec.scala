@@ -96,6 +96,29 @@ class PqSpec extends AnyFunSuite {
     assert(ivf == full)
   }
 
+  test("stored PQ (codebooks + codes + centroids as parquet) probes identically") {
+    val cents = graft.similarity.Ivf.train(corpus, k = 4, iters = 1)
+    val cbs = Pq.trainCodebooks(corpus, m = 4, k = 4, dim = 16)
+    val qs = Ann.selfQueries(corpus, 3)
+    val mem = Pq.ivfAdcTopK(corpus, qs, cents, cbs, k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqstore").toString
+    graft.sources.Sinks.writeParquet(cents, s"$tmp/cents")
+    Pq.writeCodebooks(spark, cbs, s"$tmp/cbs")
+    Pq.writeIvfAdcStore(corpus, cents, cbs, s"$tmp/codes")
+    // codebooks round-trip exactly (floats are parquet-exact)
+    val rtCbs = Pq.readCodebooks(spark, s"$tmp/cbs")
+    assert(rtCbs.length == cbs.length)
+    rtCbs.zip(cbs).foreach { case (a, b) =>
+      assert(a.toSeq.map { case (i, v) => (i, v.toSeq) } ==
+        b.toSeq.map { case (i, v) => (i, v.toSeq) })
+    }
+    val stored = Pq.ivfAdcTopKFromStore(s"$tmp/codes", qs,
+        spark.read.parquet(s"$tmp/cents"), rtCbs, k = 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(stored == mem)
+  }
+
   test("ivfAdcTopK with nprobe=1 only returns neighbors from probed lists") {
     val cents = graft.similarity.Ivf.train(corpus, k = 4, iters = 1)
     val cbs = Pq.trainCodebooks(corpus, m = 4, k = 4, dim = 16)

@@ -438,7 +438,7 @@ class StreamingSpec extends AnyFunSuite {
       java.util.Arrays.asList(cRows: _*), trained.schema)
     val tmp = java.nio.file.Files.createTempDirectory("graft_sidx").toString
     val (streamStore, batchStore) = (s"$tmp/stream", s"$tmp/batch")
-    graft.similarity.Ivf.writeAssignedStore(base, cents, streamStore)
+    graft.similarity.Ivf.writeIngestStore(base, cents, streamStore)
     graft.similarity.Ivf.writeAssignedStore(base, cents, batchStore)
     // batch path: one append of the whole new set
     graft.similarity.Ivf.appendToStore(
@@ -451,11 +451,55 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(batch.take(10)); q.processAllAvailable()
       mem.addData(batch.drop(10)); q.processAllAvailable()
     } finally q.stop()
+    // MULTISET comparison (sorted Seq, not Set): duplicate appended rows —
+    // the exact non-idempotent-replay failure mode — must fail the
+    // assertion, which a Set would silently collapse (ADVICE r9)
     def content(p: String) = spark.read.parquet(p)
-      .select("vec_id", "centroid_id").as[(Long, Int)].collect().toSet
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect()
+      .toSeq.sorted
     val streamed = content(streamStore)
     assert(streamed == content(batchStore))
     assert(streamed.size == 60)
+    assert(spark.read.parquet(streamStore).count() == 60)
+    assert(spark.read.parquet(batchStore).count() == 60)
+  }
+
+  test("indexAppend: a replayed micro-batch rewrites, never duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed + 1000)
+      Array.fill(8)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val batch = (40 until 60).map(i => (i.toLong, vec(i)))
+    val trained = graft.similarity.Ivf.train(base, k = 3, iters = 1, dim = 8)
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidxr").toString
+    val store = s"$tmp/store"
+    graft.similarity.Ivf.writeIngestStore(base, cents, store)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.indexAppend(mem.toDF().toDF("vec_id", "embedding"),
+      cents, store, s"$tmp/ckpt")
+    try {
+      mem.addData(batch.take(10)); q.processAllAvailable()
+      mem.addData(batch.drop(10)); q.processAllAvailable()
+    } finally q.stop()
+    def probe() = graft.similarity.Ivf.ivfTopKFromStore(store,
+        graft.similarity.Ann.selfQueries(base, 5), cents, k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val before = probe()
+    assert(spark.read.parquet(store).count() == 60)
+    // RE-FIRE batch 0 against the same store — exactly what foreachBatch
+    // does when the last checkpointed batch replays after a crash. The
+    // idempotent ingest=b0 overwrite must leave row counts AND the probe
+    // result unchanged (a raw hive append would double batch 0's rows).
+    graft.similarity.Ivf.writeBatchToStore(
+      batch.take(10).toDF("vec_id", "embedding"), cents, store, 0L)
+    assert(spark.read.parquet(store).count() == 60)
+    assert(probe() == before)
   }
 
   test("cdcApply maintains a versioned keyed snapshot across micro-batches") {
