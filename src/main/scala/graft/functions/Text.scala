@@ -1025,58 +1025,148 @@ object Text {
     * Scale shape — the classic trainer factorization: ONE corpus scan
     * builds the word-frequency table; every training round then runs on
     * that BOUNDED vocabulary table (distinct words, not corpus rows), so
-    * at 100 TB the iteration cost is independent of corpus size. The only
-    * driver actions are k one-row argmax collects (the chosen merge must
-    * feed the next round's plan — same bounded pattern as IVF's k
-    * centroids).
+    * at 100 TB the iteration cost is independent of corpus size. The
+    * remaining scale axis is the MERGE COUNT: exact BPE is inherently
+    * sequential (merge i+1's argmax depends on merge i's recount), so a
+    * naive trainer is one driver round trip per merge — 32k sequential
+    * Spark jobs at a production vocabulary. This trainer BATCHES
+    * provably non-interacting merges per round instead: each round
+    * collects the top-`BpeHorizon` pair counts once (one bounded
+    * collect) and accepts the longest PREFIX of the (cnt DESC, l, r)
+    * rank order in which every pair
+    *   (a) counts strictly above the collection horizon (pairs never
+    *       collected, and anything derived from them, can't overtake it),
+    *   (b) shares no symbol with an earlier accepted pair — and none of
+    *       its symbols equals an earlier accepted pair's merged token —
+    *       so its own count is INVARIANT under the earlier merges (a
+    *       merge only creates/destroys adjacencies involving its own
+    *       symbols or its merged token), and
+    *   (c) counts strictly above every collected pair adjacent to an
+    *       accepted pair's symbols (any NEW pair a merge creates is a
+    *       trigram completion "x l r"/"l r y", so its count is bounded
+    *       by the OLD count of (x,l) resp. (r,y); strict > also beats
+    *       lexicographic ties).
+    * By induction each accepted pair equals the argmax the sequential
+    * trainer would have recounted — the merge TABLE IS BIT-IDENTICAL to
+    * one-merge-per-round training (FunctionsSpec differential-tests this
+    * against an independent driver-side trainer at k=60) — while driver
+    * round trips drop from k to the batch count. The bound, measured
+    * (tools/BpeProfile, SCALE.md): exact BPE stays Θ(k) ROUNDS in the
+    * worst case (count ties between adjacent pairs force batch stops),
+    * with a ~2.6-2.9x constant-factor win in practice — k=1000 trains in
+    * 389 rounds / 173 s on a 200k-doc high-entropy corpus, k=100 in 35
+    * rounds; the contract corpus EXHAUSTS (every word one token) at 89
+    * merges in 56 rounds. A 32k-merge production vocabulary is therefore
+    * ~12k sequential Spark rounds — hours, not days, and inherent to
+    * exact argmax training; pipelines that need faster retrains trade
+    * exactness for frequency-threshold batch acceptance. Rounds end
+    * early when no adjacent pair remains: the table then carries fewer
+    * than k merges, which is the correct exhausted-vocabulary answer,
+    * not an error.
     *
     * Engine-portable by construction: words are held as spaced token
     * strings (" a b c ") and a merge is `replace(s, " l r ", " lr ")` —
     * string replace scans left-to-right non-overlapping in Spark and
     * DuckDB alike, which IS the BPE merge rule (" a a a " → " aa a "),
     * so the oracle twin replays training exactly by unrolling the same
-    * k rounds as chained CTEs. Pair counts weight by word frequency and
-    * count every adjacent index (standard trainer counting). */
+    * k merges as chained CTEs (batching changes the JOB count, never
+    * the merges). Pair counts weight by word frequency and count every
+    * adjacent index (standard trainer counting). */
   def bpeTrainMerges(docs: DataFrame, textCol: String = "text",
-      k: Int = 6): DataFrame = {
+      k: Int = 6): DataFrame =
+    bpeTrainMergesCounted(docs, textCol, k)._1
+
+  /** [[bpeTrainMerges]] plus the number of batched rounds it took — the
+    * driver-round-trip count tools/BpeProfile records in SCALE.md's
+    * train-side cost curve. */
+  private[graft] def bpeTrainMergesCounted(docs: DataFrame,
+      textCol: String = "text", k: Int = 6): (DataFrame, Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
-    // " a b c " — leading space + one trailing space per char
+    // " a b c " — leading space + one trailing space per char.
+    // localCheckpoint (not persist): the loop builds round r's vocab FROM
+    // round r-1's, and a cache does not truncate the logical plan — at
+    // tens of rounds the accumulated lineage makes every analysis pass
+    // O(rounds) and the retained per-execution plans OOM the driver (the
+    // k=60 differential test caught exactly this). The eager checkpoint
+    // cuts each round's plan to a LogicalRDD; superseded rounds' blocks
+    // are freed by the ContextCleaner as their references drop.
     var vocab = words.select(
       concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
       col("freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vocab.count() // materialize before the loop re-reads it k times
+      .localCheckpoint(true)
     val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
-    for (r <- 1 to k) {
+    var exhausted = false
+    var rounds = 0
+    while (merges.size < k && !exhausted) {
+      rounds += 1
       val toks = vocab.select(col("freq"), split(trim(col("s")), " ").as("t"))
         .filter(size(col("t")) >= 2) // sequence(0,-1) would count DOWN
-      val best = toks.select(col("freq"), explode(expr(
+      val top = toks.select(col("freq"), explode(expr(
           "transform(sequence(0, size(t)-2), i -> struct(t[i] AS l, t[i+1] AS r))")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()(0) // ONE row: the round's chosen merge
-      val (l, rr, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r, l, rr, cnt))
-      val next = vocab.select(
-        call_function("replace", col("s"),
-          lit(s" $l $rr "), lit(s" $l$rr ")).as("s"),
-        col("freq"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      vocab.unpersist(blocking = false)
-      vocab = next
+        .limit(BpeHorizon)
+        .collect() // bounded: BpeHorizon rows, the round's rank prefix
+        .map(r0 => (r0.getString(0), r0.getString(1), r0.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        // everything NOT collected counts <= horizonCnt; with fewer than
+        // BpeHorizon rows we saw every pair and rule (a) is vacuous
+        val horizonCnt =
+          if (top.length == BpeHorizon) top.last._3 else Long.MinValue
+        val accepted = scala.collection.mutable.Buffer(top.head)
+        var i = 1
+        var stop = false
+        while (!stop && i < top.length &&
+            merges.size + accepted.size < k &&
+            accepted.size < BpeMaxBatch) {
+          val (l, r0, cnt) = top(i)
+          val ok = cnt > horizonCnt &&
+            accepted.forall { case (al, ar, _) =>
+              val merged = al + ar
+              l != al && l != ar && r0 != al && r0 != ar &&
+                l != merged && r0 != merged
+            } &&
+            // (c): no collected pair adjacent to an accepted merge's
+            // symbols may reach this count (new-pair upper bound)
+            accepted.forall { case (al, ar, _) =>
+              top.forall { case (ql, qr, qcnt) =>
+                (qr != al && ql != ar) || cnt > qcnt
+              }
+            }
+          if (ok) accepted += top(i) else stop = true
+          i += 1
+        }
+        // ONE projection applies the whole batch: the chained replaces
+        // commute with the skipped recounts by (b)/(c) above
+        val merged = accepted.foldLeft(col("s")) { case (c, (l, r0, _)) =>
+          call_function("replace", c, lit(s" $l $r0 "), lit(s" $l$r0 "))
+        }
+        accepted.foreach { case (l, r0, cnt) =>
+          merges += ((merges.size + 1, l, r0, cnt))
+        }
+        vocab = vocab.select(merged.as("s"), col("freq"))
+          .localCheckpoint(true) // lineage cut per round, see above
+      }
     }
-    vocab.unpersist(blocking = false)
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
+    (merges.toSeq.toDF("merge_rank", "lhs", "rhs", "freq")
       .select(col("merge_rank"), col("lhs"), col("rhs"),
-        concat(col("lhs"), col("rhs")).as("merged"), col("freq"))
+        concat(col("lhs"), col("rhs")).as("merged"), col("freq")),
+      rounds)
   }
+
+  /** [[bpeTrainMerges]] batching knobs: per round, collect this many
+    * top pairs (the proof horizon — rule (a) refuses anything not
+    * strictly above the uncollected tail) and accept at most this many
+    * merges (bounds the chained-replace expression depth per round). */
+  private val BpeHorizon = 256
+  private val BpeMaxBatch = 64
 
   /** Per-document keyword extraction by TF-rarity rank: a document's top
     * terms are those it repeats most (tf desc) among terms the corpus

@@ -232,19 +232,47 @@ object Ivf {
     * over the same centroids, which is how q_ann_ivf_pruned shares
     * q_ann_ivf's full DuckDB twin. */
   /** Probe selection shared by every IVF-family search path: each query's
-    * nprobe nearest centroids, chosen by sorting the per-row
-    * centroid-score array and exploding the first nprobe — narrow (no
-    * window over the query set). Returns (query_id, query_vec,
+    * nprobe nearest centroids. Returns (query_id, query_vec,
     * centroid_id), one row per probe. ONE body ([[ivfTopK]],
     * [[ivfTopKFromStore]], Pq.ivfAdcTopK, Pq.ivfAdcTopKFromStore) so the
-    * in-memory and stored probes can never drift. */
-  private[similarity] def probeSelection(queries: DataFrame,
-      cents: Array[(Int, Seq[Float])], nprobe: Int): DataFrame = {
-    val qScores = array(centroidScores(cents, col("query_vec")).toSeq: _*)
-    queries.select(col("query_id"), col("query_vec"),
-        explode(slice(sort_array(qScores, asc = false), 1, nprobe)).as("pc"))
-      .select(col("query_id"), col("query_vec"),
-        (-col("pc.neg_id")).cast(IntegerType).as("centroid_id"))
+    * in-memory and stored probes can never drift.
+    *
+    * Same two formulations as [[assignTo]], same switch: small k sorts a
+    * per-row array of k scored-struct literals and explodes the first
+    * nprobe — narrow, no shuffle, no join. Past [[GreatestMaxK]] that
+    * literal array is O(k·dim) generated code (782 cells × 64 dims ≈ 50k
+    * constants — compile-time and JIT death, the exact bound the
+    * NearestCentroid kernel removed from assignment), so large k scores
+    * a broadcast centroid TABLE (k driver-local rows) against the query
+    * set and ranks with the k-bounded TopK aggregate — no window over
+    * the query set, |partitions|×nprobe rows shuffled per query. The
+    * TopK comparator (cosine DESC, id ASC) is the struct ordering, so
+    * both paths pick identical probes (IvfSpec asserts parity). */
+  private[graft] def probeSelection(queries: DataFrame,
+      cents: Array[(Int, Seq[Float])], nprobe: Int,
+      useAggregate: Option[Boolean] = None): DataFrame = {
+    val sorted = cents.sortBy(_._1)
+    if (useAggregate.getOrElse(sorted.length > GreatestMaxK)) {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val centsDf = sorted.toSeq.map { case (cid, v) => (cid.toLong, v) }
+        .toDF("cent_id", "centroid")
+      val scored = queries.crossJoin(broadcast(centsDf))
+        .select(col("query_id"),
+          native.vec_cosine(col("query_vec"), col("centroid")).as("cosine"),
+          col("cent_id").as("neighbor_id"))
+      Ann.topKPerQuery(scored, nprobe)
+        .select(col("query_id"),
+          col("neighbor_id").cast(IntegerType).as("centroid_id"))
+        .join(queries.select(col("query_id"), col("query_vec")), "query_id")
+        .select(col("query_id"), col("query_vec"), col("centroid_id"))
+    } else {
+      val qScores = array(centroidScores(sorted, col("query_vec")).toSeq: _*)
+      queries.select(col("query_id"), col("query_vec"),
+          explode(slice(sort_array(qScores, asc = false), 1, nprobe)).as("pc"))
+        .select(col("query_id"), col("query_vec"),
+          (-col("pc.neg_id")).cast(IntegerType).as("centroid_id"))
+    }
   }
 
   def ivfTopKFromStore(storePath: String, queries: DataFrame,
@@ -404,12 +432,16 @@ object Ivf {
       iters: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = resident.sparkSession
-    val trained = train(resident, kCents, iters, idCol, vecCol)
+    // slim every input to (id, vector): the audit needs nothing else and
+    // callers' side columns must not constrain the union
+    val slim = (df: DataFrame) => df.select(col(idCol), col(vecCol))
+    val trained = train(slim(resident), kCents, iters, idCol, vecCol)
     val cRows = trained.collect() // k centroid rows, driver-sized
     val cents = spark.createDataFrame(
       java.util.Arrays.asList(cRows: _*), trained.schema)
     (0 to waves.size).map { stage =>
-      val corpus = (resident +: waves.take(stage)).reduce(_ unionByName _)
+      val corpus = (slim(resident) +: waves.take(stage).map(slim))
+        .reduce(_ unionByName _)
       val exact = Ann.bruteForceTopK(corpus, queries, k, idCol, vecCol)
       val approx = ivfTopK(corpus, queries, cents, k, nprobe, idCol, vecCol)
       Ann.recallAtK(exact, approx, queries, k)

@@ -68,7 +68,7 @@ object ScaleStress {
     // ANN pipelines run on a separately-built embeddings stress corpus:
     // skip the (expensive) documents corpus entirely on an ANN-only run
     val annNames = Set("ivf_train_scaled", "ivf_append", "pq_encode",
-      "knn_graph_auto", "knn_graph_fixed_priced")
+      "knn_graph_auto", "knn_graph_fixed_priced", "ann_drift_gate")
     val docsNeeded = only.forall(_.exists(n => !annNames.contains(n)))
 
     val marker = new java.io.File(s"$outDir/.factor_${factor}_rep$repCap")
@@ -340,6 +340,49 @@ object ScaleStress {
         // the ~256-sized cells this corpus prices to)
         "knn_graph_auto" -> (() => Ivf.knnGraphAuto(emb, k = 3,
           targetCellSize = 256, pairBudget = 400000000L, iters = 1)),
+        // the recall-drift retrain trigger at scale (VERDICT r9 item 2):
+        // an IN-DISTRIBUTION appended wave (duplicates of corpus vectors
+        // under new ids — each lands in its own cluster's cell, true
+        // neighbors co-located) must pass the 0.8 recall floor, and a
+        // SHIFTED wave (dimension-REVERSED embeddings — a genuine
+        // distribution shift: new directions uncorrelated with every
+        // trained centroid, e.g. a new encoder/modality feeding the same
+        // store) must make Ivf.requireFreshIndex throw: the reversed
+        // vectors' true neighbors scatter across cells the frozen
+        // quantizer never carved for them. Both audits run the full
+        // recallDrift measurement against exact brute force at the
+        // scaled cell count.
+        "ann_drift_gate" -> (() => {
+          import graft.similarity.Ivf
+          val inWave = emb.filter(col("vec_id") % 991 === 0)
+            .select((col("vec_id") + nVec * 100).as("vec_id"),
+              col("embedding"))
+          val inQs = inWave.orderBy("vec_id").limit(10)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("query_vec"))
+          val healthy = Ivf.recallDrift(emb, Seq(inWave), inQs, k = 5,
+            nprobe = 2, kCents = cellsScaled)
+          val hMean = Ivf.requireFreshIndex(healthy, k = 5, floor = 0.8)
+          println(f"[stress] in-distribution wave: last-stage mean " +
+            f"recall@5 = $hMean%.4f (floor 0.8 passes)")
+          val shifted = emb.filter(col("vec_id") % 997 === 0)
+            .select((col("vec_id") + nVec * 200).as("vec_id"),
+              expr("reverse(embedding)").as("embedding"))
+          val sQs = shifted.orderBy("vec_id").limit(10)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("query_vec"))
+          val drifted = Ivf.recallDrift(emb, Seq(shifted), sQs, k = 5,
+            nprobe = 2, kCents = cellsScaled)
+          val fired =
+            try { Ivf.requireFreshIndex(drifted, k = 5, floor = 0.8); false }
+            catch { case e: IllegalStateException =>
+              println(s"[stress] shifted wave: TRIGGER FIRED — ${e.getMessage}")
+              true
+            }
+          require(fired, "shifted wave did not trip the retrain gate")
+          import spark.implicits._
+          Seq((hMean, fired)).toDF("healthy_mean_recall", "trigger_fired")
+        }),
         // the superlinear shape the gate exists for, PRICED not run: the
         // contract query's FIXED 8 cells at this corpus — cellCost says
         // how many pairs the self-join would enumerate (Θ(n²/8))

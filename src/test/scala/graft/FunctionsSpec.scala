@@ -563,6 +563,59 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrainMerges batched rounds equal one-merge-per-round training (k=60)") {
+    // independent oracle: a plain-Scala SEQUENTIAL trainer — argmax over
+    // a full recount (cnt DESC, l ASC, r ASC), one merge at a time. The
+    // engine's batched prefix acceptance must reproduce its merge table
+    // bit-for-bit (the provably-non-interacting claim).
+    def seqTrain(words: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] = {
+      var vocab = words.map { case (w, f) =>
+        (" " + w.toCharArray.map(c => s"$c ").mkString, f)
+      }
+      val out = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+      var rank = 1
+      while (rank <= k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        vocab.foreach { case (s, f) =>
+          val t = s.trim.split(" ")
+          var i = 0
+          while (i < t.length - 1) { counts((t(i), t(i + 1))) += f; i += 1 }
+        }
+        if (counts.isEmpty) rank = k + 1
+        else {
+          val ((l, r), cnt) = counts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.head
+          out += ((rank, l, r, cnt))
+          vocab = vocab.map { case (s, f) =>
+            (s.replace(s" $l $r ", s" $l$r "), f)
+          }
+          rank += 1
+        }
+      }
+      out.toSeq
+    }
+    // seeded corpus over a 6-letter alphabet: enough distinct counts for
+    // real batching, enough collisions for ties and interacting prefixes
+    val rnd = new scala.util.Random(20260816L)
+    val docs = (1 to 120).map { i =>
+      val words = (1 to (3 + rnd.nextInt(8))).map { _ =>
+        val n = 1 + rnd.nextInt(8)
+        (1 to n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val wordFreqs = docs.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = seqTrain(wordFreqs, 60)
+    val got = Text.bpeTrainMerges(docs, k = 60).orderBy("merge_rank")
+      .select("merge_rank", "lhs", "rhs", "freq")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
   test("BpeKernel: floor-cursor order matches the replace CHAIN, not pure greedy") {
     // A late merge creates a symbol colliding with an earlier merge's
     // component: rank 3 ("a","bc") produces "abc", and rank 2 ("abc","d")

@@ -169,6 +169,19 @@ class IvfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("candidate pairs"))
   }
 
+  test("probeSelection: aggregate path ≡ literal-array path") {
+    val cents = Ivf.train(corpus, k = 4, iters = 1, dim = 16)
+    val cArr = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val qs = Ann.selfQueries(corpus, 8)
+    def run(agg: Boolean) =
+      Ivf.probeSelection(qs, cArr, nprobe = 2, Some(agg))
+        .select("query_id", "centroid_id").as[(Long, Int)]
+        .collect().toSeq.sorted
+    assert(run(true) == run(false))
+    assert(run(true).size == 16) // 8 queries x nprobe 2
+  }
+
   test("recallDrift: one row per (stage, query); stage 0 equals a direct audit") {
     val resident = corpus.filter($"vec_id" % 5 =!= 0)
     val w1 = corpus.filter($"vec_id" % 10 === 0)
