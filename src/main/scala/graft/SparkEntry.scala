@@ -2734,7 +2734,13 @@ object SparkEntry {
       val drift = graft.similarity.Ivf.recallDrift(resident, Seq(w1, w2),
           Ann.selfQueries(emb, 10), k = 5, nprobe = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.similarity.Ivf.requireFreshIndex(drift, k = 5, floor = 0.2)
+      // a tripped gate must not leak the cached audit (the knnGraphAuto
+      // unpersist-before-throw rule); on success the cache backs the
+      // returned frame and the sweep's per-query cleanup reclaims it
+      try graft.similarity.Ivf.requireFreshIndex(drift, k = 5, floor = 0.2)
+      catch { case t: Throwable =>
+        drift.unpersist(blocking = false); throw t
+      }
       drift.orderBy("stage", "query_id")
     }),
 

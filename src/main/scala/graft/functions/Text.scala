@@ -1040,12 +1040,24 @@ object Text {
     *       its symbols equals an earlier accepted pair's merged token —
     *       so its own count is INVARIANT under the earlier merges (a
     *       merge only creates/destroys adjacencies involving its own
-    *       symbols or its merged token), and
+    *       symbols or its merged token),
     *   (c) counts strictly above every collected pair adjacent to an
     *       accepted pair's symbols (any NEW pair a merge creates is a
     *       trigram completion "x l r"/"l r y", so its count is bounded
     *       by the OLD count of (x,l) resp. (r,y); strict > also beats
-    *       lexicographic ties).
+    *       lexicographic ties), and
+    *   (d) every EARLIER accepted pair's merged token is a FRESH string
+    *       — not in the current symbol alphabet (tracked on the driver:
+    *       the corpus's distinct characters, collected once, plus every
+    *       merge applied so far) and not another accepted pair's merged
+    *       token. Without (d), rule (c)'s new-pairs-start-from-zero
+    *       bound is unsound: if merge j's output string collides with
+    *       an EXISTING symbol T, standing pairs (x,T) GAIN count on top
+    *       of their old rank and can overtake the candidate (the
+    *       BpeKernel floor-cursor test documents exactly this collision
+    *       shape — "a"+"bc" producing an "abc" that already exists).
+    *       A colliding merge still gets accepted — as the LAST member
+    *       of its batch.
     * By induction each accepted pair equals the argmax the sequential
     * trainer would have recounted — the merge TABLE IS BIT-IDENTICAL to
     * one-merge-per-round training (FunctionsSpec differential-tests this
@@ -1100,6 +1112,13 @@ object Text {
       col("freq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    // rule (d)'s symbol alphabet: the corpus's distinct characters (one
+    // bounded collect — |alphabet| rows) plus every merge applied so far
+    val symbols = scala.collection.mutable.Set.empty[String]
+    symbols ++= vocab
+      .select(explode(split(trim(col("s")), " ")).as("c"))
+      .filter(col("c") =!= "").distinct()
+      .collect().map(_.getString(0))
     var exhausted = false
     var rounds = 0
     while (merges.size < k && !exhausted) {
@@ -1139,7 +1158,15 @@ object Text {
               top.forall { case (ql, qr, qcnt) =>
                 (qr != al && ql != ar) || cnt > qcnt
               }
-            }
+            } &&
+            // (d): every earlier accepted merge's output token must be
+            // FRESH — a collision with a standing symbol lets existing
+            // pairs GAIN count past rule (c)'s bound
+            accepted.forall { case (al, ar, _) =>
+              !symbols.contains(al + ar)
+            } &&
+            accepted.map { case (al, ar, _) => al + ar }.distinct.size ==
+              accepted.size
           if (ok) accepted += top(i) else stop = true
           i += 1
         }

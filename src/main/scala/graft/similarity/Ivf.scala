@@ -247,7 +247,12 @@ object Ivf {
     * set and ranks with the k-bounded TopK aggregate — no window over
     * the query set, |partitions|×nprobe rows shuffled per query. The
     * TopK comparator (cosine DESC, id ASC) is the struct ordering, so
-    * both paths pick identical probes (IvfSpec asserts parity). */
+    * both paths pick identical probes (IvfSpec asserts parity).
+    * PRECONDITION: query_id uniquely identifies a query row (true for
+    * every caller — Ann.selfQueries and the stored probes) — the
+    * aggregate path groups scores BY query_id, so duplicate ids with
+    * different vectors would merge their probe sets where the literal
+    * path scores each row independently. */
   private[graft] def probeSelection(queries: DataFrame,
       cents: Array[(Int, Seq[Float])], nprobe: Int,
       useAggregate: Option[Boolean] = None): DataFrame = {

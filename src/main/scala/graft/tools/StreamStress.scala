@@ -44,9 +44,13 @@ object StreamStress {
       spark.sparkContext.hadoopConfiguration)
 
     // ---- factor-x events corpus (key-shifted replication) ----
+    // an index_append-only run must not pay for the event corpus build,
+    // its count, or the phase-boundary quantiles (the ScaleStress
+    // docsNeeded guard)
+    val eventsNeeded = only.forall(_.exists(_.startsWith("stream_")))
     val evOut = s"$outDir/events.parquet"
     val marker = new java.io.File(s"$outDir/.factor_$factor")
-    if (!marker.exists()) {
+    if (eventsNeeded && !marker.exists()) {
       new java.io.File(outDir).mkdirs()
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith(".factor_")).foreach(_.delete())
@@ -64,14 +68,14 @@ object StreamStress {
       marker.createNewFile()
       println(s"[stress] built ${factor}x event feed at $evOut")
     }
-    val events = spark.read.parquet(evOut)
+    lazy val events = spark.read.parquet(evOut)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = events.count()
+    lazy val total = events.count()
 
     // time-ordered phase boundaries: contiguous event-time ranges so
     // each drain advances the watermark past the previous phase
-    val eventsMs = events.withColumn("ts_ms", unix_millis(col("ts")))
-    val bounds: Seq[(Long, Long)] = {
+    lazy val eventsMs = events.withColumn("ts_ms", unix_millis(col("ts")))
+    lazy val bounds: Seq[(Long, Long)] = {
       val qs = eventsMs.stat.approxQuantile("ts_ms",
         (1 until phases).map(_.toDouble / phases).toArray, 0.0)
         .map(_.toLong)
@@ -201,8 +205,12 @@ object StreamStress {
       val t0 = System.nanoTime()
       Ivf.writeIngestStore(resident, cents, store)
       val baseWall = (System.nanoTime() - t0) / 1e9
+      // batchAll ids are all multiples of 10, so phase on vec_id/10 —
+      // pmod(vec_id, phases) would land EVERY row in phase 0 at the
+      // default phases=10 and measure one bulk append, not incremental
+      // ingest (self-review finding)
       def phase(i: Int): Unit =
-        batchAll.filter(pmod(col("vec_id"), lit(phases)) === i)
+        batchAll.filter(pmod(expr("vec_id div 10"), lit(phases)) === i)
           .coalesce(4).write.mode("append").parquet(feed)
       phase(0)
       val ss = spark.newSession()

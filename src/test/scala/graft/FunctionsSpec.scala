@@ -614,6 +614,29 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getLong(3))).toSeq
     assert(got == expected)
+
+    // adversarial corpus: a 2-letter alphabet with short words makes
+    // merged-token STRING COLLISIONS routine ("a"+"ab" and "aa"+"b"
+    // both produce "aab"; later merges recreate standing symbols) — the
+    // case where a standing pair GAINS count from a merge and rule (d)
+    // must stop the batch for exactness (the self-review finding)
+    val rnd2 = new scala.util.Random(77L)
+    val docs2 = (1 to 150).map { i =>
+      val words = (1 to (4 + rnd2.nextInt(6))).map { _ =>
+        val n = 1 + rnd2.nextInt(6)
+        (1 to n).map(_ => ('a' + rnd2.nextInt(2)).toChar).mkString
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val wordFreqs2 = docs2.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected2 = seqTrain(wordFreqs2, 40)
+    val got2 = Text.bpeTrainMerges(docs2, k = 40).orderBy("merge_rank")
+      .select("merge_rank", "lhs", "rhs", "freq")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got2 == expected2)
   }
 
   test("BpeKernel: floor-cursor order matches the replace CHAIN, not pure greedy") {
