@@ -73,6 +73,49 @@ object SparkEntry {
   }
   private def scratch(name: String): String = s"$scratchRoot/$name"
 
+  /** Shared builder for the streamed-ingest-store queries: trains IVF on
+    * the resident 80% of embeddings, writes the `ingest=base` layer,
+    * streams the 20% batch through Streams.indexAppend in two
+    * exactly-once micro-batches, and returns (store root, driver-local
+    * centroids). ONE body for q_stream_index_append and
+    * q_stream_index_compact so the two contract paths can never drift. */
+  private def buildStreamedIngestStore(s: SparkSession, dir: String,
+      feed: String): (String, DataFrame) = {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+    val trained = graft.similarity.Ivf.train(base, k = 8, iters = 1)
+    // driver-local centroids (k rows): per-batch assignment must not
+    // re-run the training lineage inside foreachBatch
+    val cRows = trained.collect()
+    val cents = s.createDataFrame(
+      java.util.Arrays.asList(cRows: _*), trained.schema)
+    val store = scratch("ivf_stream_store")
+    // fresh root per run: stale ingest=b* keys from a prior in-process
+    // run (QueryBench runs queries 3x) must not leak into this run's
+    // probe — batch numbering restarts with the fresh checkpoint, and
+    // only ingest=base is overwritten by the base write
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(store), true)
+    graft.similarity.Ivf.writeIngestStore(base, cents, store)
+    val in = s"$feed/in"; new java.io.File(in).mkdirs()
+    // phase files: each phase ONE atomically-renamed parquet file
+    def phase(p: DataFrame): Unit =
+      p.coalesce(1).write.mode("append").parquet(in)
+    phase(batch.filter(col("vec_id") % 10 === 0)) // lands before start
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val src = ss.readStream.schema(ss.read.parquet(in).schema).parquet(in)
+    val q = graft.streaming.Streams.indexAppend(src, cents, store,
+      s"$feed/ckpt")
+    try {
+      q.processAllAvailable()
+      phase(batch.filter(col("vec_id") % 10 =!= 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    (store, cents)
+  }
+
   /** Exact decimal view of a 2-dp monetary/quantity double. */
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
   /** Order-independent SUM of a 2-dp double, returned as DOUBLE. */
@@ -934,40 +977,34 @@ object SparkEntry {
     // under the per-process scratch root; feed + checkpoint are
     // temp-scoped.
     "q_stream_index_append" -> ((s, dir) => withTempFeed("graft_sindex") { feed =>
-      val emb = t(s, dir, "embeddings")
-      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
-      val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
-      val trained = graft.similarity.Ivf.train(base, k = 8, iters = 1)
-      // driver-local centroids (k rows): per-batch assignment must not
-      // re-run the training lineage inside foreachBatch
-      val cRows = trained.collect()
-      val cents = s.createDataFrame(
-        java.util.Arrays.asList(cRows: _*), trained.schema)
-      val store = scratch("ivf_stream_store")
-      // fresh root per run: stale ingest=b* keys from a prior in-process
-      // run (QueryBench runs queries 3x) must not leak into this run's
-      // probe — batch numbering restarts with the fresh checkpoint, and
-      // only ingest=base is overwritten by the base write
-      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(store), true)
-      graft.similarity.Ivf.writeIngestStore(base, cents, store)
-      val in = s"$feed/in"; new java.io.File(in).mkdirs()
-      // phase files: each phase ONE atomically-renamed parquet file
-      def phase(p: DataFrame): Unit =
-        p.coalesce(1).write.mode("append").parquet(in)
-      phase(batch.filter(col("vec_id") % 10 === 0)) // lands before start
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "4")
-      val src = ss.readStream.schema(ss.read.parquet(in).schema).parquet(in)
-      val q = graft.streaming.Streams.indexAppend(src, cents, store,
-        s"$feed/ckpt")
-      try {
-        q.processAllAvailable()
-        phase(batch.filter(col("vec_id") % 10 =!= 0))
-        q.processAllAvailable()
-      } finally q.stop()
+      val (store, cents) = buildStreamedIngestStore(s, dir, feed)
       graft.similarity.Ivf.ivfTopKFromStore(store,
-          Ann.selfQueries(emb, 10), cents, k = 5, nprobe = 2)
+          Ann.selfQueries(t(s, dir, "embeddings"), 10), cents,
+          k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // index-store COMPACTION (the maintenance step of the always-on
+    // ingest lifecycle): the same exactly-once streamed store, folded
+    // into a fresh single-base root — every micro-batch adds ~one file
+    // per touched cell, so an unbounded feed means unbounded file
+    // counts; compaction is one read + one range-clustered rewrite (no
+    // centroid work — rows are already assigned). The in-line require
+    // gates that compaction actually shrank the file count, and the
+    // probe of the COMPACTED store carries the same rows — so the twin
+    // is q_ann_incremental's verbatim, shared with the append query
+    "q_stream_index_compact" -> ((s, dir) => withTempFeed("graft_sindexc") { feed =>
+      val (store, cents) = buildStreamedIngestStore(s, dir, feed)
+      val compacted = scratch("ivf_compacted_store")
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(compacted), true)
+      val (before, after) =
+        graft.similarity.Ivf.compactIngestStore(s, store, compacted)
+      require(after < before,
+        s"compaction must shrink the store: $before -> $after files")
+      graft.similarity.Ivf.ivfTopKFromStore(compacted,
+          Ann.selfQueries(t(s, dir, "embeddings"), 10), cents,
+          k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -2713,6 +2750,37 @@ object SparkEntry {
       val storedCents = s.read.parquet(centsPath)
       graft.similarity.Ivf.ivfTopKFromStore(store, Ann.selfQueries(emb, 10),
           storedCents, k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // VERSIONED REINDEX — the swap step the drift gate demands, run as
+    // the scheduled (nightly) retrain: v=1 trains on the resident 80%
+    // and the 20% batch appends to v=1's lists under the frozen
+    // centroids; the retrain then reads THE STORE'S OWN ROWS (resident
+    // + appended = the full corpus, in whatever order the store holds
+    // them — training is a bit-deterministic pure function of content)
+    // and writes a complete v=2 while v=1 stays intact; the probe
+    // resolves the newest version. Probing v=2 therefore equals
+    // training on the full table directly, so the twin is q_ann_ivf's
+    // full k-means twin VERBATIM. The conditional (drift-gated) branch
+    // of the same loop is IvfSpec-driven and 30x/100x-stressed.
+    "q_ann_reindex" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = scratch("ivf_versioned")
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val resident = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val v1 = graft.similarity.Ivf.writeVersionedIndex(resident, k = 8, root)
+      val cents = s.read.parquet(s"$root/v=$v1/centroids")
+      graft.similarity.Ivf.writeBatchToStore(batch, cents,
+        s"$root/v=$v1/store", 0L)
+      val corpus = s.read.parquet(s"$root/v=$v1/store")
+        .select(col("vec_id"), col("embedding"))
+      val v2 = graft.similarity.Ivf.writeVersionedIndex(corpus, k = 8, root)
+      require(v2 == v1 + 1, s"retrain must write the next version: $v1 -> $v2")
+      graft.similarity.Ivf.ivfTopKFromVersioned(s, root,
+          Ann.selfQueries(emb, 10), k = 5, nprobe = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -7856,6 +7924,11 @@ object SparkEntry {
 
     "q_ann_ivf_pruned" -> ivfFullTwin(2),
 
+    // compacted streamed store: compaction rewrites the same rows, so
+    // the probe — and the twin — are the append query's verbatim
+    "q_stream_index_compact" ->
+      (kmeansAssignBaseCtes("vec_id % 5 <> 0") + ivfProbeSuffix(10)),
+
     // fully-stored index (centroids + lists both from parquet): FLOAT
     // columns round-trip bit-exactly, so the probe result — and the
     // twin — are q_ann_ivf's verbatim
@@ -7864,6 +7937,11 @@ object SparkEntry {
     // recall-drift audit: three complete train-on-resident →
     // assign-stage-corpus → probe → recall stage replays, UNION ALL'd
     "q_ann_drift" -> annDriftTwin,
+
+    // versioned reindex: v=2 retrains on the store's own rows = the
+    // full corpus (training is content-deterministic), so the newest-
+    // version probe is q_ann_ivf's full twin verbatim
+    "q_ann_reindex" -> ivfFullTwin(10),
 
     // both the exact and the LSH-bucketed top-5 recomputed, intersected
     // per query; zero-hit queries kept by the left join

@@ -223,6 +223,39 @@ object Ivf {
       partitionCols = Seq("centroid_id"),
       mode = org.apache.spark.sql.SaveMode.Overwrite)
 
+  /** Compact an INGEST-KEYED store ([[writeIngestStore]] base +
+    * streamed [[writeBatchToStore]] layers) into a fresh single-base
+    * root at `dstPath` — the table-maintenance step of the always-on
+    * ingest lifecycle: every micro-batch adds ~one file per touched
+    * cell, so an unbounded feed means unbounded file counts and
+    * probe-time listing/footer cost (the Sinks.compact rationale,
+    * applied to the index store). Rows are ALREADY assigned — the
+    * rewrite is one read + one range-clustered partitioned write, no
+    * centroid work — and carries every layer, so the compacted store
+    * answers probes identically to the layered one (IvfSpec asserts it;
+    * q_stream_index_compact hash-checks it). Like Sinks.compact, the
+    * rewrite is a fresh dataset: a production deployment swaps it in
+    * via its manifest/metastore pointer, which also gives the swap
+    * atomicity that in-place deletion could not. Returns
+    * (filesBefore, filesAfter). */
+  def compactIngestStore(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (Int, Int) = {
+    def countFiles(p: String): Int = {
+      val path = new org.apache.hadoop.fs.Path(s"$p/ingest=*/centroid_id=*/part-*")
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .globStatus(path).length
+    }
+    val before = countFiles(srcPath)
+    graft.sources.Sinks.writeParquet(
+      spark.read.parquet(srcPath)
+        .select(col(idCol), col(vecCol), col("centroid_id"))
+        .repartitionByRange(col("centroid_id"), col(idCol)),
+      s"$dstPath/ingest=base",
+      partitionCols = Seq("centroid_id"))
+    (before, countFiles(dstPath))
+  }
+
   /** IVF top-k against a [[writeAssignedStore]] layout: the probe set (the
     * union of every query's nprobe nearest centroids — at most k ids,
     * driver-sized by construction) becomes an IN filter on the partition
@@ -452,6 +485,87 @@ object Ivf {
       Ann.recallAtK(exact, approx, queries, k)
         .select(lit(stage).as("stage"), col("*"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Newest version of a VERSIONED index root (`root/v=N/{centroids,
+    * store}`) — 0 when the root is empty. The version layout is the
+    * cdcApply snapshot pattern applied to the index lifecycle: a retrain
+    * builds v=N+1 COMPLETELY while v=N keeps serving, and probe-time
+    * version resolution IS the atomic swap (no in-place mutation of a
+    * serving index anywhere). */
+  def indexVersion(spark: org.apache.spark.sql.SparkSession,
+      root: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Train on `corpus` and write a COMPLETE new index version under
+    * `root/v=<current+1>`: centroids as parquet plus the ingest-keyed
+    * list store ([[writeIngestStore]] — streamed batches land under the
+    * same version via [[writeBatchToStore]]). Returns the new version.
+    * Training is the bit-deterministic [[train]], so the written index
+    * is a pure function of the corpus CONTENT (row order and
+    * partitioning are irrelevant — the ordered-fold guarantee), which
+    * is what lets q_ann_reindex retrain from the store's own rows and
+    * still share q_ann_ivf's full twin. */
+  def writeVersionedIndex(corpus: DataFrame, k: Int, root: String,
+      iters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    val spark = corpus.sparkSession
+    val v = indexVersion(spark, root) + 1
+    val trained = train(corpus, k, iters, idCol, vecCol)
+    val cRows = trained.collect() // k rows, driver-sized
+    val cents = spark.createDataFrame(
+      java.util.Arrays.asList(cRows: _*), trained.schema)
+    graft.sources.Sinks.writeParquet(cents, s"$root/v=$v/centroids")
+    writeIngestStore(corpus, cents, s"$root/v=$v/store", idCol, vecCol)
+    v
+  }
+
+  /** Probe the NEWEST version of a versioned index root. */
+  def ivfTopKFromVersioned(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = indexVersion(spark, root)
+    require(v > 0, s"no index version under $root")
+    ivfTopKFromStore(s"$root/v=$v/store", queries,
+      spark.read.parquet(s"$root/v=$v/centroids"), k, nprobe, idCol, vecCol)
+  }
+
+  /** The closed drift→retrain→swap loop: audit the newest version's
+    * FROZEN centroids against the corpus NOW IN ITS STORE (resident +
+    * every appended batch) — recall@k of the stored-index probe vs
+    * exact brute force over the same rows — and, when mean recall falls
+    * below `floor`, retrain on those rows and write v+1 (the swap).
+    * Returns (servingVersion, measuredRecall): unchanged version on a
+    * healthy audit, the new one after a retrain. Everything is
+    * deterministic given the store content, and the retrained index is
+    * [[writeVersionedIndex]]'s pure function of it. IvfSpec drives both
+    * branches (healthy → version kept; a dimension-reversed appended
+    * wave → retrain fires AND the new version's recall recovers);
+    * ScaleStress's ann_drift_gate is the same audit at 30×/100×. */
+  def reindexIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int, nprobe: Int = 2,
+      floor: Double = 0.8, kCents: Int = 8, iters: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Long, Double) = {
+    val v = indexVersion(spark, root)
+    require(v > 0, s"no index version under $root")
+    val corpus = spark.read.parquet(s"$root/v=$v/store")
+      .select(col(idCol), col(vecCol))
+    val cents = spark.read.parquet(s"$root/v=$v/centroids")
+    val exact = Ann.bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    val approx = ivfTopKFromStore(s"$root/v=$v/store", queries, cents,
+      k, nprobe, idCol, vecCol)
+    val recall = Ann.recallAtK(exact, approx, queries, k)
+      .agg(avg(col(s"recall_at_$k"))).head().getDouble(0)
+    if (recall < floor)
+      (writeVersionedIndex(corpus, kCents, root, iters, idCol, vecCol), recall)
+    else (v, recall)
   }
 
   /** Retrain trigger over a [[recallDrift]] audit: the LAST stage (the

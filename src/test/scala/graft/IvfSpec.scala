@@ -169,6 +169,89 @@ class IvfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("candidate pairs"))
   }
 
+  test("reindexIfDrifted: healthy store keeps its version; a shifted wave retrains and recovers") {
+    // same two-cluster construction as the requireFreshIndex test:
+    // interleaved e1/e2 clusters train a clean 2-cell quantizer; the
+    // appended diagonal cluster splits across cells under the FROZEN
+    // v=1 centroids and nprobe=1 probes miss — reindex must fire, and
+    // the v=2 quantizer (trained on the full store) must carve a cell
+    // for the new cluster so recall recovers
+    def unit(dim0: Int, seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(16) { d =>
+        (if (d == dim0) 1.0f else 0.0f) +
+          (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    def e3(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(16) { d =>
+        (if (d == 2) 1.0f else 0.0f) +
+          (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    // resident ids 3..22 (e1/e2 interleaved); the shifted e3 cluster
+    // carries ONE LOW id (2) plus 28..46 — so the v=2 retrain's
+    // lowest-3-id seeding (vecs 3, 4, 2 -> e1, e2, e3) covers all three
+    // clusters and one Lloyd iteration lands at the true means
+    val resident = (3 until 23)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_reindex").toString + "/idx"
+    val v1 = Ivf.writeVersionedIndex(resident, k = 2, root)
+    assert(v1 == 1L && Ivf.indexVersion(spark, root) == 1L)
+    // healthy audit: resident queries, their neighbors in their own cell
+    val healthyQs = resident.filter($"vec_id" < 9)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val (vKept, rHealthy) = Ivf.reindexIfDrifted(spark, root, healthyQs,
+      k = 3, nprobe = 1, floor = 0.9, kCents = 2)
+    assert(vKept == 1L && rHealthy >= 0.9)
+    // shifted (orthogonal e3) wave appended under the FROZEN centroids:
+    // cosine to both v=1 centroids is ~0 so noise scatters the cluster
+    // across cells and nprobe=1 probes miss their true neighbors
+    val shifted = (Seq(2L) ++ (28L until 47L))
+      .map(i => (i, e3(i.toInt))).toDF("vec_id", "embedding")
+    val cents = spark.read.parquet(s"$root/v=1/centroids")
+    Ivf.writeBatchToStore(shifted, cents, s"$root/v=1/store", 0L)
+    val shiftedQs = shifted.orderBy("vec_id").limit(6)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    // kCents=3: the retrain gives the new cluster its own cell
+    val (vNew, rDrifted) = Ivf.reindexIfDrifted(spark, root, shiftedQs,
+      k = 3, nprobe = 1, floor = 0.9, kCents = 3)
+    assert(vNew == 2L && rDrifted < 0.9)
+    assert(Ivf.indexVersion(spark, root) == 2L)
+    // the swap recovered recall: audit the NEW version with the same
+    // queries — post-retrain the audit must pass the same floor
+    val (vStable, rAfter) = Ivf.reindexIfDrifted(spark, root, shiftedQs,
+      k = 3, nprobe = 1, floor = 0.9, kCents = 3)
+    assert(vStable == 2L && rAfter >= 0.9)
+    // v=1 is untouched (time travel / rollback stays possible)
+    assert(spark.read.parquet(s"$root/v=1/store").count() == 40)
+  }
+
+  test("compactIngestStore: fewer files, identical probe answers") {
+    val cents = Ivf.train(corpus, k = 3, iters = 1, dim = 16)
+    val cArr = cents.collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(cArr: _*), cents.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val store = s"$tmp/store"; val compacted = s"$tmp/compacted"
+    Ivf.writeIngestStore(corpus.filter($"vec_id" < 40), local, store)
+    // three streamed-batch layers
+    for ((lo, hi, b) <- Seq((40, 47, 0), (47, 54, 1), (54, 60, 2)))
+      Ivf.writeBatchToStore(
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi), local, store, b.toLong)
+    val qs = Ann.selfQueries(corpus, 5)
+    def probe(p: String) = Ivf.ivfTopKFromStore(p, qs, local, k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val layered = probe(store)
+    val (before, after) = Ivf.compactIngestStore(spark, store, compacted)
+    assert(after < before)
+    assert(spark.read.parquet(compacted).count() == 60)
+    assert(probe(compacted) == layered)
+  }
+
   test("probeSelection: aggregate path ≡ literal-array path") {
     val cents = Ivf.train(corpus, k = 4, iters = 1, dim = 16)
     val cArr = cents.collect()
