@@ -84,12 +84,10 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
     val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
-    val trained = graft.similarity.Ivf.train(base, k = 8, iters = 1)
     // driver-local centroids (k rows): per-batch assignment must not
     // re-run the training lineage inside foreachBatch
-    val cRows = trained.collect()
-    val cents = s.createDataFrame(
-      java.util.Arrays.asList(cRows: _*), trained.schema)
+    val cents = graft.similarity.Ivf.localizeCentroids(
+      graft.similarity.Ivf.train(base, k = 8, iters = 1))
     val store = scratch("ivf_stream_store")
     // fresh root per run: stale ingest=b* keys from a prior in-process
     // run (QueryBench runs queries 3x) must not leak into this run's

@@ -38,6 +38,30 @@ object Ivf {
       .toDF("centroid_id", "centroid")
   }
 
+  /** Re-create a trained centroid frame as a DRIVER-LOCAL relation (one
+    * bounded collect — k rows by construction): downstream per-batch /
+    * per-stage uses must not re-run the training lineage. ONE home for
+    * the localize idiom (recallDrift, writeVersionedIndex, and the
+    * SparkEntry stream-store builder all need it). */
+  private[graft] def localizeCentroids(trained: DataFrame): DataFrame = {
+    val rows = trained.collect() // k centroid rows, driver-sized
+    trained.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), trained.schema)
+  }
+
+  /** The store write every layout variant shares: range-cluster the
+    * assigned rows on (centroid_id, id) — the skew rationale documented
+    * on [[writeAssignedStore]] — and write hive-partitioned by
+    * centroid_id. ONE body so the base, append, batch-keyed, and
+    * compacted layouts can never diverge. */
+  private def clusteredStoreWrite(assigned: DataFrame, path: String,
+      idCol: String,
+      mode: org.apache.spark.sql.SaveMode =
+        org.apache.spark.sql.SaveMode.Overwrite): Unit =
+    graft.sources.Sinks.writeParquet(
+      assigned.repartitionByRange(col("centroid_id"), col(idCol)),
+      path, partitionCols = Seq("centroid_id"), mode = mode)
+
   /** Materialize the centroid set on the driver: k (id, vector) pairs —
     * bounded by k, never by data scale. */
   private[similarity] def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float])] =
@@ -161,10 +185,7 @@ object Ivf {
     * a hive-partitionBy property — is untouched. */
   def writeAssignedStore(corpus: DataFrame, centroids: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    graft.sources.Sinks.writeParquet(
-      assign(corpus, centroids, idCol, vecCol)
-        .repartitionByRange(col("centroid_id"), col(idCol)),
-      path, partitionCols = Seq("centroid_id"))
+    clusteredStoreWrite(assign(corpus, centroids, idCol, vecCol), path, idCol)
 
   /** Incremental index maintenance: assign a NEW batch of vectors to the
     * FROZEN centroid set and APPEND it to an existing
@@ -181,13 +202,8 @@ object Ivf {
     * reindex-cadence trade. */
   def appendToStore(newVectors: DataFrame, centroids: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    graft.sources.Sinks.writeParquet(
-      assign(newVectors, centroids, idCol, vecCol)
-        // balanced files per touched cell (see writeAssignedStore)
-        .repartitionByRange(col("centroid_id"), col(idCol)),
-      path,
-      partitionCols = Seq("centroid_id"),
-      mode = org.apache.spark.sql.SaveMode.Append)
+    clusteredStoreWrite(assign(newVectors, centroids, idCol, vecCol), path,
+      idCol, mode = org.apache.spark.sql.SaveMode.Append)
 
   /** The nightly-retrain base layer of an INGEST-KEYED store: the same
     * clustered centroid-partitioned layout as [[writeAssignedStore]], but
@@ -216,12 +232,8 @@ object Ivf {
   def writeBatchToStore(newVectors: DataFrame, centroids: DataFrame,
       path: String, batchId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    graft.sources.Sinks.writeParquet(
-      assign(newVectors, centroids, idCol, vecCol)
-        .repartitionByRange(col("centroid_id"), col(idCol)),
-      s"$path/ingest=b$batchId",
-      partitionCols = Seq("centroid_id"),
-      mode = org.apache.spark.sql.SaveMode.Overwrite)
+    clusteredStoreWrite(assign(newVectors, centroids, idCol, vecCol),
+      s"$path/ingest=b$batchId", idCol)
 
   /** Compact an INGEST-KEYED store ([[writeIngestStore]] base +
     * streamed [[writeBatchToStore]] layers) into a fresh single-base
@@ -247,12 +259,10 @@ object Ivf {
         .globStatus(path).length
     }
     val before = countFiles(srcPath)
-    graft.sources.Sinks.writeParquet(
+    clusteredStoreWrite(
       spark.read.parquet(srcPath)
-        .select(col(idCol), col(vecCol), col("centroid_id"))
-        .repartitionByRange(col("centroid_id"), col(idCol)),
-      s"$dstPath/ingest=base",
-      partitionCols = Seq("centroid_id"))
+        .select(col(idCol), col(vecCol), col("centroid_id")),
+      s"$dstPath/ingest=base", idCol)
     (before, countFiles(dstPath))
   }
 
@@ -469,14 +479,11 @@ object Ivf {
       queries: DataFrame, k: Int, nprobe: Int = 2, kCents: Int = 8,
       iters: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val spark = resident.sparkSession
     // slim every input to (id, vector): the audit needs nothing else and
     // callers' side columns must not constrain the union
     val slim = (df: DataFrame) => df.select(col(idCol), col(vecCol))
-    val trained = train(slim(resident), kCents, iters, idCol, vecCol)
-    val cRows = trained.collect() // k centroid rows, driver-sized
-    val cents = spark.createDataFrame(
-      java.util.Arrays.asList(cRows: _*), trained.schema)
+    val cents = localizeCentroids(
+      train(slim(resident), kCents, iters, idCol, vecCol))
     (0 to waves.size).map { stage =>
       val corpus = (slim(resident) +: waves.take(stage).map(slim))
         .reduce(_ unionByName _)
@@ -506,23 +513,32 @@ object Ivf {
   /** Train on `corpus` and write a COMPLETE new index version under
     * `root/v=<current+1>`: centroids as parquet plus the ingest-keyed
     * list store ([[writeIngestStore]] — streamed batches land under the
-    * same version via [[writeBatchToStore]]). Returns the new version.
-    * Training is the bit-deterministic [[train]], so the written index
-    * is a pure function of the corpus CONTENT (row order and
-    * partitioning are irrelevant — the ordered-fold guarantee), which
-    * is what lets q_ann_reindex retrain from the store's own rows and
-    * still share q_ann_ivf's full twin. */
+    * same version via [[writeBatchToStore]]). Both parts are built
+    * under a hidden `.v<N>_staging` directory and PUBLISHED by one
+    * filesystem rename — [[indexVersion]] never resolves a version
+    * whose store is still being written, and a crash mid-build leaves
+    * only an invisible staging dir (deleted by the next attempt), never
+    * a half-built newest version that would wedge every later probe.
+    * Returns the new version. Training is the bit-deterministic
+    * [[train]], so the written index is a pure function of the corpus
+    * CONTENT (row order and partitioning are irrelevant — the
+    * ordered-fold guarantee), which is what lets q_ann_reindex retrain
+    * from the store's own rows and still share q_ann_ivf's full twin. */
   def writeVersionedIndex(corpus: DataFrame, k: Int, root: String,
       iters: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding"): Long = {
     val spark = corpus.sparkSession
     val v = indexVersion(spark, root) + 1
-    val trained = train(corpus, k, iters, idCol, vecCol)
-    val cRows = trained.collect() // k rows, driver-sized
-    val cents = spark.createDataFrame(
-      java.util.Arrays.asList(cRows: _*), trained.schema)
-    graft.sources.Sinks.writeParquet(cents, s"$root/v=$v/centroids")
-    writeIngestStore(corpus, cents, s"$root/v=$v/store", idCol, vecCol)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(root, s".v${v}_staging")
+    fs.delete(staging, true) // a crashed prior attempt
+    val cents = localizeCentroids(train(corpus, k, iters, idCol, vecCol))
+    graft.sources.Sinks.writeParquet(cents, s"$staging/centroids")
+    writeIngestStore(corpus, cents, s"$staging/store", idCol, vecCol)
+    val target = new org.apache.hadoop.fs.Path(root, s"v=$v")
+    require(fs.rename(staging, target),
+      s"failed to publish index version $v at $target")
     v
   }
 
@@ -561,8 +577,14 @@ object Ivf {
     val exact = Ann.bruteForceTopK(corpus, queries, k, idCol, vecCol)
     val approx = ivfTopKFromStore(s"$root/v=$v/store", queries, cents,
       k, nprobe, idCol, vecCol)
-    val recall = Ann.recallAtK(exact, approx, queries, k)
-      .agg(avg(col(s"recall_at_$k"))).head().getDouble(0)
+    val row = Ann.recallAtK(exact, approx, queries, k)
+      .agg(avg(col(s"recall_at_$k"))).head()
+    // avg over ZERO audit rows is SQL NULL — an empty query sample must
+    // fail with a clear message, not an NPE deep in the nightly job
+    require(!row.isNullAt(0),
+      "reindexIfDrifted needs a non-empty query sample: the audit " +
+        "produced zero recall rows")
+    val recall = row.getDouble(0)
     if (recall < floor)
       (writeVersionedIndex(corpus, kCents, root, iters, idCol, vecCol), recall)
     else (v, recall)
