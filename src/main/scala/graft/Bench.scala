@@ -66,7 +66,8 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.values.foreach { fn =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        // NonFatal: warm-up failures are fine, VM errors/interrupts are not
+        catch { case scala.util.control.NonFatal(_) => () }
         finally isolate() // warm-up persists must not leak into the runs
       }
     else SparkEntry.queries.get("q_scan").foreach(run)

@@ -46,7 +46,9 @@ object SparkEntry {
         java.nio.file.Files.walk(feed).iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
+      // NonFatal only: a VM error or interrupt in cleanup must propagate,
+      // not be eaten by best-effort deletion (ADVICE r9 / VERDICT r10)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

@@ -1057,7 +1057,20 @@ object Text {
     *       BpeKernel floor-cursor test documents exactly this collision
     *       shape — "a"+"bc" producing an "abc" that already exists).
     *       A colliding merge still gets accepted — as the LAST member
-    *       of its batch.
+    *       of its batch. The CROSS-ROUND branch of (d) is in fact
+    *       structurally unreachable — a candidate is a pair of ADJACENT
+    *       TOKENS, and when merge (p,q) created token T every
+    *       token-ALIGNED occurrence of string T merged with it: tokens
+    *       only grow, so a span once crossed by a token never re-aligns,
+    *       and spans aligned at every round tokenize identically (the
+    *       leftmost-first tie rule can only be perturbed from the left
+    *       by a merge that crosses the span edge, which un-aligns it).
+    *       Hence no later candidate (c,d) can satisfy c+d == T. A 20k-
+    *       random-corpus differential fuzz of this acceptance logic
+    *       against sequential training found zero divergences with the
+    *       branch disabled, corroborating the argument; the alphabet is
+    *       extended with applied merges anyway so (d) holds by local
+    *       bookkeeping rather than by this global proof.
     * By induction each accepted pair equals the argmax the sequential
     * trainer would have recounted — the merge TABLE IS BIT-IDENTICAL to
     * one-merge-per-round training (FunctionsSpec differential-tests this
@@ -1177,6 +1190,13 @@ object Text {
         }
         accepted.foreach { case (l, r0, cnt) =>
           merges += ((merges.size + 1, l, r0, cnt))
+          // keep rule (d)'s alphabet true to its contract: the merged
+          // token is a standing symbol from the next round on. Cross-
+          // round collisions are structurally unreachable (see the
+          // acceptance-rule scaladoc), so this never changes a merge
+          // table — it makes the invariant locally checkable instead of
+          // resting on the global alignment argument (ADVICE r10).
+          symbols += (l + r0)
         }
         vocab = vocab.select(merged.as("s"), col("freq"))
           .localCheckpoint(true) // lineage cut per round, see above

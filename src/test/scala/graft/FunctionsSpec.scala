@@ -637,6 +637,34 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getLong(3))).toSeq
     assert(got2 == expected2)
+
+    // deep-run corpus: long single-letter runs force merge CHAINS
+    // (a,a)->(aa,a?)->... whose outputs are substrings/superstrings of
+    // each other, so the rule-(d) alphabet holds many multi-char tokens
+    // that candidate outputs are actually compared against (the ADVICE
+    // r10 fix: symbols gains each applied merge). Cross-round collisions
+    // are structurally unreachable (trainer scaladoc), so equality with
+    // the sequential oracle must still hold bit-for-bit here.
+    val rnd3 = new scala.util.Random(4242L)
+    val docs3 = (1 to 100).map { i =>
+      val words = (1 to (3 + rnd3.nextInt(5))).map { _ =>
+        val run = 2 + rnd3.nextInt(9) // runs up to 10 chars
+        val c = ('a' + rnd3.nextInt(2)).toChar
+        val tail = (1 to rnd3.nextInt(3))
+          .map(_ => ('a' + rnd3.nextInt(3)).toChar).mkString
+        c.toString * run + tail
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val wordFreqs3 = docs3.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(col("w") =!= "").groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected3 = seqTrain(wordFreqs3, 50)
+    val got3 = Text.bpeTrainMerges(docs3, k = 50).orderBy("merge_rank")
+      .select("merge_rank", "lhs", "rhs", "freq")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got3 == expected3)
   }
 
   test("BpeKernel: floor-cursor order matches the replace CHAIN, not pure greedy") {
