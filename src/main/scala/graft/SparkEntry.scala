@@ -2784,6 +2784,67 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // version RETENTION (the maintenance half the lifecycle was missing,
+    // VERDICT r10 #2): publish v=1 on the resident 80%, v=2 on the full
+    // corpus, then vacuum with keepN=1 — the in-line requires prove
+    // exactly v=1 was deleted, only v=2's directory survives, and the
+    // manifest still resolves it. The probe of the surviving version is
+    // a full-corpus train+probe, so the twin is q_ann_ivf's VERBATIM —
+    // vacuum must be invisible to serving
+    "q_ann_vacuum" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = scratch("ivf_vacuum")
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val resident = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val v1 = graft.similarity.Ivf.writeVersionedIndex(resident, k = 8, root)
+      val v2 = graft.similarity.Ivf.writeVersionedIndex(
+        emb.select(col("vec_id"), col("embedding")), k = 8, root)
+      val deleted = graft.similarity.Ivf.vacuumVersions(s, root, keepN = 1)
+      require(deleted == Seq(v1),
+        s"vacuum keepN=1 must retire exactly v=$v1: got $deleted")
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+      require(dirs == Seq(s"v=$v2"),
+        s"only the newest version directory may survive: $dirs")
+      require(graft.similarity.Ivf.indexVersion(s, root) == v2,
+        "the manifest must still resolve the surviving version")
+      graft.similarity.Ivf.ivfTopKFromVersioned(s, root,
+          Ann.selfQueries(emb, 10), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // COMPACTION AS A VERSION PUBLISH (VERDICT r10 #1's swap shape):
+    // the resident 80% is v=1's base layer, the 20% batch lands as a
+    // streamed-style ingest layer, then compactVersion folds both into
+    // v=2 — SAME centroids, single base layer — committed through the
+    // identical one-object manifest protocol as a retrain. The requires
+    // prove the version advanced and the file count shrank; the probe
+    // of the compacted version carries the same rows under the same
+    // centroids, so the twin is q_ann_incremental's VERBATIM
+    "q_ann_compact_version" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = scratch("ivf_compactv")
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val resident = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      val v1 = graft.similarity.Ivf.writeVersionedIndex(resident, k = 8, root)
+      val cents = s.read.parquet(s"$root/v=$v1/centroids")
+      graft.similarity.Ivf.writeBatchToStore(batch, cents,
+        s"$root/v=$v1/store", 0L)
+      val (v2, before, after) = graft.similarity.Ivf.compactVersion(s, root)
+      require(v2 == v1 + 1,
+        s"compaction must publish the next version: $v1 -> $v2")
+      require(after < before,
+        s"compaction must shrink the store: $before -> $after files")
+      graft.similarity.Ivf.ivfTopKFromVersioned(s, root,
+          Ann.selfQueries(emb, 10), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // RECALL-DRIFT audit of the frozen-centroid append path — the time
     // axis of index staleness: centroids train once on the resident 80%,
     // then recall@5 of the frozen IVF probe vs exact brute force is
@@ -7942,6 +8003,18 @@ object SparkEntry {
     // full corpus (training is content-deterministic), so the newest-
     // version probe is q_ann_ivf's full twin verbatim
     "q_ann_reindex" -> ivfFullTwin(10),
+
+    // vacuum retires old versions without touching the survivor: the
+    // newest version trained on the full corpus, so its probe is
+    // q_ann_ivf's full twin verbatim (retention proofs are in-query
+    // requires)
+    "q_ann_vacuum" -> ivfFullTwin(10),
+
+    // compaction-as-a-version: same rows, same (resident-trained)
+    // centroids, single folded layer — probe semantics are exactly the
+    // frozen-centroid append, so the twin is q_ann_incremental's
+    "q_ann_compact_version" ->
+      (kmeansAssignBaseCtes("vec_id % 5 <> 0") + ivfProbeSuffix(10)),
 
     // both the exact and the LSH-bucketed top-5 recomputed, intersected
     // per query; zero-hit queries kept by the left join

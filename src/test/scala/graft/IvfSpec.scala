@@ -336,4 +336,101 @@ class IvfSpec extends AnyFunSuite {
       k = 3, nprobe = 1, kCents = 2)
     assert(Ivf.requireFreshIndex(healthy, k = 3, floor = 0.9) >= 0.9)
   }
+
+  test("requireFreshIndex: clear error on an empty audit frame") {
+    val empty = Seq.empty[(Int, Long, Double)]
+      .toDF("stage", "query_id", "recall_at_3")
+    val e = intercept[IllegalArgumentException] {
+      Ivf.requireFreshIndex(empty, k = 3, floor = 0.5)
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("manifest publish: uncommitted builds are invisible; crash retry converges") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_manifest").toString + "/idx"
+    val resident = corpus.filter($"vec_id" < 40)
+    val qs = Ann.selfQueries(corpus, 5)
+    def probe(r: String) =
+      Ivf.ivfTopKFromVersioned(spark, r, qs, k = 3, nprobe = 2)
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val v1 = Ivf.writeVersionedIndex(resident, k = 3, root)
+    assert(v1 == 1L && Ivf.indexVersion(spark, root) == 1L)
+    val served = probe(root)
+    // CRASH 1: v=2 built COMPLETELY, died before the manifest commit —
+    // the protocol's single publication point. Readers must not see it.
+    Ivf.buildVersionDir(corpus, k = 3, root, v = 2L)
+    assert(Ivf.indexVersion(spark, root) == 1L)
+    assert(probe(root) == served)
+    // CRASH 2: the rebuild itself dies half-written (store missing) —
+    // still invisible, old version still serves
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=2/store"), true)
+    assert(Ivf.indexVersion(spark, root) == 1L)
+    assert(probe(root) == served)
+    // the retry deletes the orphan, rebuilds, and commits — and the
+    // result is byte-identical to a publish that never crashed
+    val v2 = Ivf.writeVersionedIndex(corpus, k = 3, root)
+    assert(v2 == 2L && Ivf.indexVersion(spark, root) == 2L)
+    val after = probe(root)
+    val clean = java.nio.file.Files
+      .createTempDirectory("graft_manifest2").toString + "/idx"
+    Ivf.writeVersionedIndex(resident, k = 3, clean)
+    Ivf.writeVersionedIndex(corpus, k = 3, clean)
+    assert(probe(clean) == after)
+  }
+
+  test("vacuumVersions: newest keepN survive, probers keep serving, builders untouched") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vacuum").toString + "/idx"
+    Ivf.writeVersionedIndex(corpus.filter($"vec_id" < 20), k = 2, root)
+    Ivf.writeVersionedIndex(corpus.filter($"vec_id" < 40), k = 3, root)
+    Ivf.writeVersionedIndex(corpus, k = 3, root)
+    // an UNCOMMITTED build above the manifest (a live builder's work in
+    // progress) — vacuum must never touch it
+    Ivf.buildVersionDir(corpus, k = 2, root, v = 4L)
+    val qs = Ann.selfQueries(corpus, 5)
+    val served = Ivf.ivfTopKFromVersioned(spark, root, qs, k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val deleted = Ivf.vacuumVersions(spark, root, keepN = 2)
+    assert(deleted == Seq(1L))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(dirs == Seq("v=2", "v=3", "v=4"))
+    assert(Ivf.indexVersion(spark, root) == 3L)
+    assert(Ivf.ivfTopKFromVersioned(spark, root, qs, k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted == served)
+    // keepN covering everything is a no-op; keepN < 1 refuses
+    assert(Ivf.vacuumVersions(spark, root, keepN = 5) == Seq.empty)
+    intercept[IllegalArgumentException] {
+      Ivf.vacuumVersions(spark, root, keepN = 0)
+    }
+  }
+
+  test("compactVersion: layers fold into v+1 via the manifest, probes identical") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compactv").toString + "/idx"
+    val v1 = Ivf.writeVersionedIndex(corpus.filter($"vec_id" < 40), k = 3, root)
+    val cents = spark.read.parquet(s"$root/v=$v1/centroids")
+    for ((lo, hi, b) <- Seq((40, 47, 0), (47, 54, 1), (54, 60, 2)))
+      Ivf.writeBatchToStore(
+        corpus.filter($"vec_id" >= lo && $"vec_id" < hi), cents,
+        s"$root/v=$v1/store", b.toLong)
+    val qs = Ann.selfQueries(corpus, 5)
+    def probe() =
+      Ivf.ivfTopKFromVersioned(spark, root, qs, k = 3, nprobe = 2)
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val layered = probe()
+    val (v2, before, after) = Ivf.compactVersion(spark, root)
+    assert(v2 == 2L && after < before)
+    assert(spark.read.parquet(s"$root/v=2/store").count() == 60)
+    assert(probe() == layered)
+    // retiring the superseded layered version is vacuum's job — and the
+    // compacted version keeps serving afterwards
+    assert(Ivf.vacuumVersions(spark, root, keepN = 1) == Seq(1L))
+    assert(probe() == layered)
+  }
 }
