@@ -2845,6 +2845,66 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the SELF-DRIVING lifecycle (VERDICT r10 #3): drift repair wired
+    // INTO the always-on ingest stream, audited every batch. v=1 trains
+    // on the whole current corpus; the stream then feeds two audited
+    // micro-batches. Phase 1 is an IN-DISTRIBUTION wave (5 exact copies
+    // of every vec_id%10=0 vector under fresh ids): each wave query's
+    // true top-5 are its own sibling copies + source, which share its
+    // exact assignment cell, so the audit measures recall 1.0
+    // STRUCTURALLY (at any SF) and must NOT advance the version. Phase
+    // 2 is a SHIFTED wave (vec_id%10=5 re-encoded by reversal — a new
+    // encoder's vectors landing in the same store): its queries' true
+    // neighbors scatter across cells the frozen quantizer never carved
+    // (measured recall@5 0.34-0.54 across sf0.001/0.01/0.1 vs the 0.8
+    // floor), so the in-stream reindexIfDrifted retrains on the store's
+    // full content and publishes v=2 mid-stream. The requires pin the
+    // version trail (held at v1 after phase 1, advanced EXACTLY once
+    // after phase 2); the hash-checked result is the post-swap probe.
+    // The recall-RECOVERY semantics of the swap are StreamingSpec's
+    // designed-cluster twin test (recovery needs real cluster
+    // structure, which these isotropic synthetic vectors lack). The
+    // twin replays train+probe over the full union corpus — possible
+    // because the whole chain is content-deterministic
+    "q_stream_reindex" -> ((s, dir) => withTempFeed("graft_sreidx") { feed =>
+      val emb = t(s, dir, "embeddings")
+      val root = scratch("ivf_stream_reindex")
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val v1 = graft.similarity.Ivf.writeVersionedIndex(
+        emb.select(col("vec_id"), col("embedding")), k = 8, root)
+      val w1 = Seq(100000L, 110000L, 120000L, 130000L, 140000L).map(o =>
+          emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+            .select((col("vec_id") + o).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+      val w2 = emb.filter(pmod(col("vec_id"), lit(10)) === 5)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      val in = s"$feed/in"; new java.io.File(in).mkdirs()
+      def phase(p: DataFrame): Unit =
+        p.coalesce(1).write.mode("append").parquet(in)
+      phase(w1) // lands before start -> one deterministic first batch
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val src = ss.readStream.schema(ss.read.parquet(in).schema).parquet(in)
+      val q = graft.streaming.Streams.indexAppendAudited(src, root,
+        s"$feed/ckpt", auditEvery = 1, floor = 0.8, k = 5, nprobe = 2,
+        kCents = 8)
+      try {
+        q.processAllAvailable()
+        require(graft.similarity.Ivf.indexVersion(s, root) == v1,
+          "the in-distribution wave must not trigger a retrain")
+        phase(w2)
+        q.processAllAvailable()
+      } finally q.stop()
+      val v2 = graft.similarity.Ivf.indexVersion(s, root)
+      require(v2 == v1 + 1,
+        s"the shifted wave must advance the version exactly once: $v1 -> $v2")
+      graft.similarity.Ivf.ivfTopKFromVersioned(s, root,
+          Ann.selfQueries(emb, 10), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // RECALL-DRIFT audit of the frozen-centroid append path — the time
     // axis of index staleness: centroids train once on the resident 80%,
     // then recall@5 of the frozen IVF probe vs exact brute force is
@@ -5915,9 +5975,10 @@ object SparkEntry {
     * append stage (the inner alias shadows `e`, so a1's text is
     * unchanged). One body for all three k-means twin variants. */
   private def kmeansAssignCorpusCtes(baseWhere: String,
-      corpusWhere: String): String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             FROM embeddings),
+      corpusWhere: String,
+      eSql: String = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings"""): String =
+    s"""WITH e AS ($eSql),
          eb AS (SELECT vec_id, v FROM e WHERE $baseWhere),
          seeds AS (
            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
@@ -8015,6 +8076,24 @@ object SparkEntry {
     // frozen-centroid append, so the twin is q_ann_incremental's
     "q_ann_compact_version" ->
       (kmeansAssignBaseCtes("vec_id % 5 <> 0") + ivfProbeSuffix(10)),
+
+    // in-stream drift repair: v=2 retrained on the store's full content
+    // (originals + the 5-copy duplicate wave + the reversed re-encoded
+    // wave), so the twin is the full train+probe replay over exactly
+    // that union corpus — seeds stay the 8 lowest ORIGINAL ids (wave
+    // ids are offset far above every corpus id), and the probe queries
+    // (vec_id < 10) are original rows
+    "q_stream_reindex" ->
+      (kmeansAssignCorpusCtes("TRUE", "TRUE",
+        """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + o, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings, (VALUES (100000), (110000), (120000),
+             (130000), (140000)) AS offs(o)
+           WHERE vec_id % 10 = 0
+           UNION ALL
+           SELECT vec_id + 200000, list_reverse(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings WHERE vec_id % 10 = 5""") + ivfProbeSuffix(10)),
 
     // both the exact and the LSH-bucketed top-5 recomputed, intersected
     // per query; zero-hit queries kept by the left join

@@ -381,6 +381,67 @@ object Streams {
       }
       .start()
 
+  /** The SELF-DRIVING index lifecycle: [[indexAppend]]'s exactly-once
+    * ingest against a VERSIONED root, plus an in-stream drift audit
+    * every `auditEvery` batches that retrains and swaps the version
+    * when recall falls below `floor` (`Ivf.reindexIfDrifted`) — drift
+    * repair as part of the always-on job rather than a nightly cron
+    * someone must remember to run (VERDICT r10 #3).
+    *
+    * Per micro-batch: resolve the CURRENT committed version (the
+    * manifest read — a retrain in an earlier batch redirects later
+    * appends to the new version's store automatically), assign the
+    * batch to that version's frozen centroids, write it under its own
+    * `ingest=b<batchId>` key, then — on the audit cadence — measure
+    * recall over a query sample drawn from the batch's own lowest-id
+    * vectors (the "does the index still serve what's arriving NOW"
+    * question; a workload-shifted batch is exactly what drags the
+    * audit below the floor) and let `reindexIfDrifted` retrain on the
+    * store's full content and publish v+1 when it does.
+    *
+    * Exactly-once: the batch write is the idempotent keyed overwrite
+    * ([[indexAppend]]); the audit is deterministic given store content,
+    * so a crash-replayed audited batch retrains on IDENTICAL rows and
+    * publishes a version with identical content — serving answers
+    * cannot change across a replay (an extra version NUMBER can be
+    * burned; vacuumVersions retires it like any other superseded
+    * version). Centroids are re-read per batch as a driver-local
+    * relation (k rows) so no training lineage re-runs inside
+    * foreachBatch. */
+  def indexAppendAudited(newVectors: DataFrame, root: String,
+      checkpointDir: String, auditEvery: Int = 1, floor: Double = 0.8,
+      nAuditQueries: Int = 10, k: Int = 5, nprobe: Int = 2,
+      kCents: Int = 8, iters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(auditEvery >= 1, s"audit cadence must be >= 1: $auditEvery")
+    newVectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val v = graft.similarity.Ivf.indexVersion(s, root)
+        require(v > 0, s"no committed index version under $root — " +
+          "publish a base version before streaming into it")
+        val cents = graft.similarity.Ivf.localizeCentroids(
+          s.read.parquet(s"$root/v=$v/centroids"))
+        graft.similarity.Ivf.writeBatchToStore(batch, cents,
+          s"$root/v=$v/store", batchId, idCol, vecCol)
+        if ((batchId + 1) % auditEvery == 0) {
+          // the audit sample rides the batch (bounded: nAuditQueries
+          // rows, localized so the audit never re-reads the feed)
+          val qs = graft.similarity.Ivf.localizeCentroids(
+            batch.orderBy(idCol).limit(nAuditQueries)
+              .select(batch(idCol).as("query_id"),
+                batch(vecCol).as("query_vec")).toDF())
+          // return value (version, recall) is observable via the
+          // manifest; the stream body must be Unit
+          val _ = graft.similarity.Ivf.reindexIfDrifted(s, root, qs, k,
+            nprobe, floor, kCents, iters, idCol, vecCol)
+        }
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window counts in the APPEND-mode shape: a
     * window row is emitted exactly once, when the watermark passes its
     * end and its state is evicted — the bounded-state contract that

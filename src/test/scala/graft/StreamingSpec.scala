@@ -502,6 +502,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(probe() == before)
   }
 
+  test("indexAppendAudited: healthy wave holds the version; a shifted wave retrains exactly once and recall recovers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.Ivf
+    // IvfSpec's designed clusters: interleaved e1/e2 train a clean
+    // 2-cell quantizer; the appended orthogonal e3 cluster scatters
+    // under the FROZEN centroids (nprobe=1 probes miss), and the
+    // retrain — seeded from the store's lowest ids, which now include
+    // e3's id 2 — carves e3 its own cell so recall RECOVERS
+    def unit(dim0: Int, seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(16) { d =>
+        (if (d == dim0) 1.0f else 0.0f) +
+          (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    val resident = (3 until 23)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sauid").toString
+    val root = s"$tmp/idx"
+    val v1 = Ivf.writeVersionedIndex(resident, k = 2, root)
+    assert(v1 == 1L)
+    // wave 1: more e1/e2 members under new ids — in-distribution
+    val w1 = (100 until 120)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+    // wave 2: the orthogonal e3 cluster; one LOW id (2) so the retrain's
+    // lowest-3-id seeding covers all three clusters
+    val w2 = (Seq(2L) ++ (200L until 219L))
+      .map(i => (i, unit(2, i.toInt)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.indexAppendAudited(
+      mem.toDF().toDF("vec_id", "embedding"), root, s"$tmp/ckpt",
+      auditEvery = 1, floor = 0.9, nAuditQueries = 10, k = 3, nprobe = 1,
+      kCents = 3)
+    try {
+      mem.addData(w1); q.processAllAvailable()
+      // the healthy in-stream audit must NOT advance the version
+      assert(Ivf.indexVersion(spark, root) == 1L)
+      mem.addData(w2); q.processAllAvailable()
+    } finally q.stop()
+    // the shifted wave advanced the version EXACTLY once, mid-stream
+    assert(Ivf.indexVersion(spark, root) == 2L)
+    // and the swap RECOVERED recall: the same drifted distribution's
+    // queries now pass the floor on v=2 (no further retrain fires)
+    val shiftedQs = w2.sortBy(_._1).take(6)
+      .toDF("query_id", "query_vec")
+    val (vStable, rAfter) = Ivf.reindexIfDrifted(spark, root, shiftedQs,
+      k = 3, nprobe = 1, floor = 0.9, kCents = 3)
+    assert(vStable == 2L && rAfter >= 0.9)
+    // the v=2 store carries every row exactly once (resident + both waves)
+    assert(spark.read.parquet(s"$root/v=2/store").count() == 60)
+  }
+
   test("cdcApply maintains a versioned keyed snapshot across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
