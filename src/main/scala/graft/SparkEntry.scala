@@ -2933,6 +2933,35 @@ object SparkEntry {
       drift.orderBy("stage", "query_id")
     }),
 
+    // BOUNDED-COST drift audit (VERDICT r10 #4): the same recall@5
+    // health measurement as q_ann_drift, but exact ground truth and the
+    // frozen probe BOTH restricted to the hash-selected 50% of the
+    // store (Profile.hashSplit's bucket idiom — the sample is a pure
+    // function of vec_id, so the DuckDB twin re-derives the identical
+    // sample). This is the knob that keeps the audit affordable at an
+    // always-on cadence: brute-force cost scales by samplePct while the
+    // estimator stays unbiased. The in-line gate proves the sampled
+    // audit DRIVES the same reindex decision (version unchanged on this
+    // healthy corpus); the hash-checked result is the per-query sampled
+    // recall curve
+    "q_ann_drift_sampled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val root = scratch("ivf_drift_sampled")
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val v1 = graft.similarity.Ivf.writeVersionedIndex(
+        emb.select(col("vec_id"), col("embedding")), k = 8, root)
+      val (vKept, _) = graft.similarity.Ivf.reindexIfDriftedSampled(
+        s, root, Ann.selfQueries(emb, 10), k = 5, nprobe = 2,
+        floor = 0.2, samplePct = 50, kCents = 8)
+      require(vKept == v1,
+        "a healthy sampled audit must not advance the version")
+      graft.similarity.Ivf.sampledAudit(s, root, Ann.selfQueries(emb, 10),
+          k = 5, nprobe = 2, samplePct = 50)
+        .select(lit(0).as("stage"), col("*"))
+        .orderBy("query_id")
+    }),
+
     // multimodal: typed metadata over binary payloads (oracle on meta)
     "q_media_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocuments(t(s, dir, "documents"))
@@ -6058,9 +6087,10 @@ object SparkEntry {
     * (coalesced hit counts, LEAST-capped denominator, 0.0 for empty
     * exact sets) mirrored exactly. Emitted as a WITH-bearing subquery so
     * the stages UNION ALL under one statement. */
-  private def annDriftStageSql(stage: Int, corpusWhere: String): String =
+  private def annDriftStageSql(stage: Int, corpusWhere: String,
+      baseWhere: String = "vec_id % 5 <> 0"): String =
     s"""SELECT CAST($stage AS INTEGER) AS stage, t.* FROM (
-         ${kmeansAssignCorpusCtes("vec_id % 5 <> 0", corpusWhere)},
+         ${kmeansAssignCorpusCtes(baseWhere, corpusWhere)},
          q AS (SELECT vec_id AS query_id, v AS qv FROM e
                WHERE vec_id < 10),
          probes AS (
@@ -8059,6 +8089,13 @@ object SparkEntry {
     // recall-drift audit: three complete train-on-resident →
     // assign-stage-corpus → probe → recall stage replays, UNION ALL'd
     "q_ann_drift" -> annDriftTwin,
+
+    // sampled audit: ONE stage block — train on everything (the stored
+    // v=1 centroids), exact + frozen probe both restricted to the
+    // hash-derived 50% sample (the identical two-limb Knuth bucket)
+    "q_ann_drift_sampled" ->
+      (annDriftStageSql(0, s"(${hash32Sql("vec_id")}) % 100 < 50", "TRUE") +
+        "\n         ORDER BY query_id"),
 
     // versioned reindex: v=2 retrains on the store's own rows = the
     // full corpus (training is content-deterministic), so the newest-

@@ -705,6 +705,65 @@ object Ivf {
     else (v, recall)
   }
 
+  /** The drift audit's measurement over a deterministic corpus SAMPLE:
+    * recall@k of the frozen stored-centroid probe vs exact brute force,
+    * BOTH restricted to the hash-selected `samplePct`% of the newest
+    * version's store (the Profile.hashSplit idiom — selection is a pure
+    * function of the id, so any engine, run, or replay draws the SAME
+    * sample and the audit stays a hash-checkable contract). This bounds
+    * the audit's dominant cost — exact brute force is O(|store|·|queries|)
+    * — by samplePct, turning audit cost vs confidence into a tunable
+    * knob: the full-store audit ([[reindexIfDrifted]]) is the
+    * samplePct=100 special case, fine nightly; an always-on in-stream
+    * cadence audits a slice. Returns one (query_id, n_hit, recall_at_k)
+    * row per query. */
+  def sampledAudit(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int, nprobe: Int = 2,
+      samplePct: Int = 100, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(samplePct >= 1 && samplePct <= 100,
+      s"samplePct must be in [1, 100]: $samplePct")
+    val v = indexVersion(spark, root)
+    require(v > 0, s"no index version under $root")
+    val corpus = spark.read.parquet(s"$root/v=$v/store")
+      .select(col(idCol), col(vecCol))
+    val sampled =
+      if (samplePct == 100) corpus
+      else corpus.filter(
+        graft.functions.Profile.hashBucket100(col(idCol)) < samplePct)
+    val cents = spark.read.parquet(s"$root/v=$v/centroids")
+    val exact = Ann.bruteForceTopK(sampled, queries, k, idCol, vecCol)
+    val approx = ivfTopK(sampled, queries, cents, k, nprobe, idCol, vecCol)
+    Ann.recallAtK(exact, approx, queries, k)
+  }
+
+  /** [[reindexIfDrifted]] with the audit cost bounded by
+    * [[sampledAudit]]'s deterministic corpus sample: measure mean
+    * recall over the sample, and when it falls below `floor` retrain on
+    * the store's FULL content (the repair must see everything even when
+    * the audit reads a slice) and publish v+1. Same return contract as
+    * the full-audit gate. */
+  def reindexIfDriftedSampled(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, k: Int, nprobe: Int = 2,
+      floor: Double = 0.8, samplePct: Int = 10, kCents: Int = 8,
+      iters: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): (Long, Double) = {
+    val v = indexVersion(spark, root)
+    val row = sampledAudit(spark, root, queries, k, nprobe, samplePct,
+        idCol, vecCol)
+      .agg(avg(col(s"recall_at_$k"))).head()
+    require(!row.isNullAt(0),
+      "reindexIfDriftedSampled needs a non-empty query sample: the " +
+        "audit produced zero recall rows")
+    val recall = row.getDouble(0)
+    if (recall < floor) {
+      val corpus = spark.read.parquet(s"$root/v=$v/store")
+        .select(col(idCol), col(vecCol))
+      (writeVersionedIndex(corpus, kCents, root, iters, idCol, vecCol),
+        recall)
+    } else (v, recall)
+  }
+
   /** Retrain trigger over a [[recallDrift]] audit: the LAST stage (the
     * index's current state) must keep mean recall@k >= `floor`, else the
     * build refuses loudly and demands a coarse-quantizer retrain — the

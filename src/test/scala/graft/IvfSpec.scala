@@ -337,6 +337,59 @@ class IvfSpec extends AnyFunSuite {
     assert(Ivf.requireFreshIndex(healthy, k = 3, floor = 0.9) >= 0.9)
   }
 
+  test("sampledAudit: samplePct=100 equals the full audit; the sampled gate still drives the retrain") {
+    // the reindexIfDrifted designed clusters: e1/e2 resident, orthogonal
+    // e3 wave that scatters under the frozen quantizer
+    def unit(dim0: Int, seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(16) { d =>
+        (if (d == dim0) 1.0f else 0.0f) +
+          (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    val resident = (3 until 23)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sampaudit").toString + "/idx"
+    val v1 = Ivf.writeVersionedIndex(resident, k = 2, root)
+    val healthyQs = resident.filter($"vec_id" < 9)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    // samplePct=100 IS the full audit: same mean recall as the gate
+    val full = Ivf.sampledAudit(spark, root, healthyQs, k = 3,
+      nprobe = 1, samplePct = 100)
+    val fullMean = full
+      .agg(org.apache.spark.sql.functions.avg($"recall_at_3"))
+      .head().getDouble(0)
+    val (vKept, rFull) = Ivf.reindexIfDrifted(spark, root, healthyQs,
+      k = 3, nprobe = 1, floor = 0.9, kCents = 2)
+    assert(vKept == v1 && math.abs(fullMean - rFull) < 1e-12)
+    // a 60% sample reads strictly fewer corpus rows yet the healthy
+    // audit still passes (co-location survives subsetting: both the
+    // exact and approx sides restrict to the SAME sample)
+    val (vKept2, rSampled) = Ivf.reindexIfDriftedSampled(spark, root,
+      healthyQs, k = 3, nprobe = 1, floor = 0.9, samplePct = 60,
+      kCents = 2)
+    assert(vKept2 == v1 && rSampled >= 0.9)
+    // the shifted e3 wave appended under the frozen centroids: the
+    // SAMPLED gate must fire the retrain exactly like the full one
+    val shifted = (Seq(2L) ++ (28L until 47L))
+      .map(i => (i, unit(2, i.toInt))).toDF("vec_id", "embedding")
+    val cents = spark.read.parquet(s"$root/v=1/centroids")
+    Ivf.writeBatchToStore(shifted, Ivf.localizeCentroids(cents),
+      s"$root/v=1/store", 0L)
+    val shiftedQs = shifted.orderBy("vec_id").limit(6)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val (vNew, rDrifted) = Ivf.reindexIfDriftedSampled(spark, root,
+      shiftedQs, k = 3, nprobe = 1, floor = 0.9, samplePct = 60,
+      kCents = 3)
+    assert(vNew == v1 + 1 && rDrifted < 0.9)
+    assert(Ivf.indexVersion(spark, root) == v1 + 1)
+    // the repair retrained on the FULL store (not the sample): v=2
+    // carries every row
+    assert(spark.read.parquet(s"$root/v=2/store").count() == 40)
+  }
+
   test("requireFreshIndex: clear error on an empty audit frame") {
     val empty = Seq.empty[(Int, Long, Double)]
       .toDF("stage", "query_id", "recall_at_3")
