@@ -115,15 +115,31 @@ object StreamStress {
         }
         .start()
       var peakState = 0L; var finalState = 0L; var wmDropped = 0L
-      try {
-        q.processAllAvailable()
-        for (i <- 1 until phases) { writePhase(i); q.processAllAvailable() }
-        for (p <- q.recentProgress; so <- p.stateOperators) {
-          peakState = math.max(peakState, so.numRowsTotal)
-          wmDropped += so.numRowsDroppedByWatermark
+      // recentProgress is a BOUNDED ring buffer (default 100 entries):
+      // read once at the end, a long run evicts its early batches and
+      // under-reports the peak-state metric this tool exists to record
+      // (ADVICE r10). Folding after EVERY drain is synchronous and
+      // exact: a single drain processes one phase's files (a handful of
+      // micro-batches plus no-data watermark ticks — far under the
+      // buffer bound); the batchId set de-duplicates entries still in
+      // the buffer from earlier drains.
+      val seenBatches = scala.collection.mutable.Set.empty[Long]
+      def foldProgress(): Unit =
+        for (p <- q.recentProgress if seenBatches.add(p.batchId)) {
+          val sos = p.stateOperators
+          if (sos.nonEmpty) {
+            finalState = sos.map(_.numRowsTotal).sum
+            for (so <- sos) {
+              peakState = math.max(peakState, so.numRowsTotal)
+              wmDropped += so.numRowsDroppedByWatermark
+            }
+          }
         }
-        finalState = q.recentProgress.lastOption
-          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      try {
+        q.processAllAvailable(); foldProgress()
+        for (i <- 1 until phases) {
+          writePhase(i); q.processAllAvailable(); foldProgress()
+        }
       } finally q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       println(f"$name%-22s $wall%8.1f ${outRows.get()}%10d " +

@@ -259,6 +259,37 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
   private def physPlan(df: org.apache.spark.sql.DataFrame) =
     graft.tools.PlanAudit.physicalPlan(df)
 
+  test("distinctExchangeCount: cached-plan reader branches count exchanges once") {
+    // persisted-model fixture: one cached aggregate (1 shuffle exchange
+    // inside the cached plan) scanned by THREE reader branches, then one
+    // outer re-aggregation (1 more exchange). toString counts the cached
+    // exchange once per InMemoryTableScan occurrence — the artifact that
+    // had q_kn_trigram_ppl reporting 134 where the executed plan has 8
+    // (VERDICT r10 #6); the distinct-plan-id count must see exactly 2.
+    val model = spark.range(0, 1000)
+      .select((col("id") % 7).as("k"))
+      .groupBy("k").count()
+      .persist()
+    try {
+      model.count() // materialize the cache
+      // outer grouping on a DERIVED key: the cache's hash(k) partitioning
+      // cannot satisfy it, so the outer aggregate keeps its own exchange
+      // (grouping on k itself lets Spark 4 reuse the cached partitioning
+      // and elide the shuffle entirely — a correct 1-exchange plan)
+      val out = model.union(model).union(model)
+        .groupBy((col("k") + 1).as("k2")).agg(sum(col("count")).as("n"))
+      out.collect() // executed: AQE stages materialized
+      val phys = physPlan(out)
+      val distinct = graft.tools.PlanAudit.distinctExchangeCount(phys)
+      assert(distinct == 2, s"expected 2 distinct exchanges, got $distinct")
+      // the toString artifact over-reports (>= one cached-plan re-print
+      // per reader branch) — the exact failure the distinct count fixes
+      val toStringCount = "Exchange".r.findAllIn(phys.toString).length
+      assert(toStringCount > distinct,
+        s"fixture lost its re-print shape: $toStringCount vs $distinct")
+    } finally model.unpersist(blocking = false)
+  }
+
   test("SinglePartition detector flags a deliberately-injected global window") {
     import org.apache.spark.sql.expressions.Window
     val li = graft.engine.Tables.load(spark, dir, "lineitem")
