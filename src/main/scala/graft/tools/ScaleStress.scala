@@ -68,7 +68,8 @@ object ScaleStress {
     // ANN pipelines run on a separately-built embeddings stress corpus:
     // skip the (expensive) documents corpus entirely on an ANN-only run
     val annNames = Set("ivf_train_scaled", "ivf_append", "pq_encode",
-      "knn_graph_auto", "knn_graph_fixed_priced", "ann_drift_gate")
+      "knn_graph_auto", "knn_graph_fixed_priced", "ann_drift_gate",
+      "ann_drift_sampled", "lifecycle_decade")
     val docsNeeded = only.forall(_.exists(n => !annNames.contains(n)))
 
     val marker = new java.io.File(s"$outDir/.factor_${factor}_rep$repCap")
@@ -382,6 +383,133 @@ object ScaleStress {
           require(fired, "shifted wave did not trip the retrain gate")
           import spark.implicits._
           Seq((hMean, fired)).toDF("healthy_mean_recall", "trigger_fired")
+        }),
+        // audit cost vs sample size (VERDICT r10 #4): the same stored-
+        // index health audit at 10/50/100% deterministic corpus samples
+        // — wall should scale ~linearly with the sample (brute force is
+        // the dominant term) while the recall estimate stays usable
+        "ann_drift_sampled" -> (() => {
+          import graft.similarity.Ivf
+          import spark.implicits._
+          val root = s"$outDir/ivf_sampled_root"
+          org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(root), true)
+          Ivf.writeVersionedIndex(
+            emb.select(col("vec_id"), col("embedding")),
+            k = cellsScaled, root)
+          // 500 queries so brute-force compute (the samplePct-scaled
+          // term) dominates the fixed per-plan overhead — at 20 queries
+          // the walls are codegen-bound and the knob is invisible
+          val qs = graft.similarity.Ann.selfQueries(emb, 500)
+          // one untimed warm-up so the 10% pass doesn't absorb codegen +
+          // first-store-read costs that would invert the wall curve
+          Ivf.sampledAudit(spark, root, qs, k = 5, nprobe = 2,
+            samplePct = 100).count()
+          val rows = Seq(10, 50, 100).map { pct =>
+            val t0 = System.nanoTime()
+            val mean = Ivf.sampledAudit(spark, root, qs, k = 5,
+                nprobe = 2, samplePct = pct)
+              .agg(avg(col("recall_at_5"))).head().getDouble(0)
+            val w = (System.nanoTime() - t0) / 1e9
+            println(f"[stress] sampled audit pct=$pct%3d " +
+              f"wall=$w%7.1f s mean recall@5=$mean%.4f")
+            (pct, w, mean)
+          }
+          rows.toDF("sample_pct", "wall_s", "mean_recall")
+        }),
+        // the FULL lifecycle loop at scale (VERDICT r10 #7): three
+        // ingest -> sampled-audit -> (retrain on drift) -> compact ->
+        // vacuum cycles. Cycles 1-2 feed in-distribution waves
+        // (duplicate vectors under new ids — co-located with their
+        // replica families, audit passes); cycle 3 feeds a REVERSED
+        // wave that must trip the retrain. Version-directory count must
+        // stay flat (<= keepN) after every vacuum — the retention gate.
+        "lifecycle_decade" -> (() => {
+          import graft.similarity.Ivf
+          import spark.implicits._
+          // the healthy-cycle contract (duplicate wave co-locates with
+          // its jittered replica family) holds at the production cell
+          // geometry (~n/256 cells; measured 1.0 at 30x/100x) but not
+          // at 10x's 79-cell toy geometry — gate the run
+          require(factor >= 30,
+            s"lifecycle_decade needs the >=30x cell geometry: $factor")
+          val fsH = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val root = s"$outDir/ivf_lifecycle"
+          fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+          // the base version indexes the WHOLE current corpus (the
+          // q_stream_reindex shape): the families every in-distribution
+          // audit query belongs to are fully represented, which is what
+          // keeps the healthy audit at ~1.0 (a 90%-resident-trained
+          // quantizer measurably breaks family co-location here:
+          // cycle-1 recall 0.66 on the 30x probe)
+          val resident = emb.select(col("vec_id"), col("embedding"))
+          val tB = System.nanoTime()
+          Ivf.writeVersionedIndex(resident, k = cellsScaled, root)
+          println(f"[stress] lifecycle base publish: " +
+            f"${(System.nanoTime() - tB) / 1e9}%7.1f s " +
+            f"(${resident.count()} vectors, $cellsScaled cells)")
+          // sample sized so each query's replica family keeps ~10
+          // members in-sample (the audit-confidence knob): pct >= 1000/F
+          val samplePct = math.max(10, math.min(100, 1000 / factor))
+          def ingestLayers(v: Long): Int =
+            fsH.listStatus(new org.apache.hadoop.fs.Path(s"$root/v=$v/store"))
+              .count(_.getPath.getName.startsWith("ingest="))
+          val rows = (1 to 3).map { c =>
+            val tC = System.nanoTime()
+            // cycles 1-2: in-distribution ingest (duplicates of the
+            // %30==c corpus slice under fresh ids — measured recall
+            // 1.0/1.0/0.88 at full/33%/10% samples on the 30x probe).
+            // cycle 3: a REVERSED copy of the original base vectors —
+            // one per replica family, so the re-encoded wave has no
+            // internal near-dup structure to hide in (reversed families
+            // co-locate and DON'T trip the gate: measured 0.72) —
+            // probe-measured 0.44/0.38/0.24, firing at every sample size
+            val wave =
+              if (c == 3) emb.filter(col("vec_id") < nVec / factor)
+                .select((col("vec_id") + 300000000L).as("vec_id"),
+                  expr("reverse(embedding)").as("embedding"))
+              else emb.filter(col("vec_id") % 30 === c)
+                .select((col("vec_id") + c * 100000000L).as("vec_id"),
+                  col("embedding"))
+            val v = Ivf.indexVersion(spark, root)
+            val cents = Ivf.localizeCentroids(
+              spark.read.parquet(s"$root/v=$v/centroids"))
+            Ivf.writeBatchToStore(wave, cents, s"$root/v=$v/store", c.toLong)
+            val qs = Ivf.localizeCentroids(wave.orderBy("vec_id").limit(10)
+              .select(col("vec_id").as("query_id"),
+                col("embedding").as("query_vec")).toDF())
+            val (vAfter, recall) = Ivf.reindexIfDriftedSampled(spark, root,
+              qs, k = 5, nprobe = 2, floor = 0.8, samplePct = samplePct,
+              kCents = cellsScaled)
+            val retrained = vAfter > v
+            // compaction is THRESHOLDED, as in production: fold only a
+            // store that actually has streamed layers — a just-retrained
+            // version is already single-base and folding it is a no-op
+            val (fBefore, fAfter) =
+              if (ingestLayers(Ivf.indexVersion(spark, root)) > 1) {
+                val (_, b, a) = Ivf.compactVersion(spark, root)
+                require(a < b, s"compaction must shrink the store: $b -> $a")
+                (b, a)
+              } else (0, 0)
+            val vacuumed = Ivf.vacuumVersions(spark, root, keepN = 2)
+            val nDirs = fsH.listStatus(new org.apache.hadoop.fs.Path(root))
+              .count(_.getPath.getName.startsWith("v="))
+            val wall = (System.nanoTime() - tC) / 1e9
+            println(f"[stress] lifecycle cycle $c: wall=$wall%7.1f s " +
+              f"recall@5=$recall%.4f (pct=$samplePct) retrained=$retrained " +
+              f"v=${Ivf.indexVersion(spark, root)} files $fBefore->$fAfter " +
+              f"dirs=$nDirs vacuumed=${vacuumed.size}")
+            require(nDirs <= 2,
+              s"version growth must stay flat under vacuum: $nDirs dirs")
+            (c, wall, recall, retrained, fBefore, fAfter, nDirs)
+          }
+          require(!rows(0)._4 && !rows(1)._4,
+            "in-distribution cycles must not retrain")
+          require(rows(2)._4, "the reversed-wave cycle must trip the retrain")
+          rows.toDF("cycle", "wall_s", "recall", "retrained",
+            "files_before", "files_after", "version_dirs")
         }),
         // the superlinear shape the gate exists for, PRICED not run: the
         // contract query's FIXED 8 cells at this corpus — cellCost says
