@@ -121,6 +121,7 @@ object ScaleStress {
 
     // (stageId -> task durations) per measured query, plus spill totals
     val byStage = new mutable.HashMap[Int, mutable.ArrayBuffer[Long]]()
+    val stageName = new mutable.HashMap[Int, String]()
     val spill = new Array[Long](2) // (memoryBytesSpilled, diskBytesSpilled)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
@@ -131,6 +132,11 @@ object ScaleStress {
             spill(0) += e.taskMetrics.memoryBytesSpilled
             spill(1) += e.taskMetrics.diskBytesSpilled
           }
+        }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        byStage.synchronized {
+          stageName(e.stageInfo.stageId) = e.stageInfo.name
         }
     })
 
@@ -185,19 +191,29 @@ object ScaleStress {
       }
       val stages = byStage.synchronized(byStage.map { case (k, v) =>
         (k, v.toSeq.sorted) }.toMap)
+      val names = byStage.synchronized(stageName.toMap)
       val nTasks = stages.valuesIterator.map(_.size).sum
       // stages with >= 2 s total task time carry the real work; report
       // the worst max/median ratio among them
       val heavy = stages.filter(_._2.sum >= 2000)
-      val worst = heavy.values.map { ds =>
+      val ranked = heavy.map { case (sid, ds) =>
         val med = math.max(1L, ds(ds.size / 2))
-        (ds.last.toDouble / med, ds.last, med, ds.size)
-      }.toSeq.sortBy(-_._1).headOption
-      val w = worst.map { case (r, mx, md, nt) =>
+        (ds.last.toDouble / med, ds.last, med, ds.size, sid)
+      }.toSeq.sortBy(-_._1)
+      val w = ranked.headOption.map { case (r, mx, md, nt, _) =>
         f"$r%6.2fx  (max $mx%6d / med $md%5d over $nt%4d tasks)"
       }.getOrElse("no stage >= 2s")
       val (sm, sd) = byStage.synchronized((spill(0), spill(1)))
       println(f"$name%-18s $wall%8.2f $rows%9d $nTasks%7d ${sm / 1e6}%9.1f ${sd / 1e6}%9.1f  $w")
+      // attribution for anything past the 4x gate: name the offending
+      // stages (StageInfo.name carries the callsite) so a flagged ratio
+      // is diagnosable from the log instead of needing a re-run
+      ranked.takeWhile(_._1 > 4.0).take(3).foreach {
+        case (r, mx, md, nt, sid) =>
+          val nm = names.getOrElse(sid, "?").linesIterator.next().take(90)
+          println(f"  [skew>4x] stage $sid: $r%5.2fx max=$mx%6d med=$md%5d " +
+            f"tasks=$nt%4d  $nm")
+      }
     }
 
     println(f"${"pipeline"}%-18s ${"wall_s"}%8s ${"rows"}%9s ${"tasks"}%7s ${"spillM_MB"}%9s ${"spillD_MB"}%9s ${"worst-stage max/med (ms, tasks)"}")
