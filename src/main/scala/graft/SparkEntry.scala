@@ -2877,9 +2877,19 @@ object SparkEntry {
           emb.filter(pmod(col("vec_id"), lit(10)) === 0)
             .select((col("vec_id") + o).as("vec_id"), col("embedding")))
         .reduce(_ unionByName _)
+      // the shifted wave: a PER-ID sign mask (exact in float, so the
+      // twin replays it bit-for-bit) — unlike reversal, it decorrelates
+      // the wave from the trained quantizer AND from itself, so the
+      // audit scatters on ANY corpus geometry (reversed near-dup
+      // FAMILIES co-locate and never trip the gate on the densified
+      // 10x ContractStress corpus; masked vectors have no family
+      // structure to hide in)
       val w2 = emb.filter(pmod(col("vec_id"), lit(10)) === 5)
         .select((col("vec_id") + 200000L).as("vec_id"),
-          reverse(col("embedding")).as("embedding"))
+          transform(col("embedding"), (x, i) =>
+            x * when(pmod(graft.functions.Profile.hash32(
+                col("vec_id") * 64 + i), lit(2L)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f))).as("embedding"))
       val in = s"$feed/in"; new java.io.File(in).mkdirs()
       def phase(p: DataFrame): Unit =
         p.coalesce(1).write.mode("append").parquet(in)
@@ -8122,14 +8132,17 @@ object SparkEntry {
     // (vec_id < 10) are original rows
     "q_stream_reindex" ->
       (kmeansAssignCorpusCtes("TRUE", "TRUE",
-        """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        s"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
            UNION ALL
            SELECT vec_id + o, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings, (VALUES (100000), (110000), (120000),
              (130000), (140000)) AS offs(o)
            WHERE vec_id % 10 = 0
            UNION ALL
-           SELECT vec_id + 200000, list_reverse(CAST(embedding AS DOUBLE[])) AS v
+           SELECT vec_id + 200000,
+             list_transform(CAST(embedding AS DOUBLE[]), (x, i) ->
+               x * (CASE WHEN (${hash32Sql("vec_id*64 + i - 1")}) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END)) AS v
            FROM embeddings WHERE vec_id % 10 = 5""") + ivfProbeSuffix(10)),
 
     // both the exact and the LSH-bucketed top-5 recomputed, intersected

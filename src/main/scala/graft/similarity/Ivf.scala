@@ -705,6 +705,32 @@ object Ivf {
     else (v, recall)
   }
 
+  /** Mean assignment CONFIDENCE of a vector batch against a frozen
+    * centroid set: avg over rows of the max cosine to any centroid —
+    * the quantization-confidence statistic an always-on ingest job can
+    * afford on EVERY batch (one narrow pass, no shuffle, no ground
+    * truth). An in-distribution batch scores near its family's
+    * centroid (~1); a batch from a space the quantizer never saw (new
+    * encoder, corrupted feed) scores ~0 against EVERY centroid — a
+    * structural signal, independent of corpus density, where a
+    * recall-based audit can legitimately stay green on duplicate-heavy
+    * corpora (co-located copies ARE served fine by a stale index).
+    * The two signals are complementary: confidence catches
+    * out-of-space drift immediately and for free; the recall audit
+    * ([[sampledAudit]]) catches in-space degradation on its cadence. */
+  def assignmentConfidence(vectors: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+    val cents = collectCentroids(centroids)
+    require(cents.nonEmpty, "assignmentConfidence needs >= 1 centroid")
+    val maxCos = array_max(array(cents.map { case (_, cv) =>
+      graft.functions.native.vec_cosine(col(vecCol), typedlit(cv))
+    }.toSeq: _*))
+    val row = vectors.agg(avg(maxCos)).head()
+    require(!row.isNullAt(0),
+      "assignmentConfidence needs a non-empty vector batch")
+    row.getDouble(0)
+  }
+
   /** The drift audit's measurement over a deterministic corpus SAMPLE:
     * recall@k of the frozen stored-centroid probe vs exact brute force,
     * BOTH restricted to the hash-selected `samplePct`% of the newest

@@ -411,8 +411,8 @@ object Streams {
   def indexAppendAudited(newVectors: DataFrame, root: String,
       checkpointDir: String, auditEvery: Int = 1, floor: Double = 0.8,
       nAuditQueries: Int = 10, k: Int = 5, nprobe: Int = 2,
-      kCents: Int = 8, iters: Int = 1, idCol: String = "vec_id",
-      vecCol: String = "embedding")
+      kCents: Int = 8, iters: Int = 1, confidenceFloor: Double = 0.0,
+      idCol: String = "vec_id", vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(auditEvery >= 1, s"audit cadence must be >= 1: $auditEvery")
     newVectors.writeStream
@@ -426,8 +426,24 @@ object Streams {
           s.read.parquet(s"$root/v=$v/centroids"))
         graft.similarity.Ivf.writeBatchToStore(batch, cents,
           s"$root/v=$v/store", batchId, idCol, vecCol)
-        if ((batchId + 1) % auditEvery == 0) {
-          // the audit sample rides the batch (bounded: nAuditQueries
+        // signal 1, EVERY batch when enabled: assignment confidence —
+        // a batch from a space the quantizer never carved scores ~0
+        // against every centroid (structural, corpus-independent) and
+        // must trigger the repair immediately; a recall audit can stay
+        // legitimately green on duplicate-heavy corpora a stale index
+        // still serves, which is exactly why both signals exist
+        val outOfSpace = confidenceFloor > 0.0 &&
+          graft.similarity.Ivf.assignmentConfidence(
+            batch.select(batch(idCol), batch(vecCol)).toDF(),
+            cents, idCol, vecCol) < confidenceFloor
+        if (outOfSpace) {
+          val corpus = s.read.parquet(s"$root/v=$v/store")
+            .select(col(idCol), col(vecCol))
+          val _ = graft.similarity.Ivf.writeVersionedIndex(corpus, kCents,
+            root, iters, idCol, vecCol)
+        } else if ((batchId + 1) % auditEvery == 0) {
+          // signal 2, on the audit cadence: the ground-truth recall
+          // audit. The sample rides the batch (bounded: nAuditQueries
           // rows, localized so the audit never re-reads the feed)
           val qs = graft.similarity.Ivf.localizeCentroids(
             batch.orderBy(idCol).limit(nAuditQueries)

@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
   * v=1 index audited against (a) the 5-copy duplicate wave's own queries
   * — structurally 1.0 at any SF, each query's true top-5 are its sibling
   * copies + source sharing its exact assignment cell — and (b) the
-  * reversed re-encoded wave's queries, whose true neighbors scatter
-  * across cells the frozen quantizer never carved. Measured (2026-08):
-  * healthy@5 = 1.0000 at sf0.001/0.01/0.1; shifted@5 = 0.46/0.34/0.54 —
-  * the 0.8 floor separates with margin on both sides. */
+  * sign-mask re-encoded wave's queries, whose true neighbors scatter
+  * across cells the frozen quantizer never carved (the mask decorrelates
+  * the wave from ITSELF too, so the scatter is corpus-robust — a
+  * reversed wave's near-dup families co-locate on the densified
+  * ContractStress corpus and never trip the gate). Measured (2026-08):
+  * healthy@5 = 1.0000 at sf0.001/0.01/0.1; masked shifted@5 well below
+  * the 0.8 floor at every SF (see SCALE.md round-11 table). */
 object DriftProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -23,8 +26,13 @@ object DriftProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.similarity.Ivf
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val emb = graft.engine.Tables.load(spark, s"/root/testdata/$sf", "embeddings")
+    // optional args: explicit table dirs (e.g. the ContractStress corpus)
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"/root/testdata/$s")
+    for (dir <- dirs) {
+      val sf = dir.split("/").last
+      val emb = graft.engine.Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
       val root = s"/tmp/driftprobe_$sf/idx"
       org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -37,7 +45,10 @@ object DriftProbe {
         .reduce(_ unionByName _)
       val w2 = emb.filter(pmod(col("vec_id"), lit(10)) === 5)
         .select((col("vec_id") + 200000L).as("vec_id"),
-          reverse(col("embedding")).as("embedding"))
+          transform(col("embedding"), (x, i) =>
+            x * when(pmod(graft.functions.Profile.hash32(
+                col("vec_id") * 64 + i), lit(2L)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f))).as("embedding"))
       val cents = Ivf.localizeCentroids(spark.read.parquet(s"$root/v=1/centroids"))
       Ivf.writeBatchToStore(w1, cents, s"$root/v=1/store", 0L)
       val q1 = w1.orderBy("vec_id").limit(10)

@@ -390,6 +390,31 @@ class IvfSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/v=2/store").count() == 40)
   }
 
+  test("assignmentConfidence: in-space batch scores ~1, out-of-space batch ~0") {
+    def unit(dim0: Int, seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(16) { d =>
+        (if (d == dim0) 1.0f else 0.0f) +
+          (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    val resident = (0 until 20)
+      .map(i => (i.toLong, unit(if (i % 2 == 0) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    val cents = Ivf.train(resident, k = 2, iters = 1)
+    val inSpace = resident.limit(6)
+      .select($"vec_id" + 100, $"embedding").toDF("vec_id", "embedding")
+    assert(Ivf.assignmentConfidence(inSpace, cents) > 0.9)
+    // the orthogonal e3 direction: ~0 cosine against BOTH centroids —
+    // the structural out-of-space reading, independent of corpus density
+    val outSpace = (200 until 206).map(i => (i.toLong, unit(2, i)))
+      .toDF("vec_id", "embedding")
+    assert(Ivf.assignmentConfidence(outSpace, cents) < 0.2)
+    intercept[IllegalArgumentException] {
+      Ivf.assignmentConfidence(resident.limit(0), cents)
+    }
+  }
+
   test("requireFreshIndex: clear error on an empty audit frame") {
     val empty = Seq.empty[(Int, Long, Double)]
       .toDF("stage", "query_id", "recall_at_3")

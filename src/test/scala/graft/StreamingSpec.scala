@@ -555,6 +555,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/v=2/store").count() == 60)
   }
 
+  test("indexAppendAudited: the confidence gate repairs out-of-space drift off-cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.Ivf
+    def unit(dim0: Int, seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(16) { d =>
+        (if (d == dim0) 1.0f else 0.0f) +
+          (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    val resident = (3 until 23)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sconf").toString
+    val root = s"$tmp/idx"
+    Ivf.writeVersionedIndex(resident, k = 2, root)
+    // auditEvery is huge: the RECALL audit never runs in this stream —
+    // the version can only move if the per-batch confidence signal
+    // catches the out-of-space batch (the cheap always-on gate)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.indexAppendAudited(
+      mem.toDF().toDF("vec_id", "embedding"), root, s"$tmp/ckpt",
+      auditEvery = 1000, floor = 0.9, k = 3, nprobe = 1, kCents = 3,
+      confidenceFloor = 0.5)
+    try {
+      // in-space batch: confidence ~1, version holds
+      mem.addData((100 until 110)
+        .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i))))
+      q.processAllAvailable()
+      assert(Ivf.indexVersion(spark, root) == 1L)
+      // out-of-space batch (orthogonal e3 + one low id for seeding):
+      // confidence ~0 -> repair fires on THIS batch, no cadence wait
+      mem.addData((Seq(2L) ++ (200L until 209L)).map(i => (i, unit(2, i.toInt))))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Ivf.indexVersion(spark, root) == 2L)
+    // and the repair is real: the same out-of-space distribution now
+    // passes the recall floor on v=2
+    val qs = (Seq(2L) ++ (200L until 205L)).map(i => (i, unit(2, i.toInt)))
+      .toDF("query_id", "query_vec")
+    val (vStable, rAfter) = Ivf.reindexIfDrifted(spark, root, qs,
+      k = 3, nprobe = 1, floor = 0.9, kCents = 3)
+    assert(vStable == 2L && rAfter >= 0.9)
+  }
+
   test("cdcApply maintains a versioned keyed snapshot across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
