@@ -412,6 +412,7 @@ object Streams {
       checkpointDir: String, auditEvery: Int = 1, floor: Double = 0.8,
       nAuditQueries: Int = 10, k: Int = 5, nprobe: Int = 2,
       kCents: Int = 8, iters: Int = 1, confidenceFloor: Double = 0.0,
+      samplePct: Int = 100,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(auditEvery >= 1, s"audit cadence must be >= 1: $auditEvery")
@@ -450,9 +451,12 @@ object Streams {
               .select(batch(idCol).as("query_id"),
                 batch(vecCol).as("query_vec")).toDF())
           // return value (version, recall) is observable via the
-          // manifest; the stream body must be Unit
-          val _ = graft.similarity.Ivf.reindexIfDrifted(s, root, qs, k,
-            nprobe, floor, kCents, iters, idCol, vecCol)
+          // manifest; the stream body must be Unit. samplePct < 100
+          // bounds the audit's brute-force term for always-on cadences
+          // (the Ivf.sampledAudit cost knob; repair still retrains on
+          // the store's FULL content)
+          val _ = graft.similarity.Ivf.reindexIfDriftedSampled(s, root,
+            qs, k, nprobe, floor, samplePct, kCents, iters, idCol, vecCol)
         }
       }
       .start()
