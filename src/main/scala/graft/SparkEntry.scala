@@ -2856,7 +2856,7 @@ object SparkEntry {
     // 2 is a SHIFTED wave (vec_id%10=5 re-encoded by reversal — a new
     // encoder's vectors landing in the same store): its queries' true
     // neighbors scatter across cells the frozen quantizer never carved
-    // (measured recall@5 0.34-0.54 across sf0.001/0.01/0.1 vs the 0.8
+    // (measured recall@5 0.30-0.48 across sf0.001/0.01/0.1 vs the 0.8
     // floor), so the in-stream reindexIfDrifted retrains on the store's
     // full content and publishes v=2 mid-stream. The requires pin the
     // version trail (held at v1 after phase 1, advanced EXACTLY once
@@ -8125,7 +8125,7 @@ object SparkEntry {
       (kmeansAssignBaseCtes("vec_id % 5 <> 0") + ivfProbeSuffix(10)),
 
     // in-stream drift repair: v=2 retrained on the store's full content
-    // (originals + the 5-copy duplicate wave + the reversed re-encoded
+    // (originals + the 5-copy duplicate wave + the sign-mask re-encoded
     // wave), so the twin is the full train+probe replay over exactly
     // that union corpus — seeds stay the 8 lowest ORIGINAL ids (wave
     // ids are offset far above every corpus id), and the probe queries

@@ -325,15 +325,20 @@ object Ivf {
 
   def ivfTopKFromStore(storePath: String, queries: DataFrame,
       centroids: DataFrame, k: Int, nprobe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rowFilter: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     val cents = collectCentroids(centroids)
     val probes = probeSelection(queries, cents, nprobe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)) // bounded by k, never by data scale
-    val assigned = spark.read.parquet(storePath)
-      .filter(col("centroid_id").isin(probeIds.map(Int.box): _*))
+    // rowFilter (e.g. sampledAudit's hash-bucket sample) COMPOSES with
+    // the partition-pruning IN filter: the scan still lists and reads
+    // only the probed inverted-list directories
+    val assigned = rowFilter.foldLeft(
+      spark.read.parquet(storePath)
+        .filter(col("centroid_id").isin(probeIds.map(Int.box): _*)))(_.filter(_))
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"),
@@ -512,10 +517,24 @@ object Ivf {
     * same-directory file rename ([[commitVersion]]). */
   def indexVersion(spark: org.apache.spark.sql.SparkSession,
       root: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(root, "_latest")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val p = new org.apache.hadoop.fs.Path(rootPath, "_latest")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else {
+    if (!fs.exists(p)) {
+      // version directories WITHOUT a manifest mean a lost/deleted
+      // commit object (or a root from a foreign layout) — resolving 0
+      // here would make the next publish build v=1 and DELETE the live
+      // v=1 data (buildVersionDir clears its target). Refuse loudly:
+      // silent data loss is never the right reading of a missing
+      // manifest (self-review r11).
+      val orphaned = fs.exists(rootPath) &&
+        fs.listStatus(rootPath).exists(_.getPath.getName.startsWith("v="))
+      require(!orphaned, s"index root $root has version directories but " +
+        "no _latest manifest — the commit object was lost or this root " +
+        "predates the manifest protocol; restore the manifest (a file " +
+        "naming the newest complete version) instead of republishing")
+      0L
+    } else {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
       finally in.close()
@@ -653,6 +672,14 @@ object Ivf {
       s"$root/v=$next/centroids")
     val (before, after) = compactIngestStore(spark,
       s"$root/v=$v/store", s"$root/v=$next/store", idCol, vecCol)
+    // carry the in-stream repair marker: the compacted store still
+    // contains every batch the source version folded, and a
+    // crash-replayed batch must keep detecting that after the swap
+    val marker = new org.apache.hadoop.fs.Path(s"$root/v=$v/_folded_through")
+    if (fs.exists(marker))
+      org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
+        new org.apache.hadoop.fs.Path(s"$root/v=$next/_folded_through"),
+        false, spark.sparkContext.hadoopConfiguration)
     commitVersion(spark, root, next)
     (next, before, after)
   }
@@ -683,27 +710,13 @@ object Ivf {
       root: String, queries: DataFrame, k: Int, nprobe: Int = 2,
       floor: Double = 0.8, kCents: Int = 8, iters: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding")
-      : (Long, Double) = {
-    val v = indexVersion(spark, root)
-    require(v > 0, s"no index version under $root")
-    val corpus = spark.read.parquet(s"$root/v=$v/store")
-      .select(col(idCol), col(vecCol))
-    val cents = spark.read.parquet(s"$root/v=$v/centroids")
-    val exact = Ann.bruteForceTopK(corpus, queries, k, idCol, vecCol)
-    val approx = ivfTopKFromStore(s"$root/v=$v/store", queries, cents,
-      k, nprobe, idCol, vecCol)
-    val row = Ann.recallAtK(exact, approx, queries, k)
-      .agg(avg(col(s"recall_at_$k"))).head()
-    // avg over ZERO audit rows is SQL NULL — an empty query sample must
-    // fail with a clear message, not an NPE deep in the nightly job
-    require(!row.isNullAt(0),
-      "reindexIfDrifted needs a non-empty query sample: the audit " +
-        "produced zero recall rows")
-    val recall = row.getDouble(0)
-    if (recall < floor)
-      (writeVersionedIndex(corpus, kCents, root, iters, idCol, vecCol), recall)
-    else (v, recall)
-  }
+      : (Long, Double) =
+    // ONE gate body: the full audit IS the samplePct=100 case (IvfSpec
+    // asserts the equality) — two copies of the audit-compare-retrain
+    // logic would drift (self-review r11)
+    reindexIfDriftedSampled(spark, root, queries, k, nprobe, floor,
+      samplePct = 100, kCents = kCents, iters = iters, idCol = idCol,
+      vecCol = vecCol)
 
   /** Mean assignment CONFIDENCE of a vector batch against a frozen
     * centroid set: avg over rows of the max cosine to any centroid —
@@ -717,15 +730,36 @@ object Ivf {
     * corpora (co-located copies ARE served fine by a stale index).
     * The two signals are complementary: confidence catches
     * out-of-space drift immediately and for free; the recall audit
-    * ([[sampledAudit]]) catches in-space degradation on its cadence. */
+    * ([[sampledAudit]]) catches in-space degradation on its cadence.
+    * PRECONDITION: `idCol` uniquely identifies a batch row (the
+    * large-k aggregate path groups by it — [[probeSelection]]'s rule). */
   def assignmentConfidence(vectors: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Double = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      useAggregate: Option[Boolean] = None): Double = {
     val cents = collectCentroids(centroids)
     require(cents.nonEmpty, "assignmentConfidence needs >= 1 centroid")
-    val maxCos = array_max(array(cents.map { case (_, cv) =>
-      graft.functions.native.vec_cosine(col(vecCol), typedlit(cv))
-    }.toSeq: _*))
-    val row = vectors.agg(avg(maxCos)).head()
+    // same switch as assignTo/probeSelection: past GreatestMaxK the
+    // literal-array formulation is O(k·dim) GENERATED CODE (the JIT /
+    // 64KB wall this file documents), which an every-batch signal at
+    // the ~n/256 production cell count must not pay — score a
+    // broadcast centroid TABLE instead (k driver-local rows)
+    val row =
+      if (!useAggregate.getOrElse(cents.length > GreatestMaxK)) {
+        val maxCos = array_max(array(cents.map { case (_, cv) =>
+          graft.functions.native.vec_cosine(col(vecCol), typedlit(cv))
+        }.toSeq: _*))
+        vectors.agg(avg(maxCos)).head()
+      } else {
+        val spark = vectors.sparkSession
+        import spark.implicits._
+        val centsDf = cents.toSeq.map { case (cid, v) => (cid.toLong, v) }
+          .toDF("cent_id", "centroid")
+        vectors.crossJoin(broadcast(centsDf))
+          .groupBy(col(idCol))
+          .agg(max(graft.functions.native.vec_cosine(
+            col(vecCol), col("centroid"))).as("max_cos"))
+          .agg(avg(col("max_cos"))).head()
+      }
     require(!row.isNullAt(0),
       "assignmentConfidence needs a non-empty vector batch")
     row.getDouble(0)
@@ -753,13 +787,18 @@ object Ivf {
     require(v > 0, s"no index version under $root")
     val corpus = spark.read.parquet(s"$root/v=$v/store")
       .select(col(idCol), col(vecCol))
-    val sampled =
-      if (samplePct == 100) corpus
-      else corpus.filter(
-        graft.functions.Profile.hashBucket100(col(idCol)) < samplePct)
+    val sampleFilter =
+      if (samplePct == 100) None
+      else Some(graft.functions.Profile.hashBucket100(col(idCol)) < samplePct)
+    val sampled = sampleFilter.foldLeft(corpus)(_.filter(_))
     val cents = spark.read.parquet(s"$root/v=$v/centroids")
+    // exact ground truth must scan the whole sample by definition; the
+    // approximate side keeps the stored layout's centroid_id partition
+    // pruning (probed directories only) with the sample composed as a
+    // row filter — the q_ann_ivf_pruned discipline (self-review r11)
     val exact = Ann.bruteForceTopK(sampled, queries, k, idCol, vecCol)
-    val approx = ivfTopK(sampled, queries, cents, k, nprobe, idCol, vecCol)
+    val approx = ivfTopKFromStore(s"$root/v=$v/store", queries, cents,
+      k, nprobe, idCol, vecCol, rowFilter = sampleFilter)
     Ann.recallAtK(exact, approx, queries, k)
   }
 

@@ -400,14 +400,21 @@ object Streams {
     * store's full content and publish v+1 when it does.
     *
     * Exactly-once: the batch write is the idempotent keyed overwrite
-    * ([[indexAppend]]); the audit is deterministic given store content,
-    * so a crash-replayed audited batch retrains on IDENTICAL rows and
-    * publishes a version with identical content — serving answers
-    * cannot change across a replay (an extra version NUMBER can be
-    * burned; vacuumVersions retires it like any other superseded
-    * version). Centroids are re-read per batch as a driver-local
-    * relation (k rows) so no training lineage re-runs inside
-    * foreachBatch. */
+    * ([[indexAppend]]) — and a retrain is replay-safe through the
+    * version's `_folded_through` marker. The hazard (self-review r11):
+    * batch N writes `ingest=bN` under v, its audit retrains — folding
+    * bN into v+1's BASE — and the process dies before the streaming
+    * checkpoint commits N; the replay resolves v+1 and a naive keyed
+    * write would land bN's rows a SECOND time next to the base copy.
+    * So a repair records the triggering batchId INSIDE the new version
+    * directory BEFORE the manifest commit (the directory is invisible
+    * until committed, so marker and version become visible atomically
+    * together), and [[processAuditedBatch]] skips any batch at or
+    * below the resolved version's marker — the replayed batch is a
+    * complete no-op. Empty micro-batches (data-less triggers, feed
+    * recovery) are also skipped, never failed. Centroids are re-read
+    * per batch as a driver-local relation (k rows) so no training
+    * lineage re-runs inside foreachBatch. */
   def indexAppendAudited(newVectors: DataFrame, root: String,
       checkpointDir: String, auditEvery: Int = 1, floor: Double = 0.8,
       nAuditQueries: Int = 10, k: Int = 5, nprobe: Int = 2,
@@ -419,47 +426,103 @@ object Streams {
     newVectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val v = graft.similarity.Ivf.indexVersion(s, root)
-        require(v > 0, s"no committed index version under $root — " +
-          "publish a base version before streaming into it")
-        val cents = graft.similarity.Ivf.localizeCentroids(
-          s.read.parquet(s"$root/v=$v/centroids"))
-        graft.similarity.Ivf.writeBatchToStore(batch, cents,
-          s"$root/v=$v/store", batchId, idCol, vecCol)
-        // signal 1, EVERY batch when enabled: assignment confidence —
-        // a batch from a space the quantizer never carved scores ~0
-        // against every centroid (structural, corpus-independent) and
-        // must trigger the repair immediately; a recall audit can stay
-        // legitimately green on duplicate-heavy corpora a stale index
-        // still serves, which is exactly why both signals exist
-        val outOfSpace = confidenceFloor > 0.0 &&
-          graft.similarity.Ivf.assignmentConfidence(
-            batch.select(batch(idCol), batch(vecCol)).toDF(),
-            cents, idCol, vecCol) < confidenceFloor
-        if (outOfSpace) {
-          val corpus = s.read.parquet(s"$root/v=$v/store")
-            .select(col(idCol), col(vecCol))
-          val _ = graft.similarity.Ivf.writeVersionedIndex(corpus, kCents,
-            root, iters, idCol, vecCol)
-        } else if ((batchId + 1) % auditEvery == 0) {
-          // signal 2, on the audit cadence: the ground-truth recall
-          // audit. The sample rides the batch (bounded: nAuditQueries
-          // rows, localized so the audit never re-reads the feed)
-          val qs = graft.similarity.Ivf.localizeCentroids(
-            batch.orderBy(idCol).limit(nAuditQueries)
-              .select(batch(idCol).as("query_id"),
-                batch(vecCol).as("query_vec")).toDF())
-          // return value (version, recall) is observable via the
-          // manifest; the stream body must be Unit. samplePct < 100
-          // bounds the audit's brute-force term for always-on cadences
-          // (the Ivf.sampledAudit cost knob; repair still retrains on
-          // the store's FULL content)
-          val _ = graft.similarity.Ivf.reindexIfDriftedSampled(s, root,
-            qs, k, nprobe, floor, samplePct, kCents, iters, idCol, vecCol)
-        }
+        processAuditedBatch(batch.toDF(), batchId, root, auditEvery,
+          floor, nAuditQueries, k, nprobe, kCents, iters,
+          confidenceFloor, samplePct, idCol, vecCol)
       }
       .start()
+  }
+
+  /** One micro-batch of [[indexAppendAudited]], exposed for the
+    * StreamingSpec crash-replay tests (calling it twice with the same
+    * batchId IS the replayed-batch schedule). See the scaladoc above
+    * for the replay protocol. */
+  private[graft] def processAuditedBatch(batch: DataFrame, batchId: Long,
+      root: String, auditEvery: Int, floor: Double, nAuditQueries: Int,
+      k: Int, nprobe: Int, kCents: Int, iters: Int,
+      confidenceFloor: Double, samplePct: Int, idCol: String,
+      vecCol: String): Unit = {
+    if (batch.isEmpty) return // a data-less trigger must not kill the job
+    val s = batch.sparkSession
+    val v = graft.similarity.Ivf.indexVersion(s, root)
+    require(v > 0, s"no committed index version under $root — " +
+      "publish a base version before streaming into it")
+    // a crash-replayed batch whose FIRST attempt's retrain already
+    // folded it into this version's base: complete no-op
+    if (batchId <= foldedThrough(s, root, v)) return
+    val cents = graft.similarity.Ivf.localizeCentroids(
+      s.read.parquet(s"$root/v=$v/centroids"))
+    graft.similarity.Ivf.writeBatchToStore(batch, cents,
+      s"$root/v=$v/store", batchId, idCol, vecCol)
+    // signal 1, EVERY batch when enabled: assignment confidence — a
+    // batch from a space the quantizer never carved scores ~0 against
+    // every centroid (structural, corpus-independent) and must trigger
+    // the repair immediately; a recall audit can stay legitimately
+    // green on duplicate-heavy corpora a stale index still serves,
+    // which is exactly why both signals exist
+    val outOfSpace = confidenceFloor > 0.0 &&
+      graft.similarity.Ivf.assignmentConfidence(
+        batch.select(batch(idCol), batch(vecCol)).toDF(),
+        cents, idCol, vecCol) < confidenceFloor
+    if (outOfSpace) {
+      republishFoldedThrough(s, root, batchId, kCents, iters, idCol, vecCol)
+    } else if ((batchId + 1) % auditEvery == 0) {
+      // signal 2, on the audit cadence: the ground-truth recall audit.
+      // The sample rides the batch (bounded: nAuditQueries rows,
+      // localized so the audit never re-reads the feed); samplePct
+      // bounds its brute-force term (the Ivf.sampledAudit cost knob —
+      // repair still retrains on the store's FULL content)
+      val qs = graft.similarity.Ivf.localizeCentroids(
+        batch.orderBy(idCol).limit(nAuditQueries)
+          .select(batch(idCol).as("query_id"),
+            batch(vecCol).as("query_vec")).toDF())
+      val row = graft.similarity.Ivf.sampledAudit(s, root, qs, k, nprobe,
+          samplePct, idCol, vecCol)
+        .agg(org.apache.spark.sql.functions.avg(col(s"recall_at_$k")))
+        .head()
+      require(!row.isNullAt(0), "in-stream audit produced zero recall rows")
+      if (row.getDouble(0) < floor)
+        republishFoldedThrough(s, root, batchId, kCents, iters, idCol, vecCol)
+    }
+  }
+
+  /** Retrain on the store's full content and publish v+1 carrying the
+    * `_folded_through` = `batchId` marker, written INSIDE the version
+    * directory BEFORE the manifest commit: a crash anywhere leaves
+    * either the old version serving (marker invisible with its
+    * uncommitted directory) or the new one serving WITH the marker —
+    * never a committed fold the replay can't detect. */
+  private def republishFoldedThrough(s: org.apache.spark.sql.SparkSession,
+      root: String, batchId: Long, kCents: Int, iters: Int,
+      idCol: String, vecCol: String): Unit = {
+    val v = graft.similarity.Ivf.indexVersion(s, root)
+    val corpus = s.read.parquet(s"$root/v=$v/store")
+      .select(col(idCol), col(vecCol))
+    val next = v + 1
+    graft.similarity.Ivf.buildVersionDir(corpus, kCents, root, next,
+      iters, idCol, vecCol)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/v=$next/_folded_through"), true)
+    try out.write(batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    graft.similarity.Ivf.commitVersion(s, root, next)
+  }
+
+  /** Highest batchId folded into version `v`'s base by an in-stream
+    * repair — -1 when the version never absorbed one. */
+  private def foldedThrough(s: org.apache.spark.sql.SparkSession,
+      root: String, v: Long): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/v=$v/_folded_through")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
   }
 
   /** Watermarked tumbling-window counts in the APPEND-mode shape: a

@@ -413,6 +413,13 @@ class IvfSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Ivf.assignmentConfidence(resident.limit(0), cents)
     }
+    // the large-k aggregate path (the GreatestMaxK codegen-wall switch)
+    // reads the same confidence as the literal-array path
+    val litPath = Ivf.assignmentConfidence(inSpace, cents,
+      useAggregate = Some(false))
+    val aggPath = Ivf.assignmentConfidence(inSpace, cents,
+      useAggregate = Some(true))
+    assert(math.abs(litPath - aggPath) < 1e-9)
   }
 
   test("requireFreshIndex: clear error on an empty audit frame") {

@@ -555,6 +555,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/v=2/store").count() == 60)
   }
 
+  test("processAuditedBatch: a replayed batch whose first attempt retrained is a no-op; empty triggers skip") {
+    import graft.similarity.Ivf
+    def unit(dim0: Int, seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(16) { d =>
+        (if (d == dim0) 1.0f else 0.0f) +
+          (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    val resident = (3 until 23)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val root = s"$tmp/idx"
+    Ivf.writeVersionedIndex(resident, k = 2, root)
+    def process(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streams.processAuditedBatch(b, id, root, auditEvery = 1,
+        floor = 0.9, nAuditQueries = 10, k = 3, nprobe = 1, kCents = 3,
+        iters = 1, confidenceFloor = 0.0, samplePct = 100,
+        idCol = "vec_id", vecCol = "embedding")
+    // batch 0: in-space, appends and holds the version
+    process((100 until 110)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding"), 0L)
+    assert(Ivf.indexVersion(spark, root) == 1L)
+    // batch 1: out-of-space e3 — the audit retrains, folding batch 1
+    // into v=2's base (with the _folded_through marker)
+    val b1 = (Seq(2L) ++ (200L until 209L)).map(i => (i, unit(2, i.toInt)))
+      .toDF("vec_id", "embedding")
+    process(b1, 1L)
+    assert(Ivf.indexVersion(spark, root) == 2L)
+    def storeCount() = spark.read.parquet(s"$root/v=2/store").count()
+    def probe() = Ivf.ivfTopKFromVersioned(spark, root,
+        graft.similarity.Ann.selfQueries(resident, 5), k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(storeCount() == 40) // 20 resident + 10 b0 + 10 b1, each ONCE
+    val served = probe()
+    // CRASH REPLAY: the streaming checkpoint never committed batch 1 —
+    // it re-fires against the NEW version. Without the marker the keyed
+    // write would land b1's rows a second time next to v=2's base copy
+    // (the r11 self-review hole); the replay must be a complete no-op.
+    process(b1, 1L)
+    assert(Ivf.indexVersion(spark, root) == 2L)
+    assert(storeCount() == 40)
+    assert(probe() == served)
+    // a data-less trigger is skipped, never failed
+    process(b1.limit(0), 2L)
+    assert(Ivf.indexVersion(spark, root) == 2L && storeCount() == 40)
+    // and compaction CARRIES the marker: a replay after the fold's
+    // version was compacted still detects it
+    Ivf.compactVersion(spark, root)
+    process(b1, 1L)
+    assert(Ivf.indexVersion(spark, root) == 3L)
+    assert(spark.read.parquet(s"$root/v=3/store").count() == 40)
+  }
+
   test("indexAppendAudited: the confidence gate repairs out-of-space drift off-cadence") {
     implicit val sqlCtx = spark.sqlContext
     import graft.similarity.Ivf
