@@ -2915,6 +2915,82 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the WHOLE always-on lifecycle in ONE job: ingest + per-batch
+    // audit + drift retrain + THRESHOLDED compaction + vacuum, all on
+    // their cadences inside indexAppendAudited. Three audited batches:
+    // two in-distribution 5-copy duplicate waves (audits structurally
+    // 1.0, version held; after the second, the compaction cadence
+    // fires and folds the three store layers into v=2 — fewer files,
+    // single base, the _folded_through marker carrying batch 1), then
+    // the sign-mask re-encoded wave whose audit trips the retrain to
+    // v=3 — after which the in-stream vacuum (keepN=2) retires v=1.
+    // The requires pin the full trail: version 1 -> 2(compact) ->
+    // 3(retrain), file count shrank at the fold, exactly {v=2, v=3}
+    // directories survive, and the manifest serves v=3. The twin is
+    // the full train+probe replay over the union corpus — every stage
+    // is content-deterministic
+    "q_stream_lifecycle" -> ((s, dir) => withTempFeed("graft_slife") { feed =>
+      val emb = t(s, dir, "embeddings")
+      val root = scratch("ivf_stream_lifecycle")
+      val fs = org.apache.hadoop.fs.FileSystem
+        .get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val v1 = graft.similarity.Ivf.writeVersionedIndex(
+        emb.select(col("vec_id"), col("embedding")), k = 8, root)
+      def dupWave(residue: Int, offs: Seq[Long]): DataFrame = offs.map(o =>
+          emb.filter(pmod(col("vec_id"), lit(30)) === residue)
+            .select((col("vec_id") + o).as("vec_id"), col("embedding")))
+        .reduce(_ unionByName _)
+      val w1a = dupWave(0, Seq(100000L, 110000L, 120000L, 130000L, 140000L))
+      val w1b = dupWave(10, Seq(150000L, 160000L, 170000L, 180000L, 190000L))
+      val w2 = emb.filter(pmod(col("vec_id"), lit(10)) === 5)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * when(pmod(graft.functions.Profile.hash32(
+                col("vec_id") * 64 + i), lit(2L)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f))).as("embedding"))
+      val in = s"$feed/in"; new java.io.File(in).mkdirs()
+      def phase(p: DataFrame): Unit =
+        p.coalesce(1).write.mode("append").parquet(in)
+      phase(w1a) // lands before start -> one deterministic first batch
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val src = ss.readStream.schema(ss.read.parquet(in).schema).parquet(in)
+      val q = graft.streaming.Streams.indexAppendAudited(src, root,
+        s"$feed/ckpt", auditEvery = 1, floor = 0.8, k = 5, nprobe = 2,
+        kCents = 8, compactEvery = 2, keepVersions = 2)
+      try {
+        q.processAllAvailable()
+        require(graft.similarity.Ivf.indexVersion(s, root) == v1,
+          "the first in-distribution wave must hold the version")
+        val filesV1 = fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$root/v=$v1/store/ingest=*/centroid_id=*/part-*")).length
+        phase(w1b)
+        q.processAllAvailable()
+        val vC = graft.similarity.Ivf.indexVersion(s, root)
+        require(vC == v1 + 1,
+          s"the compaction cadence must publish v=${v1 + 1}: got $vC")
+        require(graft.similarity.Ivf.ingestLayerCount(s, root, vC) == 1,
+          "the compacted version must be single-base")
+        val filesVC = fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$root/v=$vC/store/ingest=*/centroid_id=*/part-*")).length
+        require(filesVC < filesV1,
+          s"compaction must shrink the store: $filesV1 -> $filesVC files")
+        phase(w2)
+        q.processAllAvailable()
+      } finally q.stop()
+      val v3 = graft.similarity.Ivf.indexVersion(s, root)
+      require(v3 == v1 + 2,
+        s"the re-encoded wave must retrain exactly once: got v=$v3")
+      val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+      require(dirs == Seq(s"v=${v1 + 1}", s"v=${v1 + 2}"),
+        s"the in-stream vacuum must keep exactly the newest 2: $dirs")
+      graft.similarity.Ivf.ivfTopKFromVersioned(s, root,
+          Ann.selfQueries(emb, 10), k = 5, nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // RECALL-DRIFT audit of the frozen-centroid append path — the time
     // axis of index staleness: centroids train once on the resident 80%,
     // then recall@5 of the frozen IVF probe vs exact brute force is
@@ -8138,6 +8214,32 @@ object SparkEntry {
            FROM embeddings, (VALUES (100000), (110000), (120000),
              (130000), (140000)) AS offs(o)
            WHERE vec_id % 10 = 0
+           UNION ALL
+           SELECT vec_id + 200000,
+             list_transform(CAST(embedding AS DOUBLE[]), (x, i) ->
+               x * (CASE WHEN (${hash32Sql("vec_id*64 + i - 1")}) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END)) AS v
+           FROM embeddings WHERE vec_id % 10 = 5""") + ivfProbeSuffix(10)),
+
+    // the full in-stream lifecycle: v=3 retrained on the store's
+    // complete content — originals, BOTH 5-copy duplicate waves
+    // (%30=0 and %30=10 slices under their offset blocks; the
+    // mid-stream compaction rewrites, never changes, these rows), and
+    // the sign-mask re-encoded wave — so the twin is the train+probe
+    // replay over exactly that union corpus
+    "q_stream_lifecycle" ->
+      (kmeansAssignCorpusCtes("TRUE", "TRUE",
+        s"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           UNION ALL
+           SELECT vec_id + o, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings, (VALUES (100000), (110000), (120000),
+             (130000), (140000)) AS offs(o)
+           WHERE vec_id % 30 = 0
+           UNION ALL
+           SELECT vec_id + o, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings, (VALUES (150000), (160000), (170000),
+             (180000), (190000)) AS offs(o)
+           WHERE vec_id % 30 = 10
            UNION ALL
            SELECT vec_id + 200000,
              list_transform(CAST(embedding AS DOUBLE[]), (x, i) ->

@@ -660,7 +660,8 @@ object Ivf {
     * version is retired by [[vacuumVersions]], never in place. */
   def compactVersion(spark: org.apache.spark.sql.SparkSession,
       root: String, idCol: String = "vec_id",
-      vecCol: String = "embedding"): (Long, Int, Int) = {
+      vecCol: String = "embedding",
+      foldedThroughBatch: Option[Long] = None): (Long, Int, Int) = {
     val v = indexVersion(spark, root)
     require(v > 0, s"no index version under $root")
     val next = v + 1
@@ -672,16 +673,44 @@ object Ivf {
       s"$root/v=$next/centroids")
     val (before, after) = compactIngestStore(spark,
       s"$root/v=$v/store", s"$root/v=$next/store", idCol, vecCol)
-    // carry the in-stream repair marker: the compacted store still
-    // contains every batch the source version folded, and a
-    // crash-replayed batch must keep detecting that after the swap
-    val marker = new org.apache.hadoop.fs.Path(s"$root/v=$v/_folded_through")
-    if (fs.exists(marker))
-      org.apache.hadoop.fs.FileUtil.copy(fs, marker, fs,
-        new org.apache.hadoop.fs.Path(s"$root/v=$next/_folded_through"),
-        false, spark.sparkContext.hadoopConfiguration)
+    // the in-stream replay marker: the compacted base holds every
+    // batch the source version FOLDED (carry its marker) and every
+    // batch-keyed LAYER it absorbed — an in-stream compaction passes
+    // the current batchId so a crash-replayed batch whose layer was
+    // just folded detects it (the same hazard as a retrain fold).
+    // Written pre-commit: marker and version turn visible together.
+    val carried = {
+      val m = new org.apache.hadoop.fs.Path(s"$root/v=$v/_folded_through")
+      if (!fs.exists(m)) None
+      else {
+        val in = fs.open(m)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong)
+        finally in.close()
+      }
+    }
+    (carried ++ foldedThroughBatch).reduceOption(math.max(_, _))
+      .foreach { b =>
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$root/v=$next/_folded_through"),
+          true)
+        try out.write(b.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
     commitVersion(spark, root, next)
     (next, before, after)
+  }
+
+  /** Number of `ingest=*` layers in version `v`'s store — the
+    * compaction threshold statistic (a just-retrained/compacted store
+    * is single-base and folding it is a no-op). */
+  def ingestLayerCount(spark: org.apache.spark.sql.SparkSession,
+      root: String, v: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/v=$v/store")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.startsWith("ingest="))
   }
 
   /** Probe the NEWEST version of a versioned index root. */

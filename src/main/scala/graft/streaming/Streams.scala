@@ -419,7 +419,7 @@ object Streams {
       checkpointDir: String, auditEvery: Int = 1, floor: Double = 0.8,
       nAuditQueries: Int = 10, k: Int = 5, nprobe: Int = 2,
       kCents: Int = 8, iters: Int = 1, confidenceFloor: Double = 0.0,
-      samplePct: Int = 100,
+      samplePct: Int = 100, compactEvery: Int = 0, keepVersions: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(auditEvery >= 1, s"audit cadence must be >= 1: $auditEvery")
@@ -428,7 +428,8 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         processAuditedBatch(batch.toDF(), batchId, root, auditEvery,
           floor, nAuditQueries, k, nprobe, kCents, iters,
-          confidenceFloor, samplePct, idCol, vecCol)
+          confidenceFloor, samplePct, compactEvery, keepVersions,
+          idCol, vecCol)
       }
       .start()
   }
@@ -440,7 +441,8 @@ object Streams {
   private[graft] def processAuditedBatch(batch: DataFrame, batchId: Long,
       root: String, auditEvery: Int, floor: Double, nAuditQueries: Int,
       k: Int, nprobe: Int, kCents: Int, iters: Int,
-      confidenceFloor: Double, samplePct: Int, idCol: String,
+      confidenceFloor: Double, samplePct: Int, compactEvery: Int = 0,
+      keepVersions: Int = 0, idCol: String,
       vecCol: String): Unit = {
     if (batch.isEmpty) return // a data-less trigger must not kill the job
     val s = batch.sparkSession
@@ -483,6 +485,23 @@ object Streams {
       require(!row.isNullAt(0), "in-stream audit produced zero recall rows")
       if (row.getDouble(0) < floor)
         republishFoldedThrough(s, root, batchId, kCents, iters, idCol, vecCol)
+    }
+    // TABLE MAINTENANCE on its own cadence — the retention half of the
+    // always-on job, so file counts and version directories stay flat
+    // without a separate nightly task. Compaction is thresholded (a
+    // just-retrained/compacted store is single-base — folding it is a
+    // no-op) and passes the CURRENT batchId as the fold marker: the
+    // compacted base absorbs this batch's layer, so a crash-replay of
+    // this batch must detect the fold exactly as it would a retrain's.
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+      val vNow = graft.similarity.Ivf.indexVersion(s, root)
+      if (graft.similarity.Ivf.ingestLayerCount(s, root, vNow) > 1) {
+        val _ = graft.similarity.Ivf.compactVersion(s, root, idCol, vecCol,
+          foldedThroughBatch = Some(batchId))
+      }
+    }
+    if (keepVersions > 0) {
+      val _ = graft.similarity.Ivf.vacuumVersions(s, root, keepVersions)
     }
   }
 

@@ -611,6 +611,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/v=3/store").count() == 40)
   }
 
+  test("processAuditedBatch: cadence compaction folds the batch; its replay is a no-op") {
+    import graft.similarity.Ivf
+    def unit(dim0: Int, seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(16) { d =>
+        (if (d == dim0) 1.0f else 0.0f) +
+          (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    val resident = (3 until 23)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_creplay").toString
+    val root = s"$tmp/idx"
+    Ivf.writeVersionedIndex(resident, k = 2, root)
+    def process(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streams.processAuditedBatch(b, id, root, auditEvery = 1,
+        floor = 0.9, nAuditQueries = 10, k = 3, nprobe = 1, kCents = 3,
+        iters = 1, confidenceFloor = 0.0, samplePct = 100,
+        compactEvery = 1, keepVersions = 2,
+        idCol = "vec_id", vecCol = "embedding")
+    // an in-space batch: the audit holds, then the compaction cadence
+    // folds base + this batch's layer into v=2 — which must carry the
+    // batch's fold marker, because the batch's rows now live in v=2's
+    // BASE, not under a replayable ingest key
+    val b0 = (100 until 110)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    process(b0, 0L)
+    assert(Ivf.indexVersion(spark, root) == 2L)
+    assert(Ivf.ingestLayerCount(spark, root, 2L) == 1)
+    def storeCount() = spark.read.parquet(s"$root/v=2/store").count()
+    def probe() = Ivf.ivfTopKFromVersioned(spark, root,
+        graft.similarity.Ann.selfQueries(resident, 5), k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(storeCount() == 30)
+    val served = probe()
+    // CRASH REPLAY of the compacted batch: without the fold marker the
+    // keyed write would duplicate its rows next to the folded base copy
+    process(b0, 0L)
+    assert(Ivf.indexVersion(spark, root) == 2L)
+    assert(storeCount() == 30)
+    assert(probe() == served)
+  }
+
   test("indexAppendAudited: the confidence gate repairs out-of-space drift off-cadence") {
     implicit val sqlCtx = spark.sqlContext
     import graft.similarity.Ivf
