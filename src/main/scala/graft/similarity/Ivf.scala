@@ -660,8 +660,7 @@ object Ivf {
     * version is retired by [[vacuumVersions]], never in place. */
   def compactVersion(spark: org.apache.spark.sql.SparkSession,
       root: String, idCol: String = "vec_id",
-      vecCol: String = "embedding",
-      foldedThroughBatch: Option[Long] = None): (Long, Int, Int) = {
+      vecCol: String = "embedding"): (Long, Int, Int) = {
     val v = indexVersion(spark, root)
     require(v > 0, s"no index version under $root")
     val next = v + 1
@@ -671,35 +670,63 @@ object Ivf {
     graft.sources.Sinks.writeParquet(
       spark.read.parquet(s"$root/v=$v/centroids"),
       s"$root/v=$next/centroids")
+    // the in-stream replay marker: the compacted base holds every
+    // batch the source version already FOLDED (its marker) and every
+    // batch-keyed LAYER this compaction absorbs — derived HERE from
+    // the `ingest=b*` layer names rather than trusted to the caller,
+    // so an external/nightly compaction racing a streaming
+    // checkpoint's commit can never fold a layer whose batch later
+    // replays undetected (self-review r11, second pass). Read before
+    // the rewrite; written pre-commit so marker and version turn
+    // visible together.
+    val layerMax = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$root/v=$v/store"))
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("ingest=b") &&
+          n.drop(8).nonEmpty && n.drop(8).forall(_.isDigit) =>
+        n.drop(8).toLong } // "ingest=base" also starts with "ingest=b"
+      .reduceOption(math.max(_, _))
+    val carried = readFoldedThrough(spark, root, v)
     val (before, after) = compactIngestStore(spark,
       s"$root/v=$v/store", s"$root/v=$next/store", idCol, vecCol)
-    // the in-stream replay marker: the compacted base holds every
-    // batch the source version FOLDED (carry its marker) and every
-    // batch-keyed LAYER it absorbed — an in-stream compaction passes
-    // the current batchId so a crash-replayed batch whose layer was
-    // just folded detects it (the same hazard as a retrain fold).
-    // Written pre-commit: marker and version turn visible together.
-    val carried = {
-      val m = new org.apache.hadoop.fs.Path(s"$root/v=$v/_folded_through")
-      if (!fs.exists(m)) None
-      else {
-        val in = fs.open(m)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-          .mkString.trim.toLong)
-        finally in.close()
-      }
-    }
-    (carried ++ foldedThroughBatch).reduceOption(math.max(_, _))
-      .foreach { b =>
-        val out = fs.create(
-          new org.apache.hadoop.fs.Path(s"$root/v=$next/_folded_through"),
-          true)
-        try out.write(b.toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      }
+    (carried ++ layerMax).reduceOption(math.max(_, _))
+      .foreach(b => writeFoldedThrough(spark, root, next, b))
     commitVersion(spark, root, next)
     (next, before, after)
+  }
+
+  /** The `_folded_through` replay marker of version `v` — the highest
+    * streamed batchId whose rows live in this version's BASE (folded by
+    * a retrain or a compaction) rather than under a replayable
+    * `ingest=b*` key. ONE read/write pair for the protocol (used by
+    * [[compactVersion]] and the streaming lifecycle) so the format can
+    * never drift between sites. */
+  private[graft] def readFoldedThrough(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      v: Long): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/v=$v/_folded_through")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Write version `v`'s `_folded_through` marker (see
+    * [[readFoldedThrough]]). Call BEFORE [[commitVersion]] — the
+    * uncommitted directory keeps marker and version atomic together. */
+  private[graft] def writeFoldedThrough(
+      spark: org.apache.spark.sql.SparkSession, root: String, v: Long,
+      batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/v=$v/_folded_through")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Number of `ingest=*` layers in version `v`'s store — the

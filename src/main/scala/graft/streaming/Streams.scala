@@ -449,9 +449,22 @@ object Streams {
     val v = graft.similarity.Ivf.indexVersion(s, root)
     require(v > 0, s"no committed index version under $root — " +
       "publish a base version before streaming into it")
-    // a crash-replayed batch whose FIRST attempt's retrain already
-    // folded it into this version's base: complete no-op
-    if (batchId <= foldedThrough(s, root, v)) return
+    // a crash-replayed batch whose FIRST attempt's fold (retrain or
+    // cadence compaction) already moved it into this version's base:
+    // complete no-op. ONLY exact equality is a legitimate replay — the
+    // streaming checkpoint replays at most the LAST batch, so a
+    // batchId strictly BELOW the marker means a RESET/replaced
+    // checkpoint against an existing root, where silently skipping
+    // would drop every new batch until the ids catch up (self-review
+    // r11, second pass): refuse loudly instead.
+    val folded = graft.similarity.Ivf.readFoldedThrough(s, root, v)
+      .getOrElse(-1L)
+    if (batchId == folded) return
+    require(batchId > folded, s"batch $batchId is below version $v's " +
+      s"_folded_through marker ($folded) — a reset or replaced " +
+      "streaming checkpoint against an existing index root would " +
+      "silently drop data; resume the original checkpoint or publish " +
+      "a fresh root")
     val cents = graft.similarity.Ivf.localizeCentroids(
       s.read.parquet(s"$root/v=$v/centroids"))
     graft.similarity.Ivf.writeBatchToStore(batch, cents,
@@ -490,14 +503,14 @@ object Streams {
     // always-on job, so file counts and version directories stay flat
     // without a separate nightly task. Compaction is thresholded (a
     // just-retrained/compacted store is single-base — folding it is a
-    // no-op) and passes the CURRENT batchId as the fold marker: the
-    // compacted base absorbs this batch's layer, so a crash-replay of
-    // this batch must detect the fold exactly as it would a retrain's.
+    // no-op). compactVersion derives the fold marker from the absorbed
+    // layer names itself, so this batch's just-written layer is
+    // covered and a crash-replay detects the fold exactly as it would
+    // a retrain's.
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       val vNow = graft.similarity.Ivf.indexVersion(s, root)
       if (graft.similarity.Ivf.ingestLayerCount(s, root, vNow) > 1) {
-        val _ = graft.similarity.Ivf.compactVersion(s, root, idCol, vecCol,
-          foldedThroughBatch = Some(batchId))
+        val _ = graft.similarity.Ivf.compactVersion(s, root, idCol, vecCol)
       }
     }
     if (keepVersions > 0) {
@@ -506,11 +519,12 @@ object Streams {
   }
 
   /** Retrain on the store's full content and publish v+1 carrying the
-    * `_folded_through` = `batchId` marker, written INSIDE the version
-    * directory BEFORE the manifest commit: a crash anywhere leaves
-    * either the old version serving (marker invisible with its
-    * uncommitted directory) or the new one serving WITH the marker —
-    * never a committed fold the replay can't detect. */
+    * `_folded_through` = `batchId` marker (`Ivf.writeFoldedThrough`),
+    * written INSIDE the version directory BEFORE the manifest commit:
+    * a crash anywhere leaves either the old version serving (marker
+    * invisible with its uncommitted directory) or the new one serving
+    * WITH the marker — never a committed fold the replay can't
+    * detect. */
   private def republishFoldedThrough(s: org.apache.spark.sql.SparkSession,
       root: String, batchId: Long, kCents: Int, iters: Int,
       idCol: String, vecCol: String): Unit = {
@@ -520,28 +534,8 @@ object Streams {
     val next = v + 1
     graft.similarity.Ivf.buildVersionDir(corpus, kCents, root, next,
       iters, idCol, vecCol)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(s"$root/v=$next/_folded_through"), true)
-    try out.write(batchId.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    graft.similarity.Ivf.writeFoldedThrough(s, root, next, batchId)
     graft.similarity.Ivf.commitVersion(s, root, next)
-  }
-
-  /** Highest batchId folded into version `v`'s base by an in-stream
-    * repair — -1 when the version never absorbed one. */
-  private def foldedThrough(s: org.apache.spark.sql.SparkSession,
-      root: String, v: Long): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/v=$v/_folded_through")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
   }
 
   /** Watermarked tumbling-window counts in the APPEND-mode shape: a

@@ -513,6 +513,10 @@ class IvfSpec extends AnyFunSuite {
     assert(v2 == 2L && after < before)
     assert(spark.read.parquet(s"$root/v=2/store").count() == 60)
     assert(probe() == layered)
+    // the fold marker is DERIVED from the absorbed layer names (b0..b2),
+    // not trusted to a caller — an external/nightly compaction racing a
+    // streaming checkpoint commit still records what it folded
+    assert(Ivf.readFoldedThrough(spark, root, 2L) == Some(2L))
     // retiring the superseded layered version is vacuum's job — and the
     // compacted version keeps serving afterwards
     assert(Ivf.vacuumVersions(spark, root, keepN = 1) == Seq(1L))

@@ -609,6 +609,11 @@ class StreamingSpec extends AnyFunSuite {
     process(b1, 1L)
     assert(Ivf.indexVersion(spark, root) == 3L)
     assert(spark.read.parquet(s"$root/v=3/store").count() == 40)
+    // a batchId BELOW the marker is NOT a replay — it's a reset or
+    // replaced checkpoint against an existing root, and silently
+    // skipping would drop new data until the ids catch up: refuse
+    val e = intercept[IllegalArgumentException] { process(b1, 0L) }
+    assert(e.getMessage.contains("_folded_through"))
   }
 
   test("processAuditedBatch: cadence compaction folds the batch; its replay is a no-op") {
