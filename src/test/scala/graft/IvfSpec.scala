@@ -522,4 +522,277 @@ class IvfSpec extends AnyFunSuite {
     assert(Ivf.vacuumVersions(spark, root, keepN = 1) == Seq(1L))
     assert(probe() == layered)
   }
+
+  test("conditional commit: two-writer race — loser refuses in both interleavings, retry converges, marker kept") {
+    import graft.similarity.ConcurrentPublishException
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_race").toString + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resident = corpus.filter($"vec_id" < 40)
+    val v1 = Ivf.writeVersionedIndex(resident, k = 3, root)
+    // a streamed layer lands on v1 — the fold marker the race must not lose
+    val cents1 = spark.read.parquet(s"$root/v=$v1/centroids")
+    Ivf.writeBatchToStore(corpus.filter($"vec_id" >= 40 && $"vec_id" < 50),
+      cents1, s"$root/v=$v1/store", 7L)
+    // INTERLEAVING 1: writer B stages against committed=1, writer A
+    // commits v=2 first. B's promote must refuse (manifest moved), its
+    // staging must be cleaned, and A's publish must be untouched.
+    val stagingB = s"$root/.build-v=2-raceB"
+    Ivf.buildVersionDirAt(corpus.filter($"vec_id" < 50), k = 3, stagingB)
+    val v2 = Ivf.writeVersionedIndex(
+      spark.read.parquet(s"$root/v=$v1/store")
+        .select($"vec_id", $"embedding"), k = 3, root)
+    assert(v2 == 2L)
+    // the external publish DERIVED the marker from v1's absorbed layer
+    assert(Ivf.readFoldedThrough(spark, root, 2L) == Some(7L))
+    intercept[ConcurrentPublishException] {
+      Ivf.promoteAndCommit(spark, root, 2L, stagingB)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stagingB)))
+    assert(Ivf.indexVersion(spark, root) == 2L)
+    assert(Ivf.readFoldedThrough(spark, root, 2L) == Some(7L))
+    // B retries from the NEW committed version and converges — carrying
+    // the marker forward (nothing folded is forgotten by the lost race)
+    val v3 = Ivf.writeVersionedIndex(corpus, k = 3, root)
+    assert(v3 == 3L)
+    assert(Ivf.readFoldedThrough(spark, root, 3L) == Some(7L))
+    // INTERLEAVING 2: B promoted v=4 but stalls before its commit; A
+    // publishes v=4 (deleting the unresolvable orphan); B's conditional
+    // commit then refuses instead of clobbering A's manifest.
+    Ivf.buildVersionDir(corpus, k = 3, root, v = 4L)
+    val v4 = Ivf.writeVersionedIndex(corpus, k = 3, root)
+    assert(v4 == 4L)
+    intercept[ConcurrentPublishException] {
+      Ivf.commitVersion(spark, root, 4L, expected = 3L)
+    }
+    assert(Ivf.indexVersion(spark, root) == 4L)
+    // the committed version always names one COMPLETE build
+    val served = Ivf.ivfTopKFromVersioned(spark, root,
+        Ann.selfQueries(corpus, 5), k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(served.nonEmpty)
+  }
+
+  test("bootstrap: a crashed FIRST publish cannot wedge the root; a lost manifest still refuses") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_boot").toString + "/idx"
+    // the publish path bootstraps manifest=0 BEFORE the first build...
+    assert(Ivf.ensureBootstrapped(spark, root) == 0L)
+    assert(Ivf.indexVersion(spark, root) == 0L)
+    // ...so a crash between the first build and its commit leaves a
+    // resolvable root (manifest 0 + an orphan the retry rebuilds), not
+    // the manifest-less wedge the orphan guard refuses (ADVICE r11)
+    Ivf.buildVersionDir(corpus, k = 3, root, v = 1L)
+    assert(Ivf.indexVersion(spark, root) == 0L)
+    val v1 = Ivf.writeVersionedIndex(corpus, k = 3, root)
+    assert(v1 == 1L && Ivf.indexVersion(spark, root) == 1L)
+    // a genuinely LOST manifest (deleted after versions committed) still
+    // refuses loudly — that root needs a restore, never a republish
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_latest"), false)
+    val e = intercept[IllegalArgumentException] {
+      Ivf.indexVersion(spark, root)
+    }
+    assert(e.getMessage.contains("_latest"))
+  }
+
+  test("versioned IVFADC triple: publish, append, retrain, compact, vacuum") {
+    import graft.similarity.{Pq, PqSpec}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vpq").toString + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resident = corpus.filter($"vec_id" < 40)
+    val batch = corpus.filter($"vec_id" >= 40)
+    val spec = PqSpec(m = 2, k = 4)
+    val qs = Ann.selfQueries(corpus, 5)
+    def probeV() = Ivf.ivfAdcTopKFromVersioned(spark, root, qs,
+        k = 3, nprobe = 2)
+      .select($"query_id", $"rank", $"neighbor_id", $"adc_dot")
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    def inMemory(c: org.apache.spark.sql.DataFrame) = {
+      val cents = Ivf.train(c, k = 3, iters = 1)
+      val cbs = Pq.trainCodebooks(c, m = 2, k = 4, dim = 16, iters = 1)
+      Pq.ivfAdcTopK(c, qs, cents, cbs, k = 3, nprobe = 2)
+        .select($"query_id", $"rank", $"neighbor_id", $"adc_dot")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    }
+    val v1 = Ivf.writeVersionedIndex(resident, k = 3, root, pq = Some(spec))
+    assert(Ivf.readPqSpec(spark, root, v1) == Some(spec))
+    // the versioned triple serves exactly the in-memory IVFADC result
+    assert(probeV() == inMemory(resident))
+    // a streamed batch lands raw rows AND codes under its ingest key —
+    // the compressed serving table never goes stale against the raw one
+    val cents1 = Ivf.localizeCentroids(
+      spark.read.parquet(s"$root/v=$v1/centroids"))
+    Ivf.writeBatchToVersion(spark, root, v1, batch, 0L, cents1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/v=$v1/codes/ingest=b0")))
+    // layered probe equals the FROZEN-model result over the union
+    val frozen = {
+      val centsR = Ivf.train(resident, k = 3, iters = 1)
+      val cbsR = Pq.trainCodebooks(resident, m = 2, k = 4, dim = 16, iters = 1)
+      Pq.ivfAdcTopK(corpus, qs, centsR, cbsR, k = 3, nprobe = 2)
+        .select($"query_id", $"rank", $"neighbor_id", $"adc_dot")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    }
+    assert(probeV() == frozen)
+    // a drift retrain refreshes the WHOLE triple under the stored spec —
+    // the stale-codebook half the raw-store lifecycle was missing
+    val v2 = Ivf.retrainFromStore(spark, root, kCents = 3)
+    assert(v2 == v1 + 1)
+    assert(Ivf.readPqSpec(spark, root, v2) == Some(spec))
+    assert(Ivf.readFoldedThrough(spark, root, v2) == Some(0L))
+    assert(probeV() == inMemory(corpus))
+    val cb = (v: Long) => spark.read.parquet(s"$root/v=$v/codebooks")
+      .as[(Int, Int, Array[Float])].collect().map(r => (r._1, r._2, r._3.toSeq))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(cb(v1) != cb(v2)) // the codebooks actually retrained
+    // cadence compaction folds the CODE layers too and carries the spec
+    val batch2 = (60 until 70).map(i => (i.toLong, mkVec(i)))
+      .toDF("vec_id", "embedding")
+    val cents2 = Ivf.localizeCentroids(
+      spark.read.parquet(s"$root/v=$v2/centroids"))
+    Ivf.writeBatchToVersion(spark, root, v2, batch2, 1L, cents2)
+    val layered = probeV()
+    val (v3, _, _) = Ivf.compactVersion(spark, root)
+    assert(v3 == v2 + 1)
+    assert(Ivf.readPqSpec(spark, root, v3) == Some(spec))
+    assert(Ivf.readFoldedThrough(spark, root, v3) == Some(1L))
+    val codeLayers = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$root/v=$v3/codes")).map(_.getPath.getName)
+      .count(_.startsWith("ingest="))
+    assert(codeLayers == 1)
+    assert(probeV() == layered)
+    // vacuum retires the superseded triples wholesale
+    assert(Ivf.vacuumVersions(spark, root, keepN = 1) == Seq(v1, v2))
+    assert(probeV() == layered)
+  }
+
+  test("vacuumVersions minAge: a burst of publishes cannot retire a young version") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_minage").toString + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Ivf.writeVersionedIndex(corpus.filter($"vec_id" < 20), k = 2, root)
+    Ivf.writeVersionedIndex(corpus.filter($"vec_id" < 40), k = 3, root)
+    Ivf.writeVersionedIndex(corpus, k = 3, root)
+    // every version is seconds old: a production age horizon keeps them
+    // all, even below the keepN floor — an in-flight prober's version
+    // can never vanish mid-probe during a publish burst
+    assert(Ivf.vacuumVersions(spark, root, keepN = 1,
+      minAgeMs = 3600L * 1000L) == Seq.empty)
+    // a version with NO stamp (published before stamps existed) is
+    // age-UNKNOWN: kept whenever an age horizon is requested
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$root/v=1/_committed_at"), false)
+    Thread.sleep(30)
+    assert(Ivf.vacuumVersions(spark, root, keepN = 1, minAgeMs = 10L)
+      == Seq(2L))
+    def dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(dirs == Seq("v=1", "v=3"))
+    // without the horizon the unstamped version retires as before
+    assert(Ivf.vacuumVersions(spark, root, keepN = 1) == Seq(1L))
+    assert(dirs == Seq("v=3"))
+    intercept[IllegalArgumentException] {
+      Ivf.vacuumVersions(spark, root, keepN = 1, minAgeMs = -1L)
+    }
+  }
+
+  test("autoSamplePct sizes the sampled audit from the store") {
+    assert(Ivf.autoSamplePct(0L) == 100)
+    assert(Ivf.autoSamplePct(500L) == 100)
+    assert(Ivf.autoSamplePct(1000L) == 100)
+    assert(Ivf.autoSamplePct(2000L) == 50)
+    assert(Ivf.autoSamplePct(30000L) == 4)  // the 30x stress shape: pct=10
+                                            // over-reads, 4 is the floor
+    assert(Ivf.autoSamplePct(1000000L) == 1)
+    assert(Ivf.autoSamplePct(2000L, minSampleRows = 2000L) == 100)
+    intercept[IllegalArgumentException] { Ivf.autoSamplePct(10L, 0L) }
+    // AUTO on a store below the floor reads the FULL audit
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_autopct").toString + "/idx"
+    Ivf.writeVersionedIndex(corpus, k = 3, root)
+    val qs = Ann.selfQueries(corpus, 5)
+    val auto = Ivf.sampledAudit(spark, root, qs, k = 3, nprobe = 2,
+        samplePct = Ivf.AutoSamplePct)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val full = Ivf.sampledAudit(spark, root, qs, k = 3, nprobe = 2,
+        samplePct = 100)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(auto == full)
+  }
+
+  test("adversarial object store: the manifest protocol holds where rename is copy+delete") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    AdversarialFileSystem.install(conf)
+    AdversarialFileSystem.reset()
+    val renamedNames = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    AdversarialFileSystem.windowHook = dst => { renamedNames.add(dst.getName); () }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_advfs").toString
+    val root = s"advfs://$tmp/idx"
+    try {
+      val qs = Ann.selfQueries(corpus, 5)
+      def probe(r: String) =
+        Ivf.ivfTopKFromVersioned(spark, r, qs, k = 3, nprobe = 2)
+          .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+      // the full publish protocol runs on object-store rename semantics
+      val v1 = Ivf.writeVersionedIndex(corpus.filter($"vec_id" < 40),
+        k = 3, root)
+      assert(v1 == 1L && Ivf.indexVersion(spark, root) == 1L)
+      val served = probe(root)
+      // crash schedule: a COMPLETE uncommitted build stays invisible and
+      // the retry converges — on this store too
+      Ivf.buildVersionDir(corpus, k = 3, root, v = 2L)
+      assert(Ivf.indexVersion(spark, root) == 1L && probe(root) == served)
+      val v2 = Ivf.writeVersionedIndex(corpus, k = 3, root)
+      assert(v2 == 2L)
+      // content-determinism across stores: the same publishes on POSIX
+      // serve byte-identical results
+      val local = java.nio.file.Files
+        .createTempDirectory("graft_advfs_twin").toString + "/idx"
+      Ivf.writeVersionedIndex(corpus.filter($"vec_id" < 40), k = 3, local)
+      Ivf.writeVersionedIndex(corpus, k = 3, local)
+      assert(probe(root) == probe(local))
+      // the manifest NEVER rode a rename here — committed as one
+      // overwrite-create (the PUT path), so there is no window at all
+      assert(!renamedNames.contains("_latest"))
+      // THE WINDOW IS REAL: force the tmp+rename commit path on this
+      // store and observe `_latest` ABSENT mid-commit — the failure
+      // mode the PUT path exists to avoid (ADVICE r11), demonstrated
+      // rather than argued
+      conf.set("graft.index.manifest.put.schemes", "none")
+      @volatile var sawAbsent = false
+      AdversarialFileSystem.windowHook = dst =>
+        if (dst.getName == "_latest") {
+          val afs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+          sawAbsent = !afs.exists(
+            new org.apache.hadoop.fs.Path(s"$root/_latest"))
+        }
+      Ivf.commitVersion(spark, root, 2L, expected = 2L) // idempotent re-commit
+      assert(sawAbsent)
+      assert(Ivf.indexVersion(spark, root) == 2L)
+      // and a READER landing in a rival's window is tolerated: the
+      // bounded manifest retry rides out a transient absence instead of
+      // declaring the commit object lost
+      AdversarialFileSystem.reset()
+      val afs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val manifest = new org.apache.hadoop.fs.Path(s"$root/_latest")
+      afs.delete(manifest, false)
+      val restorer = new Thread(() => {
+        Thread.sleep(250)
+        val out = afs.create(manifest, true)
+        try out.write("2".getBytes("UTF-8")) finally out.close()
+      })
+      restorer.start()
+      assert(Ivf.indexVersion(spark, root) == 2L)
+      restorer.join()
+    } finally {
+      conf.unset("graft.index.manifest.put.schemes")
+      AdversarialFileSystem.reset()
+    }
+  }
 }

@@ -706,6 +706,166 @@ class StreamingSpec extends AnyFunSuite {
     assert(vStable == 2L && rAfter >= 0.9)
   }
 
+  test("a nightly retrain racing an uncommitted streaming batch cannot duplicate its replay") {
+    import graft.similarity.Ivf
+    def unit(dim0: Int, seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(16) { d =>
+        (if (d == dim0) 1.0f else 0.0f) +
+          (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    val resident = (3 until 23)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nreplay").toString
+    val root = s"$tmp/idx"
+    Ivf.writeVersionedIndex(resident, k = 2, root)
+    def process(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      Streams.processAuditedBatch(b, id, root, auditEvery = 1000,
+        floor = 0.9, nAuditQueries = 10, k = 3, nprobe = 1, kCents = 3,
+        iters = 1, confidenceFloor = 0.0, samplePct = 100,
+        idCol = "vec_id", vecCol = "embedding")
+    val b0 = (100 until 110)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    process(b0, 0L)
+    assert(Ivf.indexVersion(spark, root) == 1L)
+    // the NIGHTLY retrain fires while batch 0's checkpoint commit is
+    // still pending: it folds ingest=b0 into v=2's base. Before the r12
+    // fix, writeVersionedIndex wrote no marker here — the replayed
+    // batch would land its rows a SECOND time next to the folded copy
+    // and corrupt served top-k (the ADVICE r11 medium).
+    val v2 = Ivf.writeVersionedIndex(
+      spark.read.parquet(s"$root/v=1/store")
+        .select($"vec_id", $"embedding"), k = 2, root)
+    assert(v2 == 2L)
+    assert(Ivf.readFoldedThrough(spark, root, 2L) == Some(0L))
+    def storeCount() = spark.read.parquet(s"$root/v=2/store").count()
+    def probe() = Ivf.ivfTopKFromVersioned(spark, root,
+        graft.similarity.Ann.selfQueries(resident, 5), k = 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(storeCount() == 30)
+    val served = probe()
+    process(b0, 0L) // the crash replay: must be a complete no-op
+    assert(Ivf.indexVersion(spark, root) == 2L)
+    assert(storeCount() == 30)
+    assert(probe() == served)
+  }
+
+  test("workload drift: a shifted query mix trips the in-stream log-replay gate while the corpus stands still") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.Ivf
+    def unit(dim0: Int, seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(16) { d =>
+        (if (d == dim0) 1.0f else 0.0f) +
+          (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    val resident = (3 until 23)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wload").toString
+    val root = s"$tmp/idx"
+    Ivf.writeVersionedIndex(resident, k = 2, root)
+    // epoch 0 of the serving-query log: the workload the index was built
+    // for (members of the resident clusters) — healthy under replay
+    Ivf.logQueries(spark,
+      root, (300 until 306)
+        .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+        .toDF("query_id", "query_vec"), epoch = 0L)
+    // the recall audit and confidence signal are OFF: only the
+    // workload-log replay (workloadEvery = 1) can move the version
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.indexAppendAudited(
+      mem.toDF().toDF("vec_id", "embedding"), root, s"$tmp/ckpt",
+      auditEvery = 1000, floor = 0.9, k = 3, nprobe = 1, kCents = 3,
+      confidenceFloor = 0.0, workloadEvery = 1)
+    try {
+      // batch 0: an e2 wave lands under the FROZEN v1 quantizer — its
+      // rows split across both cells by noise sign (measured 7/3). The
+      // logged workload is still the healthy e0/e1 mix, so the replay
+      // audits 1.0 and the version holds: accumulating an underserved
+      // region is NOT drift until someone queries it.
+      mem.addData((200 until 210).map(i => (i.toLong, unit(2, i))))
+      q.processAllAvailable()
+      assert(Ivf.indexVersion(spark, root) == 1L)
+      // THE WORKLOAD SHIFTS — the corpus does not: epoch 1 logs e2
+      // queries. Their true neighbors are the wave rows sitting in BOTH
+      // cells, so the nprobe=1 replay recalls a fraction (measured mean
+      // 0.8 over the newest-epoch-first sample vs the 0.9 floor); the
+      // arriving batch itself stays perfectly in-space, so nothing but
+      // the log replay can trip.
+      Ivf.logQueries(spark, root, (900 until 906)
+        .map(i => (i.toLong, unit(2, i)))
+        .toDF("query_id", "query_vec"), epoch = 1L)
+      mem.addData((110 until 120)
+        .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i))))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the log replay tripped the gate and republished exactly once
+    assert(Ivf.indexVersion(spark, root) == 2L)
+    // the corpus really did stand still across the repair (both batches
+    // + resident, each once — the retrain changed models, not data)
+    assert(spark.read.parquet(s"$root/v=2/store").count() == 40)
+    // and the repair is real: the retrained quantizer (kCents=3) carves
+    // the wave's region its own cell, so the SAME logged workload now
+    // replays clean and the version stays put
+    val after = Ivf.workloadAudit(spark, root, k = 3, nprobe = 1)
+      .agg(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.col("recall_at_3")))
+      .head().getDouble(0)
+    assert(after >= 0.9)
+  }
+
+  test("indexAppendAudited defaults: the calibrated floor repairs out-of-space drift with zero hand-set knobs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.similarity.Ivf
+    def unit(dim0: Int, seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.tabulate(16) { d =>
+        (if (d == dim0) 1.0f else 0.0f) +
+          (r.nextDouble() * 0.02f - 0.01f).toFloat
+      }
+    }
+    val resident = (3 until 23)
+      .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dfloor").toString
+    val root = s"$tmp/idx"
+    Ivf.writeVersionedIndex(resident, k = 2, root)
+    // the publish CALIBRATED a floor from the resident corpus's own
+    // confidence (clustered geometry -> high confidence -> a real floor)
+    val stored = Ivf.readConfidenceFloor(spark, root, 1L)
+    assert(stored.exists(f => f > 0.3 && f < 0.6))
+    // the recall audit never runs (huge cadence) and NO floor is passed:
+    // only the default-on calibrated confidence signal can repair
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = Streams.indexAppendAudited(
+      mem.toDF().toDF("vec_id", "embedding"), root, s"$tmp/ckpt",
+      auditEvery = 1000, floor = 0.9, k = 3, nprobe = 1, kCents = 3)
+    try {
+      // healthy feed: never false-trips the calibrated floor
+      mem.addData((100 until 110)
+        .map(i => (i.toLong, unit(if (i % 2 == 1) 0 else 1, i))))
+      q.processAllAvailable()
+      assert(Ivf.indexVersion(spark, root) == 1L)
+      // out-of-space batch (orthogonal e3): confidence ~0 < the stored
+      // floor -> repaired on THIS batch, out of the box
+      mem.addData((Seq(2L) ++ (200L until 209L)).map(i => (i, unit(2, i.toInt))))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Ivf.indexVersion(spark, root) == 2L)
+    // and the NEW version re-calibrated its own floor for what it now
+    // holds: the same distribution no longer trips (no repair loop)
+    val qs = (Seq(2L) ++ (200L until 205L)).map(i => (i, unit(2, i.toInt)))
+      .toDF("query_id", "query_vec")
+    val (vStable, rAfter) = Ivf.reindexIfDrifted(spark, root, qs,
+      k = 3, nprobe = 1, floor = 0.9, kCents = 3)
+    assert(vStable == 2L && rAfter >= 0.9)
+  }
+
   test("cdcApply maintains a versioned keyed snapshot across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
