@@ -1262,7 +1262,12 @@ object Ivf {
     * — below that a recall@k estimate over the sample loses the ~10
     * in-sample members per neighborhood the @k audit needs and silently
     * under-reads recall (the measured 0.796 false alarm at 30x/pct=10).
-    * Small stores audit in full. */
+    * Small stores audit in full. SIZING `minSampleRows`: on natural
+    * corpora the absolute default holds; on duplicate-heavy/densified
+    * corpora (K near-copies per distinct neighborhood) pass
+    * `10 * distinctRows` — that reduces to pct >= 1000/K, the SCALE.md
+    * family-coverage rule, now derivable in code from the store and its
+    * distinct count instead of living in prose. */
   def autoSamplePct(storeRows: Long, minSampleRows: Long = 1000L): Int = {
     require(minSampleRows >= 1, s"minSampleRows must be >= 1: $minSampleRows")
     if (storeRows <= minSampleRows) 100
