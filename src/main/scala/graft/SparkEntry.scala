@@ -3159,6 +3159,17 @@ object SparkEntry {
       graft.similarity.Ivf.logQueries(s, root, served, epoch = 0L)
       require(s.read.parquet(s"$root/_query_log").count() == 10,
         "a replayed log epoch must overwrite, never duplicate")
+      // LOG RETENTION: the serving side re-logs the same workload as a
+      // newer epoch; vacuuming to the newest epoch retires epoch 0
+      // without changing the replay (newest-wins already resolved the
+      // same vectors) — the log can never grow one epoch per cadence
+      // forever
+      graft.similarity.Ivf.logQueries(s, root, served, epoch = 1L)
+      require(graft.similarity.Ivf.vacuumQueryLog(s, root, keepEpochs = 1)
+          == Seq(0L),
+        "log vacuum must retire exactly the superseded epoch")
+      require(s.read.parquet(s"$root/_query_log").count() == 10,
+        "the kept epoch must survive the log vacuum whole")
       graft.similarity.Ivf.workloadAudit(s, root, k = 5, nprobe = 2,
           samplePct = 50, nQueries = 10)
         .select(lit(0).as("stage"), col("*"))

@@ -1363,6 +1363,34 @@ object Ivf {
     fsOf(spark, root).exists(
       new org.apache.hadoop.fs.Path(s"$root/_query_log"))
 
+  /** Retire old serving-query-log epochs: delete every epoch below the
+    * newest `keepEpochs` — the retention half of the workload leg,
+    * mirroring [[vacuumVersions]] on the log axis. Each epoch is
+    * probe-sized ([[logQueries]]'s contract), but an always-on serving
+    * job appends one per cadence FOREVER: unbounded epoch count is a
+    * listing/footer tax on every [[workloadAudit]] replay — at exactly
+    * the place the audit must stay cheap — and, worse, an unbounded
+    * memory of long-dead workloads (newest-wins only dedups per
+    * query_id; ids never re-served keep voting forever). Retiring old
+    * epochs ages them out: a query survives only as long as some kept
+    * epoch re-served it, which is the bounded-recency semantics a
+    * workload audit wants. Returns the epochs deleted, ascending;
+    * no-op on a root without a log. */
+  def vacuumQueryLog(spark: org.apache.spark.sql.SparkSession,
+      root: String, keepEpochs: Int): Seq[Long] = {
+    require(keepEpochs >= 1,
+      s"query-log vacuum must keep at least one epoch: $keepEpochs")
+    val p = new org.apache.hadoop.fs.Path(s"$root/_query_log")
+    val fs = p.getFileSystem(hconf(spark))
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.drop(6).toLong)
+      .sorted.toSeq.dropRight(keepEpochs)
+      .map { e =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"epoch=$e"), true); e
+      }
+  }
+
   /** WORKLOAD-drift audit — the third leg of the drift triad (corpus
     * drift = recall audit, space drift = assignment confidence,
     * workload drift = THIS): replay the logged serving queries against

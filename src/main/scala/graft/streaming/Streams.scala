@@ -391,7 +391,10 @@ object Streams {
     * signal is DEFAULT-ON with the publish-time-calibrated floor
     * (`confidenceFloor = -1.0` sentinel; 0.0 disables), and
     * `workloadEvery > 0` adds the third drift signal: a replay of the
-    * `Ivf.logQueries` serving-query log on its own cadence.
+    * `Ivf.logQueries` serving-query log on its own cadence, with
+    * `keepLogEpochs > 0` bounding the log itself
+    * (`Ivf.vacuumQueryLog` — the retention half of the workload leg,
+    * run alongside the version vacuum).
     *
     * Per micro-batch: resolve the CURRENT committed version (the
     * manifest read — a retrain in an earlier batch redirects later
@@ -425,7 +428,7 @@ object Streams {
       nAuditQueries: Int = 10, k: Int = 5, nprobe: Int = 2,
       kCents: Int = 8, iters: Int = 1, confidenceFloor: Double = -1.0,
       samplePct: Int = 100, compactEvery: Int = 0, keepVersions: Int = 0,
-      workloadEvery: Int = 0,
+      workloadEvery: Int = 0, keepLogEpochs: Int = 0,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(auditEvery >= 1, s"audit cadence must be >= 1: $auditEvery")
@@ -435,7 +438,7 @@ object Streams {
         processAuditedBatch(batch.toDF(), batchId, root, auditEvery,
           floor, nAuditQueries, k, nprobe, kCents, iters,
           confidenceFloor, samplePct, compactEvery, keepVersions,
-          workloadEvery, idCol, vecCol)
+          workloadEvery, keepLogEpochs, idCol, vecCol)
       }
       .start()
   }
@@ -448,7 +451,8 @@ object Streams {
       root: String, auditEvery: Int, floor: Double, nAuditQueries: Int,
       k: Int, nprobe: Int, kCents: Int, iters: Int,
       confidenceFloor: Double, samplePct: Int, compactEvery: Int = 0,
-      keepVersions: Int = 0, workloadEvery: Int = 0, idCol: String,
+      keepVersions: Int = 0, workloadEvery: Int = 0,
+      keepLogEpochs: Int = 0, idCol: String,
       vecCol: String): Unit = {
     val s = batch.sparkSession
     // ONE materialization for the several independent actions below
@@ -561,6 +565,14 @@ object Streams {
       }
       if (keepVersions > 0) {
         val _ = graft.similarity.Ivf.vacuumVersions(s, root, keepVersions)
+      }
+      // the log's retention mirrors the versions': without it the
+      // serving-query log grows one epoch per cadence FOREVER (a
+      // listing tax on every replay, and an unbounded memory of dead
+      // workloads — ids never re-served would keep voting); bounded
+      // recency is what a workload audit wants
+      if (keepLogEpochs > 0 && graft.similarity.Ivf.hasQueryLog(s, root)) {
+        val _ = graft.similarity.Ivf.vacuumQueryLog(s, root, keepLogEpochs)
       }
     } finally persisted.unpersist(blocking = false)
   }

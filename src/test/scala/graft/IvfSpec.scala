@@ -726,6 +726,42 @@ class IvfSpec extends AnyFunSuite {
     assert(auto == full)
   }
 
+  test("vacuumQueryLog bounds the serving-query log to the newest epochs") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_logvac").toString + "/idx"
+    Ivf.writeVersionedIndex(corpus, k = 3, root)
+    // no log yet: a no-op, never an error
+    assert(Ivf.vacuumQueryLog(spark, root, keepEpochs = 1) == Seq.empty)
+    val qsA = Ann.selfQueries(corpus.filter($"vec_id" < 5), 3)
+    val qsB = Ann.selfQueries(corpus.filter($"vec_id" >= 5 && $"vec_id" < 10), 3)
+    Ivf.logQueries(spark, root, qsA, epoch = 0L)
+    Ivf.logQueries(spark, root, qsA, epoch = 1L)
+    Ivf.logQueries(spark, root, qsB, epoch = 2L)
+    // keep 2: exactly the oldest epoch retires, ascending return
+    assert(Ivf.vacuumQueryLog(spark, root, keepEpochs = 2) == Seq(0L))
+    // idempotent; a keep wider than the log is a no-op
+    assert(Ivf.vacuumQueryLog(spark, root, keepEpochs = 2) == Seq.empty)
+    assert(Ivf.vacuumQueryLog(spark, root, keepEpochs = 10) == Seq.empty)
+    // the replay after retention: newest-wins over the KEPT epochs —
+    // epoch 2's workload plus epoch 1's still-remembered one
+    val replayed = Ivf.workloadAudit(spark, root, k = 3, nprobe = 2,
+        nQueries = 10)
+      .select($"query_id").as[Long].collect().toSet
+    assert(replayed ==
+      (qsA.select($"query_id").as[Long].collect().toSet ++
+        qsB.select($"query_id").as[Long].collect().toSet))
+    // aging out: keep only the newest epoch and the dead workload's
+    // ids stop voting — bounded recency, the semantics the audit wants
+    assert(Ivf.vacuumQueryLog(spark, root, keepEpochs = 1) == Seq(1L))
+    val aged = Ivf.workloadAudit(spark, root, k = 3, nprobe = 2,
+        nQueries = 10)
+      .select($"query_id").as[Long].collect().toSet
+    assert(aged == qsB.select($"query_id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Ivf.vacuumQueryLog(spark, root, keepEpochs = 0)
+    }
+  }
+
   test("adversarial object store: the manifest protocol holds where rename is copy+delete") {
     val conf = spark.sparkContext.hadoopConfiguration
     AdversarialFileSystem.install(conf)

@@ -781,7 +781,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = Streams.indexAppendAudited(
       mem.toDF().toDF("vec_id", "embedding"), root, s"$tmp/ckpt",
       auditEvery = 1000, floor = 0.9, k = 3, nprobe = 1, kCents = 3,
-      confidenceFloor = 0.0, workloadEvery = 1)
+      confidenceFloor = 0.0, workloadEvery = 1, keepLogEpochs = 1)
     try {
       // batch 0: an e2 wave lands under the FROZEN v1 quantizer — its
       // rows split across both cells by noise sign (measured 7/3). The
@@ -809,9 +809,16 @@ class StreamingSpec extends AnyFunSuite {
     // the corpus really did stand still across the repair (both batches
     // + resident, each once — the retrain changed models, not data)
     assert(spark.read.parquet(s"$root/v=2/store").count() == 40)
-    // and the repair is real: the retrained quantizer (kCents=3) carves
-    // the wave's region its own cell, so the SAME logged workload now
-    // replays clean and the version stays put
+    // the in-stream log retention (keepLogEpochs = 1) aged out the
+    // pre-shift epoch on the same cadence: only the CURRENT workload
+    // remains logged...
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_query_log"))
+      .map(_.getPath.getName).filter(_.startsWith("epoch="))
+      .toSeq == Seq("epoch=1"))
+    // ...and the repair is real: the retrained quantizer carves the
+    // wave's region its own cell, so that shifted workload replays clean
     val after = Ivf.workloadAudit(spark, root, k = 3, nprobe = 1)
       .agg(org.apache.spark.sql.functions.avg(
         org.apache.spark.sql.functions.col("recall_at_3")))
