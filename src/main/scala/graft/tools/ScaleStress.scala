@@ -69,7 +69,7 @@ object ScaleStress {
     // skip the (expensive) documents corpus entirely on an ANN-only run
     val annNames = Set("ivf_train_scaled", "ivf_append", "pq_encode",
       "knn_graph_auto", "knn_graph_fixed_priced", "ann_drift_gate",
-      "ann_drift_sampled", "lifecycle_decade")
+      "ann_drift_sampled", "lifecycle_decade", "lifecycle_decade_pq")
     val docsNeeded = only.forall(_.exists(n => !annNames.contains(n)))
 
     val marker = new java.io.File(s"$outDir/.factor_${factor}_rep$repCap")
@@ -329,6 +329,130 @@ object ScaleStress {
         spark.createDataFrame(java.util.Arrays.asList(local: _*), trained.schema)
       }
       val storeDir = s"$outDir/ivf_store"
+
+      // the full lifecycle loop at scale (VERDICT r10 #7), shared by the
+      // raw-store decade and the IVFADC-triple decade (r12): the ONLY
+      // difference is whether the base publish carries a PqSpec — the
+      // ingest, audit, retrain, compaction, and vacuum paths are the
+      // same code either way, which is the point (the triple rides the
+      // lifecycle, it doesn't get its own).
+      def lifecycleDecade(pq: Option[graft.similarity.PqSpec])
+          : org.apache.spark.sql.DataFrame = {
+        import spark.implicits._
+        // the healthy-cycle contract (duplicate wave co-locates with
+        // its jittered replica family) holds at the production cell
+        // geometry (~n/256 cells; measured 1.0 at 30x/100x) but not
+        // at 10x's 79-cell toy geometry — gate the run
+        require(factor >= 30,
+          s"lifecycle_decade needs the >=30x cell geometry: $factor")
+        val fsH = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val root = s"$outDir/ivf_lifecycle"
+        fsH.delete(new org.apache.hadoop.fs.Path(root), true)
+        // the base version indexes the WHOLE current corpus (the
+        // q_stream_reindex shape): the families every in-distribution
+        // audit query belongs to are fully represented, which is what
+        // keeps the healthy audit at ~1.0 (a 90%-resident-trained
+        // quantizer measurably breaks family co-location here:
+        // cycle-1 recall 0.66 on the 30x probe)
+        val resident = emb.select(col("vec_id"), col("embedding"))
+        val tB = System.nanoTime()
+        Ivf.writeVersionedIndex(resident, k = cellsScaled, root, pq = pq)
+        println(f"[stress] lifecycle base publish: " +
+          f"${(System.nanoTime() - tB) / 1e9}%7.1f s " +
+          f"(${resident.count()} vectors, $cellsScaled cells" +
+          pq.map(s => s", pq m=${s.m} k=${s.k}").getOrElse("") + ")")
+        // sample sized so each query's replica family keeps ~10
+        // members in-sample (pct >= 1000/F) — via the in-code sizing
+        // primitive with minSampleRows = 10 rows per distinct family
+        // (VERDICT r11 #7), not the former hand-rolled prose rule
+        val samplePct = Ivf.autoSamplePct(nVec,
+          minSampleRows = 10L * (nVec / factor))
+        def ingestLayers(v: Long): Int =
+          fsH.listStatus(new org.apache.hadoop.fs.Path(s"$root/v=$v/store"))
+            .count(_.getPath.getName.startsWith("ingest="))
+        def codeLayers(v: Long): Int =
+          fsH.listStatus(new org.apache.hadoop.fs.Path(s"$root/v=$v/codes"))
+            .count(_.getPath.getName.startsWith("ingest="))
+        val rows = (1 to 3).map { c =>
+          val tC = System.nanoTime()
+          // cycles 1-2: in-distribution ingest (duplicates of the
+          // %30==c corpus slice under fresh ids — measured recall
+          // 1.0/1.0/0.88 at full/33%/10% samples on the 30x probe).
+          // cycle 3: a REVERSED copy of the original base vectors —
+          // one per replica family, so the re-encoded wave has no
+          // internal near-dup structure to hide in (reversed families
+          // co-locate and DON'T trip the gate: measured 0.72) —
+          // probe-measured 0.44/0.38/0.24, firing at every sample size
+          val wave =
+            if (c == 3) emb.filter(col("vec_id") < nVec / factor)
+              .select((col("vec_id") + 300000000L).as("vec_id"),
+                expr("reverse(embedding)").as("embedding"))
+            else emb.filter(col("vec_id") % 30 === c)
+              .select((col("vec_id") + c * 100000000L).as("vec_id"),
+                col("embedding"))
+          val v = Ivf.indexVersion(spark, root)
+          val cents = Ivf.localizeCentroids(
+            spark.read.parquet(s"$root/v=$v/centroids"))
+          // raw rows + (on a PQ root) the batch's codes, both under
+          // idempotent ingest keys — identical to writeBatchToStore
+          // when no _pq is present
+          Ivf.writeBatchToVersion(spark, root, v, wave, c.toLong, cents)
+          val qs = Ivf.localizeCentroids(wave.orderBy("vec_id").limit(10)
+            .select(col("vec_id").as("query_id"),
+              col("embedding").as("query_vec")).toDF())
+          val (vAfter, recall) = Ivf.reindexIfDriftedSampled(spark, root,
+            qs, k = 5, nprobe = 2, floor = 0.8, samplePct = samplePct,
+            kCents = cellsScaled)
+          val retrained = vAfter > v
+          // compaction is THRESHOLDED, as in production: fold only a
+          // store that actually has streamed layers — a just-retrained
+          // version is already single-base and folding it is a no-op
+          val (fBefore, fAfter) =
+            if (ingestLayers(Ivf.indexVersion(spark, root)) > 1) {
+              val (_, b, a) = Ivf.compactVersion(spark, root)
+              require(a < b, s"compaction must shrink the store: $b -> $a")
+              (b, a)
+            } else (0, 0)
+          val vacuumed = Ivf.vacuumVersions(spark, root, keepN = 2)
+          val nDirs = fsH.listStatus(new org.apache.hadoop.fs.Path(root))
+            .count(_.getPath.getName.startsWith("v="))
+          // on a PQ root the triple must ride every cycle: the newest
+          // version still carries the spec (retrains refresh the
+          // codebooks under it), the code store folded with the vector
+          // store (compaction/retrain leave it single-base), and the
+          // memory-compressed ADC probe serves — timed, because this
+          // is the production serving shape the decade exists to price
+          val adcWall = pq.map { _ =>
+            val newest = Ivf.indexVersion(spark, root)
+            require(Ivf.readPqSpec(spark, root, newest).nonEmpty,
+              s"v=$newest lost the PQ spec mid-lifecycle")
+            require(codeLayers(newest) == ingestLayers(newest),
+              "code store layers must track the vector store's")
+            val tA = System.nanoTime()
+            val n = Ivf.ivfAdcTopKFromVersioned(spark, root, qs,
+              k = 5, nprobe = 2).count()
+            require(n > 0, "the versioned ADC probe must serve")
+            (System.nanoTime() - tA) / 1e9
+          }
+          val wall = (System.nanoTime() - tC) / 1e9
+          println(f"[stress] lifecycle cycle $c: wall=$wall%7.1f s " +
+            f"recall@5=$recall%.4f (pct=$samplePct) retrained=$retrained " +
+            f"v=${Ivf.indexVersion(spark, root)} files $fBefore->$fAfter " +
+            f"dirs=$nDirs vacuumed=${vacuumed.size}" +
+            adcWall.map(w => f" adc_probe=$w%.1f s").getOrElse(""))
+          require(nDirs <= 2,
+            s"version growth must stay flat under vacuum: $nDirs dirs")
+          (c, wall, recall, retrained, fBefore, fAfter, nDirs,
+            adcWall.getOrElse(-1.0))
+        }
+        require(!rows(0)._4 && !rows(1)._4,
+          "in-distribution cycles must not retrain")
+        require(rows(2)._4, "the reversed-wave cycle must trip the retrain")
+        rows.toDF("cycle", "wall_s", "recall", "retrained",
+          "files_before", "files_after", "version_dirs", "adc_probe_s")
+      }
+
       val annPipelines: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
         // full Lloyd pass at the scaled cell count (train is the wall)
         "ivf_train_scaled" -> (() => Ivf.train(emb, k = cellsScaled, iters = 1)),
@@ -460,95 +584,13 @@ object ScaleStress {
         // replica families, audit passes); cycle 3 feeds a REVERSED
         // wave that must trip the retrain. Version-directory count must
         // stay flat (<= keepN) after every vacuum — the retention gate.
-        "lifecycle_decade" -> (() => {
-          import graft.similarity.Ivf
-          import spark.implicits._
-          // the healthy-cycle contract (duplicate wave co-locates with
-          // its jittered replica family) holds at the production cell
-          // geometry (~n/256 cells; measured 1.0 at 30x/100x) but not
-          // at 10x's 79-cell toy geometry — gate the run
-          require(factor >= 30,
-            s"lifecycle_decade needs the >=30x cell geometry: $factor")
-          val fsH = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
-          val root = s"$outDir/ivf_lifecycle"
-          fsH.delete(new org.apache.hadoop.fs.Path(root), true)
-          // the base version indexes the WHOLE current corpus (the
-          // q_stream_reindex shape): the families every in-distribution
-          // audit query belongs to are fully represented, which is what
-          // keeps the healthy audit at ~1.0 (a 90%-resident-trained
-          // quantizer measurably breaks family co-location here:
-          // cycle-1 recall 0.66 on the 30x probe)
-          val resident = emb.select(col("vec_id"), col("embedding"))
-          val tB = System.nanoTime()
-          Ivf.writeVersionedIndex(resident, k = cellsScaled, root)
-          println(f"[stress] lifecycle base publish: " +
-            f"${(System.nanoTime() - tB) / 1e9}%7.1f s " +
-            f"(${resident.count()} vectors, $cellsScaled cells)")
-          // sample sized so each query's replica family keeps ~10
-          // members in-sample (pct >= 1000/F) — via the in-code sizing
-          // primitive with minSampleRows = 10 rows per distinct family
-          // (VERDICT r11 #7), not the former hand-rolled prose rule
-          val samplePct = Ivf.autoSamplePct(nVec,
-            minSampleRows = 10L * (nVec / factor))
-          def ingestLayers(v: Long): Int =
-            fsH.listStatus(new org.apache.hadoop.fs.Path(s"$root/v=$v/store"))
-              .count(_.getPath.getName.startsWith("ingest="))
-          val rows = (1 to 3).map { c =>
-            val tC = System.nanoTime()
-            // cycles 1-2: in-distribution ingest (duplicates of the
-            // %30==c corpus slice under fresh ids — measured recall
-            // 1.0/1.0/0.88 at full/33%/10% samples on the 30x probe).
-            // cycle 3: a REVERSED copy of the original base vectors —
-            // one per replica family, so the re-encoded wave has no
-            // internal near-dup structure to hide in (reversed families
-            // co-locate and DON'T trip the gate: measured 0.72) —
-            // probe-measured 0.44/0.38/0.24, firing at every sample size
-            val wave =
-              if (c == 3) emb.filter(col("vec_id") < nVec / factor)
-                .select((col("vec_id") + 300000000L).as("vec_id"),
-                  expr("reverse(embedding)").as("embedding"))
-              else emb.filter(col("vec_id") % 30 === c)
-                .select((col("vec_id") + c * 100000000L).as("vec_id"),
-                  col("embedding"))
-            val v = Ivf.indexVersion(spark, root)
-            val cents = Ivf.localizeCentroids(
-              spark.read.parquet(s"$root/v=$v/centroids"))
-            Ivf.writeBatchToStore(wave, cents, s"$root/v=$v/store", c.toLong)
-            val qs = Ivf.localizeCentroids(wave.orderBy("vec_id").limit(10)
-              .select(col("vec_id").as("query_id"),
-                col("embedding").as("query_vec")).toDF())
-            val (vAfter, recall) = Ivf.reindexIfDriftedSampled(spark, root,
-              qs, k = 5, nprobe = 2, floor = 0.8, samplePct = samplePct,
-              kCents = cellsScaled)
-            val retrained = vAfter > v
-            // compaction is THRESHOLDED, as in production: fold only a
-            // store that actually has streamed layers — a just-retrained
-            // version is already single-base and folding it is a no-op
-            val (fBefore, fAfter) =
-              if (ingestLayers(Ivf.indexVersion(spark, root)) > 1) {
-                val (_, b, a) = Ivf.compactVersion(spark, root)
-                require(a < b, s"compaction must shrink the store: $b -> $a")
-                (b, a)
-              } else (0, 0)
-            val vacuumed = Ivf.vacuumVersions(spark, root, keepN = 2)
-            val nDirs = fsH.listStatus(new org.apache.hadoop.fs.Path(root))
-              .count(_.getPath.getName.startsWith("v="))
-            val wall = (System.nanoTime() - tC) / 1e9
-            println(f"[stress] lifecycle cycle $c: wall=$wall%7.1f s " +
-              f"recall@5=$recall%.4f (pct=$samplePct) retrained=$retrained " +
-              f"v=${Ivf.indexVersion(spark, root)} files $fBefore->$fAfter " +
-              f"dirs=$nDirs vacuumed=${vacuumed.size}")
-            require(nDirs <= 2,
-              s"version growth must stay flat under vacuum: $nDirs dirs")
-            (c, wall, recall, retrained, fBefore, fAfter, nDirs)
-          }
-          require(!rows(0)._4 && !rows(1)._4,
-            "in-distribution cycles must not retrain")
-          require(rows(2)._4, "the reversed-wave cycle must trip the retrain")
-          rows.toDF("cycle", "wall_s", "recall", "retrained",
-            "files_before", "files_after", "version_dirs")
-        }),
+        "lifecycle_decade" -> (() => lifecycleDecade(None)),
+        // the IVFADC triple on the same lifecycle (r12): identical
+        // loop, the base publish carries a PqSpec — codebook train +
+        // corpus encode ride every publish/retrain, codes stream and
+        // fold with the vectors, and the ADC probe is timed per cycle
+        "lifecycle_decade_pq" -> (() =>
+          lifecycleDecade(Some(graft.similarity.PqSpec(m = 4, k = 16)))),
         // the superlinear shape the gate exists for, PRICED not run: the
         // contract query's FIXED 8 cells at this corpus — cellCost says
         // how many pairs the self-join would enumerate (Θ(n²/8))
