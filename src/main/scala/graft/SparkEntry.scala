@@ -383,9 +383,14 @@ object SparkEntry {
     }),
 
     // distinct writer config from q_csv_roundtrip: pipe-delimited, with
-    // the pipe embedded in the data to force delimiter-quoting
+    // the pipe embedded in the data to force delimiter-quoting. The
+    // output dir is the FIXED path the oracle's read_csv names as a
+    // string literal (see the q_csv_roundtrip comment above) — a
+    // pid-suffixed scratch dir here leaves the oracle reading a path
+    // that does not exist on a fresh host (it passed only off stale
+    // files from before the scratch() change; caught in round 12).
     "q_csv_interchange" -> ((s, dir) =>
-      csvRoundtrip(s, dir, scratch("csv_interchange"), '|')),
+      csvRoundtrip(s, dir, "/tmp/graft_csv_interchange", '|')),
 
     // ---------------- L2 Projection + arithmetic expressions
     // (ref: src/plan/logical/projection.rs, binary ops +,-,*,/)
