@@ -4530,13 +4530,22 @@ object SparkEntry {
     // and its cascade; the dense co-purchase core survives. Fixed rounds keep the computation recursion-free so
     // the twin unrolls it exactly.
     "q_kcore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = li.select(col("ok"), col("pk").as("src"))
-        .join(li.select(col("ok"), col("pk").as("dst")), "ok")
-        .filter(col("src") < col("dst"))
-        .select("src", "dst") // peel canonicalizes + dedups internally
+      // co-purchase edges per order WITHOUT the self-join: one map-side-
+      // combined collect_set per order, then every x<y pair expanded
+      // NARROWLY inside the sorted array (group size is bounded by the
+      // per-order line count, so the expansion is per-row work). The
+      // former distinct + self-join-on-ok shape shuffled the 600k-row
+      // projection three times to enumerate the same pairs (guide §2.4:
+      // remove shuffles outright); the produced edge multiset is
+      // identical and peel canonicalizes + dedups internally as before.
+      val items = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      val edges = items
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+            struct(x.as("src"), y.as("dst")))))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.graph.Cores.peel(edges, k = 90, rounds = 3).orderBy("node_id")
     }),
 

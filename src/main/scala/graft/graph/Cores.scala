@@ -1,6 +1,5 @@
 package graft.graph
 
-import org.apache.spark.HashPartitioner
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -13,15 +12,19 @@ import org.apache.spark.sql.functions._
   * reproducible by an unrolled oracle (no data-dependent recursion), so
   * the contract query stays hash-checkable.
   *
-  * The loop body is RDD, not DataFrame — the same escape hatch as
-  * connected components (SCALE.md "iterative graph loops"): a DataFrame
-  * loop references the surviving edge set ~4 times per round (two degree
-  * legs + two semi-joins), so the unrolled logical tree replicates the
-  * upstream edge build 4^rounds times and analysis/codegen dominates
-  * (measured 9.6 s steady-state for 3 rounds over a ~100k-edge graph;
-  * the RDD loop with one pinned HashPartitioner runs the same peels in
-  * ~1 s: every reduceByKey/join after the first shuffles nothing).
-  * DataFrames in and out; RDDs only inside the loop.
+  * The loop body is DataFrame with a `localCheckpoint` lineage cut per
+  * round (the BPE-trainer round idiom): the cut is what makes a DF loop
+  * viable — without it the unrolled logical tree replicates the upstream
+  * edge build ~4^rounds times and analysis/codegen dominates (the
+  * r4-era measurement that originally forced this loop onto RDDs). The
+  * optimization round re-measured the RDD escape hatch itself: its
+  * per-round reduceByKey + two re-key joins moved ~4.8M boxed tuples
+  * through three shuffles per round (3.2 s of the query), where the
+  * checkpointed DF round is one map-side-combined degree aggregate plus
+  * two semi-joins whose keep side AQE broadcasts (zero edge shuffles on
+  * the surviving-set side, Tungsten rows instead of boxed pairs) — and
+  * at cluster scale a too-big keep set degrades gracefully to a shuffle
+  * join instead of OOMing a broadcast.
   *
   * Returns (node_id, deg) for nodes surviving `rounds` peels, with their
   * degree in the final surviving subgraph. */
@@ -29,34 +32,28 @@ object Cores {
 
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val part = new HashPartitioner(parts)
-    // canonical undirected edges keyed by the lower endpoint
+    // canonical undirected edges, materialized ONCE (eager checkpoint):
+    // every round's degree count and both semi-join legs read the cached
+    // blocks, never the upstream edge build
+    // long casts match the former RDD loop's as[(Long, Long)] encoder, so
+    // the output schema is identical for any integral edge column type
     var cur = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .as[(Long, Long)].rdd
-      .partitionBy(part)
+      .localCheckpoint(true)
+    def degrees(df: DataFrame): DataFrame =
+      df.select(explode(array(col("a"), col("b"))).as("node_id"))
+        .groupBy("node_id").agg(count(lit(1)).as("deg"))
     for (_ <- 1 to rounds) {
-      val keep = cur
-        .flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
-        .reduceByKey(part, _ + _)
-        .filter(_._2 >= k)
-        .mapValues(_ => ())
-      cur = cur.join(keep)                       // survive on the a side
-        .map { case (a, (b, _)) => (b, a) }
-        .partitionBy(part)
-        .join(keep)                              // survive on the b side
-        .map { case (b, (a, _)) => (a, b) }
-        .partitionBy(part)
+      val keep = degrees(cur).filter(col("deg") >= k).select("node_id")
+      cur = cur
+        .join(keep.select(col("node_id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node_id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true) // lineage cut per round, see above
     }
-    cur.flatMap { case (a, b) => Iterator((a, 1L), (b, 1L)) }
-      .reduceByKey(part, _ + _)
-      .filter(_._2 >= k)
-      .toDF("node_id", "deg")
+    degrees(cur).filter(col("deg") >= k)
   }
 }

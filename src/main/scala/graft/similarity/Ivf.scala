@@ -148,8 +148,16 @@ object Ivf {
       dim: Int = -1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val slim = corpus.select(col(idCol), col(vecCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Reuse the CALLER's cache when the corpus is already persisted
+    // (buildVersionDirAt persists the slim corpus once for the whole
+    // build — train, store write, floor calibration, PQ artifacts);
+    // double-caching the same rows would only evict other entries.
+    val ownCache = corpus.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val slimRaw = corpus.select(col(idCol), col(vecCol))
+    val slim = if (ownCache)
+      slimRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else slimRaw
     // dim <= 0 → infer from the first vector (a 1-row collect, bounded):
     // a hardcoded default silently truncated centroids of wider embeddings
     // to the first 64 dimensions.
@@ -180,7 +188,15 @@ object Ivf {
         }
         .toDF("centroid_id", "centroid")
     }
-    cents
+    // Materialize the final centroids to the DRIVER (k rows by
+    // construction): every downstream use (collectCentroids, probe
+    // selection, store writes) otherwise re-runs the whole training
+    // lineage per reference, and the training cache can be freed NOW
+    // instead of leaking one persisted corpus projection per train call
+    // (guide §5: unpersist when done).
+    val result = localizeCentroids(cents)
+    if (ownCache) slim.unpersist(blocking = false)
+    result
   }
 
   /** Write the assigned corpus as a CENTROID-PARTITIONED parquet store —
@@ -347,8 +363,11 @@ object Ivf {
       rowFilter: Option[Column] = None): DataFrame = {
     val spark = queries.sparkSession
     val cents = collectCentroids(centroids)
-    val probes = probeSelection(queries, cents, nprobe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probes are |queries| x nprobe rows — driver-bounded by the query-set
+    // contract — so LOCALIZE them instead of persisting: the probe-id
+    // collect and the broadcast below then run off a LocalRelation (no
+    // cluster job, no cache entry to leak on the always-on audit path)
+    val probes = localizeCentroids(probeSelection(queries, cents, nprobe))
     val probeIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)) // bounded by k, never by data scale
     // rowFilter (e.g. sampledAudit's hash-bucket sample) COMPOSES with
@@ -458,13 +477,19 @@ object Ivf {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(targetCellSize > 0, s"targetCellSize must be positive: $targetCellSize")
     require(pairBudget > 0, s"pairBudget must be positive: $pairBudget")
-    val n = corpus.count() // one bounded scalar, the sizing input
+    // one materialization feeds the sizing count, the train, and the
+    // assignment; released once the assignment cache is populated (the
+    // cellCost action below fills it)
+    val slim = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = slim.count() // one bounded scalar, the sizing input
     val cells = math.max(minCells.toLong,
       (n + targetCellSize - 1) / targetCellSize).toInt
-    val cents = train(corpus, cells, iters, idCol, vecCol)
-    val assigned = assign(corpus, cents, idCol, vecCol)
+    val cents = train(slim, cells, iters, idCol, vecCol)
+    val assigned = assign(slim, cents, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (pairs, maxCell) = cellCost(assigned.select(col(idCol), col("centroid_id")))
+    slim.unpersist(blocking = false)
     if (pairs > pairBudget) {
       // the refusal path must not leak the cached assignment: cellCost has
       // already materialized it, and this JVM may host hundreds more
@@ -505,8 +530,7 @@ object Ivf {
     // slim every input to (id, vector): the audit needs nothing else and
     // callers' side columns must not constrain the union
     val slim = (df: DataFrame) => df.select(col(idCol), col(vecCol))
-    val cents = localizeCentroids(
-      train(slim(resident), kCents, iters, idCol, vecCol))
+    val cents = train(slim(resident), kCents, iters, idCol, vecCol)
     (0 to waves.size).map { stage =>
       val corpus = (slim(resident) +: waves.take(stage).map(slim))
         .reduce(_ unionByName _)
@@ -748,23 +772,35 @@ object Ivf {
     val spark = corpus.sparkSession
     val fs = fsOf(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val cents = localizeCentroids(train(corpus, k, iters, idCol, vecCol))
-    graft.sources.Sinks.writeParquet(cents, s"$path/centroids")
-    writeIngestStore(corpus, cents, s"$path/store", idCol, vecCol)
-    val floor = calibratedConfidenceFloor(corpus, collectCentroids(cents),
-      idCol, vecCol)
-    writeSmall(fs, new org.apache.hadoop.fs.Path(s"$path/_confidence_floor"),
-      floor.toString)
-    pq.foreach { spec =>
-      val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-      val cbs = Pq.trainCodebooks(corpus, spec.m, spec.k, dim, spec.iters,
+    // ONE materialization of the (id, vector) corpus for the WHOLE build:
+    // training, the clustered store write (whose range partitioner runs
+    // its own sampling pass), the confidence-floor calibration, and —
+    // for IVFADC roots — the per-subspace codebook trains and the code
+    // store write each re-scanned the source lineage (a parquet read at
+    // the bench scale; the store of the previous version for a retrain)
+    // 4-8 times per published version. Guide §1.2: fix the pass count
+    // before the per-task work.
+    val slim = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = train(slim, k, iters, idCol, vecCol)
+      graft.sources.Sinks.writeParquet(cents, s"$path/centroids")
+      writeIngestStore(slim, cents, s"$path/store", idCol, vecCol)
+      val floor = calibratedConfidenceFloor(slim, collectCentroids(cents),
         idCol, vecCol)
-      Pq.writeCodebooks(spark, cbs, s"$path/codebooks")
-      Pq.writeIvfAdcStore(corpus, cents, cbs, s"$path/codes/ingest=base",
-        idCol, vecCol)
-      writeSmall(fs, new org.apache.hadoop.fs.Path(s"$path/_pq"),
-        s"${spec.m} ${spec.k} ${spec.iters}")
-    }
+      writeSmall(fs, new org.apache.hadoop.fs.Path(s"$path/_confidence_floor"),
+        floor.toString)
+      pq.foreach { spec =>
+        val dim = slim.select(size(col(vecCol))).first().getInt(0)
+        val cbs = Pq.trainCodebooks(slim, spec.m, spec.k, dim, spec.iters,
+          idCol, vecCol)
+        Pq.writeCodebooks(spark, cbs, s"$path/codebooks")
+        Pq.writeIvfAdcStore(slim, cents, cbs, s"$path/codes/ingest=base",
+          idCol, vecCol)
+        writeSmall(fs, new org.apache.hadoop.fs.Path(s"$path/_pq"),
+          s"${spec.m} ${spec.k} ${spec.iters}")
+      }
+    } finally slim.unpersist(blocking = false)
   }
 
   /** [[buildVersionDirAt]] directly at `root/v=<v>` — the

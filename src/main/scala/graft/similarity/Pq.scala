@@ -69,6 +69,27 @@ object Pq {
     corpus.select(col(idCol) +: codeCols: _*)
   }
 
+  /** (id, centroid_id, code_0..code_{m-1}) in ONE narrow projection:
+    * the coarse assignment and the m subspace codes are all per-row
+    * argmaxes over driver-resident literals, so computing them together
+    * removes the corpus-wide equi-join on `idCol` the previous shape
+    * paid (assignTo.join(encode) — a full shuffle of two corpus
+    * projections against each other at 100 TB, for columns that were
+    * derivable side by side; guide §2.4 "remove shuffles outright").
+    * Row-for-row identical to the join by construction: both sides were
+    * one row per id over the same (id, vector) corpus. */
+  private def encodedAssign(corpus: DataFrame,
+      cents: Array[(Int, Seq[Float])],
+      codebooks: Seq[Array[(Int, Seq[Float])]],
+      idCol: String, vecCol: String): DataFrame = {
+    val sub = codebooks.head.head._2.length
+    val codeCols = codebooks.zipWithIndex.map { case (cb, mi) =>
+      nearestCode(cb, slice(col(vecCol), mi * sub + 1, sub)).as(s"code_$mi")
+    }
+    Ivf.assignTo(cents, corpus, idCol, vecCol)
+      .select(col(idCol) +: col("centroid_id") +: codeCols: _*)
+  }
+
   /** The ADC approximate-dot expression: the sum over subspaces of
     * dot(query slice, centroid-of-code) — m element_at lookups into the
     * codebook literals. A fixed left-to-right chain of IEEE doubles, so
@@ -118,9 +139,7 @@ object Pq {
       codebooks: Seq[Array[(Int, Seq[Float])]], k: Int, nprobe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = Ivf.collectCentroids(centroids)
-    val store = Ivf.assignTo(cents, corpus, idCol, vecCol)
-      .select(col(idCol), col("centroid_id"))
-      .join(encode(corpus, codebooks, idCol, vecCol), idCol)
+    val store = encodedAssign(corpus, cents, codebooks, idCol, vecCol)
     val probes = Ivf.probeSelection(queries, cents, nprobe)
     val scored = store.join(broadcast(probes), Seq("centroid_id"))
       .filter(col(idCol) =!= col("query_id"))
@@ -169,9 +188,7 @@ object Pq {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val cents = Ivf.collectCentroids(centroids)
     graft.sources.Sinks.writeParquet(
-      Ivf.assignTo(cents, corpus, idCol, vecCol)
-        .select(col(idCol), col("centroid_id"))
-        .join(encode(corpus, codebooks, idCol, vecCol), idCol)
+      encodedAssign(corpus, cents, codebooks, idCol, vecCol)
         .repartitionByRange(col("centroid_id"), col(idCol)),
       path, partitionCols = Seq("centroid_id"))
   }
@@ -188,8 +205,13 @@ object Pq {
       k: Int, nprobe: Int = 2, idCol: String = "vec_id"): DataFrame = {
     val spark = queries.sparkSession
     val cents = Ivf.collectCentroids(centroids)
-    val probes = Ivf.probeSelection(queries, cents, nprobe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // localize, don't persist: probes are |queries| x nprobe rows
+    // (driver-bounded by the query-set contract), so the probe-id
+    // collect and the broadcast run off a LocalRelation — no cluster
+    // job, no cache entry leaked per probe call (Ivf.ivfTopKFromStore's
+    // rationale)
+    val probes = Ivf.localizeCentroids(
+      Ivf.probeSelection(queries, cents, nprobe))
     val probeIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)) // bounded by the centroid count
     val codes = spark.read.parquet(storePath)

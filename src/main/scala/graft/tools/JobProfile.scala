@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Optimization-round measurement aid: run ONE contract query with a
@@ -46,6 +46,18 @@ object JobProfile {
         val j = jobs.get(je.jobId)
         if (j != null) j.end = je.time
       }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (collecting) {
+          val si = sc.stageInfo
+          val wall = (si.completionTime.getOrElse(0L) -
+            si.submissionTime.getOrElse(0L)) / 1e3
+          val m = si.taskMetrics
+          if (wall > 0.15) println(
+            f"[jobprofile]   stage ${si.stageId}%4d ${wall}%7.3f s " +
+            f"${si.numTasks}%4d tasks  in=${m.inputMetrics.bytesRead / 1e6}%.1f MB " +
+            f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.1f MB " +
+            f"sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.1f MB  ${si.name}")
+        }
     }
     spark.sparkContext.addSparkListener(listener)
 
@@ -80,6 +92,9 @@ object JobProfile {
         }.toSeq.sortBy(-_._2)
         bySite.take(30).foreach { case (s, sec, n) =>
           println(f"[jobprofile]   ${sec}%8.3f s  $n%4d jobs  $s")
+        }
+        done.sortBy(j => -(j.end - j.start)).take(15).foreach { j =>
+          println(f"[jobprofile]   job ${j.id}%4d  ${(j.end - j.start) / 1e3}%8.3f s  ${j.site}")
         }
       }
     }
