@@ -136,24 +136,38 @@ object Dedup {
     * in 77 s. Capped-out buckets are boilerplate by construction; route
     * them to exact dedup (they collide on FULL bands) rather than raising
     * the cap. */
+  /** ONE feature pass for the verified-minhash family: (id, band hashes,
+    * shingle set, size). Zero-shingle docs (shorter than the shingle
+    * width) have no defined Jaccard and are excluded up front, matching
+    * the oracle's len(gs) > 0 guard (two such docs otherwise collide in
+    * every band and the union term divides by zero under ANSI mode). */
+  private def minhashFeatures(docs: DataFrame, textCol: String,
+      idCol: String, numHashes: Int, bands: Int, shingle: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        native.minhash_bands(
+          minhashSignature(col(textCol), numHashes, shingle), bands).as("bh"),
+        native.char_shingle_hashes(col(textCol), shingle).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast(LongType))
+      .filter(col("n_sh") > 0)
+
   def minhashVerifiedPairs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
       shingle: Int = 5, threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
     // ONE persisted feature pass feeds both the banding and the verify
     // branches (band hashes + shingle set + its size) — previously the
-    // shingle kernel ran once per lineage branch. Zero-shingle docs
-    // (shorter than the shingle width) have no defined Jaccard and are
-    // excluded up front, matching the oracle's len(gs) > 0 guard (two
-    // such docs otherwise collide in every band and the union term
-    // divides by zero under ANSI mode).
-    val feat = docs.select(col(idCol).as("id"),
-        native.minhash_bands(
-          minhashSignature(col(textCol), numHashes, shingle), bands).as("bh"),
-        native.char_shingle_hashes(col(textCol), shingle).as("sh"))
-      .withColumn("n_sh", size(col("sh")).cast(LongType))
-      .filter(col("n_sh") > 0)
+    // shingle kernel ran once per lineage branch.
+    val feat = minhashFeatures(docs, textCol, idCol, numHashes, bands, shingle)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifiedPairsOfFeatures(feat, threshold, maxBucketSize)
+  }
+
+  /** The banding + size-prefilter + exact-verify body of
+    * [[minhashVerifiedPairs]] over an already-persisted feature table —
+    * shared with [[minhashVerifiedPairsAuto]] so the auto-capped entry
+    * point prices its ladder and runs the pipeline off ONE kernel pass. */
+  private def verifiedPairsOfFeatures(feat: DataFrame, threshold: Double,
+      maxBucketSize: Int): DataFrame = {
     // Candidate generation is SLIM by design: only (band keys, id, size)
     // travel through the self-join — not signatures or shingle arrays.
     // The sides are round-robin-spread to the session's shuffle
@@ -165,7 +179,7 @@ object Dedup {
     val banded = feat.select(col("id"), col("n_sh"),
       posexplode(col("bh")).as(Seq("band_id", "band_hash")))
     val bucketed = dropHotBuckets(banded, Seq("band_id", "band_hash"), maxBucketSize)
-    val par = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val par = feat.sparkSession.sessionState.conf.numShufflePartitions
     // 1e-9 slack keeps the one-rounding size inequality strictly more
     // permissive than the exact two-sided jaccard compare at the boundary
     val cand = bucketed.select(col("band_id"), col("band_hash"),
@@ -276,14 +290,41 @@ object Dedup {
       shingle: Int = 5, threshold: Double = 0.7,
       pairBudget: Long = 100000000L,
       capLadder: Seq[Int] = Seq(16, 64, 256, 1000, 4000)): DataFrame = {
-    val (cap, ceiling) = chooseBucketCap(docs, textCol, idCol, numHashes,
-      bands, shingle, pairBudget, capLadder)
-    require(ceiling <= pairBudget,
-      s"even the smallest bucket cap ${capLadder.head} admits $ceiling " +
-        s"candidate pairs (> budget $pairBudget): run exact dedup on the " +
-        "boilerplate first or raise the budget explicitly")
-    minhashVerifiedPairs(docs, textCol, idCol, numHashes, bands, shingle,
-      threshold, cap)
+    require(capLadder.nonEmpty, "capLadder must not be empty")
+    require(capLadder == capLadder.sorted && capLadder.distinct == capLadder,
+      s"capLadder must be strictly increasing, got $capLadder")
+    require(pairBudget > 0, s"pairBudget must be positive, got $pairBudget")
+    // ONE kernel pass for pre-flight AND pipeline: the ladder is priced
+    // over the same persisted feature table the verified pipeline then
+    // reads — previously chooseBucketCap ran the minhash + shingle
+    // kernels over the corpus a second time just to size the buckets
+    // (guide §1.2: don't compute things twice). The bucket-size table is
+    // identical to bandedBucketSizes' by construction (same zero-shingle
+    // exclusion, same banding), so the chosen rung — and therefore the
+    // emitted pair set — is unchanged.
+    val feat = minhashFeatures(docs, textCol, idCol, numHashes, bands, shingle)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = feat
+      .select(posexplode(col("bh")).as(Seq("band_id", "band_hash")))
+      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("n"))
+    val rungCols = capLadder.map(c =>
+      coalesce(sum(when(col("n") <= c, col("n") * (col("n") - 1) / 2)),
+        lit(0L)).cast(org.apache.spark.sql.types.LongType).as(s"cap_$c"))
+    val row = sizes.agg(rungCols.head, rungCols.tail: _*).head()
+    val ceilings = capLadder.indices.map(i => capLadder(i) -> row.getLong(i))
+    val (cap, ceiling) =
+      ceilings.reverse.find(_._2 <= pairBudget).getOrElse(ceilings.head)
+    if (ceiling > pairBudget) {
+      // the refusal path must not leak the cached features (the
+      // knnGraphAuto unpersist-before-throw rule)
+      feat.unpersist(blocking = false)
+      throw new IllegalArgumentException(
+        s"requirement failed: even the smallest bucket cap " +
+          s"${capLadder.head} admits $ceiling candidate pairs (> budget " +
+          s"$pairBudget): run exact dedup on the boilerplate first or " +
+          "raise the budget explicitly")
+    }
+    verifiedPairsOfFeatures(feat, threshold, cap)
   }
 
   // ---------------------------------------------------------------- SimHash

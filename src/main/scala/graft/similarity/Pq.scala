@@ -32,21 +32,72 @@ import graft.functions.native
   * scans codes, no shuffle until the top-k partial aggregate. */
 object Pq {
 
-  /** Per-subspace codebooks: slice the corpus into m contiguous subspaces
-    * and run the deterministic Lloyd trainer on each. Returns m codebooks
-    * of k (centroid_id, subvector) pairs, id-sorted — driver-sized (m·k
-    * rows) by construction. */
+  /** Per-subspace codebooks, ALL m TRAINED IN ONE PASS per Lloyd
+    * iteration: the seed centroids are one k-row collect of the
+    * lowest-id vectors (sliced per subspace on the driver), and the m
+    * per-subspace assignments ride ONE exploded projection into ONE
+    * (subspace, centroid)-keyed ordered fold — where the former shape
+    * ran m independent `Ivf.train` calls (m seed jobs + m fold jobs + m
+    * corpus scans per iteration; guide §1.2: don't pass over the data
+    * once per model piece when one pass trains them all). Bit-identical
+    * to the per-subspace trainer: the seed rows are the same k lowest
+    * ids, and each (subspace, centroid) group still sums its subvectors
+    * in ascending-id order within one partition — the same
+    * double-addition order `Ivf.train`'s fold pins (PqSpec asserts the
+    * shapes; the PQ contract queries hash-check the values). Returns m
+    * codebooks of k (centroid_id, subvector) pairs, id-sorted —
+    * driver-sized (m·k rows) by construction. */
   def trainCodebooks(corpus: DataFrame, m: Int, k: Int, dim: Int,
       iters: Int = 1, idCol: String = "vec_id", vecCol: String = "embedding")
       : Seq[Array[(Int, Seq[Float])]] = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split evenly into m=$m")
+    require(iters > 0, s"iters must be positive, got $iters")
     val sub = dim / m
-    (0 until m).map { mi =>
-      val sliced = corpus.select(col(idCol),
-        slice(col(vecCol), mi * sub + 1, sub).as(vecCol))
-      Ivf.collectCentroids(
-        Ivf.train(sliced, k, iters, idCol, vecCol, dim = sub))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val slim = corpus.select(col(idCol), col(vecCol))
+    // seed: the k lowest-id vectors (Ivf.initCentroids' rule), sliced per
+    // subspace on the DRIVER — one bounded TakeOrdered job for all m
+    val seed = slim.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).as[Array[Float]].collect()
+    var books: Seq[Array[(Int, Seq[Float])]] = (0 until m).map { mi =>
+      seed.zipWithIndex.map { case (v, i) =>
+        (i, v.slice(mi * sub, mi * sub + sub).toSeq)
+      }.toArray
     }
+    for (_ <- 0 until iters) {
+      val entries = array((0 until m).map { mi =>
+        val sv = slice(col(vecCol), mi * sub + 1, sub)
+        struct(lit(mi).as("mi"), nearestCode(books(mi), sv).as("cid"),
+          sv.as("sv"))
+      }: _*)
+      val folded = slim
+        .select(col(idCol).as("vid"), explode(entries).as("e"))
+        .select(col("e.mi").as("mi"), col("e.cid").as("cid"), col("vid"),
+          col("e.sv").as("sv"))
+        .repartition(col("mi"), col("cid"))
+        .sortWithinPartitions(col("mi"), col("cid"), col("vid"))
+        .as[(Int, Int, Long, Array[Float])]
+        .mapPartitions { it =>
+          val acc = scala.collection.mutable.LinkedHashMap
+            .empty[(Int, Int), (Array[Double], Array[Long])]
+          it.foreach { case (mi, cid, _, v) =>
+            val (sums, n) = acc.getOrElseUpdate((mi, cid),
+              (new Array[Double](sub), new Array[Long](1)))
+            var d = 0
+            while (d < math.min(sub, v.length)) { sums(d) += v(d); d += 1 }
+            n(0) += 1
+          }
+          acc.iterator.map { case ((mi, cid), (sums, n)) =>
+            (mi, cid, sums.map(sv => (sv / n(0)).toFloat).toSeq)
+          }
+        }
+        .collect() // m·k codebook rows, bounded by construction
+      books = (0 until m).map { mi =>
+        folded.collect { case (`mi`, cid, v) => (cid, v) }.sortBy(_._1).toArray
+      }
+    }
+    books
   }
 
   /** Nearest-codebook-entry argmax for one subspace slice — the same

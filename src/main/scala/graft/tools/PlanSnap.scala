@@ -24,6 +24,10 @@ object PlanSnap {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // lets a "before" snapshot disable the scale-adaptive scan spread
+      // (SPARK_GRAFT_SPREAD_MIN=9999999999999) without a code checkout
+      .config("spark.graft.scan.spreadMinBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPREAD_MIN", (128L * 1024).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()

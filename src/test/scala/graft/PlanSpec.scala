@@ -90,7 +90,11 @@ class PlanSpec extends org.scalatest.funsuite.AnyFunSuite {
     // method stays far under the JIT threshold.
     val r = new scala.util.Random(7)
     def vec() = Array.fill(16)((r.nextDouble() * 2 - 1).toFloat).toSeq
-    val corpus = graft.engine.Tables.load(spark, dir, "embeddings")
+    // read the parquet DIRECTLY (not Tables.load): the test measures the
+    // generated-code size of the assign expression, and the scale-adaptive
+    // scan spread would wrap the plan in AQE where codegen stages only
+    // materialize per query stage — orthogonal to what is asserted here
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
     val cents = (0 until 512).map(i => (i, vec())).toArray
     val assigned = graft.similarity.Ivf.assignTo(cents, corpus, "vec_id", "embedding")
     val exec = assigned.queryExecution.executedPlan
