@@ -709,9 +709,14 @@ object Dedup {
     // Persist the posting: the neighborhood kernel is the pipeline's
     // dominant cost and four lineage branches read it (hot-bucket agg,
     // anti join, both self-join sides) — without the persist it would be
-    // recomputed per branch (measured 4x at sf0.1).
-    val posted = docs.select(col(idCol).as("id"), col(keyCol).as("key"),
-      explode(native.deletion_variant_hashes(col(keyCol), maxDist)).as("variant"))
+    // recomputed per branch (measured 4x at sf0.1). The kernel input is
+    // spread first (Tables.spreadForKernel): C(L, <=k) variants per row
+    // is exactly the per-row-compute-bound case a single-split scan
+    // serializes (A/B: 3.5-5.2 s -> 1.6-2.4 s at sf0.1 on local[32]).
+    val posted = graft.engine.Tables.spreadForKernel(
+        docs.select(col(idCol).as("id"), col(keyCol).as("key")))
+      .select(col("id"), col("key"),
+        explode(native.deletion_variant_hashes(col("key"), maxDist)).as("variant"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = dropHotBuckets(posted, Seq("variant"), maxBucketSize)
     val l = bucketed.select(col("variant"), col("id").as("id_a"), col("key").as("key_a"))

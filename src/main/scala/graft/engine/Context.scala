@@ -199,58 +199,35 @@ object Tables {
     * spark.sql.session.timeZone=UTC. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val path = s"$sfDir/$name.parquet"
-    val df = spark.read.parquet(path)
-    val fixed =
-      if (name != "events") df
-      else df.schema("ts").dataType match {
-        case LongType => df.withColumn("ts",
-          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-        case TimestampNTZType => df.withColumn("ts",
-          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
-        case _ => df
-      }
-    scaleScan(spark, fixed, path)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
-  /** SCALE-ADAPTIVE scan parallelism (guide §2.5 "input skew — one huge
-    * unsplittable file"): a table shipped as one parquet file with one
-    * row group reads as ONE task no matter how many cores the session
-    * has, so every narrow per-row stage downstream (hash kernels, codec
-    * decodes, partial aggregates) runs serially until the first
-    * exchange — measured as 6 sequential single-task jobs of ~0.35 s
-    * inside one dedup query at sf0.1 on local[32]. When (and only when)
-    * the scan's estimated split count is far below the session's
-    * parallelism, spread the rows with one round-robin repartition of
-    * the (tiny, by construction of the condition) input. The condition
-    * is derived from the INPUT, not tuned to local mode: at production
-    * scale `bytes / maxPartitionBytes` exceeds any core count and this
-    * is a no-op; tiny dimension tables (nation, region, ...) stay below
-    * the byte floor where a shuffle costs more than the serial scan.
-    * Round-robin repartition is deterministic under
-    * spark.sql.execution.sortBeforeRepartition (default), and every
-    * declared query's result is partitioning-independent by the repo's
-    * determinism rules (total ORDER BY, DECIMAL accumulation, ordered
-    * folds) — re-proven against the DuckDB oracle after this change.
-    * Both knobs are conf-overridable for other deployments. */
-  private def scaleScan(spark: SparkSession, df: DataFrame,
-      path: String): DataFrame = {
+  /** Spread a KERNEL-BOUND operator input to the session's parallelism —
+    * guide §2.5's "one huge unsplittable file" fix, applied at OPERATOR
+    * granularity. The sf tables ship as one parquet file with one row
+    * group, so their scans run as ONE task at any core count and a
+    * per-row-expensive kernel (image/audio codecs, deletion-variant
+    * neighborhoods) serializes on a 32-core box. Only the operators
+    * whose downstream is genuinely compute-bound call this: an
+    * A/B-measured GLOBAL repartition-on-load was rejected — it bought
+    * 2-2.6x on the codec/kernel queries but taxed every join-heavy
+    * query one extra exchange + AQE stage per scan (+0.5-1.4 s each on
+    * q_tpch_q2/q11/q21, label_prop, reciprocity...), a net wash across
+    * the 319-query sweep. Conditional on the input actually being
+    * under-parallel, so at production split counts (or after an
+    * upstream shuffle) it is a no-op and never moves big data twice. */
+  def spreadForKernel(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    // floor default chosen so the oracle-gate scale factors exercise the
-    // SAME spread branch the bench scale runs (sf0.01 lineitem/orders/
-    // events/embeddings and even sf0.001 embeddings are above it), while
-    // true dimension tables (nation, region, supplier) stay serial
-    val minBytes = spark.conf.getOption("spark.graft.scan.spreadMinBytes")
-      .map(_.toLong).getOrElse(128L * 1024)
-    val bytes =
-      try {
-        val p = new org.apache.hadoop.fs.Path(path)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getContentSummary(p).getLength
-      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val estSplits = math.max(1L, bytes / math.max(1L, maxSplit))
-    if (bytes >= minBytes && estSplits < target) df.repartition(target)
-    else df
+    val cur = df.rdd.getNumPartitions // planning only, no job
+    if (cur * 2 < target) df.repartition(target) else df
   }
 }

@@ -81,7 +81,13 @@ object Multimodal {
       height: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { ids =>
+    // codec-bound generation (and the decode/featurize chained narrowly
+    // on top): spread an under-parallel id scan first, or the whole PNG
+    // pipeline runs in ONE task on a single-split local table
+    // (Tables.spreadForKernel — no-op at production split counts)
+    graft.engine.Tables.spreadForKernel(
+        docs.select(col("doc_id").as("media_id")))
+      .as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per image
       ids.map { id =>
         val img = new java.awt.image.BufferedImage(
@@ -317,7 +323,9 @@ object Multimodal {
     require(dim <= 63, "phash must fit a signed long")
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
+    // per-payload hashing is the kernel: spread an under-parallel media
+    // scan once (conditional — no-op on an already-split store)
+    graft.engine.Tables.spreadForKernel(media).as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         val p = if (r.payload == null) Array.emptyByteArray else r.payload
         val sums = new Array[Long](dim)
@@ -384,7 +392,10 @@ object Multimodal {
       nFrames: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id")).as[Long].mapPartitions { ids =>
+    // same kernel-input spread rationale as [[syntheticImages]]
+    graft.engine.Tables.spreadForKernel(
+        docs.select(col("doc_id").as("media_id")))
+      .as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       ids.flatMap { id =>
         (0 until nFrames).map { f =>

@@ -19,6 +19,10 @@ object QueryBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // A/B the scale-adaptive scan spread (SPARK_GRAFT_SPREAD_MIN=
+      // 9999999999999 disables it) without a checkout — PlanSnap's toggle
+      .config("spark.graft.scan.spreadMinBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPREAD_MIN", (128L * 1024).toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.engine.GraftExtensions")
