@@ -226,8 +226,14 @@ object Tables {
     * upstream shuffle) it is a no-op and never moves big data twice. */
   def spreadForKernel(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    // A/B escape hatch shared with the measurement tools: a floor past
+    // any real input (SPARK_GRAFT_SPREAD_MIN=9999999999999) disables
+    // kernel-input spreading so before/after comparisons need no checkout
+    val disabled = spark.conf.getOption("spark.graft.scan.spreadMinBytes")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .exists(_ > (1L << 40))
     val target = spark.sparkContext.defaultParallelism
     val cur = df.rdd.getNumPartitions // planning only, no job
-    if (cur * 2 < target) df.repartition(target) else df
+    if (!disabled && cur * 2 < target) df.repartition(target) else df
   }
 }
