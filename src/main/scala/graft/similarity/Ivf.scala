@@ -783,23 +783,36 @@ object Ivf {
     val slim = corpus.select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cents = train(slim, k, iters, idCol, vecCol)
-      graft.sources.Sinks.writeParquet(cents, s"$path/centroids")
-      writeIngestStore(slim, cents, s"$path/store", idCol, vecCol)
-      val floor = calibratedConfidenceFloor(slim, collectCentroids(cents),
-        idCol, vecCol)
-      writeSmall(fs, new org.apache.hadoop.fs.Path(s"$path/_confidence_floor"),
-        floor.toString)
-      pq.foreach { spec =>
-        val dim = slim.select(size(col(vecCol))).first().getInt(0)
-        val cbs = Pq.trainCodebooks(slim, spec.m, spec.k, dim, spec.iters,
-          idCol, vecCol)
+      // ONE dim probe feeds BOTH trainers (train's internal probe is
+      // skipped when dim > 0; the PQ branch re-ran the same 1-row job)
+      val vecDim = slim.select(size(col(vecCol))).first().getInt(0)
+      val cents = train(slim, k, iters, idCol, vecCol, dim = vecDim)
+      val centArr = collectCentroids(cents)
+      // After training, every remaining artifact is an INDEPENDENT pure
+      // function of (slim, cents): the centroids parquet, the clustered
+      // list store, the calibrated floor, and the PQ triple. Run them
+      // concurrently (guide §2.6) — each is a short job whose tail idles
+      // most cores, and the build was a strictly sequential chain of
+      // them; contents are byte-identical to the sequential build since
+      // no artifact reads another.
+      val pqTask: Option[() => Unit] = pq.map { spec => () => {
+        val cbs = Pq.trainCodebooks(slim, spec.m, spec.k, vecDim,
+          spec.iters, idCol, vecCol)
         Pq.writeCodebooks(spark, cbs, s"$path/codebooks")
         Pq.writeIvfAdcStore(slim, cents, cbs, s"$path/codes/ingest=base",
           idCol, vecCol)
         writeSmall(fs, new org.apache.hadoop.fs.Path(s"$path/_pq"),
           s"${spec.m} ${spec.k} ${spec.iters}")
-      }
+      }}
+      graft.engine.Par.run(Seq[() => Unit](
+        () => graft.sources.Sinks.writeParquet(cents, s"$path/centroids"),
+        () => writeIngestStore(slim, cents, s"$path/store", idCol, vecCol),
+        () => {
+          val floor = calibratedConfidenceFloor(slim, centArr, idCol, vecCol)
+          writeSmall(fs,
+            new org.apache.hadoop.fs.Path(s"$path/_confidence_floor"),
+            floor.toString)
+        }) ++ pqTask)
     } finally slim.unpersist(blocking = false)
   }
 
@@ -1048,23 +1061,35 @@ object Ivf {
     val fs = fsOf(spark, root)
     val staging = stagingPath(root, next, newToken())
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    graft.sources.Sinks.writeParquet(
-      spark.read.parquet(s"$root/v=$v/centroids"), s"$staging/centroids")
-    readConfidenceFloor(spark, root, v).foreach(f =>
-      writeSmall(fs,
-        new org.apache.hadoop.fs.Path(s"$staging/_confidence_floor"),
-        f.toString))
     val marker = supersededFoldMarker(spark, root, v)
-    val (before, after) = compactIngestStore(spark,
-      s"$root/v=$v/store", s"$staging/store", idCol)
-    readPqSpec(spark, root, v).foreach { spec =>
-      graft.sources.Sinks.writeParquet(
-        spark.read.parquet(s"$root/v=$v/codebooks"), s"$staging/codebooks")
-      writeSmall(fs, new org.apache.hadoop.fs.Path(s"$staging/_pq"),
-        s"${spec.m} ${spec.k} ${spec.iters}")
-      val _ = compactIngestStore(spark,
-        s"$root/v=$v/codes", s"$staging/codes", idCol)
-    }
+    // the carried artifacts (centroids + floor), the raw-store fold, and
+    // the code-store fold are independent reads of the IMMUTABLE source
+    // version into disjoint staging paths — run them concurrently
+    // (guide §2.6); supersededFoldMarker is derived ABOVE the fork from
+    // the source version's layer names, which no staged write touches
+    val counts =
+      new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+    val pqFoldTask: Option[() => Unit] =
+      readPqSpec(spark, root, v).map { spec => () => {
+        graft.sources.Sinks.writeParquet(
+          spark.read.parquet(s"$root/v=$v/codebooks"), s"$staging/codebooks")
+        writeSmall(fs, new org.apache.hadoop.fs.Path(s"$staging/_pq"),
+          s"${spec.m} ${spec.k} ${spec.iters}")
+        val _ = compactIngestStore(spark,
+          s"$root/v=$v/codes", s"$staging/codes", idCol)
+      }}
+    graft.engine.Par.run(Seq[() => Unit](
+      () => {
+        graft.sources.Sinks.writeParquet(
+          spark.read.parquet(s"$root/v=$v/centroids"), s"$staging/centroids")
+        readConfidenceFloor(spark, root, v).foreach(f =>
+          writeSmall(fs,
+            new org.apache.hadoop.fs.Path(s"$staging/_confidence_floor"),
+            f.toString))
+      },
+      () => counts.set(compactIngestStore(spark,
+        s"$root/v=$v/store", s"$staging/store", idCol))) ++ pqFoldTask)
+    val (before, after) = counts.get()
     marker.foreach(b => writeSmall(fs,
       new org.apache.hadoop.fs.Path(s"$staging/_folded_through"),
       b.toString))
@@ -1371,13 +1396,19 @@ object Ivf {
       spark: org.apache.spark.sql.SparkSession, root: String, v: Long,
       batch: DataFrame, batchId: Long, cents: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    writeBatchToStore(batch, cents, s"$root/v=$v/store", batchId,
-      idCol, vecCol)
-    readPqSpec(spark, root, v).foreach { _ =>
-      Pq.writeIvfAdcStore(batch, cents,
-        Pq.readCodebooks(spark, s"$root/v=$v/codebooks"),
-        s"$root/v=$v/codes/ingest=b$batchId", idCol, vecCol)
-    }
+    // the raw-vector layer and the PQ-code layer are INDEPENDENT keyed
+    // overwrites of the same batch — run them concurrently (guide §2.6);
+    // replay semantics are unchanged: a crash leaving either subset is
+    // healed by the replayed batch rewriting both byte-identically
+    val codeTask: Option[() => Unit] =
+      readPqSpec(spark, root, v).map { _ => () =>
+        Pq.writeIvfAdcStore(batch, cents,
+          Pq.readCodebooks(spark, s"$root/v=$v/codebooks"),
+          s"$root/v=$v/codes/ingest=b$batchId", idCol, vecCol)
+      }
+    graft.engine.Par.run(Seq[() => Unit](
+      () => writeBatchToStore(batch, cents, s"$root/v=$v/store", batchId,
+        idCol, vecCol)) ++ codeTask)
   }
 
   /** Append one EPOCH of the serving-query log of an index root

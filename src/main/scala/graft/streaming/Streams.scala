@@ -432,13 +432,23 @@ object Streams {
       idCol: String = "vec_id", vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(auditEvery >= 1, s"audit cadence must be >= 1: $auditEvery")
+    // Per-STREAM cache of each version's driver-localized centroids (k
+    // rows per entry, bounded by the retrain count): a committed
+    // version's directory is immutable, and every mid-stream publish
+    // happens inside THIS foreachBatch — so re-reading the same
+    // version's centroids parquet on every micro-batch was a pure
+    // per-batch job tax on the always-on path. Scoped to the streaming
+    // query (dies with it), never module-level: a rebuilt root reuses
+    // version numbers, so a cross-stream memo could serve stale rows.
+    val centCache = new java.util.concurrent.ConcurrentHashMap[Long, DataFrame]()
     newVectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         processAuditedBatch(batch.toDF(), batchId, root, auditEvery,
           floor, nAuditQueries, k, nprobe, kCents, iters,
           confidenceFloor, samplePct, compactEvery, keepVersions,
-          workloadEvery, keepLogEpochs, idCol, vecCol)
+          workloadEvery, keepLogEpochs, idCol, vecCol,
+          centCache = centCache)
       }
       .start()
   }
@@ -453,7 +463,9 @@ object Streams {
       confidenceFloor: Double, samplePct: Int, compactEvery: Int = 0,
       keepVersions: Int = 0, workloadEvery: Int = 0,
       keepLogEpochs: Int = 0, idCol: String,
-      vecCol: String): Unit = {
+      vecCol: String,
+      centCache: java.util.concurrent.ConcurrentMap[Long, DataFrame] =
+        null): Unit = {
     val s = batch.sparkSession
     // ONE materialization for the several independent actions below
     // (emptiness, the store write, the confidence aggregate, the
@@ -482,12 +494,11 @@ object Streams {
         "streaming checkpoint against an existing index root would " +
         "silently drop data; resume the original checkpoint or publish " +
         "a fresh root")
-      val cents = graft.similarity.Ivf.localizeCentroids(
+      def loadCents(): DataFrame = graft.similarity.Ivf.localizeCentroids(
         s.read.parquet(s"$root/v=$v/centroids"))
-      // raw vectors + (when the version serves an IVFADC triple) the
-      // batch's PQ codes, both under idempotent ingest=b<batchId> keys
-      graft.similarity.Ivf.writeBatchToVersion(s, root, v, persisted,
-        batchId, cents, idCol, vecCol)
+      val cents =
+        if (centCache == null) loadCents()
+        else centCache.computeIfAbsent(v, _ => loadCents())
       // signal 1, EVERY batch: assignment confidence — a batch from a
       // space the quantizer never carved scores ~0 against every
       // centroid (structural, corpus-independent) and must trigger the
@@ -504,10 +515,25 @@ object Streams {
           graft.similarity.Ivf.readConfidenceFloor(s, root, v)
             .getOrElse(0.0) // pre-calibration roots: signal off, never wrong
         else confidenceFloor
+      // the batch write and the confidence aggregate are independent
+      // reads of the SAME persisted batch against the SAME frozen
+      // centroids — overlap them (guide §2.6). Every drift REPAIR below
+      // stays strictly after the write: retrainFromStore reads the store
+      // and must see this batch's layer, and the recall audit probes the
+      // store the batch just landed in.
+      val confBox =
+        new java.util.concurrent.atomic.AtomicReference[Option[Double]](None)
+      graft.engine.Par.run(Seq[() => Unit](
+        // raw vectors + (when the version serves an IVFADC triple) the
+        // batch's PQ codes, both under idempotent ingest=b<batchId> keys
+        () => graft.similarity.Ivf.writeBatchToVersion(s, root, v,
+          persisted, batchId, cents, idCol, vecCol),
+        () => if (effectiveFloor > 0.0)
+          confBox.set(Some(graft.similarity.Ivf.assignmentConfidence(
+            persisted.select(persisted(idCol), persisted(vecCol)).toDF(),
+            cents, idCol, vecCol)))))
       val outOfSpace = effectiveFloor > 0.0 &&
-        graft.similarity.Ivf.assignmentConfidence(
-          persisted.select(persisted(idCol), persisted(vecCol)).toDF(),
-          cents, idCol, vecCol) < effectiveFloor
+        confBox.get().exists(_ < effectiveFloor)
       if (outOfSpace) {
         val _ = graft.similarity.Ivf.retrainFromStore(s, root, kCents,
           iters, idCol, vecCol)
