@@ -704,6 +704,9 @@ object Text {
     val bigrams = wsBigrams(docs, textCol, Nil)
     val bg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pin the cache before ctx/prec/types/the filtered head scan it in
+    // one action (the kneserNeyTrigrams rationale, one order down)
+    bg.count()
     val ctx = bg.groupBy("w1")
       .agg(sum(col("c12")).cast(LongType).as("c_ctx"),
         count(lit(1)).as("n_follow"))
@@ -760,6 +763,14 @@ object Text {
       .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
     val tg = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pin the cache BEFORE the multi-branch plan below runs: four
+    // branches (ctx12, cont23, the filtered head, and cont23's own
+    // derivations) scan tg inside ONE action, and concurrent AQE leaf
+    // stages racing an unmaterialized cache serialize on block locks /
+    // re-run the aggregate lineage per branch instead of reading
+    // columnar batches (measured: the build+score-in-one-plan query ran
+    // SLOWER than build+parquet-roundtrip+score before this)
+    tg.count()
     val ctx12 = tg.groupBy("w1", "w2")
       .agg(sum(col("c123")).cast(LongType).as("c12"),
         count(lit(1)).as("nf12"))
@@ -767,6 +778,7 @@ object Text {
     // distinct-predecessor continuation count N1+(·w2w3)
     val cont23 = tg.groupBy("w2", "w3").agg(count(lit(1)).as("cont23"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cont23.count() // same pinning: ctx2, cont3, btot and the mid join all scan it
     val ctx2 = cont23.groupBy("w2")
       .agg(sum(col("cont23")).cast(LongType).as("cont2"),
         count(lit(1)).as("nf2"))
@@ -819,6 +831,11 @@ object Text {
       .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
         col("tg.w3").as("w3"))
     val m = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the model cache NOW: five scorer branches scan m in
+    // one action, and for an in-memory model the lineage is the whole
+    // training build — racing branches against an unpinned cache cost
+    // more than a parquet round trip of the same model (measured)
+    m.count()
     val ctx12 = m.select(col("w1"), col("w2"), col("c12"), col("nf12")).distinct()
     val mid = m.select(col("w2"), col("w3"), col("cont23")).distinct()
     val ctx2 = m.select(col("w2"), col("cont2"), col("nf2")).distinct()
@@ -898,6 +915,7 @@ object Text {
     // whole training lineage, quadrupling the plan (measured 48 → 17
     // exchanges at sf0.1)
     val m = model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    m.count() // pin the cache before the four scorer branches scan it
     val ctx = m.select(col("w1"), col("c_ctx"), col("n_follow")).distinct()
     val prec = m.select(col("w2"), col("n_prec")).distinct()
     val consts = m.agg(max(col("b_types")).as("b_types"),
