@@ -747,8 +747,10 @@ object Dedup {
     * unrolled join chain every round, while here the adjacency list is
     * shuffled once and every per-round join is co-partitioned, leaving
     * two shuffles per round (the neighbor-min reduce and the pointer-jump
-    * re-key) and a single co-partitioned action for convergence detection.
-    * The public surface stays DataFrames.
+    * re-key) and ONE action per round that both materializes the round's
+    * labels and counts changes for convergence — the round-start label
+    * rides the jump shuffle so the check needs no separate pass over the
+    * label set. The public surface stays DataFrames.
     *
     * Lineage truncation: persisting each round bounds recomputation on the
     * happy path, but the dependency chain still grows one round deeper per
@@ -778,6 +780,9 @@ object Dedup {
       .partitionBy(part).persist(level)
     var labels = nodes.select(col("id")).as[Long].rdd
       .map(x => (x, x)).partitionBy(part).persist(level)
+    // the PERSISTED RDD backing `labels` (labels itself becomes a narrow
+    // mapValues view of each round's persisted pair RDD below)
+    var labelsStore: org.apache.spark.rdd.RDD[_] = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -785,25 +790,36 @@ object Dedup {
       val nbrMin = byDst.join(labels) // co-partitioned: no shuffle
         .map { case (_, (src, lab)) => (src, lab) }
         .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // shuffle 1
+      // pulled carries (newLabel, roundStartLabel): the old label rides
+      // the jump shuffle (+8 bytes/row) so the convergence check below
+      // can be fused into the round's materializing action instead of a
+      // separate full pass re-reading and hash-joining the label set.
       val pulled = labels.leftOuterJoin(nbrMin).mapValues {
-        case (own, nb) => math.min(own, nb.getOrElse(own))
+        case (own, nb) => (math.min(own, nb.getOrElse(own)), own)
       }
+      val pulledNew = pulled.mapValues(_._1) // co-partitioned view
       // 2) jump: follow the label to ITS label (doubles reach per round)
-      val byLabel = pulled.map { case (id, lab) => (lab, id) }
+      val byLabel = pulled.map { case (id, (lab, old)) => (lab, (id, old)) }
         .partitionBy(part) // shuffle 2
-      val next = byLabel.leftOuterJoin(pulled) // co-partitioned
-        .map { case (lab, (id, ll)) => (id, ll.getOrElse(lab)) }
+      val jumped = byLabel.leftOuterJoin(pulledNew) // co-partitioned
+        .map { case (lab, ((id, old), ll)) => (id, (ll.getOrElse(lab), old)) }
         .partitionBy(part).persist(level)
+      val next = jumped.mapValues(_._1) // narrow view of the persist
       // Reliable checkpoint every few rounds: materialized right after the
-      // convergence action below computes `next` (served from the persist,
-      // not recomputed), after which the lineage restarts at this round.
+      // convergence action below computes `jumped` (served from the
+      // persist, not recomputed), after which lineage restarts here.
       if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0)
-        next.checkpoint()
+        jumped.checkpoint()
       val changed = spark.sparkContext.longAccumulator("cc_changed")
-      next.join(labels).foreach { case (_, (nl, ol)) => // the round's one action
+      // the round's one action: materializes the persist AND counts label
+      // changes vs the round-start label carried in the value — the same
+      // comparison the former next.join(labels) pass computed, minus the
+      // per-round re-read + hash join of the whole label set.
+      jumped.foreach { case (_, (nl, ol)) =>
         if (nl != ol) changed.add(1L)
       }
-      labels.unpersist(blocking = false)
+      labelsStore.unpersist(blocking = false)
+      labelsStore = jumped
       labels = next
       converged = changed.value == 0L
       i += 1
