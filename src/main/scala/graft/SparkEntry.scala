@@ -3628,16 +3628,23 @@ object SparkEntry {
         .orderBy("lang", "lang_pred")),
 
     // market-basket pair mining (frequent itemsets, size 2): parts
-    // co-ordered in the same order, support >= 2 — the
-    // co-occurrence self-join is keyed on orderkey so fan-out is bounded
-    // by the order's own line count, never corpus-wide
+    // co-ordered in the same order, support >= 2. Pairs are enumerated
+    // WITHOUT the self-join (the q_kcore edge-build shape): one map-side-
+    // combined collect_set per order, every x<y pair expanded NARROWLY
+    // inside the sorted array — the former distinct + self-join-on-ok
+    // shuffled the lineitem projection three times to enumerate the same
+    // pair multiset (guide §2.4: remove shuffles outright); the per-order
+    // expansion is bounded by the order's own line count, never
+    // corpus-wide, and the unchanged DuckDB oracle proves equivalence.
     "q_basket_pairs" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val a = li.select(col("ok"), col("pk").as("part_a"))
-      val b = li.select(col("ok"), col("pk").as("part_b"))
-      a.join(b, "ok").filter(col("part_a") < col("part_b"))
+      val items = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("ok"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      items
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))), y =>
+            struct(x.as("part_a"), y.as("part_b")))))).as("e"))
+        .select(col("e.part_a").as("part_a"), col("e.part_b").as("part_b"))
         .groupBy("part_a", "part_b").agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .orderBy(col("support").desc, col("part_a"), col("part_b"))
