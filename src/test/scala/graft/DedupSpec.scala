@@ -126,6 +126,33 @@ class DedupSpec extends AnyFunSuite {
     assert(files > 0, "no checkpoint files written")
   }
 
+  test("connectedComponents fused convergence: maxIter honored, early exit converged") {
+    // The convergence check rides the jump shuffle (fused into the round's
+    // one action); this pins the loop's round semantics around that fusion.
+    val n = 32
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    // one round of pull+jump cannot collapse a 32-chain: maxIter=1 must
+    // return a partially-propagated labeling (NOT all zeros)
+    val oneRound = Dedup.connectedComponents(nodes, edges, maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound.values.exists(_ != 0L),
+      "maxIter=1 fully collapsed a 32-chain — round semantics changed")
+    // with headroom the loop early-exits at the fixpoint: all labels 0,
+    // and a generous maxIter gives the same answer as a tight one
+    val full = Dedup.connectedComponents(nodes, edges, maxIter = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(full.values.forall(_ == 0L))
+    val tight = Dedup.connectedComponents(nodes, edges, maxIter = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(tight == full)
+    // an edgeless graph converges immediately: every node keeps its own id
+    val iso = Dedup.connectedComponents(nodes,
+        Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(iso == (0L until n).map(i => i -> i).toMap)
+  }
+
   test("nearDupSurvivors keeps one canonical doc per component plus untouched docs") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (7L, "b"), (9L, "c"))
       .toDF("doc_id", "text")
