@@ -798,7 +798,13 @@ object Dedup {
         case (own, nb) => (math.min(own, nb.getOrElse(own)), own)
       }
       val pulledNew = pulled.mapValues(_._1) // co-partitioned view
-      // 2) jump: follow the label to ITS label (doubles reach per round)
+      // 2) jump: follow the label to ITS label (doubles reach per round).
+      // A double-jump variant (squares the pointer graph, halves rounds/
+      // barriers for one extra slim shuffle per round) was measured and
+      // REJECTED: near-dup graphs converge in 1-2 rounds so the extra
+      // shuffle is pure overhead (survivors 3.11 → 3.47 s, best 3.15 →
+      // 3.70 isolated min-of-3), and long-chain geometries are already
+      // O(log d) with the single jump.
       val byLabel = pulled.map { case (id, (lab, old)) => (lab, (id, old)) }
         .partitionBy(part) // shuffle 2
       val jumped = byLabel.leftOuterJoin(pulledNew) // co-partitioned
